@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.broadcast
+
+/** Join shapes (SURVEY §2.4 J1-J3).
+  *
+  * The reference uses LEFT equi-joins only; the distinctive shapes are:
+  *  - J1: constant predicate INSIDE the ON clause
+  *    (`... AND et.traffic_type = 'paid'`, traffic_daily_agg.sql:106-109) —
+  *    semantically different from a WHERE: it disables the match, not the
+  *    row. Organic rows survive with NULL right side.
+  *  - J3: expression join key (`LOWER(le.mkt_campaign) = ts.mkt_campaign`,
+  *    lead_activities_agg.sql:146-149) with faithful fan-out.
+  *
+  * Scale notes: every helper takes a `small` flag — when the right side is
+  * dimension-sized (the reference's spend tables are tiny vs the event
+  * stream) we `broadcast()` it, turning a sort-merge + 2 shuffles into a
+  * map-side hash join with zero shuffle of the big side. At 100 TB the
+  * event side never moves.
+  */
+object Joins {
+
+  private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
+  /** LEFT join with arbitrary ON condition (J1/J3 shapes). */
+  def leftOn(left: DataFrame, right: DataFrame, cond: Column,
+             smallRight: Boolean = true): DataFrame =
+    left.join(maybeBroadcast(right, smallRight), cond, "left")
+
+  /** J2 — LEFT equi-join on shared key names (one output key column). */
+  def leftUsing(left: DataFrame, right: DataFrame, keys: Seq[String],
+                smallRight: Boolean = true): DataFrame =
+    left.join(maybeBroadcast(right, smallRight), keys, "left")
+}

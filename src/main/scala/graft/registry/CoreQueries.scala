@@ -1,0 +1,253 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.runtime.Sources
+
+/** Per-operator query registry for SURVEY §2's relational inventory,
+  * phrased over the driver fixtures (FIXTURES.md §C mapping). Every entry
+  * has a DuckDB oracle with IDENTICAL column names/types (driver compare
+  * sorts columns by name and hashes values).
+  *
+  * Determinism rules applied throughout:
+  *  - windows carry total orders (unique tie-break columns);
+  *  - no raw-double arithmetic whose result depends on aggregation order
+  *    (min/max/count only, or per-row IEEE ops which are bit-deterministic);
+  *  - count/floor results cast to bigint on both sides;
+  *  - raw nanosecond timestamps are never emitted (dates / strings instead).
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def src(s: SparkSession, dir: String) = Sources(s, dir)
+
+  // ---- S1/P1: scan + project + rename + cast ------------------------------
+  private val s1Scan: Q = (s, dir) =>
+    src(s, dir).events.select(
+      col("event_id"),
+      to_date(col("ts")).as("event_date"),
+      col("event_type"),
+      col("user_id"))
+
+  // ---- P3-P7: filter gauntlet (equality, !=, NOT ILIKE, NOT NULL, >) ------
+  private val pFilters: Q = (s, dir) =>
+    src(s, dir).events
+      .filter(col("event_type") === "click")
+      .filter(col("event_type") =!= "internal")
+      .filter(Filters.notIlikeAny(col("props"), Seq("%\"k\": 1%")))
+      .filter(col("props").isNotNull && col("value") > 50.0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  // ---- F1-F10: scalar function battery ------------------------------------
+  private val fScalars: Q = (s, dir) =>
+    src(s, dir).events.select(
+      col("event_id"),
+      lower(col("event_type")).as("etype_lc"),
+      coalesce(nullif(col("event_type"), lit("error")), lit("unknown"), lit("x")).as("etype_nz"),
+      to_date(col("ts")).as("event_date"),
+      col("user_id").cast("string").as("user_str"),
+      floor(col("value")).cast("bigint").as("value_floor"),
+      (col("value") / nullif(col("user_id").cast("double"), lit(0.0))).as("per_user"),
+      when(col("event_type").isin("click", "view"), "web")
+        .when(col("event_type") === "purchase", "commerce")
+        .otherwise(lit(null).cast("string")).as("kind"))
+
+  // ---- F11: dbt_utils-compatible surrogate key -----------------------------
+  private val f11Key: Q = (s, dir) =>
+    src(s, dir).events.select(
+      col("event_id"),
+      Keys.surrogateKey(col("event_type"), to_date(col("ts")), col("user_id")).as("id"))
+
+  // ---- A1: dual count agg ---------------------------------------------------
+  private def dualCountAgg(s: SparkSession, dir: String): DataFrame =
+    Aggs.dualCount(
+      src(s, dir).events,
+      Seq(to_date(col("ts")).as("event_date"), col("event_type")),
+      col("user_id"))
+
+  private val a1Dual: Q = dualCountAgg
+
+  // ---- A2: 3-key group (positional-style) ----------------------------------
+  private val a2Group3: Q = (s, dir) =>
+    src(s, dir).events
+      .groupBy(
+        to_date(col("ts")).as("event_date"),
+        col("event_type"),
+        (col("user_id") % 4).as("bucket"))
+      .agg(count(lit(1)).as("total_visits"), countDistinct(col("user_id")).as("unique_visitors"))
+
+  // ---- A3: SELECT DISTINCT --------------------------------------------------
+  private val a3Distinct: Q = (s, dir) =>
+    src(s, dir).events
+      .filter(col("value") > 100.0)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+
+  // ---- W1: top-1-per-key attribution dedup ---------------------------------
+  private val w1Top1: Q = (s, dir) => {
+    val prep = src(s, dir).events.select("user_id", "event_id", "event_type", "ts")
+    Dedup.topOnePerKey(
+      prep,
+      keys = Seq(col("user_id")),
+      order = Seq(
+        when(col("event_type") === "purchase", 1).otherwise(2),
+        col("ts").desc,
+        col("event_id").desc))
+      .select("user_id", "event_id", "event_type")
+  }
+
+  // ---- W2: global sequential id over an aggregate --------------------------
+  private val w2GlobalId: Q = (s, dir) =>
+    Ids.globalRowNumber(
+      Pivot.byUnion(dualCountAgg(s, dir), Seq("event_date", "event_type"),
+        "col_1", "traffic", "total_visits", "unique_visitors"),
+      order = Seq(col("event_date"), col("event_type"), col("col_1")))
+
+  // ---- J1: left join with constant predicate in ON -------------------------
+  private val j1LeftConstOn: Q = (s, dir) => {
+    val t = dualCountAgg(s, dir)
+    val sp = src(s, dir).events
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("spend_date"))
+      .agg(min(col("value")).as("spend"))
+    Joins.leftOn(t, sp,
+      t("event_date") === sp("spend_date") && t("event_type") === lit("purchase"))
+      .select(t("event_date"), t("event_type"), t("total_visits"), sp("spend"))
+  }
+
+  // ---- J2: left equi-join, single key --------------------------------------
+  private val j2LeftSingle: Q = (s, dir) => {
+    val o = src(s, dir).orders
+    val c = src(s, dir).customer
+    Joins.leftOn(o, c, o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_name"), c("c_mktsegment"))
+  }
+
+  // ---- J3: left join on expression key --------------------------------------
+  private val j3LeftExprKey: Q = (s, dir) => {
+    val o = src(s, dir).orders
+    val dim = s.createDataFrame(Seq(
+      ("o", "open"), ("p", "pending"), ("f", "finished")))
+      .toDF("status_lc", "status_name")
+    Joins.leftOn(o, dim, lower(o("o_orderstatus")) === dim("status_lc"))
+      .select(o("o_orderkey"), dim("status_name"))
+  }
+
+  // ---- U1/U2: all/unique long-format pivot ----------------------------------
+  private val u1PivotUnion: Q = (s, dir) =>
+    Pivot.byUnion(dualCountAgg(s, dir), Seq("event_date", "event_type"),
+      "col_1", "traffic", "total_visits", "unique_visitors")
+
+  private val u2PivotExplode: Q = (s, dir) =>
+    Pivot.byExplode(dualCountAgg(s, dir), Seq("event_date", "event_type"),
+      "col_1", "traffic", "total_visits", "unique_visitors")
+
+  // ---- S4/A4/P10: incremental upsert semantics in one batch ----------------
+  private val incrUpsert: Q = (s, dir) => {
+    val cut = java.sql.Date.valueOf("2024-01-15")
+    def batch(f: DataFrame => DataFrame): DataFrame = {
+      val e = f(src(s, dir).events.withColumn("event_date", to_date(col("ts"))))
+      e.groupBy("event_date", "event_type")
+        .agg(count(lit(1)).as("total_visits"))
+        .withColumn("id", Keys.surrogateKey(col("event_date"), col("event_type")))
+    }
+    val b1 = batch(_.filter(col("event_date") <= lit(cut)))
+    val b2 = batch(_.filter(col("event_date") > lit(cut)))
+    b1.join(b2.select("id"), Seq("id"), "left_anti").unionByName(b2)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_s1_scan_project" -> s1Scan,
+    "q_p_filters"       -> pFilters,
+    "q_f_scalars"       -> fScalars,
+    "q_f11_surrogate_key" -> f11Key,
+    "q_a1_dual_count"   -> a1Dual,
+    "q_a2_group3"       -> a2Group3,
+    "q_a3_distinct"     -> a3Distinct,
+    "q_w1_top1_per_key" -> w1Top1,
+    "q_w2_global_id"    -> w2GlobalId,
+    "q_j1_left_const_on" -> j1LeftConstOn,
+    "q_j2_left_single"  -> j2LeftSingle,
+    "q_j3_left_expr_key" -> j3LeftExprKey,
+    "q_u1_pivot_union"  -> u1PivotUnion,
+    "q_u2_pivot_explode" -> u2PivotExplode,
+    "q_incr_upsert"     -> incrUpsert,
+  )
+
+  private val dualCountSql =
+    "SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS total_visits, " +
+    "count(DISTINCT user_id) AS unique_visitors FROM events GROUP BY 1, 2"
+
+  private val pivotSql =
+    s"WITH a AS ($dualCountSql) " +
+    "SELECT event_date, event_type, 'all' AS col_1, total_visits AS traffic FROM a " +
+    "UNION ALL " +
+    "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
+
+  val oracle: Map[String, String] = Map(
+    "q_s1_scan_project" ->
+      "SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, user_id FROM events",
+    "q_p_filters" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+       "WHERE event_type = 'click' AND event_type <> 'internal' " +
+       "AND props NOT ILIKE '%\"k\": 1%' AND props IS NOT NULL AND value > 50.0"),
+    "q_f_scalars" ->
+      ("SELECT event_id, lower(event_type) AS etype_lc, " +
+       "coalesce(nullif(event_type, 'error'), 'unknown', 'x') AS etype_nz, " +
+       "CAST(ts AS DATE) AS event_date, CAST(user_id AS VARCHAR) AS user_str, " +
+       "CAST(floor(value) AS BIGINT) AS value_floor, " +
+       "value / nullif(CAST(user_id AS DOUBLE), 0.0) AS per_user, " +
+       "CASE WHEN event_type IN ('click', 'view') THEN 'web' " +
+       "WHEN event_type = 'purchase' THEN 'commerce' ELSE NULL END AS kind FROM events"),
+    "q_f11_surrogate_key" ->
+      ("SELECT event_id, md5(concat_ws('-', " +
+       "coalesce(CAST(event_type AS VARCHAR), '_dbt_utils_surrogate_key_null'), " +
+       "coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '_dbt_utils_surrogate_key_null'), " +
+       "coalesce(CAST(user_id AS VARCHAR), '_dbt_utils_surrogate_key_null'))) AS id FROM events"),
+    "q_a1_dual_count" -> dualCountSql,
+    "q_a2_group3" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, event_type, user_id % 4 AS bucket, " +
+       "count(*) AS total_visits, count(DISTINCT user_id) AS unique_visitors " +
+       "FROM events GROUP BY 1, 2, 3"),
+    "q_a3_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events WHERE value > 100.0",
+    "q_w1_top1_per_key" ->
+      ("WITH ranked AS (SELECT user_id, event_id, event_type, " +
+       "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY " +
+       "CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END, ts DESC, event_id DESC) AS rn " +
+       "FROM events) SELECT user_id, event_id, event_type FROM ranked WHERE rn = 1"),
+    "q_w2_global_id" ->
+      (s"WITH p AS ($pivotSql) " +
+       "SELECT event_date, event_type, col_1, traffic, " +
+       "ROW_NUMBER() OVER (ORDER BY event_date, event_type, col_1) AS id FROM p"),
+    "q_j1_left_const_on" ->
+      (s"WITH t AS ($dualCountSql), " +
+       "sp AS (SELECT CAST(ts AS DATE) AS spend_date, min(value) AS spend FROM events " +
+       "WHERE event_type = 'click' GROUP BY 1) " +
+       "SELECT t.event_date, t.event_type, t.total_visits, sp.spend " +
+       "FROM t LEFT JOIN sp ON t.event_date = sp.spend_date AND t.event_type = 'purchase'"),
+    "q_j2_left_single" ->
+      ("SELECT o.o_orderkey, c.c_name, c.c_mktsegment FROM orders o " +
+       "LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
+    "q_j3_left_expr_key" ->
+      ("SELECT o.o_orderkey, d.status_name FROM orders o LEFT JOIN " +
+       "(VALUES ('o', 'open'), ('p', 'pending'), ('f', 'finished')) " +
+       "AS d(status_lc, status_name) ON lower(o.o_orderstatus) = d.status_lc"),
+    "q_u1_pivot_union" -> pivotSql,
+    "q_u2_pivot_explode" -> pivotSql,
+    "q_incr_upsert" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS event_date, event_type FROM events), " +
+       "b1 AS (SELECT event_date, event_type, count(*) AS total_visits, " +
+       "md5(concat_ws('-', coalesce(CAST(event_date AS VARCHAR), '_dbt_utils_surrogate_key_null'), " +
+       "coalesce(CAST(event_type AS VARCHAR), '_dbt_utils_surrogate_key_null'))) AS id " +
+       "FROM e WHERE event_date <= DATE '2024-01-15' GROUP BY 1, 2), " +
+       "b2 AS (SELECT event_date, event_type, count(*) AS total_visits, " +
+       "md5(concat_ws('-', coalesce(CAST(event_date AS VARCHAR), '_dbt_utils_surrogate_key_null'), " +
+       "coalesce(CAST(event_type AS VARCHAR), '_dbt_utils_surrogate_key_null'))) AS id " +
+       "FROM e WHERE event_date > DATE '2024-01-15' GROUP BY 1, 2) " +
+       "SELECT * FROM b1 WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.id = b1.id) " +
+       "UNION ALL SELECT * FROM b2"),
+  )
+}

@@ -1,0 +1,66 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Incremental materialization (SURVEY §2.10, S4/S5 + A4).
+  *
+  * Reproduces dbt's `materialized='incremental', unique_key='id'`
+  * delete+insert strategy (reference config blocks:
+  * traffic_daily_agg.sql:2-6, traffic_pages_agg.sql:1-5,
+  * lead_activities_agg.sql:2-6):
+  *
+  *  1. First run (no prior output) → full build, plain write (CTAS).
+  *  2. Subsequent runs → model fn receives the prior output (for its
+  *     high-watermark filters, Filters.watermark) and produces the fresh
+  *     batch; rows whose `id` matches an existing row REPLACE it, others
+  *     append: `prior left_anti fresh on id` ∪ fresh.
+  *
+  * Parquet has no MERGE, so the upsert writes to a temp dir and swaps —
+  * crash-safe enough for repeated Verify runs (the swap is two renames;
+  * a crash between them loses only the prior dir, which the next full
+  * refresh rebuilds). On a real deployment this seam is where a table
+  * format (Delta/Iceberg MERGE, or date-partition overwrite) plugs in;
+  * the anti-join form shuffles both sides by `id` once, which AQE sizes.
+  */
+final class Materializer(spark: SparkSession, baseDir: String) {
+
+  def outPath(model: String): String = s"$baseDir/$model"
+
+  def exists(model: String): Boolean =
+    Files.exists(Paths.get(outPath(model), "_SUCCESS"))
+
+  def readPrior(model: String): Option[DataFrame] =
+    if (exists(model)) Some(spark.read.parquet(outPath(model))) else None
+
+  /** Run one model incrementally. `build` receives the prior output (None
+    * on first run) and returns the fresh batch, keyed by `uniqueKey`.
+    */
+  def materialize(model: String, uniqueKey: String)
+                 (build: Option[DataFrame] => DataFrame): DataFrame = {
+    val prior = readPrior(model)
+    val fresh = build(prior)
+    val result = prior match {
+      case None => fresh
+      case Some(old) =>
+        old.join(fresh.select(uniqueKey).distinct(), Seq(uniqueKey), "left_anti")
+          .unionByName(fresh)
+    }
+    val tmp = outPath(model) + "__tmp"
+    result.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val out = Paths.get(outPath(model))
+    val bak = Paths.get(outPath(model) + "__old")
+    deleteRecursive(bak)
+    if (Files.exists(out)) Files.move(out, bak)
+    Files.move(Paths.get(tmp), out)
+    deleteRecursive(bak)
+    spark.read.parquet(outPath(model))
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

@@ -1,0 +1,46 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-table registry — the engine's analog of dbt's `source()` resolver
+  * (reference: `models/sources.yml:3-18` declares schema.table names only;
+  * resolution happens at compile time). Here a "catalog" is a directory of
+  * parquet tables; `table(name)` is the single scan entry point so every
+  * model/operator reads through one seam (testable, swappable for a real
+  * catalog/metastore on a cluster).
+  *
+  * Scale note: parquet scans through this seam get Catalyst predicate
+  * pushdown + column pruning for free; on a real deployment the same seam
+  * would hand back partitioned-table scans (date-partitioned, see
+  * Materializer) so incremental watermark filters become partition pruning.
+  */
+final class Sources(spark: SparkSession, dir: String) {
+  // The fixture `events` table stores ts as parquet TIMESTAMP(NANOS), which
+  // Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). Public escape hatch:
+  // read nanos as long, then convert to TimestampType (µs) — truncation is
+  // lossless here (fixture values are µs-grained, TESTDATA.md seed=42).
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  def region: DataFrame    = table("region")
+  def nation: DataFrame    = table("nation")
+  def customer: DataFrame  = table("customer")
+  def supplier: DataFrame  = table("supplier")
+  def part: DataFrame      = table("part")
+  def orders: DataFrame    = table("orders")
+  def lineitem: DataFrame  = table("lineitem")
+  def events: DataFrame    = table("events")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+object Sources {
+  def apply(spark: SparkSession, dir: String): Sources = new Sources(spark, dir)
+}
