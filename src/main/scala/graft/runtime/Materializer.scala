@@ -44,8 +44,11 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     val result = prior match {
       case None => fresh
       case Some(old) =>
+        // NB: a using-join puts the key column first — re-select in the
+        // fresh batch's column order so the output schema is run-stable.
         old.join(fresh.select(uniqueKey).distinct(), Seq(uniqueKey), "left_anti")
           .unionByName(fresh)
+          .select(fresh.columns.map(col).toIndexedSeq: _*)
     }
     val tmp = outPath(model) + "__tmp"
     result.write.mode(SaveMode.Overwrite).parquet(tmp)

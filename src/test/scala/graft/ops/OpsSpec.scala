@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.security.MessageDigest
+
+/** Edge-semantics unit tests per SURVEY §5.2 — the cases a DuckDB oracle
+  * diff can't isolate: NULL handling, byte-equality, branch order.
+  */
+class KeysSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("surrogateKey byte-matches dbt_utils generate_surrogate_key semantics") {
+    val df = Seq(("a", Some(1)), ("b", None)).toDF("k", "v")
+    val got = df.select(Keys.surrogateKey($"k", $"v").as("id"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      md5Hex("a-1"),
+      md5Hex("b-_dbt_utils_surrogate_key_null")))
+  }
+
+  test("surrogateKey is injective on distinct simple inputs") {
+    val df = (1 to 100).toDF("n")
+    val ids = df.select(Keys.surrogateKey($"n")).distinct().count()
+    assert(ids == 100)
+  }
+}
+
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P4: != drops NULL rows (Redshift non-null-safe semantics)") {
+    val df = Seq(Some("internal"), Some("search"), None).toDF("refr_medium")
+    val kept = df.filter($"refr_medium" =!= "internal").collect()
+    assert(kept.map(_.getString(0)).toSeq == Seq("search")) // NULL row dropped
+  }
+
+  test("P5: botFilter is case-insensitive and drops NULL useragent") {
+    val df = Seq(Some("GoogleBOT/2.1"), Some("Mozilla/5.0"), Some("web-Spider"),
+      Some("crawler-x"), None).toDF("ua")
+    val kept = df.filter(Filters.botFilter($"ua")).as[String].collect().toSeq
+    assert(kept == Seq("Mozilla/5.0"))
+  }
+
+  test("P10: watermark None on empty prior, value otherwise; filter is strict >") {
+    val prior = Seq(java.sql.Date.valueOf("2024-01-05"), java.sql.Date.valueOf("2024-01-07"))
+      .toDF("d")
+    assert(Filters.watermark(Some(prior), "d").contains(java.sql.Date.valueOf("2024-01-07")))
+    assert(Filters.watermark(None, "d").isEmpty)
+    val empty = prior.filter(lit(false))
+    assert(Filters.watermark(Some(empty), "d").isEmpty)
+    val in = Seq(java.sql.Date.valueOf("2024-01-07"), java.sql.Date.valueOf("2024-01-08"))
+      .toDF("d")
+    val out = Filters.watermarkFilter(in, "d", Some(java.sql.Date.valueOf("2024-01-07")))
+    assert(out.collect().map(_.getDate(0).toString).toSeq == Seq("2024-01-08"))
+  }
+}
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def classify(medium: String, network: String): Option[String] = {
+    val df = Seq((medium, network)).toDF("refr_medium", "mkt_network")
+    df.select(Classify.trafficType($"refr_medium", $"mkt_network").as("t"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+  }
+
+  test("F9 classifier: paid / organic / NULL branch order preserved") {
+    assert(classify("cpc", "adwords").contains("paid"))
+    assert(classify("paid", "").contains("paid"))          // second arm
+    assert(classify("social", "").contains("organic"))
+    assert(classify("social", "adnet").contains("paid"))   // paid wins when network set
+    assert(classify("cpc", "").isEmpty)                    // cpc not in organic list
+    assert(classify("internal", "").isEmpty)               // unclassifiable
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("u1", 1L, "view", 10L), ("u1", 2L, "purchase", 5L), ("u1", 3L, "view", 99L),
+    ("u2", 4L, "view", 50L), ("u2", 5L, "view", 50L)) // tie on ts → event_id desc
+    .toDF("user_id", "event_id", "event_type", "ts")
+
+  private val rank = when($"event_type" === "purchase", 1).otherwise(2)
+
+  test("W1 topOnePerKey picks paid-touch first, then latest, then highest id") {
+    val got = Dedup.topOnePerKey(df, Seq($"user_id"),
+      Seq(rank, $"ts".desc, $"event_id".desc))
+      .select("user_id", "event_id").as[(String, Long)].collect().toMap
+    assert(got == Map("u1" -> 2L, "u2" -> 5L))
+  }
+
+  test("argmax variant agrees with the window form under an inverted order") {
+    // max(struct) picks the LARGEST, so encode: lower rank first → negate
+    val got = Dedup.argmax(df, Seq($"user_id"),
+      Seq(-rank, $"ts", $"event_id"))
+      .select("user_id", "event_id").as[(String, Long)].collect().toMap
+    assert(got == Map("u1" -> 2L, "u2" -> 5L))
+  }
+}
+
+class PivotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("byUnion and byExplode emit identical row sets") {
+    val agg = Seq(("2024-01-01", "click", 10L, 3L), ("2024-01-02", "view", 7L, 2L))
+      .toDF("d", "t", "total_visits", "unique_visitors")
+    val a = Pivot.byUnion(agg, Seq("d", "t"), "col_1", "traffic", "total_visits", "unique_visitors")
+    val b = Pivot.byExplode(agg, Seq("d", "t"), "col_1", "traffic", "total_visits", "unique_visitors")
+    assert(a.schema == b.schema)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == 4)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.runtime
+
+import graft.SparkSpec
+import graft.ops.{Filters, Keys}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental materialization properties (SURVEY §5.3): upsert
+  * idempotence + split-batch == full-run equivalence.
+  */
+class MaterializerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-mat").toString
+
+  private val rows = Seq(
+    ("2024-01-01", "a", 1), ("2024-01-01", "b", 2),
+    ("2024-01-02", "a", 3), ("2024-01-03", "b", 4))
+
+  private def inputDf(rs: Seq[(String, String, Int)]): DataFrame =
+    rs.toDF("ds", "k", "v").select(to_date($"ds").as("d"), $"k", $"v")
+
+  // model: count per (d, k) with surrogate id, watermarked on d
+  private def model(input: DataFrame)(prior: Option[DataFrame]): DataFrame = {
+    val wm = Filters.watermark(prior, "d")
+    Filters.watermarkFilter(input, "d", wm)
+      .groupBy("d", "k").agg(count(lit(1)).as("n"))
+      .withColumn("id", Keys.surrogateKey($"d", $"k"))
+  }
+
+  test("first run = full build; rerun on same input is idempotent") {
+    val mat = new Materializer(spark, freshDir())
+    val full = inputDf(rows)
+    val r1 = mat.materialize("m", "id")(model(full)).collect().toSet
+    val r2 = mat.materialize("m", "id")(model(full)).collect().toSet
+    assert(r1.nonEmpty && r1 == r2)
+  }
+
+  test("split-batch incremental == single full run") {
+    val matA = new Materializer(spark, freshDir())
+    val fullOut = matA.materialize("m", "id")(model(inputDf(rows)))
+      .select("id", "d", "k", "n").collect().toSet
+
+    val matB = new Materializer(spark, freshDir())
+    val batch1 = rows.filter(_._1 <= "2024-01-02")
+    matB.materialize("m", "id")(model(inputDf(batch1)))
+    val incrOut = matB.materialize("m", "id")(model(inputDf(rows)))
+      .select("id", "d", "k", "n").collect().toSet
+    assert(incrOut == fullOut)
+  }
+
+  test("upsert replaces matching ids and appends new ones") {
+    val mat = new Materializer(spark, freshDir())
+    val v1 = Seq(("k1", 1), ("k2", 2)).toDF("id", "v")
+    val v2 = Seq(("k2", 20), ("k3", 30)).toDF("id", "v")
+    mat.materialize("t", "id")(_ => v1)
+    val out = mat.materialize("t", "id")(_ => v2)
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("k1" -> 1, "k2" -> 20, "k3" -> 30))
+  }
+}
