@@ -38,14 +38,22 @@ object Classify {
       .when(refrMedium === "paid", 1)
       .otherwise(2)
 
-  /** F10 — per-traffic-type source fallback chain (traffic_daily_agg.sql:56-59). */
+  /** F10 — per-traffic-type source fallback chain (traffic_daily_agg.sql:56-60):
+    * paid → NVL(mkt_source, refr_source, mkt_network, 'unknown');
+    * organic → NVL(mkt_source, refr_source, 'unknown'); else NULL.
+    */
   def channelSource(trafficType: Column, mktSource: Column, refrSource: Column,
                     mktNetwork: Column): Column =
     when(trafficType === "paid", coalesce(mktSource, refrSource, mktNetwork, lit("unknown")))
-      .otherwise(coalesce(refrSource, mktSource, lit("unknown")))
+      .when(trafficType === "organic", coalesce(mktSource, refrSource, lit("unknown")))
+      .otherwise(lit(null).cast("string"))
 
-  /** F10 — campaign picker (traffic_daily_agg.sql:60-65). */
-  def campaign(trafficType: Column, mktCampaign: Column): Column =
+  /** F10 — campaign picker (traffic_daily_agg.sql:61-65):
+    * paid → NVL(mkt_campaign, 'unknown');
+    * organic → NVL(mkt_term, mkt_campaign, 'unknown'); else NULL.
+    */
+  def campaign(trafficType: Column, mktCampaign: Column, mktTerm: Column): Column =
     when(trafficType === "paid", coalesce(mktCampaign, lit("unknown")))
-      .otherwise(lit("organic"))
+      .when(trafficType === "organic", coalesce(mktTerm, mktCampaign, lit("unknown")))
+      .otherwise(lit(null).cast("string"))
 }
