@@ -1,0 +1,88 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Classify, Filters, Joins, Keys}
+
+/** Model 1 — daily traffic × channel × campaign aggregate joined to ad
+  * spend. Faithful re-expression of `traffic_daily_agg.sql:1-145`:
+  * scan → filter → paid/organic CASE classification → 5-key dual-count
+  * agg → LEFT join campaign spend (constant `traffic_type='paid'` in the
+  * ON clause — disables the match, not the row) → all/unique UNION ALL →
+  * 6-column surrogate key.
+  *
+  * Plan-shape deviation (documented, results identical): the reference
+  * writes the spend join twice, once per UNION branch
+  * (traffic_daily_agg.sql:106-129, verbatim duplicates); here the join
+  * runs ONCE and the two branches are projections of the joined result —
+  * legal because the join condition touches neither `total_visits` nor
+  * `unique_visitors`, and halves the join work. The spend side is
+  * broadcast (dimension-sized vs the event stream, SURVEY §2.4 J1).
+  */
+object TrafficDailyAgg {
+
+  /** @param events `atomic.events` shape; @param spends `campaign_spends` shape. */
+  def build(events: DataFrame, spends: DataFrame, prior: Option[DataFrame] = None): DataFrame = {
+    val wm = Filters.watermark(prior, "spend_date")
+
+    // filtered_events (traffic_daily_agg.sql:8-28)
+    val filtered = Filters.watermarkFilter(
+      events.filter(
+        Filters.pageViewFilter(col("event"), col("refr_medium")) &&
+        Filters.botFilter(col("useragent")))
+        .select(
+          to_date(col("collector_tstamp")).as("event_date"),
+          col("app_id"), col("domain_userid"), col("refr_medium"), col("mkt_source"),
+          col("refr_source"), col("mkt_network"), col("mkt_campaign"), col("mkt_term")),
+      "event_date", wm)
+
+    // classified_events (:30-49)
+    val classified = filtered.withColumn("traffic_type",
+      Classify.trafficType(col("refr_medium"), coalesce(col("mkt_network"), lit(""))))
+
+    // event_traffic (:51-76) — col_3/col_4 pickers are group keys
+    val eventTraffic = classified
+      .filter(col("traffic_type").isNotNull)
+      .groupBy(
+        col("event_date"), col("app_id"), col("traffic_type"),
+        Classify.channelSource(col("traffic_type"), col("mkt_source"),
+          col("refr_source"), col("mkt_network")).as("col_3"),
+        Classify.campaign(col("traffic_type"), col("mkt_campaign"), col("mkt_term")).as("col_4"))
+      .agg(count(lit(1)).as("total_visits"),
+        countDistinct(col("domain_userid")).as("unique_visitors"))
+
+    // campaign_spend_data (:79-90)
+    val spendData = Filters.watermarkFilter(
+      spends.filter(col("spend").isNotNull)
+        .select(col("company_id"), col("company_domain"),
+          to_date(col("spend_date")).as("spend_date"), col("campaign_name"), col("spend")),
+      "spend_date", wm)
+
+    // combined_traffic (:92-130) — join once, project the two UNION branches
+    val et = eventTraffic.as("et")
+    val joined = Joins.leftOn(et, spendData.as("csd"),
+      col("et.col_4") === col("csd.campaign_name") &&
+      col("et.event_date") === col("csd.spend_date") &&
+      col("et.traffic_type") === lit("paid"),
+      smallRight = true)
+
+    def branch(valueCol: String, label: String): DataFrame = joined.select(
+      lit(999).as("company_id"),
+      col("et.app_id").as("company_domain"),
+      col("et.event_date").as("spend_date"),
+      col(s"et.$valueCol").as("traffic"),
+      coalesce(col("csd.spend"), lit(0)).as("spend"),
+      lit(label).as("col_1"),
+      col("et.traffic_type").as("col_2"),
+      col("et.col_3"), col("et.col_4"),
+      lit(null).cast("string").as("col_5"),
+      lit(null).cast("string").as("col_6"))
+
+    // final projection + surrogate key (:132-145)
+    branch("total_visits", "all").unionByName(branch("unique_visitors", "unique"))
+      .withColumn("id", Keys.surrogateKey(col("company_domain"), col("spend_date"),
+        col("col_1"), col("col_2"), col("col_3"), col("col_4")))
+      .select("id", "company_id", "company_domain", "spend_date", "traffic", "spend",
+        "col_1", "col_2", "col_3", "col_4", "col_5", "col_6")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggs, Filters, Ids, Pivot}
+
+/** Model 2 — per-page daily traffic aggregate, all vs unique visitors.
+  * Faithful re-expression of `traffic_pages_agg.sql:1-78` (the smallest
+  * reference model: scan → filter → dual-count agg → all/unique UNION
+  * pivot → global ROW_NUMBER id → final projection).
+  *
+  * `prior` carries the incremental high-watermark source (None = first
+  * run / full refresh, mirroring `is_incremental()`,
+  * traffic_pages_agg.sql:20-24).
+  *
+  * Scale notes: the only non-scalable element is the reference's own
+  * global ROW_NUMBER id (single-partition sort, SURVEY §7 hard-part 1) —
+  * replicated faithfully here; `Ids.scaleSafeId` is the 100 TB variant.
+  * Everything before it is one shuffle (hash agg on 3 group keys with
+  * map-side partial agg) and the pivot is a zero-shuffle projection pair.
+  */
+object TrafficPagesAgg {
+
+  /** @param events `atomic.events`-shaped input (RefShapes.eventsRef). */
+  def build(events: DataFrame, prior: Option[DataFrame] = None): DataFrame = {
+    // filtered_events (traffic_pages_agg.sql:7-25)
+    val wm = Filters.watermark(prior, "date")
+    val filtered = Filters.watermarkFilter(
+      events.filter(
+        Filters.pageViewFilter(col("event"), col("refr_medium")) &&
+        Filters.botFilter(col("useragent")) &&
+        col("page_urlpath").isNotNull)
+        .select(
+          to_date(col("collector_tstamp")).as("event_date"),
+          col("app_id"), col("domain_userid"), col("page_urlpath")),
+      "event_date", wm)
+
+    // page_traffic (:27-36)
+    val pageTraffic = Aggs.dualCount(
+      filtered,
+      Seq(col("event_date").as("date"), col("app_id").as("company_domain"), col("page_urlpath")),
+      col("domain_userid"),
+      totalName = "total_visits", uniqueName = "unique_visits")
+
+    // labeled_visits (:38-56)
+    val labeled = Pivot.byUnion(pageTraffic,
+      Seq("company_domain", "date", "page_urlpath"),
+      labelCol = "type", valueCol = "traffic",
+      allFrom = "total_visits", uniqueFrom = "unique_visits")
+
+    // final_rows + projection (:58-78)
+    Ids.globalRowNumber(labeled,
+      Seq(col("date"), col("company_domain"), col("page_urlpath"), col("type")))
+      .withColumn("company_id", lit(1))
+      .select("id", "date", "type", "page_urlpath", "traffic", "company_id", "company_domain")
+  }
+}

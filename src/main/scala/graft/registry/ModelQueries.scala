@@ -1,0 +1,304 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.{LeadActivitiesAgg, RefShapes, TrafficDailyAgg, TrafficPagesAgg}
+import graft.runtime.Sources
+
+/** Model-level golden queries: the three reference pipelines run
+  * end-to-end over fixture-derived reference-shaped inputs
+  * (graft.model.RefShapes), hash-compared against a LITERAL DuckDB
+  * translation of the reference SQL (Jinja stripped, first-run /
+  * full-refresh semantics, NVL→COALESCE).
+  *
+  * The derivation CTEs below mirror RefShapes expression-for-expression;
+  * any edit must be applied in both places.
+  */
+object ModelQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_model_pages" -> ((s, dir) =>
+      TrafficPagesAgg.build(RefShapes.eventsRef(Sources(s, dir).events))),
+    "q_model_daily" -> ((s, dir) => {
+      val ev = Sources(s, dir).events
+      TrafficDailyAgg.build(RefShapes.eventsRef(ev), RefShapes.campaignSpendsRef(ev))
+    }),
+    "q_model_leads" -> ((s, dir) => {
+      val ev = Sources(s, dir).events
+      val daily = TrafficDailyAgg.build(RefShapes.eventsRef(ev), RefShapes.campaignSpendsRef(ev))
+      LeadActivitiesAgg.build(RefShapes.eventsRef(ev),
+        RefShapes.leadStageChangeEventsRef(ev), daily)
+    }),
+  )
+
+  // ---- fixture → reference-shape derivation (mirror of RefShapes) ---------
+
+  private val eventsRefCte =
+    """events_ref AS (
+      |  SELECT
+      |    CAST(event_id AS VARCHAR) AS event_id,
+      |    ts AS collector_tstamp,
+      |    'u' || CAST(user_id AS VARCHAR) AS domain_userid,
+      |    'app' || CAST(user_id % 3 AS VARCHAR) AS app_id,
+      |    CASE WHEN event_type IN ('click','view') THEN 'page_view' ELSE event_type END AS event,
+      |    CASE WHEN event_id % 11 = 0 THEN 'MegaBot/2.1'
+      |         WHEN event_id % 11 = 1 THEN 'WebSpider/1.0'
+      |         WHEN event_id % 11 = 2 THEN 'site-Crawler/3'
+      |         ELSE 'Mozilla/5.0 (X11; Linux x86_64)' END AS useragent,
+      |    CASE WHEN event_id % 13 = 0 THEN 'internal' WHEN event_id % 13 = 1 THEN 'cpc'
+      |         WHEN event_id % 13 = 2 THEN 'ppc' WHEN event_id % 13 = 3 THEN 'paidsearch'
+      |         WHEN event_id % 13 = 4 THEN 'display' WHEN event_id % 13 = 5 THEN 'social'
+      |         WHEN event_id % 13 = 6 THEN 'search' WHEN event_id % 13 = 7 THEN 'email'
+      |         WHEN event_id % 13 = 8 THEN '' WHEN event_id % 13 = 9 THEN 'unknown'
+      |         WHEN event_id % 13 = 10 THEN 'paid' WHEN event_id % 13 = 11 THEN 'referral'
+      |         ELSE NULL END AS refr_medium,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL WHEN event_id % 5 = 1 THEN ''
+      |         ELSE 'net' || CAST(event_id % 5 AS VARCHAR) END AS mkt_network,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |         ELSE 'MSrc' || CAST(event_id % 7 AS VARCHAR) END AS mkt_source,
+      |    CASE WHEN event_id % 4 = 0 THEN NULL
+      |         ELSE 'rsrc' || CAST(event_id % 4 AS VARCHAR) END AS refr_source,
+      |    CASE WHEN event_id % 6 = 0 THEN NULL
+      |         ELSE 'Camp-' || CAST(event_id % 6 AS VARCHAR) END AS mkt_campaign,
+      |    CASE WHEN event_id % 8 = 0 THEN NULL
+      |         ELSE 'term' || CAST(event_id % 8 AS VARCHAR) END AS mkt_term,
+      |    CASE WHEN event_id % 9 = 0 THEN NULL
+      |         ELSE 'Med' || CAST(event_id % 9 AS VARCHAR) END AS mkt_medium,
+      |    CASE WHEN event_id % 17 = 0 THEN NULL
+      |         ELSE '/p/' || CAST(event_id % 50 AS VARCHAR) END AS page_urlpath
+      |  FROM events
+      |)""".stripMargin
+
+  private val spendsRefCte =
+    """campaign_spends_ref AS (
+      |  SELECT
+      |    CAST(user_id % 7 AS VARCHAR) AS company_id,
+      |    'app' || CAST(user_id % 3 AS VARCHAR) AS company_domain,
+      |    ts AS spend_date,
+      |    CASE WHEN event_id % 4 = 0 THEN 'unknown'
+      |         WHEN event_id % 4 = 1 THEN 'term' || CAST(event_id % 8 AS VARCHAR)
+      |         ELSE 'Camp-' || CAST(event_id % 6 AS VARCHAR) END AS campaign_name,
+      |    CASE WHEN event_id % 10 = 0 THEN NULL
+      |         ELSE CAST(event_id % 97 AS DOUBLE) / 4 END AS spend
+      |  FROM events WHERE event_type = 'purchase' AND event_id % 2 = 0
+      |)""".stripMargin
+
+  private val leadsRefCte =
+    """leads_ref AS (
+      |  SELECT
+      |    'Dom' || CAST(user_id % 20 AS VARCHAR) AS company_domain,
+      |    CAST(user_id % 7 AS VARCHAR) AS company_id,
+      |    'u' || CAST(user_id AS VARCHAR) AS domain_userid,
+      |    'L' || CAST(event_id AS VARCHAR) AS lead_id,
+      |    'P' || CAST(user_id AS VARCHAR) AS person_id,
+      |    CAST(ts AS DATE) AS date,
+      |    CAST(event_id % 5 AS VARCHAR) AS lead_generator_id,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL
+      |         ELSE 'Gen' || CAST(event_id % 5 AS VARCHAR) END AS lead_generator_name,
+      |    CAST(event_id % 11 AS VARCHAR) AS lead_source_ehr_id,
+      |    CASE WHEN event_id % 12 = 0 THEN NULL
+      |         ELSE CAST(event_id % 4 AS VARCHAR) END AS new_stage_id,
+      |    CASE WHEN event_id % 15 = 0 THEN NULL
+      |         ELSE 'Stage-' || CAST(event_id % 4 AS VARCHAR) END AS new_stage_name,
+      |    CASE WHEN event_id % 10 = 0 THEN NULL
+      |         ELSE CAST(event_id % 4 AS VARCHAR) END AS old_stage_id,
+      |    CASE WHEN event_id % 10 = 0 THEN NULL
+      |         ELSE 'Stage-' || CAST((event_id + 3) % 4 AS VARCHAR) END AS old_stage_name,
+      |    CASE WHEN event_id % 18 = 0 THEN NULL
+      |         ELSE CAST(event_id % 3 AS VARCHAR) END AS pipeline_id,
+      |    CASE WHEN event_id % 21 = 0 THEN NULL
+      |         ELSE 'Pipe' || CAST(event_id % 3 AS VARCHAR) END AS pipeline_name,
+      |    CAST(event_id % 30 AS VARCHAR) AS product_id,
+      |    'Prod ' || CAST(event_id % 30 AS VARCHAR) AS product_name,
+      |    CAST(event_id % 500 AS DOUBLE) + 0.5 AS product_price,
+      |    'SKU-' || CAST(event_id % 30 AS VARCHAR) AS product_sku
+      |  FROM events WHERE event_type = 'signup' AND event_id % 3 = 0
+      |)""".stripMargin
+
+  // ---- literal model translations (reference SQL, Jinja stripped) ---------
+
+  private def sk(cols: String*): String =
+    "md5(concat_ws('-', " + cols.map(c =>
+      s"coalesce(CAST($c AS VARCHAR), '_dbt_utils_surrogate_key_null')").mkString(", ") + "))"
+
+  private val botGate =
+    """useragent NOT ILIKE '%bot%'
+      |      AND useragent NOT ILIKE '%spider%'
+      |      AND useragent NOT ILIKE '%crawl%'""".stripMargin
+
+  /** traffic_daily_agg.sql:8-130 as CTEs ending in combined_traffic. */
+  private val dailyCtes =
+    s"""filtered_events AS (
+      |  SELECT CAST(collector_tstamp AS DATE) AS event_date, app_id, domain_userid,
+      |         refr_medium, mkt_source, refr_source, mkt_network, mkt_campaign, mkt_term
+      |  FROM events_ref
+      |  WHERE event = 'page_view' AND refr_medium != 'internal'
+      |      AND $botGate
+      |),
+      |classified_events AS (
+      |  SELECT event_date, app_id, domain_userid,
+      |    CASE
+      |      WHEN (refr_medium IN ('cpc','ppc','paidsearch','display','social','search','email','','unknown')
+      |            AND COALESCE(mkt_network, '') <> '') OR (refr_medium = 'paid') THEN 'paid'
+      |      WHEN refr_medium IN ('display','social','search','email','','unknown')
+      |           AND refr_medium <> 'paid' AND COALESCE(mkt_network, '') = '' THEN 'organic'
+      |      ELSE NULL
+      |    END AS traffic_type,
+      |    mkt_source, refr_source, mkt_network, mkt_campaign, mkt_term
+      |  FROM filtered_events
+      |),
+      |event_traffic AS (
+      |  SELECT event_date, app_id, traffic_type,
+      |    CASE WHEN traffic_type = 'paid' THEN COALESCE(mkt_source, refr_source, mkt_network, 'unknown')
+      |         WHEN traffic_type = 'organic' THEN COALESCE(mkt_source, refr_source, 'unknown')
+      |         ELSE NULL END AS col_3,
+      |    CASE WHEN traffic_type = 'paid' THEN COALESCE(mkt_campaign, 'unknown')
+      |         WHEN traffic_type = 'organic' THEN COALESCE(mkt_term, mkt_campaign, 'unknown')
+      |         ELSE NULL END AS col_4,
+      |    COUNT(*) AS total_visits,
+      |    COUNT(DISTINCT domain_userid) AS unique_visitors
+      |  FROM classified_events
+      |  WHERE traffic_type IS NOT NULL
+      |  GROUP BY event_date, app_id, traffic_type, col_3, col_4
+      |),
+      |campaign_spend_data AS (
+      |  SELECT cs.company_id, cs.company_domain, CAST(cs.spend_date AS DATE) AS spend_date,
+      |         cs.campaign_name, cs.spend
+      |  FROM campaign_spends_ref cs
+      |  WHERE cs.spend IS NOT NULL
+      |),
+      |combined_traffic AS (
+      |  SELECT 999 AS company_id, et.app_id AS company_domain, et.event_date AS spend_date,
+      |         et.total_visits AS traffic, COALESCE(csd.spend, 0) AS spend,
+      |         'all' AS col_1, et.traffic_type AS col_2, et.col_3, et.col_4,
+      |         CAST(NULL AS VARCHAR) AS col_5, CAST(NULL AS VARCHAR) AS col_6
+      |  FROM event_traffic et
+      |  LEFT JOIN campaign_spend_data csd
+      |    ON et.col_4 = csd.campaign_name AND et.event_date = csd.spend_date
+      |       AND et.traffic_type = 'paid'
+      |  UNION ALL
+      |  SELECT 999 AS company_id, et.app_id AS company_domain, et.event_date AS spend_date,
+      |         et.unique_visitors AS traffic, COALESCE(csd.spend, 0) AS spend,
+      |         'unique' AS col_1, et.traffic_type AS col_2, et.col_3, et.col_4,
+      |         CAST(NULL AS VARCHAR) AS col_5, CAST(NULL AS VARCHAR) AS col_6
+      |  FROM event_traffic et
+      |  LEFT JOIN campaign_spend_data csd
+      |    ON et.col_4 = csd.campaign_name AND et.event_date = csd.spend_date
+      |       AND et.traffic_type = 'paid'
+      |)""".stripMargin
+
+  private val dailyFinal =
+    s"""SELECT ${sk("company_domain", "spend_date", "col_1", "col_2", "col_3", "col_4")} AS id,
+      |  company_id, company_domain, spend_date, traffic, spend,
+      |  col_1, col_2, col_3, col_4, col_5, col_6
+      |FROM combined_traffic""".stripMargin
+
+  /** lead_activities_agg.sql:33-184 as CTEs (m3_ prefix avoids collision
+    * with model-1 CTEs when both are inlined in one oracle query).
+    */
+  private val leadsCtes =
+    s"""m3_filtered_events AS (
+      |  SELECT domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
+      |    CAST(collector_tstamp AS DATE) AS visit_date, page_urlpath, refr_medium,
+      |    mkt_network, collector_tstamp,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY domain_userid
+      |      ORDER BY
+      |        CASE WHEN (refr_medium IN ('cpc','ppc','paidsearch','display','social','search','email','','unknown')
+      |                   AND COALESCE(mkt_network, '') <> '') OR refr_medium = 'paid' THEN 1
+      |             ELSE 2 END,
+      |        collector_tstamp DESC, event_id DESC
+      |    ) AS rn
+      |  FROM events_ref
+      |  WHERE event = 'page_view' AND $botGate
+      |      AND refr_medium <> 'internal'
+      |),
+      |latest_events AS (
+      |  SELECT domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
+      |         visit_date, page_urlpath
+      |  FROM m3_filtered_events WHERE rn = 1
+      |),
+      |lead_activities AS (
+      |  SELECT DISTINCT company_domain, company_id, domain_userid, lead_id, person_id,
+      |    date AS activity_date, lead_generator_id, lead_generator_name,
+      |    lead_source_ehr_id, new_stage_id, new_stage_name, old_stage_id,
+      |    old_stage_name, pipeline_id, pipeline_name, product_id, product_name,
+      |    product_price, product_sku
+      |  FROM leads_ref
+      |),
+      |traffic_spend AS (
+      |  SELECT DISTINCT spend_date, LOWER(col_4) AS mkt_campaign,
+      |    CAST(spend AS DOUBLE) / NULLIF(traffic, 0) AS spend_per_visit, col_1
+      |  FROM traffic_daily_agg
+      |  WHERE spend IS NOT NULL AND traffic > 0 AND col_4 IS NOT NULL AND col_1 = 'unique'
+      |),
+      |enriched_activities AS (
+      |  SELECT la.company_id, LOWER(la.company_domain) AS company_name,
+      |    LOWER(la.domain_userid) AS domain_userid, le.event_id,
+      |    LOWER(le.mkt_medium) AS mkt_medium, LOWER(le.mkt_source) AS mkt_source,
+      |    LOWER(le.mkt_campaign) AS mkt_campaign, le.visit_date,
+      |    LOWER(le.page_urlpath) AS page_urlpath,
+      |    COALESCE(ts.spend_per_visit, 0) AS mkt_spend,
+      |    la.activity_date, la.lead_source_ehr_id, la.lead_generator_id,
+      |    LOWER(la.lead_generator_name) AS lead_generator_name,
+      |    la.old_stage_id, LOWER(la.old_stage_name) AS old_stage_name,
+      |    la.new_stage_id, LOWER(la.new_stage_name) AS new_stage_name,
+      |    la.pipeline_id, LOWER(la.pipeline_name) AS pipeline_name,
+      |    la.product_id, LOWER(la.product_sku) AS product_sku,
+      |    LOWER(la.product_name) AS product_name,
+      |    CAST(la.product_price AS VARCHAR) AS product_price
+      |  FROM lead_activities la
+      |  LEFT JOIN latest_events le ON la.domain_userid = le.domain_userid
+      |  LEFT JOIN traffic_spend ts
+      |    ON LOWER(le.mkt_campaign) = ts.mkt_campaign
+      |       AND le.visit_date = ts.spend_date AND ts.col_1 = 'unique'
+      |)""".stripMargin
+
+  private val leadsFinal =
+    s"""SELECT ${sk("company_id", "domain_userid", "event_id", "activity_date", "new_stage_id")} AS id,
+      |  company_id, company_name, domain_userid, event_id, mkt_medium, mkt_source,
+      |  mkt_campaign, visit_date, page_urlpath, mkt_spend, activity_date,
+      |  lead_source_ehr_id, lead_generator_id, lead_generator_name, old_stage_id,
+      |  old_stage_name, new_stage_id, new_stage_name, pipeline_id, pipeline_name,
+      |  product_id, product_sku, product_name, product_price
+      |FROM enriched_activities
+      |WHERE new_stage_id IS NOT NULL AND new_stage_name IS NOT NULL
+      |  AND pipeline_id IS NOT NULL AND pipeline_name IS NOT NULL""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_model_pages" ->
+      s"""WITH $eventsRefCte,
+        |filtered_events AS (
+        |  SELECT CAST(collector_tstamp AS DATE) AS event_date, app_id, domain_userid, page_urlpath
+        |  FROM events_ref
+        |  WHERE event = 'page_view' AND refr_medium != 'internal'
+        |      AND $botGate
+        |      AND page_urlpath IS NOT NULL
+        |),
+        |page_traffic AS (
+        |  SELECT event_date AS date, app_id AS company_domain, page_urlpath,
+        |         COUNT(*) AS total_visits, COUNT(DISTINCT domain_userid) AS unique_visits
+        |  FROM filtered_events GROUP BY 1, 2, 3
+        |),
+        |labeled_visits AS (
+        |  SELECT company_domain, date, page_urlpath, 'all' AS type, total_visits AS traffic
+        |  FROM page_traffic
+        |  UNION ALL
+        |  SELECT company_domain, date, page_urlpath, 'unique' AS type, unique_visits AS traffic
+        |  FROM page_traffic
+        |),
+        |final_rows AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY date, company_domain, page_urlpath, type) AS id,
+        |         1 AS company_id, company_domain, date, type, page_urlpath, traffic
+        |  FROM labeled_visits
+        |)
+        |SELECT id, date, type, page_urlpath, traffic, company_id, company_domain
+        |FROM final_rows""".stripMargin,
+    "q_model_daily" ->
+      s"WITH $eventsRefCte,\n$spendsRefCte,\n$dailyCtes\n$dailyFinal",
+    "q_model_leads" ->
+      (s"WITH $eventsRefCte,\n$spendsRefCte,\n$leadsRefCte,\n$dailyCtes,\n" +
+       s"traffic_daily_agg AS (\n$dailyFinal\n),\n$leadsCtes\n$leadsFinal"),
+  )
+}
