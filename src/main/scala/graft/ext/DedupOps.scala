@@ -1,0 +1,177 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deduplication operators for LLM training-data pipelines
+  * (charter, SURVEY §0(c)): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup: one hash shuffle on a 128-bit fingerprint — optimal.
+  *  - Jaccard: inverted-index self-join on tokens (shuffle by token) —
+  *    the standard all-pairs shape; integer arithmetic until the final
+  *    division so results are engine-exact. NB the fixture corpus has a
+  *    ~60-word vocabulary, the worst case for a token index (every doc
+  *    collides with every doc) — real corpora have Zipfian vocab and
+  *    the hot-token skew is what AQE skew-join + stopword pruning absorb.
+  *  - MinHash+LSH: per-doc signature (map-only) → band keys → shuffle by
+  *    band key → pairs only within buckets → exact-Jaccard verify of the
+  *    candidates. Replaces the O(n²) all-pairs with O(candidates).
+  *  - SimHash: 64-bit signature; near-dups must share one of four 16-bit
+  *    chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), so the join
+  *    key-space is 4 exact-match joins — no n² anywhere.
+  */
+object DedupOps {
+
+  /** Exact dedup groups: canonical (min) id + multiplicity per content
+    * fingerprint. `n > 1` rows are the duplicate clusters.
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** (id, token) inverted index over distinct tokens. */
+  private def tokenIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.distinctTokens(col(textCol))).as("t"))
+
+  /** All-pairs token-set Jaccard ≥ threshold via inverted-index join.
+    * Integer shared/size counts; single double division at the end.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = tokenIndex(docs, textCol, idCol)
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** Prime modulus for the universal-hash family (fits min-hash values in
+    * 31 bits so a*h+b stays well inside Long).
+    */
+  private val P = 2038074743L
+
+  /** Token k-shingles as strings; documents shorter than k tokens yield
+    * their whole token run as a single shingle.
+    */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = TextOps.tokens(textCol)
+    if (k == 1) toks
+    else when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        j => concat_ws(" ", slice(toks, j, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature (array<long> of length numHashes) over a shingle
+    * array, via the universal family h_i(x) = (2i+1)·x + i·c mod P on
+    * xxhash64'd shingles. Pure expression — map-side only.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val hashes = array_distinct(transform(shingleCol, s => pmod(xxhash64(s), lit(P))))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(hashes, h =>
+        pmod(h * (i * 2 + 1) + pmod(i * lit(2654435761L), lit(P)), lit(P)))))
+  }
+
+  /** LSH banding: (doc_id, band, band_key) rows; docs agreeing on any
+    * band's key are candidate pairs. bands*rows must equal the signature
+    * length.
+    */
+  def lshBands(docs: DataFrame, sigCol: String, bands: Int, rows: Int,
+               idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            transform(slice(col(sigCol), b * rows + 1, lit(rows)), x => x.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+  /** Near-duplicate pairs by MinHash+LSH, verified with exact Jaccard ≥
+    * threshold over the SAME k-shingle sets the signatures hash (so
+    * precision is 1.0 relative to jaccardPairs on that metric; recall is
+    * the LSH probability curve 1-(1-s^rows)^bands — 0.999 at s=0.9 with
+    * 8×4). shingleK=1 compares token sets (order-insensitive, matches
+    * jaccardPairs); shingleK≥2 compares k-gram sets (order-sensitive,
+    * the usual web-dedup setting).
+    */
+  def minHashNearDupPairs(docs: DataFrame, threshold: Double,
+                          numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    val sh = array_distinct(shingles(col(textCol), shingleK))
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      sh.as("toks"),
+      minHashSignature(sh, numHashes).as("sig"))
+    val bandsDf = lshBands(sigs, "sig", bands, rows)
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val toks = sigs.select(col("doc_id"), col("toks"))
+    cand
+      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toks.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double") /
+          size(array_union(col("ta.toks"), col("tb.toks")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over a token-hash array: bit j of the result is set
+    * iff the majority of token hashes have bit j set. Implemented as a
+    * Scala UDF (a 64×|tokens| expression tree defeats codegen; the UDF
+    * is a tight primitive loop).
+    */
+  val simhash64 = udf { hashes: Seq[Long] =>
+    val acc = new Array[Int](64)
+    hashes.foreach { h =>
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1; j += 1 }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Per-doc SimHash signature column. */
+  def simHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      simhash64(transform(TextOps.distinctTokens(col(textCol)), t => xxhash64(t))).as("sig"))
+
+  /** Near-dup pairs with hamming(sig_a, sig_b) ≤ maxDist (≤ 3): any such
+    * pair shares at least one of four 16-bit chunks (pigeonhole), so
+    * candidates come from 4 equality joins, then exact hamming verify.
+    */
+  def simHashNearDupPairs(docs: DataFrame, maxDist: Int = 3,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole only guarantees recall for maxDist <= 3")
+    val sigs = simHash(docs, textCol, idCol)
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.chunk_key") === col("y.chunk_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis operators for LLM training-data pipelines
+  * (charter extension, SURVEY §0(c)): token counting, quality scoring,
+  * language ID, normalization — phrased over `documents.text`
+  * (FIXTURES.md §B).
+  *
+  * Everything here is a pure Column expression (whole-stage codegen, no
+  * UDFs, no shuffle) and therefore scales linearly with the scan: at
+  * 100 TB these run map-side at parquet-read throughput. Each expression
+  * has a byte-equivalent DuckDB mirror in
+  * `graft.registry.ExtQueries` — edits must be applied in both places.
+  */
+object TextOps {
+
+  /** Whitespace-collapse + lowercase canonical form (dedup pre-pass). */
+  def normalizeWs(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct token set (Jaccard / language-ID input). */
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * non-alphanumeric marks each count as one token — a deterministic
+    * stand-in for a real BPE vocab's pre-tokenizer.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("bigint")
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
+  }
+
+  /** Fraction of characters that are common punctuation marks. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\-]", ""))).cast("double") /
+      length(c)
+
+  /** Composite quality score in [0,1]: length saturation (0.5) +
+    * stopword-ratio plausibility band (0.3) + low punctuation (0.2).
+    * Deterministic double arithmetic; thresholds are heuristic.
+    */
+  def qualityScore(c: Column): Column =
+    lit(0.5) * least(lit(1.0), tokenCount(c).cast("double") / 100.0) +
+      lit(0.3) * when(stopwordRatio(c).between(0.05, 0.6), 1.0).otherwise(0.0) +
+      lit(0.2) * (lit(1.0) - punctRatio(c))
+
+  // language marker sets (distinct-token set intersections)
+  private val EnMarkers = Seq("the", "and", "of", "to", "a")
+  private val DeMarkers = Seq("der", "die", "und", "ist", "das")
+  private val FrMarkers = Seq("le", "la", "et", "les", "des")
+  private val EsMarkers = Seq("el", "que", "los", "por", "una")
+  private val ZhChars = Seq("的", "是", "了")
+
+  private def score(c: Column, markers: Seq[String]): Column =
+    size(array_intersect(distinctTokens(c), array(markers.map(lit): _*)))
+
+  /** N-gram/marker-word language-ID heuristic: CJK character presence
+    * wins outright; otherwise the language whose marker-word set
+    * intersects the document's token set most (ties broken en > de >
+    * fr > es), 'und' (undetermined) when no marker hits.
+    */
+  def langId(c: Column): Column = {
+    val (en, de, fr, es) =
+      (score(c, EnMarkers), score(c, DeMarkers), score(c, FrMarkers), score(c, EsMarkers))
+    when(ZhChars.map(z => c.contains(z)).reduce(_ || _), "zh")
+      .when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Content fingerprint: md5 of the whitespace-canonical form — the
+    * exact-dedup key (see DedupOps.exactDupGroups).
+    */
+  def fingerprint(c: Column): Column = md5(normalizeWs(c))
+}

@@ -1,0 +1,154 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{DedupOps, SimilarityOps, TextOps}
+import graft.runtime.Sources
+
+/** [EXT] charter queries: dedup / similarity / text analysis over the
+  * `documents` and `embeddings` fixtures, JSON extraction over
+  * `events.props` (SURVEY §0(c), §7 ext/).
+  *
+  * Oracle-backed where DuckDB can express the same computation
+  * deterministically; the MinHash/SimHash/LSH queries are registered
+  * WITHOUT oracles (hash-function internals aren't portable SQL) and are
+  * instead property-tested against their exact counterparts in
+  * `graft.ext.ExtOpsSpec` (LSH precision is 1.0 by construction — every
+  * candidate is verified exactly — so the specs check recall).
+  *
+  * Pairwise queries run on the deterministic `doc_id % 10 = 0` subset:
+  * the fixture corpus has a ~60-word vocabulary, making every doc
+  * collide with every doc in a token index — the O(n²) worst case that
+  * real Zipfian corpora don't exhibit (see DedupOps scale notes).
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docsSub(s: SparkSession, dir: String): DataFrame =
+    Sources(s, dir).documents.filter(col("doc_id") % 10 === 0)
+
+  val queries: Map[String, Q] = Map(
+    "q_ext_text_features" -> ((s, dir) =>
+      Sources(s, dir).documents.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("token_count"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+    "q_ext_langid" -> ((s, dir) =>
+      Sources(s, dir).documents.select(
+        col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))),
+    "q_ext_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactDupGroups(Sources(s, dir).documents)),
+    "q_ext_jaccard_pairs" -> ((s, dir) =>
+      DedupOps.jaccardPairs(docsSub(s, dir), 0.9)),
+    "q_ext_minhash_neardup" -> ((s, dir) =>
+      DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
+    "q_ext_simhash_neardup" -> ((s, dir) =>
+      DedupOps.simHashNearDupPairs(docsSub(s, dir), maxDist = 3)),
+    "q_ext_knn_brute" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
+    }),
+    "q_ext_cosine_pairs" -> ((s, dir) =>
+      SimilarityOps.cosinePairs(Sources(s, dir).embeddings, 0.35)),
+    "q_ext_knn_lsh" -> ((s, dir) =>
+      SimilarityOps.lshCosinePairs(Sources(s, dir).embeddings, 0.35)),
+    "q_ext_json_extract" -> ((s, dir) =>
+      Sources(s, dir).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .filter(col("k") > 50)),
+  )
+
+  // ---- DuckDB mirrors ------------------------------------------------------
+
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val dtoksSql = s"list_distinct($toksSql)"
+
+  private val stopRatioSql =
+    s"""CAST(len(list_filter($toksSql, t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE) / len($toksSql)"""
+
+  private val punctRatioSql =
+    """CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS DOUBLE) / length(text)"""
+
+  private def markerScore(words: Seq[String]): String =
+    s"len(list_intersect($dtoksSql, [${words.map(w => s"'$w'").mkString(",")}]))"
+
+  val oracle: Map[String, String] = Map(
+    "q_ext_text_features" ->
+      (s"""SELECT doc_id,
+         |  len($toksSql) AS token_count,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+         |  $stopRatioSql AS stopword_ratio,
+         |  $punctRatioSql AS punct_ratio,
+         |  0.5 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0)
+         |    + 0.3 * (CASE WHEN $stopRatioSql BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+         |    + 0.2 * (1.0 - $punctRatioSql) AS quality,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |FROM documents""".stripMargin),
+    "q_ext_langid" ->
+      (s"""SELECT doc_id, lang,
+         |  CASE
+         |    WHEN position('的' IN text) > 0 OR position('是' IN text) > 0
+         |         OR position('了' IN text) > 0 THEN 'zh'
+         |    WHEN ${markerScore(Seq("the", "and", "of", "to", "a"))} >= ${markerScore(Seq("der", "die", "und", "ist", "das"))}
+         |     AND ${markerScore(Seq("the", "and", "of", "to", "a"))} >= ${markerScore(Seq("le", "la", "et", "les", "des"))}
+         |     AND ${markerScore(Seq("the", "and", "of", "to", "a"))} >= ${markerScore(Seq("el", "que", "los", "por", "una"))}
+         |     AND ${markerScore(Seq("the", "and", "of", "to", "a"))} > 0 THEN 'en'
+         |    WHEN ${markerScore(Seq("der", "die", "und", "ist", "das"))} >= ${markerScore(Seq("le", "la", "et", "les", "des"))}
+         |     AND ${markerScore(Seq("der", "die", "und", "ist", "das"))} >= ${markerScore(Seq("el", "que", "los", "por", "una"))}
+         |     AND ${markerScore(Seq("der", "die", "und", "ist", "das"))} > 0 THEN 'de'
+         |    WHEN ${markerScore(Seq("le", "la", "et", "les", "des"))} >= ${markerScore(Seq("el", "que", "los", "por", "una"))}
+         |     AND ${markerScore(Seq("le", "la", "et", "les", "des"))} > 0 THEN 'fr'
+         |    WHEN ${markerScore(Seq("el", "que", "los", "por", "una"))} > 0 THEN 'es'
+         |    ELSE 'und'
+         |  END AS lang_pred
+         |FROM documents""".stripMargin),
+    "q_ext_exact_dedup" ->
+      ("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         |  min(doc_id) AS keep_id, count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin),
+    "q_ext_jaccard_pairs" ->
+      (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9""".stripMargin),
+    "q_ext_knn_brute" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |         list_cosine_similarity(q.v, c.v) AS sim
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q
+         |  JOIN e c ON q.vec_id != c.vec_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin),
+    "q_ext_cosine_pairs" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       list_cosine_similarity(a.v, b.v) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin),
+    "q_ext_json_extract" ->
+      ("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin),
+    // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
+    // intentionally no oracle (non-portable hash internals); see ExtOpsSpec.
+  )
+}

@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.runtime.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property tests for the EXT ops whose hash internals have no DuckDB
+  * oracle (SURVEY §5.2 style): LSH candidate generation is verified
+  * exactly, so precision is 1.0 by construction — these specs pin RECALL
+  * against the exact counterparts.
+  */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDocs: DataFrame =
+    Sources(spark, "/root/testdata/sf0.001").documents
+      .filter(col("doc_id") % 5 === 0)
+
+  test("minhash+LSH near-dups match exact token-set jaccard pairs (thr 0.9)") {
+    val docs = fixtureDocs
+    val exact = DedupOps.jaccardPairs(docs, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minHashNearDupPairs(docs, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture subset should contain near-dup pairs")
+    assert(lsh.subsetOf(exact), s"LSH precision must be 1.0; extras: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall below 0.95 (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash pairs near-identical docs and not unrelated ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely different words about spark catalyst optimizer shuffle partitions execution")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.simHashNearDupPairs(docs, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical docs not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+  }
+
+  test("sign-LSH cosine finds high-similarity pairs with high recall") {
+    // synthetic: 40 base vectors, each with a perturbed twin (cos ≈ 0.999)
+    def vec(seed: Int): Seq[Float] = (0 until 64).map { d =>
+      val x = (seed * 64 + d) * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = vec(i)
+      val twin = base.zipWithIndex.map { case (v, d) => if (d == 0) v + 0.01f else v }
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    val brute = SimilarityOps.cosinePairs(embs, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.lshCosinePairs(embs, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 40, s"expected >= 40 twin pairs, got ${brute.size}")
+    assert(lsh.subsetOf(brute), s"LSH extras vs brute: ${lsh -- brute}")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"sign-LSH recall $recall below 0.9 (${lsh.size}/${brute.size})")
+  }
+
+  test("langId picks marker-dominant language with deterministic ties") {
+    val rows = Seq(
+      (1L, "the cat and the dog of a to house"),
+      (2L, "der hund und die katze ist das haus"),
+      (3L, "le chat et la maison les arbres des"),
+      (4L, "el gato que los perros por una casa"),
+      (5L, "这是中文的文本"),
+      (6L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh", 6L -> "und"), got.toString)
+  }
+
+  test("text features on edge inputs") {
+    val rows = Seq((1L, "word"), (2L, "  a  the  "), (3L, "hi, there! (ok)")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("tc"),
+        TextOps.bpeTokenCount(col("text")).as("bpe"),
+        TextOps.stopwordRatio(col("text")).as("sr"),
+        TextOps.punctRatio(col("text")).as("pr"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L)._1 == 1L && got(1L)._3 == 0.0)
+    assert(got(2L)._1 == 2L && got(2L)._3 == 1.0)  // both tokens are stopwords
+    assert(got(3L)._2 == 7L)  // hi , there ! ( ok )
+    assert(got(3L)._4 > 0.0)
+  }
+}
