@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{DedupOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -62,6 +62,20 @@ object ExtQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .filter(col("k") > 50)),
+    "q_ext_media_meta" -> ((s, dir) =>
+      MultimodalOps.withFakeMedia(Sources(s, dir).documents).select(
+        col("doc_id"),
+        md5(col("media")).as("media_md5"),
+        length(col("media")).as("media_bytes"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"))),
+    "q_ext_media_features" -> ((s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.withFakeMedia(Sources(s, dir).documents))
+        .select(col("doc_id"), col("media_bytes"),
+          round(element_at(col("features"), 1), 6).as("bin0"),
+          round(element_at(col("features"), 8), 6).as("bin7"))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -148,7 +162,16 @@ object ExtQueries {
     "q_ext_json_extract" ->
       ("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin),
-    // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
-    // intentionally no oracle (non-portable hash internals); see ExtOpsSpec.
+    "q_ext_media_meta" ->
+      ("""SELECT doc_id,
+         |  md5(text) AS media_md5,
+         |  octet_length(CAST(text AS BLOB)) AS media_bytes,
+         |  (['jpeg','png','wav'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+         |  CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
+         |  CAST((doc_id % 6 + 1) * 64 AS INT) AS height
+         |FROM documents""".stripMargin),
+    // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh /
+    // q_ext_media_features: intentionally no oracle (non-portable hash or
+    // partition-local decode internals); see ExtOpsSpec / MultimodalSpec.
   )
 }
