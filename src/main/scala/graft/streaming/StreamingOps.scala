@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
+import org.apache.spark.sql.Row
+import graft.runtime.Materializer
+
+/** Structured Streaming surface. The reference is batch-incremental only
+  * (dbt rerun + watermark + upsert, SURVEY §2.10); these operators are
+  * the streaming upgrade path of its two stateful shapes, so the same
+  * model semantics can run continuously instead of by rerun:
+  *
+  *  - A1 daily dual-count agg → watermarked 1-day-window streaming agg.
+  *    Exact COUNT(DISTINCT) is unsupported over streams (and is the
+  *    100 TB pain point anyway, SURVEY §2.5) → approx_count_distinct,
+  *    mirroring Aggs.dualCountApprox.
+  *  - W1 last-paid-touch attribution → running argmax per user with
+  *    mapGroupsWithState: state is ONE row per user (the current best
+  *    touch), so state size is bounded by |users|, not |events|.
+  *
+  * The sink glue reuses the batch Materializer upsert per micro-batch —
+  * the streaming and batch paths materialize identically.
+  */
+object StreamingOps {
+
+  /** Streaming A1: per-(day, app) visit counts with a late-data bound.
+    * Update mode; pair with `upsertSink` for incremental materialization.
+    */
+  def dailyTraffic(events: DataFrame, delay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("collector_tstamp", delay)
+      .groupBy(window(col("collector_tstamp"), "1 day").as("w"), col("app_id"))
+      .agg(count(lit(1)).as("total_visits"),
+        approx_count_distinct("domain_userid").as("unique_visitors"))
+      .select(to_date(col("w.start")).as("event_date"), col("app_id"),
+        col("total_visits"), col("unique_visitors"))
+
+  // paid-touch first (1), then latest timestamp, then highest event id —
+  // the W1 window order (lead_activities_agg.sql:48-54) as an Ordering
+  private val touchPriority: Ordering[TouchEvent] = (a: TouchEvent, b: TouchEvent) => {
+    val byRank = Integer.compare(a.paidRank, b.paidRank)
+    if (byRank != 0) byRank
+    else {
+      val byTs = java.lang.Long.compare(b.tstampMicros, a.tstampMicros)
+      if (byTs != 0) byTs else b.eventId.compareTo(a.eventId)
+    }
+  }
+
+  /** Streaming W1: per-user running argmax ("current last touch"). Each
+    * micro-batch folds its events into the stored best; output is the
+    * user's current attribution row (update semantics).
+    */
+  def lastTouch(events: Dataset[TouchEvent]): Dataset[TouchEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.domainUserid)
+      .mapGroupsWithState[TouchEvent, TouchEvent](GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[TouchEvent], state: GroupState[TouchEvent]) =>
+          val best = (state.getOption.iterator ++ it).min(touchPriority)
+          state.update(best)
+          best
+      }
+  }
+
+  /** Sink glue: every micro-batch runs the batch upsert-by-key path, so
+    * a streaming model materializes exactly like its batch rerun.
+    */
+  def upsertSink(df: DataFrame, mat: Materializer, model: String,
+                 uniqueKey: String): DataStreamWriter[Row] =
+    df.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        mat.materialize(model, uniqueKey)(_ => batch)
+        ()
+    }
+}
+
+/** One attribution-relevant event (typed for the stateful path). */
+case class TouchEvent(domainUserid: String, eventId: String, paidRank: Int,
+                      tstampMicros: Long, mktCampaign: String)
