@@ -30,6 +30,21 @@ object ModelQueries {
       LeadActivitiesAgg.build(RefShapes.eventsRef(ev),
         RefShapes.leadStageChangeEventsRef(ev), daily)
     }),
+    // model 2 run incrementally in two batches: run 2's global ROW_NUMBER
+    // restarts at 1 and OVERWRITES run 1's lowest ids via upsert-by-id —
+    // the reference's id-collision quirk (SURVEY §2.10), replicated and
+    // oracle-checked.
+    "q_model_pages_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cut = java.sql.Date.valueOf("2024-01-15")
+      val events = RefShapes.eventsRef(Sources(s, dir).events)
+      val batch1 = TrafficPagesAgg.build(
+        events.filter(to_date(col("collector_tstamp")) <= lit(cut)))
+      val batch2 = TrafficPagesAgg.build(events, prior = Some(batch1))
+      batch1.join(batch2.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(batch2)
+        .select(batch1.columns.map(col).toIndexedSeq: _*)
+    }),
   )
 
   // ---- fixture → reference-shape derivation (mirror of RefShapes) ---------
@@ -266,35 +281,49 @@ object ModelQueries {
       |WHERE new_stage_id IS NOT NULL AND new_stage_name IS NOT NULL
       |  AND pipeline_id IS NOT NULL AND pipeline_name IS NOT NULL""".stripMargin
 
+  /** traffic_pages_agg.sql:7-78 as prefixed CTEs ending in `<p>final` —
+    * prefixing lets the incremental oracle run the model twice (per
+    * batch) in one query.
+    */
+  private def pagesCtes(p: String, extraWhere: String): String =
+    s"""${p}filtered_events AS (
+      |  SELECT CAST(collector_tstamp AS DATE) AS event_date, app_id, domain_userid, page_urlpath
+      |  FROM events_ref
+      |  WHERE event = 'page_view' AND refr_medium != 'internal'
+      |      AND $botGate
+      |      AND page_urlpath IS NOT NULL$extraWhere
+      |),
+      |${p}page_traffic AS (
+      |  SELECT event_date AS date, app_id AS company_domain, page_urlpath,
+      |         COUNT(*) AS total_visits, COUNT(DISTINCT domain_userid) AS unique_visits
+      |  FROM ${p}filtered_events GROUP BY 1, 2, 3
+      |),
+      |${p}labeled_visits AS (
+      |  SELECT company_domain, date, page_urlpath, 'all' AS type, total_visits AS traffic
+      |  FROM ${p}page_traffic
+      |  UNION ALL
+      |  SELECT company_domain, date, page_urlpath, 'unique' AS type, unique_visits AS traffic
+      |  FROM ${p}page_traffic
+      |),
+      |${p}final AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY date, company_domain, page_urlpath, type) AS id,
+      |         1 AS company_id, company_domain, date, type, page_urlpath, traffic
+      |  FROM ${p}labeled_visits
+      |)""".stripMargin
+
+  private val pagesSelect =
+    "SELECT id, date, type, page_urlpath, traffic, company_id, company_domain FROM "
+
   val oracle: Map[String, String] = Map(
     "q_model_pages" ->
-      s"""WITH $eventsRefCte,
-        |filtered_events AS (
-        |  SELECT CAST(collector_tstamp AS DATE) AS event_date, app_id, domain_userid, page_urlpath
-        |  FROM events_ref
-        |  WHERE event = 'page_view' AND refr_medium != 'internal'
-        |      AND $botGate
-        |      AND page_urlpath IS NOT NULL
-        |),
-        |page_traffic AS (
-        |  SELECT event_date AS date, app_id AS company_domain, page_urlpath,
-        |         COUNT(*) AS total_visits, COUNT(DISTINCT domain_userid) AS unique_visits
-        |  FROM filtered_events GROUP BY 1, 2, 3
-        |),
-        |labeled_visits AS (
-        |  SELECT company_domain, date, page_urlpath, 'all' AS type, total_visits AS traffic
-        |  FROM page_traffic
-        |  UNION ALL
-        |  SELECT company_domain, date, page_urlpath, 'unique' AS type, unique_visits AS traffic
-        |  FROM page_traffic
-        |),
-        |final_rows AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY date, company_domain, page_urlpath, type) AS id,
-        |         1 AS company_id, company_domain, date, type, page_urlpath, traffic
-        |  FROM labeled_visits
-        |)
-        |SELECT id, date, type, page_urlpath, traffic, company_id, company_domain
-        |FROM final_rows""".stripMargin,
+      s"WITH $eventsRefCte,\n${pagesCtes("", "")}\n$pagesSelect final",
+    "q_model_pages_incr" ->
+      (s"WITH $eventsRefCte,\n" +
+       pagesCtes("b1_", "\n      AND CAST(collector_tstamp AS DATE) <= DATE '2024-01-15'") + ",\n" +
+       pagesCtes("b2_", "\n      AND CAST(collector_tstamp AS DATE) > " +
+         "(SELECT COALESCE(MAX(date), DATE '1900-01-01') FROM b1_final)") + "\n" +
+       s"$pagesSelect b1_final WHERE id NOT IN (SELECT id FROM b2_final)\n" +
+       s"UNION ALL\n$pagesSelect b2_final"),
     "q_model_daily" ->
       s"WITH $eventsRefCte,\n$spendsRefCte,\n$dailyCtes\n$dailyFinal",
     "q_model_leads" ->
