@@ -33,4 +33,23 @@ object Joins {
   def leftUsing(left: DataFrame, right: DataFrame, keys: Seq[String],
                 smallRight: Boolean = true): DataFrame =
     left.join(maybeBroadcast(right, smallRight), keys, "left")
+
+  /** Skew-mitigated equi-join for when AQE's skew handling isn't enough
+    * (one key holds a large share of the big side and the right side is
+    * too large to broadcast): the big side scatters each row into one of
+    * `salt` buckets by a deterministic row hash, the right side
+    * replicates into all buckets, and the join runs on (key, bucket) —
+    * splitting each hot key's partition into `salt` even slices.
+    * Result is row-identical to `big.join(right, keys, joinType)`.
+    * Cost: right side shuffled `salt`×; use only on measured skew.
+    */
+  def saltedJoin(big: DataFrame, right: DataFrame, keys: Seq[String],
+                 joinType: String = "inner", salt: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, struct, xxhash64}
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

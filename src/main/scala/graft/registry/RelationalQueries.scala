@@ -1,0 +1,89 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+import graft.runtime.Sources
+
+/** Broad relational coverage over the TPC-H-shaped fixtures
+  * (lineitem/orders/customer/nation/region, FIXTURES.md §B): the
+  * reference's operator surface exercised at the fixtures' largest table
+  * (lineitem, ~600k rows at sf0.1) — scan-heavy agg, multi-way
+  * dimension joins, and a selective join-filter-agg, all
+  * oracle-backed.
+  *
+  * Determinism: double sums are order-sensitive at the last few ulps —
+  * outputs stay within the comparator's 1e-9 relative tolerance;
+  * predicates never sit on a float boundary; no floating-point ORDER BY
+  * (set-valued outputs only).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: the widest scan + densest agg
+    "q_rel_pricing_summary" -> ((s, dir) =>
+      Sources(s, dir).lineitem
+        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+    // customer geography rollup: 3-way broadcast-dim join, integer-only agg
+    "q_rel_region_segments" -> ((s, dir) => {
+      val src = Sources(s, dir)
+      src.customer
+        .join(broadcast(src.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(src.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("customers"),
+          countDistinct(col("n_name")).as("nations"))
+    }),
+    // selective fact-dim join + revenue threshold (set-valued, no top-k
+    // float ordering): urgent open orders with revenue above cutoff
+    "q_rel_urgent_revenue" -> ((s, dir) => {
+      val src = Sources(s, dir)
+      val orders = src.orders.filter(col("o_orderpriority") === "1-URGENT")
+      Joins.leftUsing(
+        src.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+        Seq("o_orderkey"), smallRight = true)
+        .filter(col("o_orderstatus") === "o")
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .filter(col("revenue") > 100000.0)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_rel_pricing_summary" ->
+      ("""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  sum(l_extendedprice) AS sum_base_price,
+         |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+         |  avg(l_quantity) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         |GROUP BY 1, 2""".stripMargin),
+    "q_rel_region_segments" ->
+      ("""SELECT r.r_name AS region, c.c_mktsegment AS segment,
+         |  count(*) AS customers, count(DISTINCT n.n_name) AS nations
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1, 2""".stripMargin),
+    "q_rel_urgent_revenue" ->
+      ("""SELECT l.l_orderkey AS o_orderkey, o.o_custkey,
+         |  sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+         |FROM lineitem l
+         |LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+         |  ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderstatus = 'o'
+         |GROUP BY 1, 2
+         |HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 100000.0""".stripMargin),
+  )
+}

@@ -118,3 +118,27 @@ class PivotSpec extends SparkSpec {
     assert(a.count() == 4)
   }
 }
+
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join under skew") {
+    // hot key: 'k0' carries 80% of the big side
+    val big = ((1 to 400).map(i => ("k0", i)) ++ (1 to 100).map(i => (s"k${i % 7 + 1}", i)))
+      .toDF("k", "v")
+    val dim = (0 to 7).map(i => (s"k$i", s"name$i")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).select("k", "v", "name")
+    val salted = graft.ops.Joins.saltedJoin(big, dim, Seq("k"), salt = 4)
+      .select("k", "v", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
+  test("saltedJoin preserves left-join unmatched rows") {
+    val big = Seq(("a", 1), ("zz", 2)).toDF("k", "v")
+    val dim = Seq(("a", "x")).toDF("k", "name")
+    val out = graft.ops.Joins.saltedJoin(big, dim, Seq("k"), joinType = "left", salt = 3)
+      .select("k", "v", "name").as[(String, Int, Option[String])].collect().toSet
+    assert(out == Set(("a", 1, Some("x")), ("zz", 2, None)))
+  }
+}
