@@ -61,6 +61,31 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     spark.read.parquet(outPath(model))
   }
 
+  /** Scale-path variant: dynamic partition overwrite on a date column
+    * instead of the whole-table anti-join rewrite. Valid when the model's
+    * `unique_key` is date-functional (true for traffic_daily_agg — id
+    * embeds spend_date — NOT for traffic_pages_agg, whose cross-date id
+    * collisions need the anti-join form): an incremental batch carries
+    * complete recomputations of the dates it touches, so swapping those
+    * partitions IS delete+insert-by-key, while untouched dates never
+    * rewrite. At 100 TB this turns the upsert from O(table) to O(batch)
+    * and makes the watermark filter real partition pruning on re-read.
+    */
+  def materializeByDatePartition(model: String, dateCol: String)
+                                (build: Option[DataFrame] => DataFrame): DataFrame = {
+    val prior = readPrior(model)
+    val fresh = build(prior)
+    val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      fresh.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(outPath(model))
+    finally mode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(outPath(model))
+  }
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -61,3 +61,50 @@ class MaterializerSpec extends SparkSpec {
     assert(out == Map("k1" -> 1, "k2" -> 20, "k3" -> 30))
   }
 }
+
+class PartitionOverwriteSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.ops.{Filters, Keys}
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-pow").toString
+
+  private val rows = Seq(
+    ("2024-01-01", "a", 1), ("2024-01-01", "b", 2),
+    ("2024-01-02", "a", 3), ("2024-01-03", "b", 4))
+
+  private def inputDf(rs: Seq[(String, String, Int)]): DataFrame =
+    rs.toDF("ds", "k", "v").select(to_date($"ds").as("d"), $"k", $"v")
+
+  private def model(input: DataFrame)(prior: Option[DataFrame]): DataFrame = {
+    val wm = Filters.watermark(prior, "d")
+    Filters.watermarkFilter(input, "d", wm)
+      .groupBy("d", "k").agg(count(lit(1)).as("n"))
+      .withColumn("id", Keys.surrogateKey($"d", $"k"))
+  }
+
+  test("date-partition overwrite == anti-join upsert for date-functional keys") {
+    val upsert = new Materializer(spark, freshDir())
+    upsert.materialize("m", "id")(model(inputDf(rows.filter(_._1 <= "2024-01-02"))))
+    val expected = upsert.materialize("m", "id")(model(inputDf(rows)))
+      .select("id", "k", "n", "d").as[(String, String, Long, java.sql.Date)]
+      .collect().toSet
+
+    val pow = new Materializer(spark, freshDir())
+    pow.materializeByDatePartition("m", "d")(model(inputDf(rows.filter(_._1 <= "2024-01-02"))))
+    val got = pow.materializeByDatePartition("m", "d")(model(inputDf(rows)))
+      .select("id", "k", "n", "d").as[(String, String, Long, java.sql.Date)]
+      .collect().toSet
+    assert(got == expected)
+  }
+
+  test("partition overwrite rewrites only the touched date partitions") {
+    val pow = new Materializer(spark, freshDir())
+    pow.materializeByDatePartition("m", "d")(model(inputDf(rows)))
+    val out = new java.io.File(pow.outPath("m"))
+    val parts = out.listFiles().filter(_.getName.startsWith("d=")).map(_.getName).sorted
+    assert(parts.toSeq == Seq("d=2024-01-01", "d=2024-01-02", "d=2024-01-03"))
+  }
+}
