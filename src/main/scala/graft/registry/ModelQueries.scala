@@ -45,6 +45,23 @@ object ModelQueries {
         .unionByName(batch2)
         .select(batch1.columns.map(col).toIndexedSeq: _*)
     }),
+    // model 1 incrementally: events and spends watermark independently on
+    // max(spend_date) of the prior output, so a spend row dated ≤ wm that
+    // arrives later is silently dropped (SURVEY §2.10) — faithfully.
+    "q_model_daily_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cut = java.sql.Date.valueOf("2024-01-15")
+      val ev = Sources(s, dir).events
+      val events = RefShapes.eventsRef(ev)
+      val spends = RefShapes.campaignSpendsRef(ev)
+      val b1 = TrafficDailyAgg.build(
+        events.filter(to_date(col("collector_tstamp")) <= lit(cut)),
+        spends.filter(to_date(col("spend_date")) <= lit(cut)))
+      val b2 = TrafficDailyAgg.build(events, spends, prior = Some(b1))
+      b1.join(b2.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(b2)
+        .select(b1.columns.map(col).toIndexedSeq: _*)
+    }),
   )
 
   // ---- fixture → reference-shape derivation (mirror of RefShapes) ---------
@@ -142,16 +159,19 @@ object ModelQueries {
       |      AND useragent NOT ILIKE '%spider%'
       |      AND useragent NOT ILIKE '%crawl%'""".stripMargin
 
-  /** traffic_daily_agg.sql:8-130 as CTEs ending in combined_traffic. */
-  private val dailyCtes =
-    s"""filtered_events AS (
+  /** traffic_daily_agg.sql:8-130 as prefixed CTEs ending in
+    * `<p>combined_traffic`; evWhere/spWhere inject the incremental
+    * watermark filters (empty = first run).
+    */
+  private def dailyCtes(p: String, evWhere: String, spWhere: String): String =
+    s"""${p}filtered_events AS (
       |  SELECT CAST(collector_tstamp AS DATE) AS event_date, app_id, domain_userid,
       |         refr_medium, mkt_source, refr_source, mkt_network, mkt_campaign, mkt_term
       |  FROM events_ref
       |  WHERE event = 'page_view' AND refr_medium != 'internal'
-      |      AND $botGate
+      |      AND $botGate$evWhere
       |),
-      |classified_events AS (
+      |${p}classified_events AS (
       |  SELECT event_date, app_id, domain_userid,
       |    CASE
       |      WHEN (refr_medium IN ('cpc','ppc','paidsearch','display','social','search','email','','unknown')
@@ -161,9 +181,9 @@ object ModelQueries {
       |      ELSE NULL
       |    END AS traffic_type,
       |    mkt_source, refr_source, mkt_network, mkt_campaign, mkt_term
-      |  FROM filtered_events
+      |  FROM ${p}filtered_events
       |),
-      |event_traffic AS (
+      |${p}event_traffic AS (
       |  SELECT event_date, app_id, traffic_type,
       |    CASE WHEN traffic_type = 'paid' THEN COALESCE(mkt_source, refr_source, mkt_network, 'unknown')
       |         WHEN traffic_type = 'organic' THEN COALESCE(mkt_source, refr_source, 'unknown')
@@ -173,23 +193,23 @@ object ModelQueries {
       |         ELSE NULL END AS col_4,
       |    COUNT(*) AS total_visits,
       |    COUNT(DISTINCT domain_userid) AS unique_visitors
-      |  FROM classified_events
+      |  FROM ${p}classified_events
       |  WHERE traffic_type IS NOT NULL
       |  GROUP BY event_date, app_id, traffic_type, col_3, col_4
       |),
-      |campaign_spend_data AS (
+      |${p}campaign_spend_data AS (
       |  SELECT cs.company_id, cs.company_domain, CAST(cs.spend_date AS DATE) AS spend_date,
       |         cs.campaign_name, cs.spend
       |  FROM campaign_spends_ref cs
-      |  WHERE cs.spend IS NOT NULL
+      |  WHERE cs.spend IS NOT NULL$spWhere
       |),
-      |combined_traffic AS (
+      |${p}combined_traffic AS (
       |  SELECT 999 AS company_id, et.app_id AS company_domain, et.event_date AS spend_date,
       |         et.total_visits AS traffic, COALESCE(csd.spend, 0) AS spend,
       |         'all' AS col_1, et.traffic_type AS col_2, et.col_3, et.col_4,
       |         CAST(NULL AS VARCHAR) AS col_5, CAST(NULL AS VARCHAR) AS col_6
-      |  FROM event_traffic et
-      |  LEFT JOIN campaign_spend_data csd
+      |  FROM ${p}event_traffic et
+      |  LEFT JOIN ${p}campaign_spend_data csd
       |    ON et.col_4 = csd.campaign_name AND et.event_date = csd.spend_date
       |       AND et.traffic_type = 'paid'
       |  UNION ALL
@@ -197,17 +217,17 @@ object ModelQueries {
       |         et.unique_visitors AS traffic, COALESCE(csd.spend, 0) AS spend,
       |         'unique' AS col_1, et.traffic_type AS col_2, et.col_3, et.col_4,
       |         CAST(NULL AS VARCHAR) AS col_5, CAST(NULL AS VARCHAR) AS col_6
-      |  FROM event_traffic et
-      |  LEFT JOIN campaign_spend_data csd
+      |  FROM ${p}event_traffic et
+      |  LEFT JOIN ${p}campaign_spend_data csd
       |    ON et.col_4 = csd.campaign_name AND et.event_date = csd.spend_date
       |       AND et.traffic_type = 'paid'
       |)""".stripMargin
 
-  private val dailyFinal =
+  private def dailyFinal(p: String): String =
     s"""SELECT ${sk("company_domain", "spend_date", "col_1", "col_2", "col_3", "col_4")} AS id,
       |  company_id, company_domain, spend_date, traffic, spend,
       |  col_1, col_2, col_3, col_4, col_5, col_6
-      |FROM combined_traffic""".stripMargin
+      |FROM ${p}combined_traffic""".stripMargin
 
   /** lead_activities_agg.sql:33-184 as CTEs (m3_ prefix avoids collision
     * with model-1 CTEs when both are inlined in one oracle query).
@@ -325,9 +345,22 @@ object ModelQueries {
        s"$pagesSelect b1_final WHERE id NOT IN (SELECT id FROM b2_final)\n" +
        s"UNION ALL\n$pagesSelect b2_final"),
     "q_model_daily" ->
-      s"WITH $eventsRefCte,\n$spendsRefCte,\n$dailyCtes\n$dailyFinal",
+      s"WITH $eventsRefCte,\n$spendsRefCte,\n${dailyCtes("", "", "")}\n${dailyFinal("")}",
+    "q_model_daily_incr" ->
+      (s"WITH $eventsRefCte,\n$spendsRefCte,\n" +
+       dailyCtes("b1_",
+         "\n      AND CAST(collector_tstamp AS DATE) <= DATE '2024-01-15'",
+         "\n      AND CAST(cs.spend_date AS DATE) <= DATE '2024-01-15'") + ",\n" +
+       s"b1_daily AS (\n${dailyFinal("b1_")}\n),\n" +
+       "wm AS (SELECT COALESCE(MAX(spend_date), DATE '1900-01-01') AS w FROM b1_daily),\n" +
+       dailyCtes("b2_",
+         "\n      AND CAST(collector_tstamp AS DATE) > (SELECT w FROM wm)",
+         "\n      AND CAST(cs.spend_date AS DATE) > (SELECT w FROM wm)") + ",\n" +
+       s"b2_daily AS (\n${dailyFinal("b2_")}\n)\n" +
+       "SELECT * FROM b1_daily WHERE id NOT IN (SELECT id FROM b2_daily)\n" +
+       "UNION ALL SELECT * FROM b2_daily"),
     "q_model_leads" ->
-      (s"WITH $eventsRefCte,\n$spendsRefCte,\n$leadsRefCte,\n$dailyCtes,\n" +
-       s"traffic_daily_agg AS (\n$dailyFinal\n),\n$leadsCtes\n$leadsFinal"),
+      (s"WITH $eventsRefCte,\n$spendsRefCte,\n$leadsRefCte,\n${dailyCtes("", "", "")},\n" +
+       s"traffic_daily_agg AS (\n${dailyFinal("")}\n),\n$leadsCtes\n$leadsFinal"),
   )
 }
