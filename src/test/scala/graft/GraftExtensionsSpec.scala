@@ -8,13 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("vec_dot resolves via spark.sql.extensions") {
+  test("vec_dot resolves on a session built with GraftExtensions") {
+    // withExtensions rather than the spark.sql.extensions string conf:
+    // the conf path only applies when the SparkContext is created fresh,
+    // and the test JVM shares one context across suites
     val prior = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     val s = SparkSession.builder()
       .master("local[2]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
