@@ -62,6 +62,23 @@ object ModelQueries {
         .unionByName(b2)
         .select(b1.columns.map(col).toIndexedSeq: _*)
     }),
+    // model 3 incrementally: only the LEAD scan is watermarked (on
+    // max(activity_date)); the events scan rescans fully every run — the
+    // reference's cost-profile quirk (SURVEY §2.10), replicated.
+    "q_model_leads_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cut = java.sql.Date.valueOf("2024-01-15")
+      val ev = Sources(s, dir).events
+      val events = RefShapes.eventsRef(ev)
+      val leads = RefShapes.leadStageChangeEventsRef(ev)
+      val daily = TrafficDailyAgg.build(events, RefShapes.campaignSpendsRef(ev))
+      val b1 = LeadActivitiesAgg.build(events,
+        leads.filter(col("date") <= lit(cut)), daily)
+      val b2 = LeadActivitiesAgg.build(events, leads, daily, prior = Some(b1))
+      b1.join(b2.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(b2)
+        .select(b1.columns.map(col).toIndexedSeq: _*)
+    }),
   )
 
   // ---- fixture → reference-shape derivation (mirror of RefShapes) ---------
@@ -229,11 +246,14 @@ object ModelQueries {
       |  col_1, col_2, col_3, col_4, col_5, col_6
       |FROM ${p}combined_traffic""".stripMargin
 
-  /** lead_activities_agg.sql:33-184 as CTEs (m3_ prefix avoids collision
-    * with model-1 CTEs when both are inlined in one oracle query).
+  /** lead_activities_agg.sql:33-184 as prefixed CTEs (the m3_ base name
+    * avoids collision with model-1 CTEs; the prefix lets the incremental
+    * oracle run the model per batch). leadsWhere injects the incremental
+    * watermark on the lead scan — the events scan is NEVER watermarked
+    * (reference quirk, SURVEY §2.10).
     */
-  private val leadsCtes =
-    s"""m3_filtered_events AS (
+  private def leadsCtes(p: String, leadsWhere: String): String =
+    s"""${p}m3_filtered_events AS (
       |  SELECT domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
       |    CAST(collector_tstamp AS DATE) AS visit_date, page_urlpath, refr_medium,
       |    mkt_network, collector_tstamp,
@@ -249,26 +269,26 @@ object ModelQueries {
       |  WHERE event = 'page_view' AND $botGate
       |      AND refr_medium <> 'internal'
       |),
-      |latest_events AS (
+      |${p}latest_events AS (
       |  SELECT domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
       |         visit_date, page_urlpath
-      |  FROM m3_filtered_events WHERE rn = 1
+      |  FROM ${p}m3_filtered_events WHERE rn = 1
       |),
-      |lead_activities AS (
+      |${p}lead_activities AS (
       |  SELECT DISTINCT company_domain, company_id, domain_userid, lead_id, person_id,
       |    date AS activity_date, lead_generator_id, lead_generator_name,
       |    lead_source_ehr_id, new_stage_id, new_stage_name, old_stage_id,
       |    old_stage_name, pipeline_id, pipeline_name, product_id, product_name,
       |    product_price, product_sku
-      |  FROM leads_ref
+      |  FROM leads_ref$leadsWhere
       |),
-      |traffic_spend AS (
+      |${p}traffic_spend AS (
       |  SELECT DISTINCT spend_date, LOWER(col_4) AS mkt_campaign,
       |    CAST(spend AS DOUBLE) / NULLIF(traffic, 0) AS spend_per_visit, col_1
       |  FROM traffic_daily_agg
       |  WHERE spend IS NOT NULL AND traffic > 0 AND col_4 IS NOT NULL AND col_1 = 'unique'
       |),
-      |enriched_activities AS (
+      |${p}enriched_activities AS (
       |  SELECT la.company_id, LOWER(la.company_domain) AS company_name,
       |    LOWER(la.domain_userid) AS domain_userid, le.event_id,
       |    LOWER(le.mkt_medium) AS mkt_medium, LOWER(le.mkt_source) AS mkt_source,
@@ -283,21 +303,21 @@ object ModelQueries {
       |    la.product_id, LOWER(la.product_sku) AS product_sku,
       |    LOWER(la.product_name) AS product_name,
       |    CAST(la.product_price AS VARCHAR) AS product_price
-      |  FROM lead_activities la
-      |  LEFT JOIN latest_events le ON la.domain_userid = le.domain_userid
-      |  LEFT JOIN traffic_spend ts
+      |  FROM ${p}lead_activities la
+      |  LEFT JOIN ${p}latest_events le ON la.domain_userid = le.domain_userid
+      |  LEFT JOIN ${p}traffic_spend ts
       |    ON LOWER(le.mkt_campaign) = ts.mkt_campaign
       |       AND le.visit_date = ts.spend_date AND ts.col_1 = 'unique'
       |)""".stripMargin
 
-  private val leadsFinal =
+  private def leadsFinal(p: String): String =
     s"""SELECT ${sk("company_id", "domain_userid", "event_id", "activity_date", "new_stage_id")} AS id,
       |  company_id, company_name, domain_userid, event_id, mkt_medium, mkt_source,
       |  mkt_campaign, visit_date, page_urlpath, mkt_spend, activity_date,
       |  lead_source_ehr_id, lead_generator_id, lead_generator_name, old_stage_id,
       |  old_stage_name, new_stage_id, new_stage_name, pipeline_id, pipeline_name,
       |  product_id, product_sku, product_name, product_price
-      |FROM enriched_activities
+      |FROM ${p}enriched_activities
       |WHERE new_stage_id IS NOT NULL AND new_stage_name IS NOT NULL
       |  AND pipeline_id IS NOT NULL AND pipeline_name IS NOT NULL""".stripMargin
 
@@ -361,6 +381,16 @@ object ModelQueries {
        "UNION ALL SELECT * FROM b2_daily"),
     "q_model_leads" ->
       (s"WITH $eventsRefCte,\n$spendsRefCte,\n$leadsRefCte,\n${dailyCtes("", "", "")},\n" +
-       s"traffic_daily_agg AS (\n${dailyFinal("")}\n),\n$leadsCtes\n$leadsFinal"),
+       s"traffic_daily_agg AS (\n${dailyFinal("")}\n),\n${leadsCtes("", "")}\n${leadsFinal("")}"),
+    "q_model_leads_incr" ->
+      (s"WITH $eventsRefCte,\n$spendsRefCte,\n$leadsRefCte,\n${dailyCtes("", "", "")},\n" +
+       s"traffic_daily_agg AS (\n${dailyFinal("")}\n),\n" +
+       leadsCtes("b1_", "\n  WHERE date <= DATE '2024-01-15'") + ",\n" +
+       s"b1_leads AS (\n${leadsFinal("b1_")}\n),\n" +
+       "lwm AS (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') AS w FROM b1_leads),\n" +
+       leadsCtes("b2_", "\n  WHERE date > (SELECT w FROM lwm)") + ",\n" +
+       s"b2_leads AS (\n${leadsFinal("b2_")}\n)\n" +
+       "SELECT * FROM b1_leads WHERE id NOT IN (SELECT id FROM b2_leads)\n" +
+       "UNION ALL SELECT * FROM b2_leads"),
   )
 }
