@@ -57,6 +57,10 @@ object ExtQueries {
       SimilarityOps.cosinePairs(Sources(s, dir).embeddings, 0.35)),
     "q_ext_knn_lsh" -> ((s, dir) =>
       SimilarityOps.lshCosinePairs(Sources(s, dir).embeddings, 0.35)),
+    "q_ext_knn_ivf" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 20), k = 3)
+    }),
     "q_ext_json_extract" -> ((s, dir) =>
       Sources(s, dir).events
         .select(col("event_id"),

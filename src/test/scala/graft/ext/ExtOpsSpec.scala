@@ -41,17 +41,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
   }
 
+  // splitmix64-mixed synthetic vectors (a single LCG multiply leaves
+  // consecutive seeds correlated at cos ~0.6); each base gets a
+  // perturbed twin at cos ~0.9996
+  private def synthVec(seed: Int): Seq[Float] = (0 until 64).map { d =>
+    var z = (seed.toLong * 64 + d) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat
+  }
+
+  private def twinRows: Seq[(Long, Seq[Float])] = (0 until 40).flatMap { i =>
+    val base = synthVec(i)
+    val twin = base.zipWithIndex.map { case (v, d) => if (d == 0) v + 0.01f else v }
+    Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+  }
+
   test("sign-LSH cosine finds high-similarity pairs with high recall") {
-    // synthetic: 40 base vectors, each with a perturbed twin (cos ≈ 0.999)
-    def vec(seed: Int): Seq[Float] = (0 until 64).map { d =>
-      val x = (seed * 64 + d) * 6364136223846793005L + 1442695040888963407L
-      (((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat
-    }
-    val rows = (0 until 40).flatMap { i =>
-      val base = vec(i)
-      val twin = base.zipWithIndex.map { case (v, d) => if (d == 0) v + 0.01f else v }
-      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
-    }
+    val rows = twinRows
     val embs = rows.toDF("vec_id", "embedding")
     val brute = SimilarityOps.cosinePairs(embs, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
@@ -61,6 +69,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(brute), s"LSH extras vs brute: ${lsh -- brute}")
     val recall = lsh.size.toDouble / brute.size
     assert(recall >= 0.9, s"sign-LSH recall $recall below 0.9 (${lsh.size}/${brute.size})")
+  }
+
+  test("IVF top-k finds each twin with bounded probing") {
+    val rows = twinRows
+    val embs = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfTopK(embs, embs, k = 1, nlist = 8, nprobe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    // true nearest neighbor of every vector is its twin (cos ≈ 0.9996)
+    val hits = got.count { case (q, n) => n == (q ^ 1L) }
+    val recall = hits.toDouble / rows.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 ($hits/${rows.size})")
   }
 
   test("langId picks marker-dominant language with deterministic ties") {
