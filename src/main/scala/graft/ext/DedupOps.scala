@@ -77,14 +77,13 @@ object DedupOps {
 
   /** MinHash signature (array<long> of length numHashes) over a shingle
     * array, via the universal family h_i(x) = (2i+1)·x + i·c mod P on
-    * xxhash64'd shingles. Pure expression — map-side only.
+    * xxhash64'd shingles. One codegen'd pass (graft.functions.MinHashSig)
+    * — the nested-transform Column form pays numHashes interpreted
+    * passes per row. Map-side only.
     */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val hashes = array_distinct(transform(shingleCol, s => pmod(xxhash64(s), lit(P))))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(hashes, h =>
-        pmod(h * (i * 2 + 1) + pmod(i * lit(2654435761L), lit(P)), lit(P)))))
-  }
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    graft.functions.VectorFunctions.minHashSig(
+      transform(shingleCol, s => xxhash64(s)), numHashes)
 
   /** LSH banding: (doc_id, band, band_key) rows; docs agreeing on any
     * band's key are candidate pairs. bands*rows must equal the signature
@@ -109,6 +108,7 @@ object DedupOps {
   def minHashNearDupPairs(docs: DataFrame, threshold: Double,
                           numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
     val sh = array_distinct(shingles(col(textCol), shingleK))
     val sigs = docs.select(col(idCol).as("doc_id"),

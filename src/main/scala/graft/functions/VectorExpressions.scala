@@ -68,6 +68,73 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature in one codegen'd pass: for pre-hashed shingles
+  * h_j (array<long>), emits [min_j((2i+1)·(h_j mod P) + i·c mod P) for
+  * i < numHashes]. The Column-API fallback (nested `transform`s) is
+  * interpreted per element per hash function — 32 lambda passes per
+  * row; this is one primitive double loop. Empty input yields an
+  * all-P sentinel signature (never collides with real minima < P).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val P = 2038074743L
+  private val C = 2654435761L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<bigint>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = Array.fill(numHashes)(P)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = ((arr.getLong(j) % P) + P) % P
+      var i = 0
+      while (i < numHashes) {
+        val v = ((2L * i + 1) * h + (i * C) % P) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val buf = ctx.freshName("buf")
+      s"""
+         |long[] $buf = new long[$numHashes];
+         |java.util.Arrays.fill($buf, ${P}L);
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = (($a.getLong($j) % ${P}L) + ${P}L) % ${P}L;
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = ((2L * $i + 1) * $h + ($i * ${C}L) % ${P}L) % ${P}L;
+         |    if ($v < $buf[$i]) $buf[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buf);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Registration + Column-API access for the vector expressions. */
 object VectorFunctions {
 
@@ -75,12 +142,24 @@ object VectorFunctions {
     * `call_function("vec_dot", ...)` against the session's registry, so
     * every session that runs these plans must register first).
     */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("vec_dot",
-        exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+          MinHashSig(exprs.head, k)
+        case other =>
+          throw new IllegalArgumentException(s"minhash_sig(arr, k): k must be an int literal, got $other")
+      }, "built-in")
+  }
 
   /** Codegen'd dot product of two array<double> columns. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Codegen'd MinHash signature over an array<long> of shingle hashes. */
+  def minHashSig(hashes: Column, numHashes: Int): Column =
+    call_function("minhash_sig", hashes, org.apache.spark.sql.functions.lit(numHashes))
 }
