@@ -1,5 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
+/** Benchmark entry point. Runs every registered query against
+  * `SPARK_GRAFT_SF_DIR` and emits ONE machine-readable JSON line:
+  *   - printed to stdout (sbt run is forked with StdoutOutput, so the
+  *     line arrives unprefixed), and
+  *   - written to `bench_out.json` in the working directory, so the
+  *     driver can read it even if the console stream is decorated.
+  *
+  * Queries are timed with a `noop`-format write, not `count()`: count
+  * lets Catalyst prune every column and skip the projection work, so a
+  * scan-shaped query would bench as nearly free. The noop sink fully
+  * evaluates every output row/column and discards it.
+  *
+  * Failures are NOT swallowed: a query that throws is recorded under
+  * an `"err"` map (name -> exception class+message) and excluded from
+  * the per-query timings, so a regression cannot masquerade as a
+  * speedup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,17 +32,39 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/scan-path warmup so the first timed query doesn't absorb
     // ~5s of one-time init (measured); touches no benchmark query's plan.
-    spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    Files.write(
+      Paths.get("bench_out.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+    println(line)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

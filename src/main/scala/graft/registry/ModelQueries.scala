@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.{LeadActivitiesAgg, RefShapes, TrafficDailyAgg, TrafficPagesAgg}
-import graft.runtime.Sources
+import graft.runtime.{Materializer, Sources}
 
 /** Model-level golden queries: the three reference pipelines run
   * end-to-end over fixture-derived reference-shaped inputs
@@ -16,6 +16,21 @@ import graft.runtime.Sources
 object ModelQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Two-batch incremental harness routed through the PRODUCTION write
+    * path: batch 1 materializes as the first run (full build of the
+    * pre-cutoff slice), batch 2 as an incremental upsert whose `build`
+    * receives the prior output read back from disk. The returned frame is
+    * Materializer's post-swap table, so the oracle hash checks the real
+    * upsert/swap seam rather than an inline anti-join re-implementation.
+    */
+  private def incrViaMaterializer(s: SparkSession, model: String)
+      (b1: => DataFrame)(b2: Option[DataFrame] => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+    val mat = new Materializer(s, dir)
+    mat.materialize(model, "id")(_ => b1)
+    mat.materialize(model, "id")(b2)
+  }
 
   val queries: Map[String, Q] = Map(
     "q_model_pages" -> ((s, dir) =>
@@ -38,12 +53,9 @@ object ModelQueries {
       import org.apache.spark.sql.functions._
       val cut = java.sql.Date.valueOf("2024-01-15")
       val events = RefShapes.eventsRef(Sources(s, dir).events)
-      val batch1 = TrafficPagesAgg.build(
-        events.filter(to_date(col("collector_tstamp")) <= lit(cut)))
-      val batch2 = TrafficPagesAgg.build(events, prior = Some(batch1))
-      batch1.join(batch2.select("id").distinct(), Seq("id"), "left_anti")
-        .unionByName(batch2)
-        .select(batch1.columns.map(col).toIndexedSeq: _*)
+      incrViaMaterializer(s, "traffic_pages_agg")(
+        TrafficPagesAgg.build(events.filter(to_date(col("collector_tstamp")) <= lit(cut))))(
+        prior => TrafficPagesAgg.build(events, prior))
     }),
     // model 1 incrementally: events and spends watermark independently on
     // max(spend_date) of the prior output, so a spend row dated ≤ wm that
@@ -54,13 +66,11 @@ object ModelQueries {
       val ev = Sources(s, dir).events
       val events = RefShapes.eventsRef(ev)
       val spends = RefShapes.campaignSpendsRef(ev)
-      val b1 = TrafficDailyAgg.build(
-        events.filter(to_date(col("collector_tstamp")) <= lit(cut)),
-        spends.filter(to_date(col("spend_date")) <= lit(cut)))
-      val b2 = TrafficDailyAgg.build(events, spends, prior = Some(b1))
-      b1.join(b2.select("id").distinct(), Seq("id"), "left_anti")
-        .unionByName(b2)
-        .select(b1.columns.map(col).toIndexedSeq: _*)
+      incrViaMaterializer(s, "traffic_daily_agg")(
+        TrafficDailyAgg.build(
+          events.filter(to_date(col("collector_tstamp")) <= lit(cut)),
+          spends.filter(to_date(col("spend_date")) <= lit(cut))))(
+        prior => TrafficDailyAgg.build(events, spends, prior))
     }),
     // model 3 incrementally: only the LEAD scan is watermarked (on
     // max(activity_date)); the events scan rescans fully every run — the
@@ -72,12 +82,10 @@ object ModelQueries {
       val events = RefShapes.eventsRef(ev)
       val leads = RefShapes.leadStageChangeEventsRef(ev)
       val daily = TrafficDailyAgg.build(events, RefShapes.campaignSpendsRef(ev))
-      val b1 = LeadActivitiesAgg.build(events,
-        leads.filter(col("date") <= lit(cut)), daily)
-      val b2 = LeadActivitiesAgg.build(events, leads, daily, prior = Some(b1))
-      b1.join(b2.select("id").distinct(), Seq("id"), "left_anti")
-        .unionByName(b2)
-        .select(b1.columns.map(col).toIndexedSeq: _*)
+      incrViaMaterializer(s, "lead_activities_agg")(
+        LeadActivitiesAgg.build(events,
+          leads.filter(col("date") <= lit(cut)), daily))(
+        prior => LeadActivitiesAgg.build(events, leads, daily, prior))
     }),
   )
 

@@ -12,13 +12,37 @@ class ModelDagSpec extends SparkSpec {
   test("full run then no-new-data rerun is a fixed point for all models") {
     val dir = Files.createTempDirectory("graft-dag").toString
     val sources = Sources(spark, "/root/testdata/sf0.001")
-    val dag = new ModelDag(sources, new Materializer(spark, dir))
+    val logged = scala.collection.mutable.ArrayBuffer[String]()
+    val dag = new ModelDag(sources, new Materializer(spark, dir), logged += _)
 
     val first = dag.run().map { case (k, df) => k -> df.count() }
     assert(first.values.forall(_ > 0), s"empty model output: $first")
 
+    // A5 — reference debug block (lead_activities_agg.sql:9-31): both
+    // counts logged before model 3, in reference wording and order.
+    val leadLine = "Lead activities input count: (\\d+)".r
+    val userLine = "Unique domain_userid in events: (\\d+)".r
+    assert(logged.size == 2, s"expected 2 debug lines, got: $logged")
+    val firstLeadCount = logged.head match {
+      case leadLine(n) => n.toLong
+      case other => fail(s"unexpected first debug line: $other")
+    }
+    assert(userLine.matches(logged(1)), s"unexpected second debug line: ${logged(1)}")
+    assert(firstLeadCount > 0)
+
     val second = dag.run().map { case (k, df) => k -> df.count() }
     assert(second == first, s"rerun drifted: $first vs $second")
+
+    // incremental rerun: the lead count is watermarked (date > max
+    // activity_date of the prior output) so it must shrink — not 0 only
+    // if the max-date leads fell to the model's NOT NULL gate; the event
+    // user count is never watermarked (reference quirk) → unchanged.
+    assert(logged.size == 4, s"expected 4 debug lines after rerun, got: $logged")
+    logged(2) match {
+      case leadLine(n) => assert(n.toLong < firstLeadCount, s"rerun lead count not watermarked: $n")
+      case other => fail(s"unexpected rerun debug line: $other")
+    }
+    assert(logged(3) == logged(1), s"event user count drifted: ${logged(3)} vs ${logged(1)}")
   }
 
   test("daily model output feeds lead model spend enrichment") {
