@@ -9,8 +9,10 @@ import graft.registry.{CoreQueries, ExtQueries, ModelQueries, RelationalQueries}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    graft.runtime.Sources.bootstrap(spark)
     CoreQueries.queries("q_a1_dual_count")(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

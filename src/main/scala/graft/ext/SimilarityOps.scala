@@ -122,15 +122,21 @@ object SimilarityOps {
                      tables: Int = 4, planesPerTable: Int = 8, dims: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = normalized(embs, idCol, vecCol)
-    val keyed = e.select(col("id"), col("v"),
+    // Candidate generation runs over (id, bucket) ONLY: the bucket-join
+    // shuffle and the dedup shuffle both carry ~16 bytes/row instead of the
+    // 64-dim vectors (~1 KB/row); vectors re-attach to the (much smaller)
+    // deduped candidate set for the exact verify.
+    val keyed = e.select(col("id"),
       explode(array((0 until tables).map(t =>
         concat(lit(s"$t:"), bucketKey(col("v"), t, planesPerTable, dims))): _*)).as("bucket"))
-    val cand = keyed.as("a").join(keyed.as("b"),
+    val candIds = keyed.as("a").join(keyed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
       .distinct()
-    cand.select(col("vec_a"), col("vec_b"), dotFast(col("va"), col("vb")).as("sim"))
+    candIds
+      .join(e.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), dotFast(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

@@ -46,11 +46,18 @@ object Filters {
     * output's single column — column-pruned scan), mirroring dbt's
     * compile-time scalar subquery rather than a Spark correlated subquery
     * (reference: lead_activities_agg.sql:13-15).
+    *
+    * When a prior EXISTS but its max date is NULL (empty table, or all
+    * dates NULL), the reference's `NVL(MAX(..), '1900-01-01')` still
+    * applies `date > '1900-01-01'` — which drops NULL-date rows — so the
+    * fallback date is returned rather than skipping the filter.
     */
+  val watermarkEpoch: java.sql.Date = java.sql.Date.valueOf("1900-01-01")
+
   def watermark(prior: Option[DataFrame], wmCol: String): Option[java.sql.Date] =
-    prior.flatMap { p =>
+    prior.map { p =>
       val row = p.agg(max(col(wmCol))).head()
-      if (row.isNullAt(0)) None else Some(row.getDate(0))
+      if (row.isNullAt(0)) watermarkEpoch else row.getDate(0)
     }
 
   def watermarkFilter(df: DataFrame, dateCol: String, wm: Option[java.sql.Date]): DataFrame =

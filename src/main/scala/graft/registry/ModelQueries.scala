@@ -26,10 +26,23 @@ object ModelQueries {
     */
   private def incrViaMaterializer(s: SparkSession, model: String)
       (b1: => DataFrame)(b2: Option[DataFrame] => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_incr_").toString
-    val mat = new Materializer(s, dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_")
+    // The returned frame lazily reads the swapped parquet table, so the
+    // temp dir must outlive this call; it is reclaimed when the JVM exits
+    // (Verify/Bench/specs are short-lived mains) instead of accumulating
+    // across repeated runs.
+    sys.addShutdownHook(deleteRecursive(dir))
+    val mat = new Materializer(s, dir.toString)
     mat.materialize(model, "id")(_ => b1)
     mat.materialize(model, "id")(b2)
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   val queries: Map[String, Q] = Map(

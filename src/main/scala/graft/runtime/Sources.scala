@@ -16,11 +16,6 @@ import org.apache.spark.sql.functions._
   * Materializer) so incremental watermark filters become partition pruning.
   */
 final class Sources(spark: SparkSession, dir: String) {
-  // The fixture `events` table stores ts as parquet TIMESTAMP(NANOS), which
-  // Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). Public escape hatch:
-  // read nanos as long, then convert to TimestampType (µs) — truncation is
-  // lossless here (fixture values are µs-grained, TESTDATA.md seed=42).
-  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -42,5 +37,23 @@ final class Sources(spark: SparkSession, dir: String) {
 }
 
 object Sources {
-  def apply(spark: SparkSession, dir: String): Sources = new Sources(spark, dir)
+  def apply(spark: SparkSession, dir: String): Sources = {
+    bootstrap(spark)
+    new Sources(spark, dir)
+  }
+
+  /** One-time session preparation for reading the fixture catalog. The
+    * fixture `events` table stores ts as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). Public escape
+    * hatch: read nanos as long, then convert to TimestampType (µs) —
+    * truncation is lossless here (fixture values are µs-grained,
+    * TESTDATA.md seed=42). Idempotent: only touches the conf when it
+    * isn't already set, so repeated calls are side-effect-free; entry
+    * points (Verify/Bench/entry/specs) call it once at session setup.
+    */
+  def bootstrap(spark: SparkSession): SparkSession = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    spark
+  }
 }

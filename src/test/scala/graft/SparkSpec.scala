@@ -21,6 +21,6 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    graft.runtime.Sources.bootstrap(s)
   }
 }

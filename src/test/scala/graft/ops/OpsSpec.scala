@@ -46,13 +46,15 @@ class FiltersSpec extends SparkSpec {
     assert(kept == Seq("Mozilla/5.0"))
   }
 
-  test("P10: watermark None on empty prior, value otherwise; filter is strict >") {
+  test("P10: watermark NVL fallback on empty prior, value otherwise; filter is strict >") {
     val prior = Seq(java.sql.Date.valueOf("2024-01-05"), java.sql.Date.valueOf("2024-01-07"))
       .toDF("d")
     assert(Filters.watermark(Some(prior), "d").contains(java.sql.Date.valueOf("2024-01-07")))
     assert(Filters.watermark(None, "d").isEmpty)
+    // prior EXISTS but max is NULL: the reference's NVL(MAX(..),'1900-01-01')
+    // still filters on > 1900-01-01 (dropping NULL dates) — not a full scan.
     val empty = prior.filter(lit(false))
-    assert(Filters.watermark(Some(empty), "d").isEmpty)
+    assert(Filters.watermark(Some(empty), "d").contains(Filters.watermarkEpoch))
     val in = Seq(java.sql.Date.valueOf("2024-01-07"), java.sql.Date.valueOf("2024-01-08"))
       .toDF("d")
     val out = Filters.watermarkFilter(in, "d", Some(java.sql.Date.valueOf("2024-01-07")))
