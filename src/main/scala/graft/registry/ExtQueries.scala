@@ -79,6 +79,7 @@ object ExtQueries {
         MultimodalOps.withFakeMedia(Sources(s, dir).documents))
         .select(col("doc_id"), col("media_bytes"),
           round(element_at(col("features"), 1), 6).as("bin0"),
+          round(element_at(col("features"), 3), 6).as("bin2"),
           round(element_at(col("features"), 8), 6).as("bin7"))),
   )
 
@@ -174,8 +175,27 @@ object ExtQueries {
          |  CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
          |  CAST((doc_id % 6 + 1) * 64 AS INT) AS height
          |FROM documents""".stripMargin),
-    // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh /
-    // q_ext_media_features: intentionally no oracle (non-portable hash or
-    // partition-local decode internals); see ExtOpsSpec / MultimodalSpec.
+    // The stub decoder's 16-bin byte histogram bins each byte by its HIGH
+    // NIBBLE (bin = byte div 16, since 256/16 bins of width 16) — which in
+    // SQL is the first hex digit of each byte pair in hex(blob). DuckDB
+    // counts matching odd-position hex chars per bin; deterministic integer
+    // math, so the partition-local decode path gets a real oracle.
+    "q_ext_media_features" ->
+      ("""WITH h AS (
+         |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         |         octet_length(CAST(text AS BLOB)) AS n
+         |  FROM documents
+         |)
+         |SELECT doc_id, n AS media_bytes,
+         |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(range(n), i -> substr(hx, CAST(2*i+1 AS INT), 1) = '0')) AS DOUBLE) / n END, 6) AS bin0,
+         |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(range(n), i -> substr(hx, CAST(2*i+1 AS INT), 1) = '2')) AS DOUBLE) / n END, 6) AS bin2,
+         |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(range(n), i -> substr(hx, CAST(2*i+1 AS INT), 1) = '7')) AS DOUBLE) / n END, 6) AS bin7
+         |FROM h""".stripMargin),
+    // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
+    // intentionally no oracle (non-portable hash internals); see
+    // ExtOpsSpec property tests against the exact counterparts.
   )
 }
