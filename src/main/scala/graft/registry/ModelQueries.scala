@@ -24,7 +24,7 @@ object ModelQueries {
     * Materializer's post-swap table, so the oracle hash checks the real
     * upsert/swap seam rather than an inline anti-join re-implementation.
     */
-  private def incrViaMaterializer(s: SparkSession, model: String)
+  private[registry] def incrViaMaterializer(s: SparkSession, model: String)
       (b1: => DataFrame)(b2: Option[DataFrame] => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_incr_")
     // The returned frame lazily reads the swapped parquet table, so the
