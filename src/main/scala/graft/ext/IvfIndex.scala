@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** [EXT] IVF-Flat index with a real lifecycle: train once, persist the
+  * cell-partitioned corpus, probe many times without ever reshuffling
+  * the corpus again.
+  *
+  *   - TRAIN   — sample `nlist` coarse centroids (deterministic
+  *     hash-order sample; Lloyd iterations can refine offline) and
+  *     assign every corpus vector to its best cell: one map-only pass.
+  *   - PERSIST — write `(corpus_id, cv)` parquet PARTITIONED BY cell id,
+  *     plus the centroid table. Partitioning is the single-directory
+  *     analog of bucketing-by-cid on a cluster: each cell is its own
+  *     file set.
+  *   - PROBE   — queries compute their `nprobe` nearest cells from the
+  *     broadcast centroid literals (map-only) and join the index on
+  *     `cid` with the PROBE side broadcast, so the corpus scan feeds the
+  *     join in place — no Exchange on the index side — and dynamic
+  *     partition pruning skips every unprobed cell's files.
+  *
+  * Per-row cell scoring evaluates the nlist-wide (sim, cid) struct array
+  * ONCE: assignment takes `array_max` (struct ordering compares sim
+  * first), probing takes one descending `sort_array` sliced to nprobe —
+  * the double `sort_array` evaluation this replaces cost 2× the
+  * quantizer work.
+  *
+  * Search cost per query drops from O(N) to O(N·nprobe/nlist); recall is
+  * the probability the true neighbor's cell is probed (1.0 when
+  * nprobe = nlist).
+  */
+final class IvfIndex private (
+    @transient private val index: DataFrame,
+    val centroids: Array[(Int, Seq[Double])]) {
+
+  import IvfIndex.cellScores
+
+  /** Number of cells (nlist). */
+  def nlist: Int = centroids.length
+
+  /** Top-k neighbors for each query vector, probing `nprobe` cells. */
+  def topK(queries: DataFrame, k: Int, nprobe: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = SimilarityOps.normalized(queries, idCol, vecCol)
+    val probes = q.select(
+      col("id").as("query_id"), col("v").as("qv"),
+      explode(transform(
+        slice(sort_array(cellScores(col("v"), centroids), asc = false), 1, nprobe),
+        s => s.getField("cid"))).as("cid"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        SimilarityOps.dotFast(col("qv"), col("cv")).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /** Persist (cid-partitioned corpus + centroid table); reopen with
+    * [[IvfIndex.load]].
+    */
+  def save(path: String): Unit = {
+    val spark = index.sparkSession
+    index.write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    import spark.implicits._
+    centroids.toSeq.toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The probe join's physical plan (diagnostics/spec seam). */
+  private[ext] def explainTopK(queries: DataFrame, k: Int, nprobe: Int): String =
+    topK(queries, k, nprobe).queryExecution.executedPlan.toString
+}
+
+object IvfIndex {
+
+  /** (sim, cid) struct per centroid — built once per call site so the
+    * quantizer array is evaluated a single time per row.
+    */
+  private def cellScores(v: Column, centroids: Array[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (cid, vec) =>
+      struct(SimilarityOps.dotFast(v, array(vec.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** Train an in-memory index: sample centroids, assign cells. The
+    * returned index is unpersisted — call [[IvfIndex.save]] to pin it.
+    */
+  def train(corpus: DataFrame, nlist: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val c = SimilarityOps.normalized(corpus, idCol, vecCol)
+    val centroids: Array[(Int, Seq[Double])] = c
+      .orderBy(xxhash64(col("id").cast("string")))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    val index = c.withColumn("cid",
+        array_max(cellScores(col("v"), centroids)).getField("cid"))
+      .select(col("cid"), col("id").as("corpus_id"), col("v").as("cv"))
+    new IvfIndex(index, centroids)
+  }
+
+  /** Reopen a persisted index: centroids are driver-collected (nlist
+    * rows), the cell table is the partitioned parquet scan — probes
+    * prune to their cells' files.
+    */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    VectorFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("centroid"))))
+      .sortBy(_._1)
+    val index = spark.read.parquet(s"$path/cells")
+      .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("cv"))
+    new IvfIndex(index, centroids)
+  }
+}

@@ -42,7 +42,7 @@ object SimilarityOps {
   /** (id, v) with v L2-normalized in double — cosine becomes a plain dot
     * product. Normalization is O(n) and off the pairwise hot path.
     */
-  private def normalized(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[ext] def normalized(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     VectorFunctions.register(embs.sparkSession)
     embs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v0"))
       .withColumn("nrm", sqrt(dotFast(col("v0"), col("v0"))))
@@ -142,50 +142,15 @@ object SimilarityOps {
 
   // ---- IVF-Flat ------------------------------------------------------------
 
-  /** IVF-Flat approximate top-k: a coarse quantizer of `nlist` sampled
-    * centroids (deterministic hash-order sample — k-means init without
-    * the Lloyd iterations; swap in trained centroids for tighter cells),
-    * corpus vectors assigned to their best centroid, queries probing the
-    * `nprobe` nearest cells. Search cost drops from O(N) to
-    * O(N·nprobe/nlist) per query; recall is the probability the true
-    * neighbor's cell is among the probed ones (1.0 when nprobe = nlist).
-    *
-    * Scale shape: centroids are driver-collected literals (nlist rows),
-    * assignment is map-only, and the probe join shuffles by cell id —
-    * the index (cid, id, v) is exactly what you'd persist bucketed by
-    * cid so repeated queries never reshuffle the corpus.
+  /** IVF-Flat approximate top-k, ad-hoc form: trains the coarse
+    * quantizer inline and probes immediately — see [[IvfIndex]] for the
+    * full lifecycle (train once → persist the cid-partitioned index →
+    * probe repeatedly with no corpus reshuffle), which is the 100 TB
+    * path. This wrapper exists for one-shot queries and the oracle gate.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = normalized(corpus, idCol, vecCol)
-    val q = normalized(queries, idCol, vecCol)
-    val centroids: Array[(Long, Seq[Double])] = c
-      .orderBy(xxhash64(col("id").cast("string")))
-      .limit(nlist)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-
-    def simTo(cent: Seq[Double]): Column =
-      dotFast(col("v"), array(cent.map(lit): _*))
-    val cells = array(centroids.map { case (cid, vec) =>
-      struct(simTo(vec).as("sim"), lit(cid).as("cid"))
-    }: _*)
-
-    val index = c.withColumn("cid", element_at(sort_array(cells, asc = false), 1).getField("cid"))
-      .select(col("cid"), col("id").as("corpus_id"), col("v").as("cv"))
-    val probes = q
-      .select(col("id").as("query_id"), col("v").as("qv"),
-        explode(transform(slice(sort_array(cells, asc = false), 1, nprobe),
-          s => s.getField("cid"))).as("cid"))
-
-    val scored = index.join(probes, Seq("cid"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), dotFast(col("qv"), col("cv")).as("sim"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
-  }
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    IvfIndex.train(corpus, nlist, idCol, vecCol)
+      .topK(queries, k, nprobe, idCol, vecCol)
 }

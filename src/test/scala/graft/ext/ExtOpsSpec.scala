@@ -82,6 +82,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 ($hits/${rows.size})")
   }
 
+  test("IVF index lifecycle: persist, reload, probe without reshuffling the corpus") {
+    val rows = twinRows
+    val embs = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    IvfIndex.train(embs, nlist = 8).save(dir)
+
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.nlist == 8)
+    // persisted layout: one directory per cell (cid-partitioned parquet)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cellDirs.nonEmpty, "expected cid= partition directories")
+
+    // results from the reloaded index match the in-memory ad-hoc path
+    val got = loaded.topK(embs, k = 1, nprobe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val hits = got.count { case (q, n) => n == (q ^ 1L) }
+    assert(hits.toDouble / rows.size >= 0.8, s"reloaded-index recall $hits/${rows.size}")
+
+    // probe plan: the index side feeds a broadcast join in place — no
+    // Exchange repartitions the corpus scan by cid (the only shuffle
+    // left is the per-query window rank on the small candidate set)
+    val plan = loaded.explainTopK(embs, k = 1, nprobe = 3)
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(cid"),
+      s"corpus reshuffled by cid:\n$plan")
+  }
+
   test("langId picks marker-dominant language with deterministic ties") {
     val rows = Seq(
       (1L, "the cat and the dog of a to house"),
