@@ -158,7 +158,45 @@ object CoreQueries {
     b1.join(b2.select("id"), Seq("id"), "left_anti").unionByName(b2)
   }
 
+  // ---- A1-approx: HLL count-distinct with an oracle-checkable rsd bound ----
+  // The approx value itself is engine-specific (Spark HLL++ vs DuckDB HLL),
+  // so the hash-compared output is the exact per-group counts plus a
+  // `within_bound` flag gating |approx - exact| <= max(1, 5%·exact); the
+  // oracle asserts TRUE for every group. A violated bound flips the flag
+  // and fails the hash — a real gate on the rsd contract, portable across
+  // engines.
+  private val a1Approx: Q = (s, dir) => {
+    val exact = dualCountAgg(s, dir)
+    val approx = Aggs.dualCountApprox(
+      src(s, dir).events,
+      Seq(to_date(col("ts")).as("event_date"), col("event_type")),
+      col("user_id"), uniqueName = "approx_unique", rsd = 0.01)
+    exact.join(approx.select("event_date", "event_type", "approx_unique"),
+        Seq("event_date", "event_type"))
+      .select(col("event_date"), col("event_type"), col("total_visits"),
+        (abs(col("approx_unique") - col("unique_visitors")) <=
+          greatest(lit(1.0), col("unique_visitors") * 0.05)).as("within_bound"))
+  }
+
+  // ---- J-salted: skew-mitigated join, row-identical to the plain join ------
+  // Hot key 0 holds ~28% of the big side (every event_id % 4 == 0 plus the
+  // natural % 25 == 0 stripe); the oracle is the UNSALTED join aggregated,
+  // so the hash check IS the row-identity assertion.
+  private val jSaltedSkew: Q = (s, dir) => {
+    val e = src(s, dir).events.select(
+      col("event_id"),
+      when(col("event_id") % 4 === 0, lit(0L))
+        .otherwise(col("event_id") % 25).as("k"))
+    val n = src(s, dir).nation
+      .select(col("n_nationkey").cast("bigint").as("k"), col("n_name"))
+    Joins.saltedJoin(e, n, Seq("k"), "inner", salt = 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_a1_dual_count_approx" -> a1Approx,
+    "q_j_salted_skew"   -> jSaltedSkew,
     "q_s1_scan_project" -> s1Scan,
     "q_p_filters"       -> pFilters,
     "q_f_scalars"       -> fScalars,
@@ -187,6 +225,14 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_a1_dual_count_approx" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS total_visits, " +
+       "TRUE AS within_bound FROM events GROUP BY 1, 2"),
+    "q_j_salted_skew" ->
+      ("WITH e AS (SELECT event_id, CASE WHEN event_id % 4 = 0 THEN 0 " +
+       "ELSE event_id % 25 END AS k FROM events) " +
+       "SELECT n.n_name, count(*) AS cnt, CAST(sum(e.event_id) AS BIGINT) AS id_sum " +
+       "FROM e JOIN nation n ON e.k = n.n_nationkey GROUP BY n.n_name"),
     "q_s1_scan_project" ->
       "SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, user_id FROM events",
     "q_p_filters" ->
