@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.runtime.Materializer
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -30,6 +31,46 @@ class StreamingSpec extends SparkSpec {
         .map { case (d, a, t) => (d, a) -> t }.toMap
       assert(out((java.sql.Date.valueOf("2024-01-01"), "app0")) == 3L)
     } finally q.stop()
+  }
+
+  test("upsertSink materializes micro-batches identically to the batch rerun") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamsink_").toString
+    val mat = new Materializer(spark, dir)
+
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    val events = in.toDF().toDF("collector_tstamp", "app_id", "domain_userid")
+    // default 1-day delay: batch 1 reaches Jan-2 09:00, so its watermark
+    // (Jan-1 09:00) keeps the Jan-1 window open for batch 2's late event
+    val agg = StreamingOps.dailyTraffic(events)
+      .withColumn("id", concat_ws("-", col("event_date"), col("app_id")))
+    val q = StreamingOps.upsertSink(agg, mat, "stream_daily", "id").start()
+
+    val batch1 = Seq((ts("2024-01-01 10:00:00"), "app0", "u1"),
+      (ts("2024-01-01 11:00:00"), "app0", "u2"),
+      (ts("2024-01-02 09:00:00"), "app1", "u3"))
+    val batch2 = Seq((ts("2024-01-01 12:00:00"), "app0", "u1"),
+      (ts("2024-01-02 10:00:00"), "app1", "u4"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch rerun over the full input: the same daily agg, computed once
+    val expected = (batch1 ++ batch2)
+      .toDF("collector_tstamp", "app_id", "domain_userid")
+      .groupBy(to_date(col("collector_tstamp")).as("event_date"), col("app_id"))
+      .agg(count(lit(1)).as("total_visits"),
+        approx_count_distinct("domain_userid").as("unique_visitors"))
+      .withColumn("id", concat_ws("-", col("event_date"), col("app_id")))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+
+    val got = mat.readPrior("stream_daily").get
+      .select("event_date", "app_id", "total_visits", "unique_visitors", "id")
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == expected, s"streamed $got\nvs batch $expected")
   }
 
   test("lastTouch keeps the best touch across batches (paid beats later organic)") {
