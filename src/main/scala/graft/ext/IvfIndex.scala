@@ -9,9 +9,9 @@ import graft.functions.VectorFunctions
   * cell-partitioned corpus, probe many times without ever reshuffling
   * the corpus again.
   *
-  *   - TRAIN   — sample `nlist` coarse centroids (deterministic
-  *     hash-order sample; Lloyd iterations can refine offline) and
-  *     assign every corpus vector to its best cell: one map-only pass.
+  *   - TRAIN   — seed `nlist` coarse centroids (deterministic hash-order
+  *     sample), refine with spherical Lloyd iterations to balance cell
+  *     sizes, and assign every corpus vector to its best cell.
   *   - PERSIST — write `(corpus_id, cv)` parquet PARTITIONED BY cell id,
   *     plus the centroid table. Partitioning is the single-directory
   *     analog of bucketing-by-cid on a cluster: each cell is its own
@@ -74,6 +74,11 @@ final class IvfIndex private (
   /** The probe join's physical plan (diagnostics/spec seam). */
   private[ext] def explainTopK(queries: DataFrame, k: Int, nprobe: Int): String =
     topK(queries, k, nprobe).queryExecution.executedPlan.toString
+
+  /** Corpus rows per cell (diagnostics/spec seam for balance checks). */
+  private[ext] def cellSizes(): Map[Int, Long] =
+    index.groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
 }
 
 object IvfIndex {
@@ -87,18 +92,53 @@ object IvfIndex {
         lit(cid).as("cid"))
     }: _*)
 
-  /** Train an in-memory index: sample centroids, assign cells. The
-    * returned index is unpersisted — call [[IvfIndex.save]] to pin it.
+  /** Train an in-memory index: seed `nlist` centroids from a
+    * deterministic hash-order sample, refine them with `lloydIters`
+    * spherical k-means iterations (assign → per-cell mean → renormalize;
+    * empty cells keep their seed), then assign every corpus vector to its
+    * best cell. Refinement re-balances cells when the data is clustered —
+    * a raw sample concentrates several seeds in dense regions, leaving
+    * hot cells that dominate probe cost at scale. Each iteration is one
+    * map-only assignment pass plus a (cid, dim)-keyed partial-agg shuffle
+    * of scalar sums — O(N·dims) rows of 3 numeric columns, no vector
+    * payloads. Seeds are deterministic and refinement is data-driven;
+    * per-cell float summation order can vary sub-ulp across runs, which
+    * never flips the exact (nprobe = nlist) mode and is noise at the
+    * recall specs' thresholds. The returned index is unpersisted — call
+    * [[IvfIndex.save]] to pin it.
     */
   def train(corpus: DataFrame, nlist: Int = 16,
-            idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            lloydIters: Int = 2): IvfIndex = {
     val c = SimilarityOps.normalized(corpus, idCol, vecCol)
-    val centroids: Array[(Int, Seq[Double])] = c
+    var centroids: Array[(Int, Seq[Double])] = c
       .orderBy(xxhash64(col("id").cast("string")))
       .limit(nlist)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to lloydIters) {
+      val assigned = c.withColumn("cid",
+        array_max(cellScores(col("v"), centroids)).getField("cid"))
+      // per-(cell, dim) mean, reassembled into a dims-wide array per cell
+      // (struct ordering sorts by pos, the struct's first field)
+      val means: Map[Int, Seq[Double]] = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap
+      centroids = centroids.map { case (cid, old) =>
+        val next = means.get(cid).map { m =>
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          if (nrm > 0) m.map(_ / nrm) else old
+        }.getOrElse(old)
+        (cid, next)
+      }
+    }
     val index = c.withColumn("cid",
         array_max(cellScores(col("v"), centroids)).getField("cid"))
       .select(col("cid"), col("id").as("corpus_id"), col("v").as("cv"))

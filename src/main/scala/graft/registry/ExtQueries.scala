@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, IvfIndex, MultimodalOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -27,6 +27,29 @@ object ExtQueries {
 
   private def docsSub(s: SparkSession, dir: String): DataFrame =
     Sources(s, dir).documents.filter(col("doc_id") % 10 === 0)
+
+  // One persisted IVF index per (session-lifetime, sf dir): trained and
+  // saved ONCE, so q_ext_knn_ivf_probe times the load→probe path alone —
+  // the number that matters at scale — instead of retraining per call.
+  // Dirs are bounded by the number of distinct sfDirs and reclaimed at exit.
+  private val ivfIndexDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private lazy val ivfCleanup = sys.addShutdownHook {
+    ivfIndexDirs.values.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIndexDirs.getOrElseUpdate(dir, {
+      ivfCleanup
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
+      p
+    })
 
   val queries: Map[String, Q] = Map(
     "q_ext_text_features" -> ((s, dir) =>
@@ -57,9 +80,21 @@ object ExtQueries {
       SimilarityOps.cosinePairs(Sources(s, dir).embeddings, 0.35)),
     "q_ext_knn_lsh" -> ((s, dir) =>
       SimilarityOps.lshCosinePairs(Sources(s, dir).embeddings, 0.35)),
+    // nprobe = nlist probes every cell, so IVF is EXACT top-k by
+    // construction and hash-matches the brute-force DuckDB oracle; the
+    // approx (nprobe < nlist) path keeps its recall spec in ExtOpsSpec.
     "q_ext_knn_ivf" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
-      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 20), k = 3)
+      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 20), k = 3, nlist = 16, nprobe = 16)
+    }),
+    // The lifecycle path under the same exact-mode oracle: the session's
+    // persisted index is loaded and probed with NO train and NO corpus
+    // reshuffle (plan asserted in ExtOpsSpec) — its bench time is the
+    // repeat-query probe cost.
+    "q_ext_knn_ivf_probe" -> ((s, dir) => {
+      val idx = IvfIndex.load(s, ivfIndexPath(s, dir))
+      idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
+        k = 3, nprobe = idx.nlist)
     }),
     "q_ext_json_extract" -> ((s, dir) =>
       Sources(s, dir).events
@@ -96,6 +131,23 @@ object ExtQueries {
 
   private def markerScore(words: Seq[String]): String =
     s"len(list_intersect($dtoksSql, [${words.map(w => s"'$w'").mkString(",")}]))"
+
+  // Shared by q_ext_knn_brute AND both IVF queries: at nprobe = nlist IVF
+  // probes every cell, so all three compute the identical exact top-3.
+  private val knnExactSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |         list_cosine_similarity(q.v, c.v) AS sim
+      |  FROM (SELECT * FROM e WHERE vec_id < 20) q
+      |  JOIN e c ON q.vec_id != c.vec_id
+      |),
+      |ranked AS (
+      |  SELECT query_id, corpus_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_ext_text_features" ->
@@ -144,20 +196,9 @@ object ExtQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9""".stripMargin),
-    "q_ext_knn_brute" ->
-      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-         |         list_cosine_similarity(q.v, c.v) AS sim
-         |  FROM (SELECT * FROM e WHERE vec_id < 20) q
-         |  JOIN e c ON q.vec_id != c.vec_id
-         |),
-         |ranked AS (
-         |  SELECT query_id, corpus_id, sim,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin),
+    "q_ext_knn_brute" -> knnExactSql,
+    "q_ext_knn_ivf" -> knnExactSql,
+    "q_ext_knn_ivf_probe" -> knnExactSql,
     "q_ext_cosine_pairs" ->
       ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -179,11 +220,13 @@ object ExtQueries {
     // NIBBLE (bin = byte div 16, since 256/16 bins of width 16) — which in
     // SQL is the first hex digit of each byte pair in hex(blob). DuckDB
     // counts matching odd-position hex chars per bin; deterministic integer
-    // math, so the partition-local decode path gets a real oracle.
+    // math, so the partition-local decode path gets a real oracle. The blob
+    // is COALESCEd to empty so a NULL text yields n=0 / bins 0.0 exactly
+    // like the Spark stub (fakeDecodeFeatures returns 0L + zeros on NULL).
     "q_ext_media_features" ->
       ("""WITH h AS (
-         |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
-         |         octet_length(CAST(text AS BLOB)) AS n
+         |  SELECT doc_id, hex(COALESCE(CAST(text AS BLOB), ''::BLOB)) AS hx,
+         |         octet_length(COALESCE(CAST(text AS BLOB), ''::BLOB)) AS n
          |  FROM documents
          |)
          |SELECT doc_id, n AS media_bytes,

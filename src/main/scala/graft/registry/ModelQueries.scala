@@ -24,14 +24,24 @@ object ModelQueries {
     * Materializer's post-swap table, so the oracle hash checks the real
     * upsert/swap seam rather than an inline anti-join re-implementation.
     */
+  // The returned frames lazily read their swapped parquet tables, so each
+  // temp dir must outlive its call. ONE shutdown hook reclaims them all at
+  // JVM exit; within a session, a repeat run of the same model eagerly
+  // deletes (and replaces) that model's previous dir, so long-lived
+  // sessions don't accumulate dirs per invocation.
+  private val tmpDirs =
+    scala.collection.mutable.LinkedHashMap[String, java.nio.file.Path]()
+  private lazy val cleanupHook =
+    sys.addShutdownHook(tmpDirs.synchronized(tmpDirs.values.foreach(deleteRecursive)))
+
   private[registry] def incrViaMaterializer(s: SparkSession, model: String)
       (b1: => DataFrame)(b2: Option[DataFrame] => DataFrame): DataFrame = {
+    cleanupHook
     val dir = java.nio.file.Files.createTempDirectory("graft_incr_")
-    // The returned frame lazily reads the swapped parquet table, so the
-    // temp dir must outlive this call; it is reclaimed when the JVM exits
-    // (Verify/Bench/specs are short-lived mains) instead of accumulating
-    // across repeated runs.
-    sys.addShutdownHook(deleteRecursive(dir))
+    tmpDirs.synchronized {
+      tmpDirs.remove(model).foreach(deleteRecursive)
+      tmpDirs(model) = dir
+    }
     val mat = new Materializer(s, dir.toString)
     mat.materialize(model, "id")(_ => b1)
     mat.materialize(model, "id")(b2)

@@ -44,17 +44,20 @@ object RelationalQueries {
           countDistinct(col("n_name")).as("nations"))
     }),
     // selective fact-dim join + revenue threshold (set-valued, no top-k
-    // float ordering): urgent open orders with revenue above cutoff
+    // float ordering): urgent open orders with revenue above cutoff.
+    // 250000.0 sits above the fixture's median order revenue (~190k at
+    // every SF) but passes hundreds of orders at sf0.01, so the gate
+    // checks real join-filter-agg rows, not just the schema.
     "q_rel_urgent_revenue" -> ((s, dir) => {
       val src = Sources(s, dir)
       val orders = src.orders.filter(col("o_orderpriority") === "1-URGENT")
       Joins.leftUsing(
         src.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
         Seq("o_orderkey"), smallRight = true)
-        .filter(col("o_orderstatus") === "o")
+        .filter(col("o_orderstatus") === "O")
         .groupBy(col("o_orderkey"), col("o_custkey"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .filter(col("revenue") > 100000.0)
+        .filter(col("revenue") > 250000.0)
     }),
   )
 
@@ -82,8 +85,8 @@ object RelationalQueries {
          |FROM lineitem l
          |LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
          |  ON l.l_orderkey = o.o_orderkey
-         |WHERE o.o_orderstatus = 'o'
+         |WHERE o.o_orderstatus = 'O'
          |GROUP BY 1, 2
-         |HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 100000.0""".stripMargin),
+         |HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 250000.0""".stripMargin),
   )
 }

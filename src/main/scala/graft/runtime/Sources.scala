@@ -47,9 +47,12 @@ object Sources {
     * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). Public escape
     * hatch: read nanos as long, then convert to TimestampType (µs) —
     * truncation is lossless here (fixture values are µs-grained,
-    * TESTDATA.md seed=42). Idempotent: only touches the conf when it
-    * isn't already set, so repeated calls are side-effect-free; entry
-    * points (Verify/Bench/entry/specs) call it once at session setup.
+    * TESTDATA.md seed=42). Idempotent (setting an already-true conf is a
+    * no-op). NOTE: this intentionally overrides an explicit
+    * `nanosAsLong=false` — the fixture catalog is unreadable without the
+    * flag, so every entry point that reads through Sources requires it.
+    * (An unset-only guard is impossible here: the key is a registered
+    * SQLConf, so `conf.getOption` always resolves its default.)
     */
   def bootstrap(spark: SparkSession): SparkSession = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"

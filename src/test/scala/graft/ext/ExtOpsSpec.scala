@@ -82,6 +82,39 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 ($hits/${rows.size})")
   }
 
+  test("IVF at nprobe = nlist is exact: identical rows to brute-force top-k") {
+    val embs = twinRows.toDF("vec_id", "embedding")
+    val queries = embs.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = key(SimilarityOps.bruteForceTopK(embs, queries, k = 3))
+    val ivf = key(SimilarityOps.ivfTopK(embs, queries, k = 3, nlist = 8, nprobe = 8))
+    assert(brute.nonEmpty && ivf == brute,
+      s"exact-mode IVF diverged from brute: ${ivf.diff(brute)} / ${brute.diff(ivf)}")
+  }
+
+  // 4 well-separated clusters × 50 points: hash-order seeds concentrate in
+  // dense regions, so unrefined cells are skewed; Lloyd must re-balance.
+  private def clusteredRows: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
+    val center = synthVec(1000 + i % 4)
+    val jitter = synthVec(2000 + i).map(_ * 0.05f)
+    (i.toLong, center.zip(jitter).map { case (c, j) => c + j })
+  }
+
+  test("Lloyd refinement balances cell sizes without regressing recall") {
+    val embs = clusteredRows.toDF("vec_id", "embedding")
+    val raw = IvfIndex.train(embs, nlist = 8, lloydIters = 0).cellSizes()
+    val refined = IvfIndex.train(embs, nlist = 8, lloydIters = 2).cellSizes()
+    assert(refined.values.max <= raw.values.max,
+      s"refined max cell ${refined.values.max} vs raw ${raw.values.max} ($refined vs $raw)")
+    // recall on the twin corpus must hold with refinement (default train path)
+    val twins = twinRows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfTopK(twins, twins, k = 1, nlist = 8, nprobe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val hits = got.count { case (q, n) => n == (q ^ 1L) }
+    assert(hits.toDouble / twinRows.size >= 0.8, s"post-Lloyd recall $hits/${twinRows.size}")
+  }
+
   test("IVF index lifecycle: persist, reload, probe without reshuffling the corpus") {
     val rows = twinRows
     val embs = rows.toDF("vec_id", "embedding")

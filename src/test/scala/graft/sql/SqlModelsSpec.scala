@@ -12,8 +12,11 @@ class SqlModelsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def rows(df: DataFrame): Set[String] =
-    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+  // multiset (row -> count), not Set: exact-duplicate multiplicity
+  // differences between the SQL and DataFrame paths must fail
+  private def rows(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
 
   private lazy val catalog = { SqlModels.registerCatalog(spark, dir); true }
 
