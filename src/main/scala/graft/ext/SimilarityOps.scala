@@ -51,8 +51,11 @@ object SimilarityOps {
 
   /** All pairs (a < b) with cosine ≥ threshold — exact O(n²) baseline.
     * The right side is broadcast, so the pair generation replicates one
-    * side and never shuffles the big side (at scale use
-    * `lshCosinePairs`).
+    * side and never shuffles the big side. CONSTRAINT: the whole
+    * (normalized) corpus must fit in Spark's broadcast limit (~8 GB hard
+    * cap, executor memory in practice — ≈ low millions of 64-dim
+    * vectors); this op is the declared oracle baseline for the
+    * bucketed paths, not a scale path — at scale use `lshCosinePairs`.
     */
   def cosinePairs(embs: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -30,8 +30,15 @@ object LeadActivitiesAgg {
     * (the DAG edge hidden as a source in the reference, sources.yml:12).
     */
   def build(events: DataFrame, leads: DataFrame, trafficDaily: DataFrame,
-            prior: Option[DataFrame] = None): DataFrame = {
-    // filtered_events + W1 window (:33-62) → latest_events (:64-75)
+            prior: Option[DataFrame] = None): DataFrame =
+    enrich(leadActivitiesOf(leads, prior), latestEventsOf(events),
+      trafficSpendOf(trafficDaily))
+
+  /** filtered_events + W1 window (:33-62) → latest_events (:64-75): one
+    * best-touch row per user. The streaming surface produces the same
+    * shape incrementally (graft.streaming.LeadEnrichment).
+    */
+  private[graft] def latestEventsOf(events: DataFrame): DataFrame = {
     val filtered = events.filter(
       col("event") === "page_view" &&
       Filters.botFilter(col("useragent")) &&
@@ -41,7 +48,7 @@ object LeadActivitiesAgg {
         col("mkt_campaign"), to_date(col("collector_tstamp")).as("visit_date"),
         col("page_urlpath"), col("refr_medium"), col("mkt_network"), col("collector_tstamp"))
 
-    val latestEvents = Dedup.topOnePerKey(filtered,
+    Dedup.topOnePerKey(filtered,
       keys = Seq(col("domain_userid")),
       order = Seq(
         Classify.paidTouchRank(col("refr_medium"), col("mkt_network")),
@@ -49,10 +56,14 @@ object LeadActivitiesAgg {
         col("event_id").desc))
       .select("domain_userid", "event_id", "mkt_medium", "mkt_source",
         "mkt_campaign", "visit_date", "page_urlpath")
+  }
 
-    // lead_activities (:77-102) — DISTINCT + incremental watermark on leads only
+  /** lead_activities (:77-102) — DISTINCT + incremental watermark on
+    * leads only.
+    */
+  private[graft] def leadActivitiesOf(leads: DataFrame, prior: Option[DataFrame]): DataFrame = {
     val wm = Filters.watermark(prior, "activity_date")
-    val leadActivities = Filters.watermarkFilter(
+    Filters.watermarkFilter(
       leads.select(
         col("company_domain"), col("company_id"), col("domain_userid"), col("lead_id"),
         col("person_id"), col("date").as("activity_date"), col("lead_generator_id"),
@@ -61,9 +72,11 @@ object LeadActivitiesAgg {
         col("pipeline_id"), col("pipeline_name"), col("product_id"), col("product_name"),
         col("product_price"), col("product_sku")),
       "activity_date", wm).distinct()
+  }
 
-    // traffic_spend (:104-115) — unique slice of model-1 output
-    val trafficSpend = trafficDaily
+  /** traffic_spend (:104-115) — unique slice of model-1 output. */
+  private[graft] def trafficSpendOf(trafficDaily: DataFrame): DataFrame =
+    trafficDaily
       .filter(col("spend").isNotNull && col("traffic") > 0 &&
         col("col_4").isNotNull && col("col_1") === "unique")
       .select(
@@ -73,7 +86,13 @@ object LeadActivitiesAgg {
         col("col_1"))
       .distinct()
 
-    // enriched_activities (:117-150): J2 last-touch + J3 spend-per-visit
+  /** enriched_activities (:117-150) + surrogate key (:152-155) + NOT NULL
+    * gate (:181-184): the join/projection tail shared verbatim by the
+    * batch build and the streaming micro-batch path, so both surfaces
+    * materialize identical rows from identical stage inputs.
+    */
+  private[graft] def enrich(leadActivities: DataFrame, latestEvents: DataFrame,
+                            trafficSpend: DataFrame): DataFrame = {
     val enriched = Joins.leftOn(
       Joins.leftOn(leadActivities.as("la"), latestEvents.as("le"),
         col("la.domain_userid") === col("le.domain_userid"), smallRight = false),

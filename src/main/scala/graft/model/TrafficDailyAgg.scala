@@ -21,8 +21,12 @@ import graft.ops.{Classify, Filters, Joins, Keys}
   */
 object TrafficDailyAgg {
 
-  /** @param events `atomic.events` shape; @param spends `campaign_spends` shape. */
-  def build(events: DataFrame, spends: DataFrame, prior: Option[DataFrame] = None): DataFrame = {
+  /** @param events `atomic.events` shape; @param spends `campaign_spends`
+    * shape; @param profile Faithful = exact COUNT(DISTINCT) (oracle
+    * parity), AtScale = approx_count_distinct (see [[Profile]]).
+    */
+  def build(events: DataFrame, spends: DataFrame, prior: Option[DataFrame] = None,
+            profile: Profile = Profile.Faithful): DataFrame = {
     val wm = Filters.watermark(prior, "spend_date")
 
     // filtered_events (traffic_daily_agg.sql:8-28)
@@ -49,7 +53,10 @@ object TrafficDailyAgg {
           col("refr_source"), col("mkt_network")).as("col_3"),
         Classify.campaign(col("traffic_type"), col("mkt_campaign"), col("mkt_term")).as("col_4"))
       .agg(count(lit(1)).as("total_visits"),
-        countDistinct(col("domain_userid")).as("unique_visitors"))
+        (profile match {
+          case Profile.Faithful => countDistinct(col("domain_userid"))
+          case Profile.AtScale => approx_count_distinct(col("domain_userid"), 0.01)
+        }).as("unique_visitors"))
 
     // campaign_spend_data (:79-90)
     val spendData = Filters.watermarkFilter(

@@ -13,16 +13,19 @@ import graft.ops.{Aggs, Filters, Ids, Pivot}
   * run / full refresh, mirroring `is_incremental()`,
   * traffic_pages_agg.sql:20-24).
   *
-  * Scale notes: the only non-scalable element is the reference's own
-  * global ROW_NUMBER id (single-partition sort, SURVEY §7 hard-part 1) —
-  * replicated faithfully here; `Ids.scaleSafeId` is the 100 TB variant.
-  * Everything before it is one shuffle (hash agg on 3 group keys with
+  * Scale notes: the only non-scalable elements are the reference's own
+  * global ROW_NUMBER id (single-partition sort, SURVEY §7 hard-part 1)
+  * and the exact COUNT(DISTINCT) — both replicated faithfully by
+  * default; `Profile.AtScale` switches them to `Ids.scaleSafeId` and
+  * `Aggs.dualCountApprox` (see [[Profile]] for the documented deltas).
+  * Everything else is one shuffle (hash agg on 3 group keys with
   * map-side partial agg) and the pivot is a zero-shuffle projection pair.
   */
 object TrafficPagesAgg {
 
   /** @param events `atomic.events`-shaped input (RefShapes.eventsRef). */
-  def build(events: DataFrame, prior: Option[DataFrame] = None): DataFrame = {
+  def build(events: DataFrame, prior: Option[DataFrame] = None,
+            profile: Profile = Profile.Faithful): DataFrame = {
     // filtered_events (traffic_pages_agg.sql:7-25)
     val wm = Filters.watermark(prior, "date")
     val filtered = Filters.watermarkFilter(
@@ -36,11 +39,16 @@ object TrafficPagesAgg {
       "event_date", wm)
 
     // page_traffic (:27-36)
-    val pageTraffic = Aggs.dualCount(
-      filtered,
-      Seq(col("event_date").as("date"), col("app_id").as("company_domain"), col("page_urlpath")),
-      col("domain_userid"),
-      totalName = "total_visits", uniqueName = "unique_visits")
+    val groupKeys =
+      Seq(col("event_date").as("date"), col("app_id").as("company_domain"), col("page_urlpath"))
+    val pageTraffic = profile match {
+      case Profile.Faithful =>
+        Aggs.dualCount(filtered, groupKeys, col("domain_userid"),
+          totalName = "total_visits", uniqueName = "unique_visits")
+      case Profile.AtScale =>
+        Aggs.dualCountApprox(filtered, groupKeys, col("domain_userid"),
+          totalName = "total_visits", uniqueName = "unique_visits")
+    }
 
     // labeled_visits (:38-56)
     val labeled = Pivot.byUnion(pageTraffic,
@@ -49,8 +57,12 @@ object TrafficPagesAgg {
       allFrom = "total_visits", uniqueFrom = "unique_visits")
 
     // final_rows + projection (:58-78)
-    Ids.globalRowNumber(labeled,
-      Seq(col("date"), col("company_domain"), col("page_urlpath"), col("type")))
+    val idKeys = Seq(col("date"), col("company_domain"), col("page_urlpath"), col("type"))
+    val withId = profile match {
+      case Profile.Faithful => Ids.globalRowNumber(labeled, idKeys)
+      case Profile.AtScale => Ids.scaleSafeId(labeled, idKeys)
+    }
+    withId
       .withColumn("company_id", lit(1))
       .select("id", "date", "type", "page_urlpath", "traffic", "company_id", "company_domain")
   }

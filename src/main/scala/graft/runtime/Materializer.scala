@@ -17,19 +17,38 @@ import java.nio.file.{Files, Paths}
   *     batch; rows whose `id` matches an existing row REPLACE it, others
   *     append: `prior left_anti fresh on id` ∪ fresh.
   *
-  * Parquet has no MERGE, so the upsert writes to a temp dir and swaps —
-  * crash-safe enough for repeated Verify runs (the swap is two renames;
-  * a crash between them loses only the prior dir, which the next full
-  * refresh rebuilds). On a real deployment this seam is where a table
-  * format (Delta/Iceberg MERGE, or date-partition overwrite) plugs in;
-  * the anti-join form shuffles both sides by `id` once, which AQE sizes.
+  * Parquet has no MERGE, so the upsert writes to a temp dir and swaps.
+  * The swap is two renames (live → `__old`, `__tmp` → live), and every
+  * read path first runs [[recover]]: a crash between the renames leaves
+  * live missing and `__old` present — an unambiguous marker — so
+  * recovery restores the prior table (`__old` wins; the fresh batch is
+  * simply re-run). A crash after the second rename leaves only a stale
+  * `__old`/`__tmp`, which recovery deletes. On a real deployment this
+  * seam is where a table format (Delta/Iceberg MERGE, or date-partition
+  * overwrite) plugs in; the anti-join form shuffles both sides by `id`
+  * once, which AQE sizes.
   */
 final class Materializer(spark: SparkSession, baseDir: String) {
 
   def outPath(model: String): String = s"$baseDir/$model"
 
-  def exists(model: String): Boolean =
+  /** Repair an interrupted swap before any read. Prefer `__old` (the
+    * last complete table) when the live dir is missing; otherwise drop
+    * swap leftovers. Idempotent; no-op on a healthy table.
+    */
+  private def recover(model: String): Unit = {
+    val out = Paths.get(outPath(model))
+    val bak = Paths.get(outPath(model) + "__old")
+    val tmp = Paths.get(outPath(model) + "__tmp")
+    if (!Files.exists(out) && Files.exists(bak)) Files.move(bak, out)
+    else deleteRecursive(bak)
+    deleteRecursive(tmp)
+  }
+
+  def exists(model: String): Boolean = {
+    recover(model)
     Files.exists(Paths.get(outPath(model), "_SUCCESS"))
+  }
 
   def readPrior(model: String): Option[DataFrame] =
     if (exists(model)) Some(spark.read.parquet(outPath(model))) else None

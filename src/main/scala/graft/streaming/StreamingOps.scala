@@ -47,19 +47,31 @@ object StreamingOps {
     }
   }
 
+  /** Generic per-key running argmin under `priority`: state is ONE row
+    * per key; each micro-batch folds its rows into the stored best and
+    * emits the key's current winner (update semantics).
+    */
+  private[streaming] def runningBest[T](ds: Dataset[T])(key: T => String)
+      (priority: Ordering[T])
+      (implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    implicit val se: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    ds.groupByKey(key)
+      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[T], state: GroupState[T]) =>
+          val best = (state.getOption.iterator ++ it).min(priority)
+          state.update(best)
+          best
+      }
+  }
+
   /** Streaming W1: per-user running argmax ("current last touch"). Each
     * micro-batch folds its events into the stored best; output is the
     * user's current attribution row (update semantics).
     */
   def lastTouch(events: Dataset[TouchEvent]): Dataset[TouchEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.domainUserid)
-      .mapGroupsWithState[TouchEvent, TouchEvent](GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[TouchEvent], state: GroupState[TouchEvent]) =>
-          val best = (state.getOption.iterator ++ it).min(touchPriority)
-          state.update(best)
-          best
-      }
+    runningBest(events)(_.domainUserid)(touchPriority)
   }
 
   /** Sink glue: every micro-batch runs the batch upsert-by-key path, so

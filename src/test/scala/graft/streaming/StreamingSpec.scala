@@ -73,6 +73,74 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"streamed $got\nvs batch $expected")
   }
 
+  test("streaming lead enrichment equals the batch LeadActivitiesAgg on the same slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.LeadActivitiesAgg
+
+    // atomic-shaped events: u1 gets an organic touch then an (older) paid
+    // touch — paid must win the attribution; u2 organic only; one bot and
+    // one non-page_view event must be gated out; u9 never appears.
+    val events = Seq(
+      ("e1", "u1", "page_view", "Mozilla/5.0", "search", null, "MSrcA", "rsrcA", "CampX", "termX", "MedA", "/p/1", ts("2024-01-04 10:00:00")),
+      ("e2", "u1", "page_view", "Mozilla/5.0", "cpc", "net1", "MSrcB", "rsrcB", "CampA", "termA", "MedB", "/p/2", ts("2024-01-03 09:00:00")),
+      ("e3", "u2", "page_view", "Mozilla/5.0", "email", null, null, "rsrcC", "CampC", null, null, "/p/3", ts("2024-01-06 08:00:00")),
+      ("e4", "u1", "page_view", "MegaBot/2.1", "cpc", "net2", "MSrcD", "rsrcD", "CampD", "termD", "MedD", "/p/4", ts("2024-01-07 07:00:00")),
+      ("e5", "u2", "signup", "Mozilla/5.0", "cpc", "net3", "MSrcE", "rsrcE", "CampE", "termE", "MedE", "/p/5", ts("2024-01-08 06:00:00")))
+      .toDF("event_id", "domain_userid", "event", "useragent", "refr_medium",
+        "mkt_network", "mkt_source", "refr_source", "mkt_campaign", "mkt_term",
+        "mkt_medium", "page_urlpath", "collector_tstamp")
+
+    val leads = Seq(
+      ("u1", "L1", java.sql.Date.valueOf("2024-01-10")),
+      ("u1", "L2", java.sql.Date.valueOf("2024-01-11")),
+      ("u2", "L3", java.sql.Date.valueOf("2024-01-12")),
+      ("u9", "L9", java.sql.Date.valueOf("2024-01-13")))
+      .toDF("domain_userid", "lead_id", "date")
+      .withColumn("company_domain", lit("DomA")).withColumn("company_id", lit("1"))
+      .withColumn("person_id", lit("P1")).withColumn("lead_generator_id", lit("3"))
+      .withColumn("lead_generator_name", lit("GenA")).withColumn("lead_source_ehr_id", lit("7"))
+      .withColumn("old_stage_id", lit("2")).withColumn("old_stage_name", lit("Stage-2"))
+      .withColumn("new_stage_id", lit("1")).withColumn("new_stage_name", lit("Stage-1"))
+      .withColumn("pipeline_id", lit("0")).withColumn("pipeline_name", lit("Pipe0"))
+      .withColumn("product_id", lit("5")).withColumn("product_name", lit("ProdA"))
+      .withColumn("product_price", lit(9.5)).withColumn("product_sku", lit("SKU-5"))
+
+    // model-1-shaped spend slice: u1's paid touch (CampA on Jan-3) matches
+    val daily = Seq(
+      (java.sql.Date.valueOf("2024-01-03"), "CampA", 10.0, 5L, "unique"),
+      (java.sql.Date.valueOf("2024-01-06"), "CampZ", 99.0, 3L, "unique"))
+      .toDF("spend_date", "col_4", "spend", "traffic", "col_1")
+
+    val expected = LeadActivitiesAgg.build(events, leads, daily)
+    val cols = expected.columns
+    val expectedRows = expected.collect().map(_.toSeq.map(String.valueOf)).toSet
+
+    val mat = new Materializer(spark,
+      java.nio.file.Files.createTempDirectory("graft_leadstream_").toString)
+    LeadEnrichment.seed(spark, leads, daily, mat, "lead_stream")
+
+    // stream the touches in two batches, organic-first so batch 2 must
+    // OVERWRITE u1's attribution (and therefore its surrogate ids)
+    val touches = LeadEnrichment.toLeadTouches(events).collect()
+    assert(touches.length == 3, s"event gate should keep 3 touches: ${touches.toSeq}")
+    val (batch2, batch1) = touches.partition(_.paidRank == 1)
+    val in = MemoryStream[LeadTouch]
+    val q = LeadEnrichment.sink(
+      LeadEnrichment.lastTouch(in.toDS()), leads, daily, mat, "lead_stream").start()
+    try {
+      in.addData(batch1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = mat.readPrior("lead_stream").get
+      .select(cols.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == expectedRows,
+      s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
+  }
+
   test("lastTouch keeps the best touch across batches (paid beats later organic)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TouchEvent]
