@@ -94,51 +94,64 @@ object IvfIndex {
 
   /** Train an in-memory index: seed `nlist` centroids from a
     * deterministic hash-order sample, refine them with `lloydIters`
-    * spherical k-means iterations (assign → per-cell mean → renormalize;
-    * empty cells keep their seed), then assign every corpus vector to its
-    * best cell. Refinement re-balances cells when the data is clustered —
-    * a raw sample concentrates several seeds in dense regions, leaving
-    * hot cells that dominate probe cost at scale. Each iteration is one
-    * map-only assignment pass plus a (cid, dim)-keyed partial-agg shuffle
-    * of scalar sums — O(N·dims) rows of 3 numeric columns, no vector
-    * payloads. Seeds are deterministic and refinement is data-driven;
-    * per-cell float summation order can vary sub-ulp across runs, which
-    * never flips the exact (nprobe = nlist) mode and is noise at the
-    * recall specs' thresholds. The returned index is unpersisted — call
-    * [[IvfIndex.save]] to pin it.
+    * spherical k-means iterations over a bounded training sample, then
+    * assign every corpus vector to its best cell in ONE distributed
+    * map-only pass.
+    *
+    * Refinement re-balances cells when the data is clustered — raw seeds
+    * concentrate in dense regions, leaving hot cells that dominate probe
+    * cost at scale. Following the standard IVF recipe, the k-means runs
+    * DRIVER-SIDE on a hash-order sample of `trainSampleSize` vectors
+    * (one TakeOrderedAndProject scan — O(N) with a per-partition top-k,
+    * never a full sort): quantizer quality needs a representative
+    * sample, not the corpus, and this keeps cluster cost at one
+    * assignment pass regardless of `lloydIters` while making the
+    * refinement bit-deterministic (sequential driver arithmetic, no
+    * distributed float-sum ordering). Driver cost is
+    * O(sample · nlist · dims · iters) — ~10^7 flops at the defaults.
+    * Empty cells keep their seed; means are renormalized (spherical
+    * k-means, so cell scoring stays a plain dot product). The returned
+    * index is unpersisted — call [[IvfIndex.save]] to pin it.
     */
   def train(corpus: DataFrame, nlist: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            lloydIters: Int = 2): IvfIndex = {
+            lloydIters: Int = 2, trainSampleSize: Int = 2048): IvfIndex = {
     val c = SimilarityOps.normalized(corpus, idCol, vecCol)
-    var centroids: Array[(Int, Seq[Double])] = c
+    val sample: Array[Array[Double]] = c
       .orderBy(xxhash64(col("id").cast("string")))
-      .limit(nlist)
+      .limit(math.max(nlist, trainSampleSize))
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .map(_.getSeq[Double](1).toArray)
+    // seeds = first nlist sample vectors (hash-order, deterministic)
+    var centers: Array[Array[Double]] = sample.take(nlist)
     for (_ <- 1 to lloydIters) {
-      val assigned = c.withColumn("cid",
-        array_max(cellScores(col("v"), centroids)).getField("cid"))
-      // per-(cell, dim) mean, reassembled into a dims-wide array per cell
-      // (struct ordering sorts by pos, the struct's first field)
-      val means: Map[Int, Seq[Double]] = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1))
-        .toMap
-      centroids = centroids.map { case (cid, old) =>
-        val next = means.get(cid).map { m =>
+      val sums = Array.fill(centers.length)(new Array[Double](centers(0).length))
+      val counts = new Array[Long](centers.length)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var cIdx = 0
+        while (cIdx < centers.length) {
+          val ctr = centers(cIdx)
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * ctr(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = cIdx }
+          cIdx += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = centers.zipWithIndex.map { case (old, ci) =>
+        if (counts(ci) == 0) old
+        else {
+          val m = sums(ci).map(_ / counts(ci))
           val nrm = math.sqrt(m.map(x => x * x).sum)
           if (nrm > 0) m.map(_ / nrm) else old
-        }.getOrElse(old)
-        (cid, next)
+        }
       }
     }
+    val centroids: Array[(Int, Seq[Double])] =
+      centers.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }
     val index = c.withColumn("cid",
         array_max(cellScores(col("v"), centroids)).getField("cid"))
       .select(col("cid"), col("id").as("corpus_id"), col("v").as("cv"))

@@ -116,6 +116,17 @@ object ExtQueries {
           round(element_at(col("features"), 1), 6).as("bin0"),
           round(element_at(col("features"), 3), 6).as("bin2"),
           round(element_at(col("features"), 8), 6).as("bin7"))),
+    // frame sampler gate: 4 evenly-spaced 64-byte slices per blob,
+    // fingerprinted as md5 over the '|'-joined hex of each frame — a
+    // scalar digest the DuckDB oracle reproduces by slicing hex(blob)
+    // (2 hex chars = 1 byte, so byte offsets double and multibyte text
+    // can't skew a character-based substring).
+    "q_ext_media_frames" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.withFakeMedia(Sources(s, dir).documents), n = 4)
+        .select(col("doc_id"),
+          size(col("frames")).as("n_frames"),
+          md5(concat_ws("|", transform(col("frames"), f => hex(f)))).as("frames_md5"))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -237,6 +248,22 @@ object ExtQueries {
          |  round(CASE WHEN n = 0 THEN 0.0 ELSE
          |    CAST(len(list_filter(range(n), i -> substr(hx, CAST(2*i+1 AS INT), 1) = '7')) AS DOUBLE) / n END, 6) AS bin7
          |FROM h""".stripMargin),
+    // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
+    // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
+    // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's
+    // cast rounds to nearest.
+    "q_ext_media_frames" ->
+      ("""WITH m AS (
+         |  SELECT doc_id, hex(COALESCE(CAST(text AS BLOB), ''::BLOB)) AS hx,
+         |         octet_length(COALESCE(CAST(text AS BLOB), ''::BLOB)) AS n
+         |  FROM documents
+         |)
+         |SELECT doc_id, 4 AS n_frames,
+         |  md5(list_aggregate(
+         |    list_transform(range(4),
+         |      i -> substr(hx, 2 * CAST(floor(n * i / 4) AS INT) + 1, 128)),
+         |    'string_agg', '|')) AS frames_md5
+         |FROM m""".stripMargin),
     // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
     // intentionally no oracle (non-portable hash internals); see
     // ExtOpsSpec property tests against the exact counterparts.
