@@ -1,0 +1,42 @@
+package graft
+
+/** Physical-plan regression gates for the scale properties the engine
+  * depends on (SURVEY §4): predicate pushdown and column pruning reaching
+  * the parquet scan, map-side partial aggregation ahead of the single
+  * shuffle, and dimension joins staying broadcast (never sort-merge or
+  * cartesian). Complements the IVF no-reshuffle assertion in ExtOpsSpec
+  * and the no-global-sort assertion in ScaleProfileSpec — a future edit
+  * that silently degrades one of these shapes fails here, not in a
+  * benchmark diff two rounds later.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("pricing summary: date filter pushed to the scan, columns pruned") {
+    val p = plan("q_rel_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate predicate not pushed to parquet:\n$p")
+    assert(!p.contains("l_orderkey") && !p.contains("l_comment"),
+      s"scan reads columns the query never uses:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("exact dedup: one shuffle, partial agg before it, two-column scan") {
+    val p = plan("q_ext_exact_dedup")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one shuffle:\n$p")
+    assert(p.contains("partial_min"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("lang") && !p.contains("embedding"),
+      s"scan reads columns beyond (doc_id, text):\n$p")
+  }
+
+  test("daily model: spend join broadcast, never sort-merge or cartesian") {
+    val p = plan("q_model_daily")
+    assert(p.contains("BroadcastHashJoin"), s"spend join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scale-hostile join strategy appeared:\n$p")
+  }
+}
