@@ -100,4 +100,33 @@ object MultimodalOps {
     media.withColumn("frames",
       expr(s"transform(sequence(0, ${n - 1}), i -> " +
         s"substring($mediaCol, cast(length($mediaCol) * i / $n as int) + 1, 64))"))
+
+  /** STUB resize: partition-local payload resample to `targetW`×`targetH`.
+    * The decimation stride comes from the METADATA dims (area ratio,
+    * floor-div, min 1) — the typed-metadata-drives-the-decode pattern a
+    * real resampler uses — and the output metadata carries the new dims
+    * while format/duration ride through. The byte decimation is the
+    * declared stub (swap for a codec resample); the plumbing — metadata
+    * read/update, partition-local batch execution, schema preservation —
+    * is real and oracle-gated.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
+                 mediaCol: String = "media", metaCol: String = "media_meta"): DataFrame = {
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val metaIdx = inSchema.fieldIndex(metaCol)
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE (resampler setup in a real impl)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](mediaIdx)
+        val meta = r.getAs[Row](metaIdx)   // (format, width, height, duration_ms)
+        val stride = math.max(1, (meta.getInt(1) / targetW) * (meta.getInt(2) / targetH))
+        val resized =
+          if (payload == null) Array.emptyByteArray
+          else payload.indices.by(stride).map(payload).toArray
+        val newMeta = Row(meta.get(0), targetW, targetH, meta.get(3))
+        Row.fromSeq(r.toSeq.updated(mediaIdx, resized).updated(metaIdx, newMeta))
+      }
+    }(RowEncoder.encoderFor(inSchema))
+  }
 }

@@ -127,6 +127,18 @@ object ExtQueries {
         .select(col("doc_id"),
           size(col("frames")).as("n_frames"),
           md5(concat_ws("|", transform(col("frames"), f => hex(f)))).as("frames_md5"))),
+    // resize gate: metadata must carry the target dims and the payload the
+    // stride-k decimation (k = area ratio from the ORIGINAL metadata dims,
+    // which the fixture derives from doc_id — letting DuckDB reproduce the
+    // stride without reading the struct). Digest = md5 over hex, as above.
+    "q_ext_media_resize" -> ((s, dir) =>
+      MultimodalOps.resizeStub(
+        MultimodalOps.withFakeMedia(Sources(s, dir).documents), targetW = 64, targetH = 64)
+        .select(col("doc_id"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          length(col("media")).as("resized_bytes"),
+          md5(hex(col("media"))).as("resized_md5"))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -263,6 +275,24 @@ object ExtQueries {
          |    list_transform(range(4),
          |      i -> substr(hx, 2 * CAST(floor(n * i / 4) AS INT) + 1, 128)),
          |    'string_agg', '|')) AS frames_md5
+         |FROM m""".stripMargin),
+    // resizeStub keeps bytes at indices 0, k, 2k, … (k = (w/64)*(h/64)
+    // from the doc_id-derived fixture dims), i.e. ceil(n/k) bytes; on the
+    // hex string that is the 2-char slice at 2·k·i. string_agg of an empty
+    // list is NULL — COALESCE to '' to match Spark's md5 of an empty hex.
+    "q_ext_media_resize" ->
+      ("""WITH m AS (
+         |  SELECT doc_id, hex(COALESCE(CAST(text AS BLOB), ''::BLOB)) AS hx,
+         |         octet_length(COALESCE(CAST(text AS BLOB), ''::BLOB)) AS n,
+         |         CAST((doc_id % 8 + 1) * (doc_id % 6 + 1) AS BIGINT) AS k
+         |  FROM documents
+         |)
+         |SELECT doc_id, 64 AS width, 64 AS height,
+         |  CAST((n + k - 1) // k AS INT) AS resized_bytes,
+         |  md5(COALESCE(list_aggregate(
+         |    list_transform(range((n + k - 1) // k),
+         |      i -> substr(hx, CAST(2 * k * i AS INT) + 1, 2)),
+         |    'string_agg', ''), '')) AS resized_md5
          |FROM m""".stripMargin),
     // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
     // intentionally no oracle (non-portable hash internals); see

@@ -47,4 +47,25 @@ class MultimodalSpec extends SparkSpec {
     val r = out.select(size(col("frames")).as("n")).head()
     assert(r.getAs[Int]("n") == 4)
   }
+
+  test("resizeStub: schema preserved, metadata dims updated, payload shrunk by the stride") {
+    val in = media.repartition(3)
+    val out = MultimodalOps.resizeStub(in, 64, 64)
+    assert(out.schema == in.schema, "resize must preserve the multimodal schema")
+    assert(out.rdd.getNumPartitions == 3, "mapPartitions must not reshuffle")
+    val r = out.select(
+        col("doc_id"),
+        col("media_meta.width").as("w"), col("media_meta.height").as("h"),
+        col("media_meta.format").as("fmt"),
+        length(col("media")).as("nb")).head()
+    assert(r.getAs[Int]("w") == 64 && r.getAs[Int]("h") == 64)
+    val docId = r.getAs[Long]("doc_id")
+    // original fixture dims: ((doc_id%8)+1)*64 × ((doc_id%6)+1)*64 → stride
+    val k = ((docId % 8) + 1) * ((docId % 6) + 1)
+    val origBytes = media.filter(col("doc_id") === docId)
+      .select(length(col("media"))).head().getInt(0)
+    assert(r.getAs[Int]("nb") == (origBytes + k - 1) / k, s"stride-$k decimation")
+    // format rides through untouched
+    assert(Seq("jpeg", "png", "wav").contains(r.getAs[String]("fmt")))
+  }
 }
