@@ -39,6 +39,47 @@ final class ModelDag(sources: Sources, mat: Materializer,
       "lead_activities_agg" -> leads)
   }
 
+  /** The same DAG run driven entirely through the SQL surface — the
+    * reference user's `dbt run`: every model executes its SQL text with
+    * the `{{ this }}` seam resolved to the prior materialized table, and
+    * the hidden DAG edge resolves to model 1's freshly MATERIALIZED
+    * output (not an inline rebuild), exactly as dbt reads the warehouse
+    * table. Output is row-identical to [[run]] (asserted in
+    * ModelDagSpec) — the two surfaces share sources, Materializer, and
+    * semantics.
+    */
+  def runSql(): Map[String, DataFrame] = {
+    val spark = sources.events.sparkSession
+    graft.sql.SqlModels.registerCatalog(spark, sources.dir)
+    import graft.sql.SqlModels
+    val daily = mat.materialize("traffic_daily_agg", "id") { prior =>
+      val (ev, sp) = prior.map { p =>
+        p.createOrReplaceTempView("graft_dag_this_daily")
+        (SqlModels.incrementalWhere("DATE(collector_tstamp)", "spend_date", "graft_dag_this_daily"),
+          SqlModels.incrementalWhere("DATE(cs.spend_date)", "spend_date", "graft_dag_this_daily"))
+      }.getOrElse(("", ""))
+      SqlModels.runDaily(spark, ev, sp)
+    }
+    val pages = mat.materialize("traffic_pages_agg", "id") { prior =>
+      val where = prior.map { p =>
+        p.createOrReplaceTempView("graft_dag_this_pages")
+        SqlModels.incrementalWhere("CAST(collector_tstamp AS DATE)", "date", "graft_dag_this_pages")
+      }.getOrElse("")
+      SqlModels.runPages(spark, where)
+    }
+    daily.createOrReplaceTempView(
+      SqlModels.sourceView("public_public", "traffic_daily_agg"))
+    val leads = mat.materialize("lead_activities_agg", "id") { prior =>
+      val where = prior.map { p =>
+        p.createOrReplaceTempView("graft_dag_this_leads")
+        "\n  WHERE date > (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') FROM graft_dag_this_leads)"
+      }.getOrElse("")
+      spark.sql(SqlModels.leadActivitiesAggSql(where))
+    }
+    Map("traffic_daily_agg" -> daily, "traffic_pages_agg" -> pages,
+      "lead_activities_agg" -> leads)
+  }
+
   /** A5 — the reference's compile-time `run_query` debug block
     * (lead_activities_agg.sql:9-31): immediately before model 3 runs, dbt
     * executes two scalar count queries on the driver and logs them —

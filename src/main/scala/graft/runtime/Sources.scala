@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * would hand back partitioned-table scans (date-partitioned, see
   * Materializer) so incremental watermark filters become partition pruning.
   */
-final class Sources(spark: SparkSession, dir: String) {
+final class Sources(spark: SparkSession, val dir: String) {
 
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -45,6 +45,24 @@ class ModelDagSpec extends SparkSpec {
     assert(logged(3) == logged(1), s"event user count drifted: ${logged(3)} vs ${logged(1)}")
   }
 
+  test("SQL-surface DAG run is row-identical to the DataFrame DAG run, incl. incremental") {
+    val sources = Sources(spark, "/root/testdata/sf0.001")
+    val dfDag = new ModelDag(sources,
+      new Materializer(spark, Files.createTempDirectory("graft-dag-df").toString), _ => ())
+    val sqlDag = new ModelDag(sources,
+      new Materializer(spark, Files.createTempDirectory("graft-dag-sql").toString), _ => ())
+
+    def snap(out: Map[String, org.apache.spark.sql.DataFrame]): Map[String, Map[String, Int]] =
+      out.map { case (k, df) =>
+        k -> df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .groupBy(identity).map { case (r, v) => r -> v.length }
+      }
+
+    assert(snap(dfDag.run()) == snap(sqlDag.runSql()), "first-run outputs diverged")
+    // rerun = incremental through each surface's {{ this }} seam
+    assert(snap(dfDag.run()) == snap(sqlDag.runSql()), "incremental outputs diverged")
+  }
+
   test("daily model output feeds lead model spend enrichment") {
     // sf0.01: at sf0.001 the (campaign, date) spend join legitimately has
     // zero matches (verified against the DuckDB oracle — 0 of 27 rows)
