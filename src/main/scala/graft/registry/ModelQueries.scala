@@ -35,7 +35,18 @@ object ModelQueries {
     sys.addShutdownHook(tmpDirs.synchronized(tmpDirs.values.foreach(deleteRecursive)))
 
   private[registry] def incrViaMaterializer(s: SparkSession, model: String)
-      (b1: => DataFrame)(b2: Option[DataFrame] => DataFrame): DataFrame = {
+      (b1: => DataFrame)(b2: Option[DataFrame] => DataFrame): DataFrame =
+    incrViaMaterializerSetup(s, model) { _ =>
+      { case None => b1; case Some(p) => b2(Some(p)) }
+    }
+
+  /** Like [[incrViaMaterializer]], but the caller first gets the batch
+    * Materializer to stage upstream DEPENDENCIES into (dbt's behavior:
+    * model 3 reads model 1's materialized TABLE, not an inline rebuild),
+    * then returns the per-batch build keyed on the prior output.
+    */
+  private[registry] def incrViaMaterializerSetup(s: SparkSession, model: String)
+      (mk: Materializer => Option[DataFrame] => DataFrame): DataFrame = {
     cleanupHook
     val dir = java.nio.file.Files.createTempDirectory("graft_incr_")
     tmpDirs.synchronized {
@@ -43,8 +54,9 @@ object ModelQueries {
       tmpDirs(model) = dir
     }
     val mat = new Materializer(s, dir.toString)
-    mat.materialize(model, "id")(_ => b1)
-    mat.materialize(model, "id")(b2)
+    val build = mk(mat)
+    mat.materialize(model, "id")(build)
+    mat.materialize(model, "id")(build)
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit = {
@@ -97,18 +109,27 @@ object ModelQueries {
     }),
     // model 3 incrementally: only the LEAD scan is watermarked (on
     // max(activity_date)); the events scan rescans fully every run — the
-    // reference's cost-profile quirk (SURVEY §2.10), replicated.
+    // reference's cost-profile quirk (SURVEY §2.10), replicated. The
+    // daily input is MATERIALIZED once and read back per batch, exactly
+    // as dbt reads model 1's warehouse table through the hidden edge —
+    // not rebuilt inside every batch's action.
     "q_model_leads_incr" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val cut = java.sql.Date.valueOf("2024-01-15")
       val ev = Sources(s, dir).events
       val events = RefShapes.eventsRef(ev)
       val leads = RefShapes.leadStageChangeEventsRef(ev)
-      val daily = TrafficDailyAgg.build(events, RefShapes.campaignSpendsRef(ev))
-      incrViaMaterializer(s, "lead_activities_agg")(
-        LeadActivitiesAgg.build(events,
-          leads.filter(col("date") <= lit(cut)), daily))(
-        prior => LeadActivitiesAgg.build(events, leads, daily, prior))
+      incrViaMaterializerSetup(s, "lead_activities_agg") { mat =>
+        val daily = mat.materialize("traffic_daily_agg_dep", "id")(_ =>
+          TrafficDailyAgg.build(events, RefShapes.campaignSpendsRef(ev)))
+        val build: Option[DataFrame] => DataFrame = {
+          case None =>
+            LeadActivitiesAgg.build(events, leads.filter(col("date") <= lit(cut)), daily)
+          case prior =>
+            LeadActivitiesAgg.build(events, leads, daily, prior)
+        }
+        build
+      }
     }),
   )
 

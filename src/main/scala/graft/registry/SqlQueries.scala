@@ -74,19 +74,26 @@ object SqlQueries {
     }),
     // model 3 incrementally through the SQL surface: only the LEAD scan
     // watermarks (on max(activity_date) of {{ this }}); the events scan
-    // and the hidden-DAG-edge daily rebuild rescan fully every run —
-    // lead_activities_agg.sql:99-101's quirk in its native surface, same
-    // oracle as q_model_leads_incr. The leads CTE has no base WHERE, so
-    // the seam is a WHERE clause rather than incrementalWhere's AND form.
+    // rescans fully every run — lead_activities_agg.sql:99-101's quirk in
+    // its native surface, same oracle as q_model_leads_incr. The leads CTE
+    // has no base WHERE, so the seam is a WHERE clause rather than
+    // incrementalWhere's AND form; the hidden-edge daily input is
+    // materialized once and registered as the source view (dbt reads the
+    // table), not rebuilt inside each batch like runLeads does for
+    // one-shot queries.
     "q_model_leads_sql_incr" -> ((s, dir) => {
       SqlModels.registerCatalog(s, dir)
-      ModelQueries.incrViaMaterializer(s, "lead_activities_agg_sql")(
-        SqlModels.runLeads(s, LeadsCut)) { prior =>
-        val where = prior.map { p =>
-          p.createOrReplaceTempView(ThisLeads)
-          s"\n  WHERE date > (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') FROM $ThisLeads)"
-        }.getOrElse("")
-        SqlModels.runLeads(s, where)
+      ModelQueries.incrViaMaterializerSetup(s, "lead_activities_agg_sql") { mat =>
+        mat.materialize("traffic_daily_agg_sql_dep", "id")(_ => SqlModels.runDaily(s))
+          .createOrReplaceTempView(SqlModels.sourceView("public_public", "traffic_daily_agg"))
+        val build: Option[DataFrame] => DataFrame = {
+          case None => s.sql(SqlModels.leadActivitiesAggSql(LeadsCut))
+          case Some(p) =>
+            p.createOrReplaceTempView(ThisLeads)
+            s.sql(SqlModels.leadActivitiesAggSql(
+              s"\n  WHERE date > (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') FROM $ThisLeads)"))
+        }
+        build
       }
     }),
   )
