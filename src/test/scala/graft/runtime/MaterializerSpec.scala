@@ -38,6 +38,29 @@ class MaterializerSpec extends SparkSpec {
     assert(r1.nonEmpty && r1 == r2)
   }
 
+  test("property: every date-cut split-batch incremental equals the full run") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dates = (1 to 6).map(d => f"2024-01-0$d")
+    val rowGen = Gen.listOfN(30, Gen.zip(
+      Gen.oneOf(dates), Gen.oneOf("a", "b", "c", "d", "e"), Gen.choose(1, 99)))
+    (0 until 2).foreach { i =>
+      val rs = rowGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val matFull = new Materializer(spark, freshDir())
+      val full = matFull.materialize("m", "id")(model(inputDf(rs)))
+        .select("id", "d", "k", "n").collect().toSet
+      // cut at an early, middle, and late date — including cuts where one
+      // batch is empty relative to the data
+      Seq(dates(0), dates(2), dates(5)).foreach { cut =>
+        val mat = new Materializer(spark, freshDir())
+        mat.materialize("m", "id")(model(inputDf(rs.filter(_._1 <= cut))))
+        val got = mat.materialize("m", "id")(model(inputDf(rs)))
+          .select("id", "d", "k", "n").collect().toSet
+        assert(got == full, s"seed ${7 + i} cut $cut diverged")
+      }
+    }
+  }
+
   test("split-batch incremental == single full run") {
     val matA = new Materializer(spark, freshDir())
     val fullOut = matA.materialize("m", "id")(model(inputDf(rows)))
