@@ -10,9 +10,24 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  // the session catalog is in-memory but the warehouse dir persists across
+  // JVMs: drop any stale table AND its orphaned location before writing
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (loc.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("equal-bucketed fact-fact join plans without any shuffle") {
     val dir = "/root/testdata/sf0.001"
     val src = Sources(spark, dir)
+    resetTable("b_lineitem")
+    resetTable("b_orders")
     Bucketing.writeBucketed(
       src.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
       "b_lineitem", "l_orderkey", 8)
