@@ -47,6 +47,13 @@ class ScaleProfileSpec extends SparkSpec {
   test("daily AtScale: identical except approx unique counts") {
     val faithful = TrafficDailyAgg.build(events, spends)
     val scale = TrafficDailyAgg.build(events, spends, profile = Profile.AtScale)
+    // the point of the toggle: exact COUNT(DISTINCT) plans an extra
+    // aggregation stage with its own shuffle (keys+user, then keys); the
+    // HLL form aggregates in a single pass with strictly fewer exchanges
+    def exchanges(df: DataFrame) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(scale) < exchanges(faithful),
+      s"AtScale daily must shuffle less: ${exchanges(scale)} vs ${exchanges(faithful)}")
     // The spend join fans out (several spend rows per id), so rows with
     // the same id are not individually addressable — compare per-(id,
     // branch) aggregates, which are pairing-independent: row count and
