@@ -31,6 +31,33 @@ object DedupOps {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** The deduplicated CORPUS — what a training pipeline actually feeds
+    * downstream: one representative row (lowest id) per content
+    * fingerprint, schema unchanged. One shuffle (hash on the
+    * fingerprint); the per-group argmin rides the same exchange via the
+    * window, no second join back.
+    */
+  def dedupExact(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    graft.ops.Dedup.topOnePerKey(
+      docs.withColumn("__fp", TextOps.fingerprint(col(textCol))),
+      keys = Seq(col("__fp")), order = Seq(col(idCol)))
+      .drop("__fp")
+
+  /** Greedy near-dup removal (the one-pass C4-style policy): drop every
+    * row that appears as the HIGHER id of any near-dup pair, keep the
+    * rest. Deterministic and single-pass — no iteration to a fixed point,
+    * so a chain a~b~c keeps only `a` even if a≁c (over-removal is the
+    * accepted trade at corpus scale; connected-components is the
+    * iterative alternative). `pairs` is any (doc_a, doc_b) frame with
+    * doc_a < doc_b — jaccardPairs, minHashNearDupPairs, simHash, or LSH
+    * cosine output all fit.
+    */
+  def removeNearDups(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** (id, token) inverted index over distinct tokens. */
   private def tokenIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

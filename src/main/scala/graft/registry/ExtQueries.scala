@@ -66,6 +66,25 @@ object ExtQueries {
         col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))),
     "q_ext_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Sources(s, dir).documents)),
+    // the dedup APPLICATIONS: the corpus a training pipeline consumes.
+    // Exact: keep the lowest id per content fingerprint. Near-dup: drop
+    // the higher id of every verified Jaccard pair (greedy one-pass).
+    // The fixture corpus has no exact duplicates, so the exact gate
+    // PLANTS them (every 7th doc re-appears under a shifted id) — the
+    // keep-lowest policy is then observable, not vacuous: output must be
+    // exactly the original rows, never a planted id.
+    "q_ext_dedup_corpus" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents.select("doc_id", "lang", "text")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      DedupOps.dedupExact(docs.unionByName(planted))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
+    }),
+    "q_ext_dedup_neardup_corpus" -> ((s, dir) => {
+      val docs = docsSub(s, dir)
+      DedupOps.removeNearDups(docs, DedupOps.jaccardPairs(docs, 0.9))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
+    }),
     "q_ext_jaccard_pairs" -> ((s, dir) =>
       DedupOps.jaccardPairs(docsSub(s, dir), 0.9)),
     "q_ext_minhash_neardup" -> ((s, dir) =>
@@ -206,6 +225,34 @@ object ExtQueries {
       ("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n
          |FROM documents GROUP BY 1""".stripMargin),
+    "q_ext_dedup_corpus" ->
+      ("""WITH all_docs AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0
+         |)
+         |SELECT doc_id, lang, md5(text) AS content_md5 FROM (
+         |  SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+         |    ORDER BY doc_id) AS rn
+         |  FROM all_docs
+         |) WHERE rn = 1""".stripMargin),
+    "q_ext_dedup_neardup_corpus" ->
+      (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |),
+         |drops AS (
+         |  SELECT DISTINCT doc_b FROM shared
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9
+         |)
+         |SELECT doc_id, lang, md5(text) AS content_md5 FROM docs
+         |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin),
     "q_ext_jaccard_pairs" ->
       (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
          |tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
