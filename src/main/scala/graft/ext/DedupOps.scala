@@ -49,13 +49,13 @@ object DedupOps {
     * rest. Deterministic and single-pass — no iteration to a fixed point,
     * so a chain a~b~c keeps only `a` even if a≁c (over-removal is the
     * accepted trade at corpus scale; connected-components is the
-    * iterative alternative). `pairs` is any (doc_a, doc_b) frame with
-    * doc_a < doc_b — jaccardPairs, minHashNearDupPairs, simHash, or LSH
-    * cosine output all fit.
+    * iterative alternative). `pairs` is any (lo, hi) pair frame —
+    * jaccardPairs/minHash/simHash emit `doc_b` (the default `dropCol`);
+    * pass `dropCol = "vec_b"` for cosinePairs/lshCosinePairs output.
     */
   def removeNearDups(docs: DataFrame, pairs: DataFrame,
-                     idCol: String = "doc_id"): DataFrame =
-    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+                     idCol: String = "doc_id", dropCol: String = "doc_b"): DataFrame =
+    docs.join(pairs.select(col(dropCol).as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
   /** (id, token) inverted index over distinct tokens. */

@@ -120,11 +120,17 @@ object MultimodalOps {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](mediaIdx)
         val meta = r.getAs[Row](metaIdx)   // (format, width, height, duration_ms)
-        val stride = math.max(1, (meta.getInt(1) / targetW) * (meta.getInt(2) / targetH))
+        // no metadata → no dims to resample from: pass the row through
+        // with NULL meta and stride 1 (a real resampler cannot act either)
+        val stride =
+          if (meta == null || meta.isNullAt(1) || meta.isNullAt(2)) 1
+          else math.max(1, (meta.getInt(1) / targetW) * (meta.getInt(2) / targetH))
         val resized =
           if (payload == null) Array.emptyByteArray
           else payload.indices.by(stride).map(payload).toArray
-        val newMeta = Row(meta.get(0), targetW, targetH, meta.get(3))
+        val newMeta =
+          if (meta == null) null
+          else Row(meta.get(0), targetW, targetH, meta.get(3))
         Row.fromSeq(r.toSeq.updated(mediaIdx, resized).updated(metaIdx, newMeta))
       }
     }(RowEncoder.encoderFor(inSchema))

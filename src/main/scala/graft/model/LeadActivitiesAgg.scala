@@ -90,9 +90,17 @@ object LeadActivitiesAgg {
     * gate (:181-184): the join/projection tail shared verbatim by the
     * batch build and the streaming micro-batch path, so both surfaces
     * materialize identical rows from identical stage inputs.
+    *
+    * @param keepRawUserAs when set, the RAW (pre-LOWER) lead user id is
+    *   appended under this name. The projection lowers `domain_userid`,
+    *   which is lossy: two case-variant users collapse to one value, so
+    *   a keyed delete+insert on the lowered column would cross users.
+    *   The streaming upsert keys on this raw column instead; the batch
+    *   path leaves it None (projection unchanged, oracle-identical).
     */
   private[graft] def enrich(leadActivities: DataFrame, latestEvents: DataFrame,
-                            trafficSpend: DataFrame): DataFrame = {
+                            trafficSpend: DataFrame,
+                            keepRawUserAs: Option[String] = None): DataFrame = {
     val enriched = Joins.leftOn(
       Joins.leftOn(leadActivities.as("la"), latestEvents.as("le"),
         col("la.domain_userid") === col("le.domain_userid"), smallRight = false),
@@ -101,7 +109,7 @@ object LeadActivitiesAgg {
         col("le.visit_date") === col("ts.spend_date") &&
         col("ts.col_1") === lit("unique"),
       smallRight = true)
-      .select(
+      .select((Seq(
         col("la.company_id"),
         lower(col("la.company_domain")).as("company_name"),
         lower(col("la.domain_userid")).as("domain_userid"),
@@ -126,18 +134,20 @@ object LeadActivitiesAgg {
         lower(col("la.product_sku")).as("product_sku"),
         lower(col("la.product_name")).as("product_name"),
         col("la.product_price").cast("string").as("product_price"))
+        ++ keepRawUserAs.map(n => col("la.domain_userid").as(n))): _*)
 
     // surrogate key over the LOWERed projection (:152-155) + NOT NULL gate (:181-184)
+    val outCols = Seq("id", "company_id", "company_name", "domain_userid", "event_id",
+      "mkt_medium", "mkt_source", "mkt_campaign", "visit_date", "page_urlpath",
+      "mkt_spend", "activity_date", "lead_source_ehr_id", "lead_generator_id",
+      "lead_generator_name", "old_stage_id", "old_stage_name", "new_stage_id",
+      "new_stage_name", "pipeline_id", "pipeline_name", "product_id",
+      "product_sku", "product_name", "product_price") ++ keepRawUserAs
     Filters.notNullGate(
       enriched.withColumn("id", Keys.surrogateKey(
         col("company_id"), col("domain_userid"), col("event_id"),
         col("activity_date"), col("new_stage_id"))),
       Seq("new_stage_id", "new_stage_name", "pipeline_id", "pipeline_name"))
-      .select("id", "company_id", "company_name", "domain_userid", "event_id",
-        "mkt_medium", "mkt_source", "mkt_campaign", "visit_date", "page_urlpath",
-        "mkt_spend", "activity_date", "lead_source_ehr_id", "lead_generator_id",
-        "lead_generator_name", "old_stage_id", "old_stage_name", "new_stage_id",
-        "new_stage_name", "pipeline_id", "pipeline_name", "product_id",
-        "product_sku", "product_name", "product_price")
+      .select(outCols.map(col): _*)
   }
 }

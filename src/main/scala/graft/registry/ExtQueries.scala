@@ -31,25 +31,33 @@ object ExtQueries {
   // One persisted IVF index per (session-lifetime, sf dir): trained and
   // saved ONCE, so q_ext_knn_ivf_probe times the load→probe path alone —
   // the number that matters at scale — instead of retraining per call.
-  // Dirs are bounded by the number of distinct sfDirs and reclaimed at exit.
-  private val ivfIndexDirs = scala.collection.concurrent.TrieMap[String, String]()
+  // Dirs are bounded by the number of distinct sfDirs and reclaimed at
+  // exit; the method is synchronized (single train per dir) and registers
+  // the temp dir BEFORE training so a mid-train failure still cleans up.
+  private val ivfIndexDirs = scala.collection.mutable.LinkedHashMap[String, String]()
   private lazy val ivfCleanup = sys.addShutdownHook {
-    ivfIndexDirs.values.foreach { d =>
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    ivfIndexDirs.synchronized(ivfIndexDirs.values.toList)
+      .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
   }
 
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexDirs.getOrElseUpdate(dir, {
-      ivfCleanup
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
-      IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
-      p
-    })
+    ivfIndexDirs.synchronized {
+      ivfIndexDirs.get(dir) match {
+        case Some(p) => p
+        case None =>
+          ivfCleanup
+          val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+          try {
+            IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
+            ivfIndexDirs(dir) = p
+            p
+          } catch {
+            case e: Throwable =>
+              graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+              throw e
+          }
+      }
+    }
 
   val queries: Map[String, Q] = Map(
     "q_ext_text_features" -> ((s, dir) =>
@@ -140,12 +148,16 @@ object ExtQueries {
     // scalar digest the DuckDB oracle reproduces by slicing hex(blob)
     // (2 hex chars = 1 byte, so byte offsets double and multibyte text
     // can't skew a character-based substring).
+    // hex(frame) is COALESCEd to '' so a NULL blob (4 NULL slices) joins
+    // to "|||" exactly like the oracle's empty-hex slices — concat_ws
+    // would otherwise SKIP the nulls and hash "" instead.
     "q_ext_media_frames" -> ((s, dir) =>
       MultimodalOps.sampleFrames(
         MultimodalOps.withFakeMedia(Sources(s, dir).documents), n = 4)
         .select(col("doc_id"),
           size(col("frames")).as("n_frames"),
-          md5(concat_ws("|", transform(col("frames"), f => hex(f)))).as("frames_md5"))),
+          md5(concat_ws("|",
+            transform(col("frames"), f => coalesce(hex(f), lit(""))))).as("frames_md5"))),
     // resize gate: metadata must carry the target dims and the payload the
     // stride-k decimation (k = area ratio from the ORIGINAL metadata dims,
     // which the fixture derives from doc_id — letting DuckDB reproduce the

@@ -59,13 +59,8 @@ object ModelQueries {
     mat.materialize(model, "id")(build)
   }
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    graft.runtime.Fs.deleteRecursive(p)
 
   val queries: Map[String, Q] = Map(
     "q_model_pages" -> ((s, dir) =>

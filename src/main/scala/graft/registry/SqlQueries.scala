@@ -50,7 +50,7 @@ object SqlQueries {
         SqlModels.runPages(s, PagesCut)) { prior =>
         val where = prior.map { p =>
           p.createOrReplaceTempView(ThisPages)
-          SqlModels.incrementalWhere("CAST(collector_tstamp AS DATE)", "date", ThisPages)
+          SqlModels.pagesIncrementalWhere(ThisPages)
         }.getOrElse("")
         SqlModels.runPages(s, where)
       }
@@ -66,8 +66,7 @@ object SqlQueries {
         SqlModels.runDaily(s, DailyEventsCut, DailySpendsCut)) { prior =>
         val (evWhere, spWhere) = prior.map { p =>
           p.createOrReplaceTempView(ThisDaily)
-          (SqlModels.incrementalWhere("DATE(collector_tstamp)", "spend_date", ThisDaily),
-            SqlModels.incrementalWhere("DATE(cs.spend_date)", "spend_date", ThisDaily))
+          SqlModels.dailyIncrementalWheres(ThisDaily)
         }.getOrElse(("", ""))
         SqlModels.runDaily(s, evWhere, spWhere)
       }
@@ -90,8 +89,7 @@ object SqlQueries {
           case None => s.sql(SqlModels.leadActivitiesAggSql(LeadsCut))
           case Some(p) =>
             p.createOrReplaceTempView(ThisLeads)
-            s.sql(SqlModels.leadActivitiesAggSql(
-              s"\n  WHERE date > (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') FROM $ThisLeads)"))
+            s.sql(SqlModels.leadActivitiesAggSql(SqlModels.leadsIncrementalWhere(ThisLeads)))
         }
         build
       }

@@ -105,9 +105,5 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     spark.read.parquet(outPath(model))
   }
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+  private def deleteRecursive(p: java.nio.file.Path): Unit = Fs.deleteRecursive(p)
 }

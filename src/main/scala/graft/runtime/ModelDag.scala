@@ -41,12 +41,14 @@ final class ModelDag(sources: Sources, mat: Materializer,
 
   /** The same DAG run driven entirely through the SQL surface — the
     * reference user's `dbt run`: every model executes its SQL text with
-    * the `{{ this }}` seam resolved to the prior materialized table, and
-    * the hidden DAG edge resolves to model 1's freshly MATERIALIZED
-    * output (not an inline rebuild), exactly as dbt reads the warehouse
-    * table. Output is row-identical to [[run]] (asserted in
-    * ModelDagSpec) — the two surfaces share sources, Materializer, and
-    * semantics.
+    * the `{{ this }}` seam resolved to the prior materialized table
+    * (seam wiring shared with the gated queries via SqlModels'
+    * per-model helpers), the A5 debug scalars log before model 3 just
+    * like the reference's run_query block, and the hidden DAG edge
+    * resolves to model 1's freshly MATERIALIZED output (not an inline
+    * rebuild), exactly as dbt reads the warehouse table. Output is
+    * row-identical to [[run]] (asserted in ModelDagSpec) — the two
+    * surfaces share sources, Materializer, and semantics.
     */
   def runSql(): Map[String, DataFrame] = {
     val spark = sources.events.sparkSession
@@ -55,24 +57,24 @@ final class ModelDag(sources: Sources, mat: Materializer,
     val daily = mat.materialize("traffic_daily_agg", "id") { prior =>
       val (ev, sp) = prior.map { p =>
         p.createOrReplaceTempView("graft_dag_this_daily")
-        (SqlModels.incrementalWhere("DATE(collector_tstamp)", "spend_date", "graft_dag_this_daily"),
-          SqlModels.incrementalWhere("DATE(cs.spend_date)", "spend_date", "graft_dag_this_daily"))
+        SqlModels.dailyIncrementalWheres("graft_dag_this_daily")
       }.getOrElse(("", ""))
       SqlModels.runDaily(spark, ev, sp)
     }
     val pages = mat.materialize("traffic_pages_agg", "id") { prior =>
       val where = prior.map { p =>
         p.createOrReplaceTempView("graft_dag_this_pages")
-        SqlModels.incrementalWhere("CAST(collector_tstamp AS DATE)", "date", "graft_dag_this_pages")
+        SqlModels.pagesIncrementalWhere("graft_dag_this_pages")
       }.getOrElse("")
       SqlModels.runPages(spark, where)
     }
     daily.createOrReplaceTempView(
       SqlModels.sourceView("public_public", "traffic_daily_agg"))
+    logLeadDebugCounts(RefShapes.eventsRef(sources.events))
     val leads = mat.materialize("lead_activities_agg", "id") { prior =>
       val where = prior.map { p =>
         p.createOrReplaceTempView("graft_dag_this_leads")
-        "\n  WHERE date > (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') FROM graft_dag_this_leads)"
+        SqlModels.leadsIncrementalWhere("graft_dag_this_leads")
       }.getOrElse("")
       spark.sql(SqlModels.leadActivitiesAggSql(where))
     }

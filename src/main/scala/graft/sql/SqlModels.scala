@@ -62,6 +62,28 @@ object SqlModels {
   def incrementalWhere(dateExpr: String, wmCol: String, thisView: String): String =
     s"\n      AND $dateExpr > (SELECT COALESCE(MAX($wmCol), DATE '1900-01-01') FROM $thisView)"
 
+  // Per-model seam resolutions — the single source for each model's
+  // watermark wiring, shared by the registry's gated incremental queries
+  // (SqlQueries) and the DAG runner (ModelDag.runSql).
+
+  /** Pages seam (traffic_pages_agg.sql:20-24): one watermark on `date`. */
+  def pagesIncrementalWhere(thisView: String): String =
+    incrementalWhere("CAST(collector_tstamp AS DATE)", "date", thisView)
+
+  /** Daily seams (traffic_daily_agg.sql:25-27 + :87-89): events and
+    * spends watermark INDEPENDENTLY on max(spend_date) of `{{ this }}`.
+    */
+  def dailyIncrementalWheres(thisView: String): (String, String) =
+    (incrementalWhere("DATE(collector_tstamp)", "spend_date", thisView),
+      incrementalWhere("DATE(cs.spend_date)", "spend_date", thisView))
+
+  /** Leads seam (lead_activities_agg.sql:99-101): the lead scan alone
+    * watermarks on max(activity_date); its CTE has no base WHERE, so the
+    * seam is a full WHERE clause rather than incrementalWhere's AND form.
+    */
+  def leadsIncrementalWhere(thisView: String): String =
+    s"\n  WHERE date > (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') FROM $thisView)"
+
   private val botGate =
     """useragent NOT ILIKE '%bot%'
       |      AND useragent NOT ILIKE '%spider%'

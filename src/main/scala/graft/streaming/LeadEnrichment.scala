@@ -20,15 +20,24 @@ import graft.runtime.Materializer
   * `LeadActivitiesAgg.enrich` — the exact code the batch model runs — and
   * upserts through the production Materializer keyed on `domain_userid`.
   *
-  * Keying the upsert on `domain_userid` (not `id`) is load-bearing: a
-  * user's new best touch changes `event_id` and therefore the surrogate
-  * `id`, so an id-keyed upsert would strand the stale attribution row.
-  * Each micro-batch re-emits ALL lead rows for its touched users, so
-  * delete+insert-by-user is exactly the batch semantics. Scale shape:
-  * state is O(users), each micro-batch's work is O(touched users' leads),
-  * and the enrichment joins broadcast the (small) batch side.
+  * Keying the upsert per-USER (not per-`id`) is load-bearing: a user's
+  * new best touch changes `event_id` and therefore the surrogate `id`,
+  * so an id-keyed upsert would strand the stale attribution row. Each
+  * micro-batch re-emits ALL lead rows for its touched users, so
+  * delete+insert-by-user is exactly the batch semantics. The key is the
+  * RAW lead user id carried as an internal extra column
+  * ([[LeadEnrichment.UserKey]]): the model's own `domain_userid` output
+  * is LOWERcased — lossy across case-variant users, so keying on it
+  * would delete one user's rows when upserting another's. Scale shape:
+  * state is O(users), each micro-batch's work is O(touched users'
+  * leads), and the enrichment joins broadcast the (small) batch side.
   */
 object LeadEnrichment {
+
+  /** Internal raw-user upsert key column on the materialized table;
+    * project it away when reading the table as model output.
+    */
+  val UserKey = "__touch_user"
 
   /** W1 priority (lead_activities_agg.sql:45-55): paid touch first, then
     * latest timestamp, then highest event id — same total order as the
@@ -93,9 +102,10 @@ object LeadEnrichment {
            mat: Materializer, model: String): DataFrame = {
     import spark.implicits._
     val emptyTouches = latestEventsFrame(spark.emptyDataset[LeadTouch].toDF())
-    mat.materialize(model, "domain_userid")(_ =>
+    mat.materialize(model, UserKey)(_ =>
       LeadActivitiesAgg.enrich(LeadActivitiesAgg.leadActivitiesOf(leads, None),
-        emptyTouches, LeadActivitiesAgg.trafficSpendOf(trafficDaily)))
+        emptyTouches, LeadActivitiesAgg.trafficSpendOf(trafficDaily),
+        keepRawUserAs = Some(UserKey)))
   }
 
   /** Sink: every micro-batch of updated touch states re-enriches the
@@ -111,8 +121,9 @@ object LeadEnrichment {
         val latest = latestEventsFrame(batch)
         val touched = leadActivities.join(
           latest.select("domain_userid").distinct(), Seq("domain_userid"), "left_semi")
-        mat.materialize(model, "domain_userid")(_ =>
-          LeadActivitiesAgg.enrich(touched, latest, trafficSpend))
+        mat.materialize(model, UserKey)(_ =>
+          LeadActivitiesAgg.enrich(touched, latest, trafficSpend,
+            keepRawUserAs = Some(UserKey)))
         ()
     }
   }

@@ -16,11 +16,7 @@ class BucketingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-    if (loc.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    Fs.deleteRecursive(loc.toPath)
   }
 
   test("equal-bucketed fact-fact join plans without any shuffle") {

@@ -79,13 +79,17 @@ class StreamingSpec extends SparkSpec {
 
     // atomic-shaped events: u1 gets an organic touch then an (older) paid
     // touch — paid must win the attribution; u2 organic only; one bot and
-    // one non-page_view event must be gated out; u9 never appears.
+    // one non-page_view event must be gated out; u9 never appears. "U1"
+    // is a CASE-VARIANT user, distinct from u1 in every join but LOWERed
+    // to the same value in the output — its rows must survive u1's
+    // attribution updates (the raw-key upsert seam).
     val events = Seq(
       ("e1", "u1", "page_view", "Mozilla/5.0", "search", null, "MSrcA", "rsrcA", "CampX", "termX", "MedA", "/p/1", ts("2024-01-04 10:00:00")),
       ("e2", "u1", "page_view", "Mozilla/5.0", "cpc", "net1", "MSrcB", "rsrcB", "CampA", "termA", "MedB", "/p/2", ts("2024-01-03 09:00:00")),
       ("e3", "u2", "page_view", "Mozilla/5.0", "email", null, null, "rsrcC", "CampC", null, null, "/p/3", ts("2024-01-06 08:00:00")),
       ("e4", "u1", "page_view", "MegaBot/2.1", "cpc", "net2", "MSrcD", "rsrcD", "CampD", "termD", "MedD", "/p/4", ts("2024-01-07 07:00:00")),
-      ("e5", "u2", "signup", "Mozilla/5.0", "cpc", "net3", "MSrcE", "rsrcE", "CampE", "termE", "MedE", "/p/5", ts("2024-01-08 06:00:00")))
+      ("e5", "u2", "signup", "Mozilla/5.0", "cpc", "net3", "MSrcE", "rsrcE", "CampE", "termE", "MedE", "/p/5", ts("2024-01-08 06:00:00")),
+      ("e6", "U1", "page_view", "Mozilla/5.0", "email", null, "MSrcF", "rsrcF", "CampF", null, "MedF", "/p/6", ts("2024-01-05 10:00:00")))
       .toDF("event_id", "domain_userid", "event", "useragent", "refr_medium",
         "mkt_network", "mkt_source", "refr_source", "mkt_campaign", "mkt_term",
         "mkt_medium", "page_urlpath", "collector_tstamp")
@@ -94,6 +98,7 @@ class StreamingSpec extends SparkSpec {
       ("u1", "L1", java.sql.Date.valueOf("2024-01-10")),
       ("u1", "L2", java.sql.Date.valueOf("2024-01-11")),
       ("u2", "L3", java.sql.Date.valueOf("2024-01-12")),
+      ("U1", "L4", java.sql.Date.valueOf("2024-01-14")),
       ("u9", "L9", java.sql.Date.valueOf("2024-01-13")))
       .toDF("domain_userid", "lead_id", "date")
       .withColumn("company_domain", lit("DomA")).withColumn("company_id", lit("1"))
@@ -120,9 +125,10 @@ class StreamingSpec extends SparkSpec {
     LeadEnrichment.seed(spark, leads, daily, mat, "lead_stream")
 
     // stream the touches in two batches, organic-first so batch 2 must
-    // OVERWRITE u1's attribution (and therefore its surrogate ids)
+    // OVERWRITE u1's attribution (and therefore its surrogate ids) while
+    // leaving the untouched case-variant U1's rows intact
     val touches = LeadEnrichment.toLeadTouches(events).collect()
-    assert(touches.length == 3, s"event gate should keep 3 touches: ${touches.toSeq}")
+    assert(touches.length == 4, s"event gate should keep 4 touches: ${touches.toSeq}")
     val (batch2, batch1) = touches.partition(_.paidRank == 1)
     val in = MemoryStream[LeadTouch]
     val q = LeadEnrichment.sink(
