@@ -120,17 +120,19 @@ object MultimodalOps {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](mediaIdx)
         val meta = r.getAs[Row](metaIdx)   // (format, width, height, duration_ms)
-        // no metadata → no dims to resample from: pass the row through
-        // with NULL meta and stride 1 (a real resampler cannot act either)
+        // no usable dims → a real resampler cannot act: pass the payload
+        // through untouched and keep the ORIGINAL metadata (claiming the
+        // target dims for an un-resampled payload would lie downstream)
+        val hasDims = meta != null && !meta.isNullAt(1) && !meta.isNullAt(2)
         val stride =
-          if (meta == null || meta.isNullAt(1) || meta.isNullAt(2)) 1
-          else math.max(1, (meta.getInt(1) / targetW) * (meta.getInt(2) / targetH))
+          if (hasDims) math.max(1, (meta.getInt(1) / targetW) * (meta.getInt(2) / targetH))
+          else 1
         val resized =
           if (payload == null) Array.emptyByteArray
           else payload.indices.by(stride).map(payload).toArray
         val newMeta =
-          if (meta == null) null
-          else Row(meta.get(0), targetW, targetH, meta.get(3))
+          if (hasDims) Row(meta.get(0), targetW, targetH, meta.get(3))
+          else meta
         Row.fromSeq(r.toSeq.updated(mediaIdx, resized).updated(metaIdx, newMeta))
       }
     }(RowEncoder.encoderFor(inSchema))

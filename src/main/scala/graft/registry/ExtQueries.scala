@@ -32,8 +32,13 @@ object ExtQueries {
   // saved ONCE, so q_ext_knn_ivf_probe times the load→probe path alone —
   // the number that matters at scale — instead of retraining per call.
   // Dirs are bounded by the number of distinct sfDirs and reclaimed at
-  // exit; the method is synchronized (single train per dir) and registers
-  // the temp dir BEFORE training so a mid-train failure still cleans up.
+  // exit. The monitor guards only the map (the shutdown hook and cache
+  // hits never wait on a training job); the temp dir is registered BEFORE
+  // training so a JVM exit mid-train still reclaims it, and a failed
+  // train deregisters and deletes. Under concurrent first calls the first
+  // registration wins — callers of the losing thread may briefly see a
+  // path whose training is still in flight, a non-issue for the
+  // sequential Verify/Bench harness this cache serves.
   private val ivfIndexDirs = scala.collection.mutable.LinkedHashMap[String, String]()
   private lazy val ivfCleanup = sys.addShutdownHook {
     ivfIndexDirs.synchronized(ivfIndexDirs.values.toList)
@@ -41,21 +46,25 @@ object ExtQueries {
   }
 
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexDirs.synchronized {
-      ivfIndexDirs.get(dir) match {
-        case Some(p) => p
-        case None =>
-          ivfCleanup
-          val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
-          try {
-            IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
-            ivfIndexDirs(dir) = p
-            p
-          } catch {
-            case e: Throwable =>
-              graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
-              throw e
-          }
+    ivfIndexDirs.synchronized(ivfIndexDirs.get(dir)).getOrElse {
+      ivfCleanup
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      val winner = ivfIndexDirs.synchronized {
+        ivfIndexDirs.getOrElseUpdate(dir, p)
+      }
+      if (winner != p) {
+        graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+        winner
+      } else {
+        try {
+          IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
+          p
+        } catch {
+          case e: Throwable =>
+            ivfIndexDirs.synchronized(ivfIndexDirs.remove(dir))
+            graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+            throw e
+        }
       }
     }
 
@@ -186,6 +195,18 @@ object ExtQueries {
   private def markerScore(words: Seq[String]): String =
     s"len(list_intersect($dtoksSql, [${words.map(w => s"'$w'").mkString(",")}]))"
 
+  // Shared by the Jaccard pairs oracle and the near-dup-corpus oracle:
+  // the docsSub → tokenize → size → shared-count CTE block, written once
+  // so a tokenization or threshold tweak cannot desynchronize them.
+  private val jaccardCtes =
+    s"""docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |)""".stripMargin
+
   // Shared by q_ext_knn_brute AND both IVF queries: at nprobe = nlist IVF
   // probes every cell, so all three compute the identical exact top-3.
   private val knnExactSql =
@@ -250,13 +271,7 @@ object ExtQueries {
          |  FROM all_docs
          |) WHERE rn = 1""".stripMargin),
     "q_ext_dedup_neardup_corpus" ->
-      (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-         |tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
-         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |),
+      (s"""WITH $jaccardCtes,
          |drops AS (
          |  SELECT DISTINCT doc_b FROM shared
          |  JOIN sizes sa ON doc_a = sa.doc_id
@@ -266,13 +281,7 @@ object ExtQueries {
          |SELECT doc_id, lang, md5(text) AS content_md5 FROM docs
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin),
     "q_ext_jaccard_pairs" ->
-      (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-         |tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
-         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |)
+      (s"""WITH $jaccardCtes
          |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
          |FROM shared
          |JOIN sizes sa ON doc_a = sa.doc_id
