@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   *    the standard all-pairs shape; integer arithmetic until the final
   *    division so results are engine-exact. NB the fixture corpus has a
   *    ~60-word vocabulary, the worst case for a token index (every doc
-  *    collides with every doc) — real corpora have Zipfian vocab and
-  *    the hot-token skew is what AQE skew-join + stopword pruning absorb.
+  *    collides with every doc) — real corpora have Zipfian vocab, and
+  *    the hot-token skew is absorbed by DOCUMENT-FREQUENCY PRUNING
+  *    (`maxDocFreqRatio`): a token in more than that fraction of the
+  *    corpus is a stopword for dedup purposes — it contributes no
+  *    discriminating signal but fans out quadratically within its
+  *    posting list — so it is dropped from the index (the C4/RefinedWeb
+  *    recipe) BEFORE the self-join, bounding any one token's pair
+  *    fan-out at (ratio·N)². AQE skew-join remains the absorber for
+  *    skew below the bound.
   *  - MinHash+LSH: per-doc signature (map-only) → band keys → shuffle by
   *    band key → pairs only within buckets → exact-Jaccard verify of the
   *    candidates. Replaces the O(n²) all-pairs with O(candidates).
@@ -58,17 +65,98 @@ object DedupOps {
     docs.join(pairs.select(col(dropCol).as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Connected components over a near-dup pair frame: iterative min-label
+    * propagation to a fixed point. Returns `(node, root)` for every node
+    * that appears in a pair, where `root` is the smallest id in the
+    * node's component.
+    *
+    * Each iteration is one join (labels along edges) + one min-agg; the
+    * frontier is `localCheckpoint`ed so the loop's lineage stays flat.
+    * Convergence takes O(component diameter) rounds — near-dup clusters
+    * are shallow (dup clusters of a document are mutually similar), so
+    * this converges in a handful of rounds on real corpora; for
+    * adversarially long chains the alternating small-star/large-star
+    * rewrite (Kiveris et al., "Connected Components in MapReduce")
+    * drops it to O(log² n) rounds with the same per-round shape.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("root", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val msgs = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("root"))
+      val next = labels.union(msgs).groupBy("node").agg(min("root").as("root"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("root", "prev"), Seq("node"))
+        .filter(col("root") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters iterations")
+    labels
+  }
+
+  /** Cluster-representative near-dup policy: keep exactly ONE document
+    * (the lowest id) per connected component of the near-dup graph, and
+    * every document that has no near-dup at all. The iterative
+    * alternative to greedy [[removeNearDups]]: where greedy can keep
+    * several locally-minimal docs from one transitive cluster (e.g. the
+    * pair set {(1,3),(2,3)} keeps both 1 and 2), the CC policy keeps
+    * exactly the component minimum.
+    */
+  def dedupNearDupsCC(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(comp, docs(idCol) === comp("node"), "left")
+      .filter(col("root").isNull || col("root") === docs(idCol))
+      .drop("node", "root")
+  }
+
   /** (id, token) inverted index over distinct tokens. */
   private def tokenIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       explode(TextOps.distinctTokens(col(textCol))).as("t"))
 
+  /** Drop tokens whose posting list exceeds `maxDf` docs. The hot set is
+    * tiny by definition (heavy hitters), so it broadcasts and the prune
+    * is a map-side anti-join — no extra shuffle on the index itself
+    * beyond the one df-count aggregation.
+    */
+  private[ext] def pruneHotTokens(tok: DataFrame, maxDf: Long): DataFrame = {
+    val hot = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("t")
+    tok.join(broadcast(hot), Seq("t"), "left_anti")
+  }
+
   /** All-pairs token-set Jaccard ≥ threshold via inverted-index join.
     * Integer shared/size counts; single double division at the end.
+    *
+    * `maxDocFreqRatio` (0,1]: document-frequency pruning — tokens
+    * appearing in more than `ratio · |docs|` documents are dropped from
+    * the index before the self-join, and the Jaccard is computed over
+    * the PRUNED token sets (sizes and shared counts both post-prune, so
+    * the score is exact for the pruned metric). This is the knob that
+    * keeps one stopword-ish token at 100 TB from becoming a quadratic
+    * hot key. None = unpruned exact token-set Jaccard.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = tokenIndex(docs, textCol, idCol)
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxDocFreqRatio: Option[Double] = None): DataFrame = {
+    val tok = maxDocFreqRatio match {
+      case None => tokenIndex(docs, textCol, idCol)
+      case Some(r) =>
+        require(r > 0 && r <= 1, s"maxDocFreqRatio must be in (0,1]: $r")
+        // one O(1)-result count job to fix the absolute bound; the same
+        // floor(ratio · N) the DuckDB oracle computes
+        val maxDf = math.floor(r * docs.count()).toLong
+        pruneHotTokens(tokenIndex(docs, textCol, idCol), maxDf)
+    }
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = tok.as("a").join(tok.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))

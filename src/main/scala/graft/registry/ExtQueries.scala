@@ -29,44 +29,44 @@ object ExtQueries {
     Sources(s, dir).documents.filter(col("doc_id") % 10 === 0)
 
   // One persisted IVF index per (session-lifetime, sf dir): trained and
-  // saved ONCE, so q_ext_knn_ivf_probe times the load→probe path alone —
-  // the number that matters at scale — instead of retraining per call.
-  // Dirs are bounded by the number of distinct sfDirs and reclaimed at
-  // exit. The monitor guards only the map (the shutdown hook and cache
-  // hits never wait on a training job); the temp dir is registered BEFORE
-  // training so a JVM exit mid-train still reclaims it, and a failed
-  // train deregisters and deletes. Under concurrent first calls the first
-  // registration wins — callers of the losing thread may briefly see a
-  // path whose training is still in flight, a non-issue for the
-  // sequential Verify/Bench harness this cache serves.
-  private val ivfIndexDirs = scala.collection.mutable.LinkedHashMap[String, String]()
+  // saved ONCE, so the IVF queries time the load→probe path alone — the
+  // number that matters at scale — instead of retraining per call. Dirs
+  // are bounded by the number of distinct sfDirs and reclaimed at exit.
+  // The map registers the COMPUTATION (a holder whose lazy `path` runs
+  // train+save), not the finished path: under concurrent first calls the
+  // losing threads block on the winner's lazy-val monitor until the save
+  // completes, so no caller can observe a partial index. The temp dir is
+  // recorded on the holder BEFORE training so a JVM exit mid-train still
+  // reclaims it; a failed train deregisters, deletes, and rethrows (the
+  // next call starts a fresh holder).
+  private final class IvfIdxHolder(s: SparkSession, dir: String) {
+    @volatile var tmpDir: String = _
+    lazy val path: String = {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      tmpDir = p
+      try { IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p); p }
+      catch {
+        case e: Throwable =>
+          ivfIndexDirs.synchronized(ivfIndexDirs.remove(dir))
+          tmpDir = null
+          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+          throw e
+      }
+    }
+  }
+  private val ivfIndexDirs = scala.collection.mutable.LinkedHashMap[String, IvfIdxHolder]()
   private lazy val ivfCleanup = sys.addShutdownHook {
     ivfIndexDirs.synchronized(ivfIndexDirs.values.toList)
+      .flatMap(h => Option(h.tmpDir))
       .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
   }
 
-  private def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexDirs.synchronized(ivfIndexDirs.get(dir)).getOrElse {
-      ivfCleanup
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
-      val winner = ivfIndexDirs.synchronized {
-        ivfIndexDirs.getOrElseUpdate(dir, p)
-      }
-      if (winner != p) {
-        graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
-        winner
-      } else {
-        try {
-          IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
-          p
-        } catch {
-          case e: Throwable =>
-            ivfIndexDirs.synchronized(ivfIndexDirs.remove(dir))
-            graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
-            throw e
-        }
-      }
-    }
+  private def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
+    ivfCleanup
+    val holder = ivfIndexDirs.synchronized(
+      ivfIndexDirs.getOrElseUpdate(dir, new IvfIdxHolder(s, dir)))
+    IvfIndex.load(s, holder.path)
+  }
 
   val queries: Map[String, Q] = Map(
     "q_ext_text_features" -> ((s, dir) =>
@@ -89,11 +89,14 @@ object ExtQueries {
     // The fixture corpus has no exact duplicates, so the exact gate
     // PLANTS them (every 7th doc re-appears under a shifted id) — the
     // keep-lowest policy is then observable, not vacuous: output must be
-    // exactly the original rows, never a planted id.
+    // exactly the original rows, never a planted id. The shift is
+    // max(doc_id)+1 (mirrored in the oracle) so planted ids can never
+    // collide with real ones at any scale factor.
     "q_ext_dedup_corpus" -> ((s, dir) => {
       val docs = Sources(s, dir).documents.select("doc_id", "lang", "text")
+      val off = docs.agg(max("doc_id")).head.getLong(0) + 1
       val planted = docs.filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + off)
       DedupOps.dedupExact(docs.unionByName(planted))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
     }),
@@ -102,8 +105,20 @@ object ExtQueries {
       DedupOps.removeNearDups(docs, DedupOps.jaccardPairs(docs, 0.9))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
     }),
+    // the cluster-representative policy over the same verified pairs:
+    // exactly one survivor (min id) per connected component.
+    "q_ext_dedup_cc_corpus" -> ((s, dir) => {
+      val docs = docsSub(s, dir)
+      DedupOps.dedupNearDupsCC(docs, DedupOps.jaccardPairs(docs, 0.9))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
+    }),
     "q_ext_jaccard_pairs" -> ((s, dir) =>
       DedupOps.jaccardPairs(docsSub(s, dir), 0.9)),
+    // document-frequency pruning ON: tokens in > 80% of the corpus are
+    // dropped before the self-join (threshold relaxed to 0.8 so the
+    // pruned metric still yields pairs on the fixture's flat vocabulary).
+    "q_ext_jaccard_pairs_pruned" -> ((s, dir) =>
+      DedupOps.jaccardPairs(docsSub(s, dir), 0.8, maxDocFreqRatio = Some(0.8))),
     "q_ext_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>
@@ -116,21 +131,32 @@ object ExtQueries {
       SimilarityOps.cosinePairs(Sources(s, dir).embeddings, 0.35)),
     "q_ext_knn_lsh" -> ((s, dir) =>
       SimilarityOps.lshCosinePairs(Sources(s, dir).embeddings, 0.35)),
-    // nprobe = nlist probes every cell, so IVF is EXACT top-k by
-    // construction and hash-matches the brute-force DuckDB oracle; the
-    // approx (nprobe < nlist) path keeps its recall spec in ExtOpsSpec.
+    // All three IVF rows run the LIFECYCLE path — load the session's
+    // persisted index (trained+saved once) and probe it with NO train
+    // and NO corpus reshuffle (plan asserted in ExtOpsSpec); the ad-hoc
+    // retrain-per-call wrapper (SimilarityOps.ivfTopK) stays available
+    // for one-shot use but no bench row times it. nprobe = nlist probes
+    // every cell, so those two rows are EXACT top-k by construction and
+    // hash-match the brute-force DuckDB oracle (whichever runs first
+    // pays the one-time train; the other times the bare repeat probe).
     "q_ext_knn_ivf" -> ((s, dir) => {
-      val e = Sources(s, dir).embeddings
-      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 20), k = 3, nlist = 16, nprobe = 16)
-    }),
-    // The lifecycle path under the same exact-mode oracle: the session's
-    // persisted index is loaded and probed with NO train and NO corpus
-    // reshuffle (plan asserted in ExtOpsSpec) — its bench time is the
-    // repeat-query probe cost.
-    "q_ext_knn_ivf_probe" -> ((s, dir) => {
-      val idx = IvfIndex.load(s, ivfIndexPath(s, dir))
+      val idx = ivfIndex(s, dir)
       idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
         k = 3, nprobe = idx.nlist)
+    }),
+    "q_ext_knn_ivf_probe" -> ((s, dir) => {
+      val idx = ivfIndex(s, dir)
+      idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
+        k = 3, nprobe = idx.nlist)
+    }),
+    // The number that sells IVF: the same probe at nprobe = 4 of 16 —
+    // O(N·nprobe/nlist) work per query. No oracle (approximate by
+    // design); recall ≥ 0.9 vs the exact top-k is spec-gated in
+    // ExtOpsSpec on this same persisted-index path.
+    "q_ext_knn_ivf_probe_approx" -> ((s, dir) => {
+      val idx = ivfIndex(s, dir)
+      idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
+        k = 3, nprobe = 4)
     }),
     "q_ext_json_extract" -> ((s, dir) =>
       Sources(s, dir).events
@@ -195,17 +221,29 @@ object ExtQueries {
   private def markerScore(words: Seq[String]): String =
     s"len(list_intersect($dtoksSql, [${words.map(w => s"'$w'").mkString(",")}]))"
 
-  // Shared by the Jaccard pairs oracle and the near-dup-corpus oracle:
-  // the docsSub → tokenize → size → shared-count CTE block, written once
-  // so a tokenization or threshold tweak cannot desynchronize them.
-  private val jaccardCtes =
+  // Shared by every token-Jaccard oracle (pairs, pruned pairs, greedy
+  // near-dup corpus, CC near-dup corpus): the docsSub → tokenize →
+  // size → shared-count CTE block, written once so a tokenization or
+  // threshold tweak cannot desynchronize them. `pruned` mirrors
+  // DedupOps.jaccardPairs(maxDocFreqRatio = 0.8): drop tokens whose
+  // posting list exceeds floor(0.8 · |docs|) BEFORE sizes/shared, the
+  // identical floor-of-double both engines compute.
+  private def jaccardCtes(pruned: Boolean): String = {
+    val tokCte =
+      if (!pruned) s"tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs)"
+      else
+        s"""tok0 AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
+          |hot AS (SELECT t FROM tok0 GROUP BY t
+          |  HAVING count(*) > CAST(floor(0.8 * (SELECT count(*) FROM docs)) AS BIGINT)),
+          |tok AS (SELECT * FROM tok0 WHERE t NOT IN (SELECT t FROM hot))""".stripMargin
     s"""docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-      |tok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM docs),
+      |$tokCte,
       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
       |shared AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
       |)""".stripMargin
+  }
 
   // Shared by q_ext_knn_brute AND both IVF queries: at nprobe = nlist IVF
   // probes every cell, so all three compute the identical exact top-3.
@@ -262,7 +300,8 @@ object ExtQueries {
       ("""WITH all_docs AS (
          |  SELECT doc_id, lang, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), lang, text
+         |  FROM documents WHERE doc_id % 7 = 0
          |)
          |SELECT doc_id, lang, md5(text) AS content_md5 FROM (
          |  SELECT doc_id, lang, text, ROW_NUMBER() OVER (
@@ -271,7 +310,7 @@ object ExtQueries {
          |  FROM all_docs
          |) WHERE rn = 1""".stripMargin),
     "q_ext_dedup_neardup_corpus" ->
-      (s"""WITH $jaccardCtes,
+      (s"""WITH ${jaccardCtes(pruned = false)},
          |drops AS (
          |  SELECT DISTINCT doc_b FROM shared
          |  JOIN sizes sa ON doc_a = sa.doc_id
@@ -281,12 +320,38 @@ object ExtQueries {
          |SELECT doc_id, lang, md5(text) AS content_md5 FROM docs
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin),
     "q_ext_jaccard_pairs" ->
-      (s"""WITH $jaccardCtes
+      (s"""WITH ${jaccardCtes(pruned = false)}
          |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
          |FROM shared
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9""".stripMargin),
+    "q_ext_jaccard_pairs_pruned" ->
+      (s"""WITH ${jaccardCtes(pruned = true)}
+         |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.8""".stripMargin),
+    // CC policy: component = min id reachable over the verified near-dup
+    // graph (recursive min-reachability walk, seeded with every doc so
+    // isolated docs are their own root); keep docs that root themselves.
+    "q_ext_dedup_cc_corpus" ->
+      (s"""WITH RECURSIVE ${jaccardCtes(pruned = false)},
+         |pairs AS (SELECT doc_a, doc_b FROM shared
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+         |comp AS (SELECT node, min(reach) AS root FROM walk GROUP BY node)
+         |SELECT d.doc_id, d.lang, md5(d.text) AS content_md5
+         |FROM docs d JOIN comp c ON d.doc_id = c.node
+         |WHERE c.root = d.doc_id""".stripMargin),
     "q_ext_knn_brute" -> knnExactSql,
     "q_ext_knn_ivf" -> knnExactSql,
     "q_ext_knn_ivf_probe" -> knnExactSql,
@@ -365,5 +430,7 @@ object ExtQueries {
     // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
     // intentionally no oracle (non-portable hash internals); see
     // ExtOpsSpec property tests against the exact counterparts.
+    // q_ext_knn_ivf_probe_approx: no oracle (approximate at nprobe=4 by
+    // design); recall spec-gated in ExtOpsSpec on the persisted index.
   )
 }

@@ -143,6 +143,89 @@ class ExtOpsSpec extends SparkSpec {
       s"corpus reshuffled by cid:\n$plan")
   }
 
+  test("document-frequency pruning collapses a planted hot token's quadratic fan-out") {
+    // 30 docs: each carries 4 unique tokens + the stopword-ish "hot"
+    // present in EVERY doc; docs 0 and 1 are true near-dups (identical
+    // rare-token sets). Unpruned, "hot" alone connects all C(30,2) pairs.
+    val docs = (0 until 30).map { i =>
+      val rare = if (i == 1) "r0a r0b r0c r0d" // duplicate of doc 0's rare set
+                 else s"r${i}a r${i}b r${i}c r${i}d"
+      (i.toLong, s"hot $rare")
+    }.toDF("doc_id", "text")
+    val all = DedupOps.jaccardPairs(docs, 0.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(all.size == 30 * 29 / 2, s"hot token must connect every pair: ${all.size}")
+    // ratio 0.5 → maxDf 15 < 30 prunes "hot" (df 30), keeps every rare
+    // token (df 1-2): the index join degenerates to genuinely-shared
+    // tokens — one surviving pair instead of 435
+    val pruned = DedupOps.jaccardPairs(docs, 0.0, maxDocFreqRatio = Some(0.5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pruned == Set((0L, 1L)), s"pruned pairs: $pruned")
+    // and the pruned METRIC still scores the true dup pair at 1.0
+    val scored = DedupOps.jaccardPairs(docs, 0.9, maxDocFreqRatio = Some(0.5))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(scored.toSeq == Seq((0L, 1L, 1.0)), scored.mkString(","))
+    // the pruned inverted index is strictly smaller (the shuffle-volume
+    // claim): 30 hot postings dropped, 4 rare postings per doc kept
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.distinctTokens(col("text"))).as("t"))
+    assert(DedupOps.pruneHotTokens(tok, 15).count() == tok.count() - 30)
+  }
+
+  test("connected components: min-label fixpoint over chains and isolated components") {
+    // chain 1-2-3-4-5 (needs several propagation rounds) + separate {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comp = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L), comp.toString)
+  }
+
+  test("CC policy keeps exactly one doc per component where greedy keeps several") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "lonely"))
+      .toDF("doc_id", "text")
+    // star with the HIGHEST id in the middle: 1~3 and 2~3 (1 and 2 not
+    // directly similar) — one transitive cluster {1,2,3}
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val greedy = DedupOps.removeNearDups(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val cc = DedupOps.dedupNearDupsCC(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // greedy drops only doc_b's → keeps BOTH locally-minimal 1 and 2
+    assert(greedy == Set(1L, 2L, 7L), greedy.toString)
+    // CC keeps exactly the component minimum (plus untouched docs)
+    assert(cc == Set(1L, 7L), cc.toString)
+  }
+
+  test("approx IVF probe (registered query): recall vs exact, monotone in nprobe") {
+    val dir = "/root/testdata/sf0.001"
+    def keys(name: String) = graft.registry.ExtQueries.queries(name)(spark, dir)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = keys("q_ext_knn_brute")
+    val approx4 = keys("q_ext_knn_ivf_probe_approx")   // nprobe 4 of 16
+    val exact16 = keys("q_ext_knn_ivf_probe")          // nprobe = nlist
+    assert(approx4.subsetOf(brute.union(approx4)) && approx4.nonEmpty)
+    // The fixture embeddings are near-uniform random (max pairwise cos
+    // ≈ 0.5) — the ADVERSARIAL case for any cell-partitioned ANN, since
+    // true neighbors sit barely closer than strangers and scatter across
+    // cells. Measured recall at nprobe=4/16 is ~0.53 here vs ≥0.9 on
+    // clustered data (next assert); the bound pins the floor.
+    val recall4 = (approx4 intersect brute).size.toDouble / brute.size
+    assert(recall4 >= 0.4, s"approx-probe fixture recall $recall4 below 0.4")
+    // probing every cell recovers exactness on the same persisted index
+    assert(exact16 == brute, "nprobe=nlist probe must equal brute force")
+    // on CLUSTERED data (the realistic embedding-corpus shape) the same
+    // nprobe=4/nlist=16 setting is high-recall: each twin's cell is
+    // found because clusters, not chance, decide cell membership
+    val embs = clusteredRows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfTopK(embs, embs, k = 1, nlist = 16, nprobe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    val sameCluster = got.count { case (q, n) => q % 4 == n % 4 }
+    val recallC = sameCluster.toDouble / got.length
+    assert(recallC >= 0.9, s"clustered recall $recallC below 0.9")
+  }
+
   test("langId picks marker-dominant language with deterministic ties") {
     val rows = Seq(
       (1L, "the cat and the dog of a to house"),
