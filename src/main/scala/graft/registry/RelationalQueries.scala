@@ -3,7 +3,7 @@ package graft.registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Joins
-import graft.runtime.Sources
+import graft.runtime.{Bucketing, Sources}
 
 /** Broad relational coverage over the TPC-H-shaped fixtures
   * (lineitem/orders/customer/nation/region, FIXTURES.md §B): the
@@ -20,6 +20,43 @@ import graft.runtime.Sources
 object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  // Bucketed lineitem/orders pair per (session, sf dir), written ONCE —
+  // the "pay the join shuffle at ingest" seam (runtime/Bucketing). Same
+  // holder discipline as the ExtQueries IVF index cache: the map holds
+  // the COMPUTATION, so concurrent first calls block on the winner's
+  // write instead of reading a half-written table. Stale tables from a
+  // previous JVM are dropped (catalog is in-memory but the warehouse dir
+  // persists) before rewriting.
+  private final class BucketedHolder(s: SparkSession, dir: String) {
+    lazy val tables: (String, String) = {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"bkt_lineitem_$tag"
+      val ord = s"bkt_orders_$tag"
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+        graft.runtime.Fs.deleteRecursive(loc.toPath)
+      }
+      reset(li); reset(ord)
+      val src = Sources(s, dir)
+      Bucketing.writeBucketed(
+        src.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        li, "l_orderkey", 8)
+      Bucketing.writeBucketed(
+        src.orders.select("o_orderkey", "o_orderpriority"),
+        ord, "o_orderkey", 8)
+      (li, ord)
+    }
+  }
+  private val bucketed = scala.collection.mutable.LinkedHashMap[String, BucketedHolder]()
+  private def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val holder = bucketed.synchronized(
+      bucketed.getOrElseUpdate(dir, new BucketedHolder(s, dir)))
+    val (li, ord) = holder.tables
+    (Bucketing.read(s, li), Bucketing.read(s, ord))
+  }
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-style pricing summary: the widest scan + densest agg
@@ -59,9 +96,28 @@ object RelationalQueries {
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .filter(col("revenue") > 250000.0)
     }),
+    // fact-fact join THROUGH the bucketed seam: both sides pre-hashed
+    // 8-ways on the order key at write time, so the merge join reads
+    // co-located buckets with no Exchange on either input (plan-gated in
+    // BucketingSpec); the only shuffle left is the final 5-group agg.
+    // The merge hint keeps the planner from sidestepping the bucketed
+    // path with a small-side broadcast at test scale.
+    "q_rel_bucketed_join" -> ((s, dir) => {
+      val (li, ord) = bucketedPair(s, dir)
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("line_count"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rel_bucketed_join" ->
+      ("""SELECT o_orderpriority,
+         |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+         |  count(*) AS line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin),
     "q_rel_pricing_summary" ->
       ("""SELECT l_returnflag, l_linestatus,
          |  sum(l_quantity) AS sum_qty,

@@ -22,27 +22,40 @@ import java.nio.file.{Files, Paths}
   * read path first runs [[recover]]: a crash between the renames leaves
   * live missing and `__old` present — an unambiguous marker — so
   * recovery restores the prior table (`__old` wins; the fresh batch is
-  * simply re-run). A crash after the second rename leaves only a stale
-  * `__old`/`__tmp`, which recovery deletes. On a real deployment this
-  * seam is where a table format (Delta/Iceberg MERGE, or date-partition
-  * overwrite) plugs in; the anti-join form shuffles both sides by `id`
-  * once, which AQE sizes.
+  * simply re-run). A crash after the second rename leaves a stale
+  * `__old` NEXT TO a live table, which recovery deletes. Recovery
+  * mutates nothing else: in particular a lone `__tmp` beside a healthy
+  * live table is left alone — it is either a concurrent materialize's
+  * in-flight write or a dead write the next run's Overwrite replaces —
+  * so overlapping readers never destroy a writer's work. The seam is
+  * single-WRITER per (baseDir, model); readers may overlap the writer.
+  * On a real deployment this seam is where a table format (Delta/
+  * Iceberg MERGE, or date-partition overwrite) plugs in; the anti-join
+  * form shuffles both sides by `id` once, which AQE sizes.
   */
 final class Materializer(spark: SparkSession, baseDir: String) {
 
   def outPath(model: String): String = s"$baseDir/$model"
 
-  /** Repair an interrupted swap before any read. Prefer `__old` (the
-    * last complete table) when the live dir is missing; otherwise drop
-    * swap leftovers. Idempotent; no-op on a healthy table.
+  /** Repair an interrupted swap before any read — and ONLY when the
+    * marker state is actually inconsistent (a `__old` dir exists).
+    * Prefer `__old` (the last complete table) when the live dir is
+    * missing; a `__old` beside a live table is the post-swap leftover
+    * and is dropped. A lone `__tmp` is never touched (see class doc:
+    * it may be a concurrent materialize's in-flight write). Idempotent;
+    * no-op — no filesystem mutation at all — on a healthy table.
     */
   private def recover(model: String): Unit = {
     val out = Paths.get(outPath(model))
     val bak = Paths.get(outPath(model) + "__old")
-    val tmp = Paths.get(outPath(model) + "__tmp")
-    if (!Files.exists(out) && Files.exists(bak)) Files.move(bak, out)
-    else deleteRecursive(bak)
-    deleteRecursive(tmp)
+    if (Files.exists(bak)) {
+      if (!Files.exists(out)) {
+        Files.move(bak, out)
+        // the interrupted swap's fresh batch; stale by policy (the
+        // restored prior wins, the batch re-runs)
+        deleteRecursive(Paths.get(outPath(model) + "__tmp"))
+      } else deleteRecursive(bak)
+    }
   }
 
   def exists(model: String): Boolean = {

@@ -56,24 +56,36 @@ class ScaleProfileSpec extends SparkSpec {
       s"AtScale daily must shuffle less: ${exchanges(scale)} vs ${exchanges(faithful)}")
     // The spend join fans out (several spend rows per id), so rows with
     // the same id are not individually addressable — compare per-(id,
-    // branch) aggregates, which are pairing-independent: row count and
-    // spend sum must be exact, traffic sum exact for 'all' and
-    // within-tolerance for 'unique'. The surrogate id covers every group
-    // key, so ids align across profiles.
+    // branch) aggregates, which are pairing-independent. Traffic is
+    // constant within a group (the same agg row fanned out), so min =
+    // max recovers the PER-ROW value exactly: 'all' rows must be
+    // identical, 'unique' rows within HLL tolerance — row by row, not
+    // on a group mean that could hide compensating errors. Spend sums
+    // are doubles re-aggregated under two different physical plans, so
+    // they compare with a 1e-9 relative epsilon, not ==.
     def perId(df: DataFrame): DataFrame = df.groupBy("id", "col_1")
-      .agg(count(lit(1)).as("n"), sum("spend").as("sp"), sum("traffic").as("tr"))
+      .agg(count(lit(1)).as("n"), sum("spend").as("sp"),
+        min("traffic").as("trmin"), max("traffic").as("trmax"))
     val joined = perId(faithful).as("f").join(perId(scale).as("s"), Seq("id", "col_1"), "full_outer")
       .select(col("col_1"), col("f.n").as("fn"), col("s.n").as("sn"),
         col("f.sp").as("fsp"), col("s.sp").as("ssp"),
-        col("f.tr").as("ftr"), col("s.tr").as("str"))
+        col("f.trmin").as("fmin"), col("f.trmax").as("fmax"),
+        col("s.trmin").as("smin"), col("s.trmax").as("smax"))
       .as[(String, Option[Long], Option[Long], Option[Double], Option[Double],
-           Option[Long], Option[Long])].collect()
+           Option[Long], Option[Long], Option[Long], Option[Long])].collect()
     assert(joined.nonEmpty && joined.forall(r => r._2.isDefined && r._3.isDefined),
       "AtScale must produce exactly the faithful id set")
-    joined.foreach { case (branch, Some(fn), Some(sn), fsp, ssp, Some(ftr), Some(str)) =>
-      assert(fn == sn && fsp == ssp, s"row count/spend must be exact: $fn/$fsp vs $sn/$ssp")
-      if (branch == "all") assert(ftr == str, s"'all' traffic must be exact: $ftr vs $str")
-      else assert(tol(ftr / fn, str / sn), s"'unique' traffic off-tolerance: $ftr vs $str")
+    joined.foreach {
+      case (branch, Some(fn), Some(sn), Some(fsp), Some(ssp),
+            Some(fmin), Some(fmax), Some(smin), Some(smax)) =>
+        assert(fn == sn, s"row count must be exact: $fn vs $sn")
+        assert(math.abs(fsp - ssp) <= 1e-9 * math.max(1.0, math.abs(fsp)),
+          s"spend sums diverged beyond float noise: $fsp vs $ssp")
+        assert(fmin == fmax && smin == smax,
+          s"traffic must be constant within a group: $fmin..$fmax / $smin..$smax")
+        if (branch == "all") assert(fmin == smin, s"'all' traffic must be exact: $fmin vs $smin")
+        else assert(tol(fmin, smin), s"'unique' traffic off-tolerance: $fmin vs $smin")
+      case other => fail(other.toString)
     }
   }
 

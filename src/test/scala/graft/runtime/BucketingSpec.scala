@@ -48,4 +48,18 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("registered q_rel_bucketed_join: merge join on bucketed scans, agg is the only shuffle") {
+    val df = graft.registry.RelationalQueries
+      .queries("q_rel_bucketed_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly the post-agg Exchange, found $exchanges:\n$plan")
+    // the join keys must come from bucketed table scans (bucket metadata
+    // reached the planner), not plain file scans
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    assert(df.count() > 0)
+  }
 }

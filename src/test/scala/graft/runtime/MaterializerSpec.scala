@@ -94,6 +94,26 @@ class MaterializerSpec extends SparkSpec {
     assert(next == Map("k1" -> 1, "k2" -> 20))
   }
 
+  test("recovery never touches a lone __tmp beside a healthy table") {
+    val mat = new Materializer(spark, freshDir())
+    mat.materialize("t", "id")(_ => Seq(("k1", 1)).toDF("id", "v"))
+    // a concurrent materialize's in-flight write (or a dead one): with
+    // the live table healthy, readers must not delete it out from under
+    // the writer — the swap-marker state is consistent, so recovery is
+    // a no-op
+    val tmp = java.nio.file.Paths.get(mat.outPath("t") + "__tmp")
+    Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("part-inflight"), "writer owns this")
+    assert(mat.readPrior("t").isDefined)
+    assert(Files.exists(tmp.resolve("part-inflight")),
+      "reader-side recovery deleted an in-flight __tmp")
+    // post-swap leftover (__old beside live) IS cleaned on read
+    val bak = java.nio.file.Paths.get(mat.outPath("t") + "__old")
+    Files.createDirectories(bak)
+    mat.exists("t")
+    assert(!Files.exists(bak), "stale __old beside a live table must be dropped")
+  }
+
   test("upsert replaces matching ids and appends new ones") {
     val mat = new Materializer(spark, freshDir())
     val v1 = Seq(("k1", 1), ("k2", 2)).toDF("id", "v")
