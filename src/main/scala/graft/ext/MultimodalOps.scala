@@ -13,11 +13,20 @@ import org.apache.spark.sql.types._
   * The SPARK side is real: schema convention, partition-preserving
   * `mapPartitions` execution (the Scala analog of `mapInPandas` — one
   * iterator per partition, so a real decoder amortizes model/codec init
-  * across the batch), deterministic output schema. The DECODE itself is
-  * a clearly-marked STUB (`fakeDecodeFeatures`): this container has no
-  * image/audio codecs, so it computes a byte-histogram feature vector —
-  * swap `decodeBatch` for a real codec call (JNI/ONNX/javacv) without
-  * touching any of the plumbing.
+  * across the batch), deterministic output schema.
+  *
+  * Decoding comes in two tiers behind the [[ImageCodec]] seam:
+  *  - [[ImageIoCodec]] — a REAL image decoder (the JDK's
+  *    `javax.imageio`, which ships PNG/JPEG/BMP/GIF readers in
+  *    `java.desktop` and runs headless): [[decodeImage]] extracts true
+  *    dimensions + a luminance histogram, [[resizeImage]] resamples
+  *    through `java.awt.Image` and re-encodes. Spec-gated on
+  *    generated PNGs (MultimodalSpec) — the fixture blobs are text
+  *    bytes, so the DuckDB-oracled queries cannot use it.
+  *  - `fakeDecodeFeatures` / `resizeStub` — the clearly-marked STUBS
+  *    (byte histogram / byte decimation) that stand in for audio/video
+  *    codecs the container lacks; deterministic, so the oracle-gated
+  *    queries verify the plumbing end-to-end.
   *
   * Scale notes: binary payloads ride the scan (parquet keeps them
   * column-pruned away unless selected); feature extraction is map-only
@@ -25,6 +34,52 @@ import org.apache.spark.sql.types._
   * ahead of the expensive decode because they live in plain columns, not
   * inside the blob.
   */
+/** Pluggable image-decode seam: partition-local operators take a codec
+  * instance, so a JNI/ONNX decoder drops in without touching plumbing.
+  * Implementations must be Serializable (the instance ships in the
+  * `mapPartitions` closure) and decode-on-executor only.
+  */
+trait ImageCodec extends Serializable {
+  /** (width, height, row-major ARGB pixels), or None if the payload is
+    * not decodable by this codec (corrupt bytes, wrong container).
+    */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])]
+
+  /** Resample to exactly targetW×targetH and re-encode; None if the
+    * payload is not decodable.
+    */
+  def resize(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]]
+}
+
+/** The JDK's own image codec (`javax.imageio`): real PNG/JPEG/BMP/GIF
+  * decode with zero extra dependencies, headless-safe (BufferedImage
+  * never touches a display). Re-encode is PNG (lossless, deterministic).
+  */
+object ImageIoCodec extends ImageCodec {
+
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+
+  override def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    readImage(payload).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+    }
+
+  override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    readImage(payload).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, targetW, targetH, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+}
+
 object MultimodalOps {
 
   /** Typed metadata carried next to every media blob. */
@@ -90,6 +145,117 @@ object MultimodalOps {
           if (payload == null) 0L else payload.length.toLong))
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Deterministic pixel generator shared by [[withGeneratedPng]] and
+    * its analytic DuckDB oracle: pixel i of doc d is the low 24 bits of
+    * (d·31 + i) · 0x9E3779B9 (RGB packed; row-major i = y·w + x).
+    */
+  private def genPixel(docId: Long, i: Int): Int =
+    (((docId * 31 + i) * 0x9E3779B9L) & 0xFFFFFFL).toInt
+
+  /** Media table whose blobs are REAL PNGs, encoded executor-side from
+    * the deterministic generator above (dims doc_id-derived, 8×8 up to
+    * 64×48 so the codec work stays proportional to the corpus). This
+    * exists to ORACLE-GATE the real decode path: the pixels are a pure
+    * function of doc_id, so DuckDB can compute the expected luminance
+    * statistics analytically while the engine must round-trip them
+    * through genuine PNG encode → [[ImageIoCodec]] decode — a match
+    * proves bit-exact pixel recovery, not just plumbing.
+    */
+  def withGeneratedPng(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      ((col("doc_id") % 8 + 1) * 8).cast("int").as("w"),
+      ((col("doc_id") % 6 + 1) * 8).cast("int").as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    base.mapPartitions { rows =>
+      // encoder allocation is per-partition; images are built row-local
+      rows.map { r =>
+        val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < w * h) { img.setRGB(i % w, i / w, genPixel(id, i)); i += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, Row("png", w, h, null))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL image decode through the [[ImageCodec]] seam: partition-local
+    * batch execution, one codec per partition iterator. Output: input
+    * columns minus the blob, plus the TRUE `decoded_width` /
+    * `decoded_height` read from the image bytes (not the metadata — a
+    * decoder trusts pixels, metadata is a hint) and a 16-bin luminance
+    * histogram over the decoded pixels. Payloads the codec rejects
+    * yield NULL dims/features (kept, so a quality filter can count
+    * corrupt blobs) — rows are never silently dropped.
+    */
+  def decodeImage(media: DataFrame, codec: ImageCodec = ImageIoCodec,
+                  mediaCol: String = "media"): DataFrame = {
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == mediaCol) ++ Seq(
+        StructField("decoded_width", IntegerType),
+        StructField("decoded_height", IntegerType),
+        StructField("features", ArrayType(DoubleType, containsNull = false))))
+    val keepIdx = inSchema.fields.zipWithIndex
+      .filterNot(_._1.name == mediaCol).map(_._2)
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE (a heavier codec loads once)
+      rows.map { r =>
+        val decoded = codec.decode(r.getAs[Array[Byte]](mediaIdx))
+        val kept = keepIdx.map(r.get)
+        decoded match {
+          case Some((w, h, px)) =>
+            val hist = new Array[Double](FeatureBins)
+            px.foreach { p =>
+              // ITU-R 601 integer luma from the ARGB word
+              val y = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+                114 * (p & 0xFF)) / 1000
+              hist(y / (256 / FeatureBins)) += 1.0
+            }
+            var i = 0
+            while (i < FeatureBins) { hist(i) /= px.length; i += 1 }
+            Row.fromSeq(kept.toSeq ++ Seq(w, h, hist.toSeq))
+          case None =>
+            Row.fromSeq(kept.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL image resize through the [[ImageCodec]] seam: resample every
+    * decodable payload to `targetW`×`targetH` (re-encoded PNG) and
+    * update the metadata dims; payloads the codec rejects pass through
+    * untouched with their ORIGINAL metadata (claiming target dims for
+    * an un-resampled payload would lie downstream — same honesty rule
+    * as [[resizeStub]]). Schema-preserving, partition-local.
+    */
+  def resizeImage(media: DataFrame, targetW: Int, targetH: Int,
+                  codec: ImageCodec = ImageIoCodec,
+                  mediaCol: String = "media", metaCol: String = "media_meta"): DataFrame = {
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val metaIdx = inSchema.fieldIndex(metaCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        codec.resize(r.getAs[Array[Byte]](mediaIdx), targetW, targetH) match {
+          case Some(resized) =>
+            val meta = r.getAs[Row](metaIdx)
+            val newMeta =
+              if (meta == null) Row("png", targetW, targetH, null)
+              else Row(meta.get(0), targetW, targetH, meta.get(3))
+            Row.fromSeq(r.toSeq.updated(mediaIdx, resized).updated(metaIdx, newMeta))
+          case None => r
+        }
+      }
+    }(RowEncoder.encoderFor(inSchema))
   }
 
   /** STUB frame sampler: n evenly-spaced byte-slices stand in for video

@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.{Classify, Filters, Joins, Keys}
 
@@ -21,51 +21,70 @@ import graft.ops.{Classify, Filters, Joins, Keys}
   */
 object TrafficDailyAgg {
 
-  /** @param events `atomic.events` shape; @param spends `campaign_spends`
-    * shape; @param profile Faithful = exact COUNT(DISTINCT) (oracle
-    * parity), AtScale = approx_count_distinct (see [[Profile]]).
+  /** The HLL rsd the AtScale profile uses everywhere (batch AND
+    * streaming) — the estimate is a pure function of the value set, so
+    * the two surfaces agree bit-for-bit only if the rsd matches.
     */
-  def build(events: DataFrame, spends: DataFrame, prior: Option[DataFrame] = None,
-            profile: Profile = Profile.Faithful): DataFrame = {
-    val wm = Filters.watermark(prior, "spend_date")
+  val ApproxRsd = 0.01
 
-    // filtered_events (traffic_daily_agg.sql:8-28)
-    val filtered = Filters.watermarkFilter(
+  /** filtered_events + classified_events (traffic_daily_agg.sql:8-49).
+    * `keepTs` additionally carries the raw `collector_tstamp` through —
+    * the streaming surface needs the event-time column for its watermark
+    * and day window, while the batch path groups on the derived date.
+    */
+  private[graft] def classifiedEventsOf(events: DataFrame,
+                                        wm: Option[java.sql.Date],
+                                        keepTs: Boolean = false): DataFrame = {
+    val cols = Seq(
+      to_date(col("collector_tstamp")).as("event_date"),
+      col("app_id"), col("domain_userid"), col("refr_medium"), col("mkt_source"),
+      col("refr_source"), col("mkt_network"), col("mkt_campaign"), col("mkt_term")) ++
+      (if (keepTs) Seq(col("collector_tstamp")) else Nil)
+    Filters.watermarkFilter(
       events.filter(
         Filters.pageViewFilter(col("event"), col("refr_medium")) &&
         Filters.botFilter(col("useragent")))
-        .select(
-          to_date(col("collector_tstamp")).as("event_date"),
-          col("app_id"), col("domain_userid"), col("refr_medium"), col("mkt_source"),
-          col("refr_source"), col("mkt_network"), col("mkt_campaign"), col("mkt_term")),
+        .select(cols: _*),
       "event_date", wm)
+      .withColumn("traffic_type",
+        Classify.trafficType(col("refr_medium"), coalesce(col("mkt_network"), lit(""))))
+  }
 
-    // classified_events (:30-49)
-    val classified = filtered.withColumn("traffic_type",
-      Classify.trafficType(col("refr_medium"), coalesce(col("mkt_network"), lit(""))))
+  /** The 5 grouping columns of event_traffic (:51-76): the date and app
+    * plus the classification and its two pickers.
+    */
+  private[graft] def trafficGroupKeys: Seq[Column] = Seq(
+    col("app_id"), col("traffic_type"),
+    Classify.channelSource(col("traffic_type"), col("mkt_source"),
+      col("refr_source"), col("mkt_network")).as("col_3"),
+    Classify.campaign(col("traffic_type"), col("mkt_campaign"), col("mkt_term")).as("col_4"))
 
-    // event_traffic (:51-76) — col_3/col_4 pickers are group keys
-    val eventTraffic = classified
+  /** event_traffic (:51-76): 5-key dual-count aggregate. */
+  private[graft] def eventTrafficOf(classified: DataFrame, profile: Profile): DataFrame =
+    classified
       .filter(col("traffic_type").isNotNull)
-      .groupBy(
-        col("event_date"), col("app_id"), col("traffic_type"),
-        Classify.channelSource(col("traffic_type"), col("mkt_source"),
-          col("refr_source"), col("mkt_network")).as("col_3"),
-        Classify.campaign(col("traffic_type"), col("mkt_campaign"), col("mkt_term")).as("col_4"))
+      .groupBy(col("event_date") +: trafficGroupKeys: _*)
       .agg(count(lit(1)).as("total_visits"),
         (profile match {
           case Profile.Faithful => countDistinct(col("domain_userid"))
-          case Profile.AtScale => approx_count_distinct(col("domain_userid"), 0.01)
+          case Profile.AtScale => approx_count_distinct(col("domain_userid"), ApproxRsd)
         }).as("unique_visitors"))
 
-    // campaign_spend_data (:79-90)
-    val spendData = Filters.watermarkFilter(
+  /** campaign_spend_data (:79-90). */
+  private[graft] def spendDataOf(spends: DataFrame, wm: Option[java.sql.Date]): DataFrame =
+    Filters.watermarkFilter(
       spends.filter(col("spend").isNotNull)
         .select(col("company_id"), col("company_domain"),
           to_date(col("spend_date")).as("spend_date"), col("campaign_name"), col("spend")),
       "spend_date", wm)
 
-    // combined_traffic (:92-130) — join once, project the two UNION branches
+  /** combined_traffic + final projection (:92-145): the model's TAIL —
+    * spend join (once; the two UNION branches are projections of it),
+    * all/unique pivot, 6-column surrogate key. Takes any frame in the
+    * event_traffic shape, so the streaming surface reuses it verbatim
+    * on each micro-batch of updated groups.
+    */
+  private[graft] def enrich(eventTraffic: DataFrame, spendData: DataFrame): DataFrame = {
     val et = eventTraffic.as("et")
     val joined = Joins.leftOn(et, spendData.as("csd"),
       col("et.col_4") === col("csd.campaign_name") &&
@@ -85,11 +104,22 @@ object TrafficDailyAgg {
       lit(null).cast("string").as("col_5"),
       lit(null).cast("string").as("col_6"))
 
-    // final projection + surrogate key (:132-145)
     branch("total_visits", "all").unionByName(branch("unique_visitors", "unique"))
       .withColumn("id", Keys.surrogateKey(col("company_domain"), col("spend_date"),
         col("col_1"), col("col_2"), col("col_3"), col("col_4")))
       .select("id", "company_id", "company_domain", "spend_date", "traffic", "spend",
         "col_1", "col_2", "col_3", "col_4", "col_5", "col_6")
+  }
+
+  /** @param events `atomic.events` shape; @param spends `campaign_spends`
+    * shape; @param profile Faithful = exact COUNT(DISTINCT) (oracle
+    * parity), AtScale = approx_count_distinct (see [[Profile]]).
+    */
+  def build(events: DataFrame, spends: DataFrame, prior: Option[DataFrame] = None,
+            profile: Profile = Profile.Faithful): DataFrame = {
+    val wm = Filters.watermark(prior, "spend_date")
+    enrich(
+      eventTrafficOf(classifiedEventsOf(events, wm), profile),
+      spendDataOf(spends, wm))
   }
 }

@@ -178,6 +178,19 @@ object ExtQueries {
           round(element_at(col("features"), 1), 6).as("bin0"),
           round(element_at(col("features"), 3), 6).as("bin2"),
           round(element_at(col("features"), 8), 6).as("bin7"))),
+    // the REAL-decode gate: blobs are genuine PNGs generated from a
+    // deterministic pixel function of doc_id; the engine must round-trip
+    // them through actual PNG encode → javax.imageio decode → luminance
+    // histogram, while the oracle computes the same statistics
+    // ANALYTICALLY from the generator formula — a hash match proves the
+    // codec recovers every pixel bit-exactly.
+    "q_ext_media_decode_real" -> ((s, dir) =>
+      MultimodalOps.decodeImage(
+        MultimodalOps.withGeneratedPng(Sources(s, dir).documents))
+        .select(col("doc_id"), col("decoded_width"), col("decoded_height"),
+          round(element_at(col("features"), 1), 6).as("bin0"),
+          round(element_at(col("features"), 6), 6).as("bin5"),
+          round(element_at(col("features"), 16), 6).as("bin15"))),
     // frame sampler gate: 4 evenly-spaced 64-byte slices per blob,
     // fingerprinted as md5 over the '|'-joined hex of each frame — a
     // scalar digest the DuckDB oracle reproduces by slicing hex(blob)
@@ -393,6 +406,31 @@ object ExtQueries {
          |  round(CASE WHEN n = 0 THEN 0.0 ELSE
          |    CAST(len(list_filter(range(n), i -> substr(hx, CAST(2*i+1 AS INT), 1) = '7')) AS DOUBLE) / n END, 6) AS bin7
          |FROM h""".stripMargin),
+    // Analytic mirror of the real-decode gate: regenerate each pixel's
+    // 24-bit RGB from (doc_id*31 + i) * 2654435769 (bits 16-23 / 8-15 /
+    // 0-7 are untouched by the 24-bit mask, so no masking needed before
+    // extraction), integer ITU-601 luma, 16 bins — all integer math, so
+    // the doubles divide out bit-identically to the decoded histogram.
+    "q_ext_media_decode_real" ->
+      ("""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 8 + 1) * 8 AS INT) AS w,
+         |    CAST((doc_id % 6 + 1) * 8 AS INT) AS h
+         |  FROM documents
+         |),
+         |lum AS (
+         |  SELECT doc_id, w, h,
+         |    list_transform(range(w*h), i ->
+         |      (299 * ((((doc_id*31 + i) * 2654435769) >> 16) & 255)
+         |     + 587 * ((((doc_id*31 + i) * 2654435769) >> 8) & 255)
+         |     + 114 * (((doc_id*31 + i) * 2654435769) & 255)) // 1000 // 16) AS bins
+         |  FROM d
+         |)
+         |SELECT doc_id, w AS decoded_width, h AS decoded_height,
+         |  round(CAST(len(list_filter(bins, v -> v = 0)) AS DOUBLE) / (w*h), 6) AS bin0,
+         |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / (w*h), 6) AS bin5,
+         |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / (w*h), 6) AS bin15
+         |FROM lum""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
     // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's

@@ -48,6 +48,70 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("n") == 4)
   }
 
+  // deterministic test PNG: w×h with pixel (x,y) = f(docId, x, y)
+  private def makePng(docId: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (docId * 31 + y * w + x) * 0x9E3779B9)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def pngMedia = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until 6).map { i =>
+      val (w, h) = (8 + i, 6 + i)
+      // doc 5 carries CORRUPT bytes — not an image
+      val blob = if (i == 5) Array[Byte](1, 2, 3, 4) else makePng(i, w, h)
+      Row(i.toLong, blob, Row("png", w, h, null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType),
+        StructField("media_meta", MultimodalOps.mediaMetaType))))
+  }
+
+  test("decodeImage: real PNG decode yields true dims + luminance histogram; corrupt rows kept with NULLs") {
+    val out = MultimodalOps.decodeImage(pngMedia)
+    assert(out.rdd.getNumPartitions == 2, "mapPartitions must not reshuffle")
+    assert(!out.columns.contains("media"))
+    val rows = out.select("doc_id", "decoded_width", "decoded_height", "features")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    (0 until 5).foreach { i =>
+      val (w, h, f) = rows(i.toLong)
+      // dims come from the DECODED pixels and match what was encoded
+      assert(w.contains(8 + i) && h.contains(6 + i), s"doc $i: $w x $h")
+      val hist = f.get.asInstanceOf[scala.collection.Seq[Double]]
+      assert(hist.length == 16 && math.abs(hist.sum - 1.0) < 1e-9)
+    }
+    val (cw, ch, cf) = rows(5L)
+    assert(cw.isEmpty && ch.isEmpty && cf.isEmpty, "corrupt blob must yield NULLs, not vanish")
+  }
+
+  test("resizeImage: decodable payloads resample to target dims, corrupt ones ride through") {
+    val out = MultimodalOps.resizeImage(pngMedia, 4, 4)
+    assert(out.schema == pngMedia.schema)
+    val rows = out.select("doc_id", "media", "media_meta.width", "media_meta.height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))).toMap
+    (0 until 5).foreach { i =>
+      val (blob, w, h) = rows(i.toLong)
+      assert(w == 4 && h == 4, s"doc $i metadata dims: $w x $h")
+      // the payload really IS a 4×4 image now — decode it back
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      assert(img.getWidth == 4 && img.getHeight == 4, s"doc $i payload dims")
+    }
+    // corrupt payload: untouched bytes, ORIGINAL metadata (honesty rule)
+    val (cb, cw, ch) = rows(5L)
+    assert(cb.toSeq == Seq[Byte](1, 2, 3, 4) && cw == 13 && ch == 11)
+  }
+
   test("resizeStub: schema preserved, metadata dims updated, payload shrunk by the stride") {
     val in = media.repartition(3)
     val out = MultimodalOps.resizeStub(in, 64, 64)

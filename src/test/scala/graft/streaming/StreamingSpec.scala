@@ -147,6 +147,60 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
   }
 
+  test("streaming daily model equals the batch AtScale TrafficDailyAgg on the same slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{Profile, TrafficDailyAgg}
+
+    val eventCols = Seq("collector_tstamp", "event", "useragent", "app_id",
+      "domain_userid", "refr_medium", "mkt_network", "mkt_source", "refr_source",
+      "mkt_campaign", "mkt_term")
+    // paid (cpc+net), organic (search, no network), a second paid user in
+    // the SAME group arriving in batch 2 (forces an in-place id upsert
+    // with an updated HLL sketch), plus gated rows: bot UA, non-page_view,
+    // internal referrer, and an unclassifiable medium (NULL traffic_type)
+    val batch1 = Seq(
+      (ts("2024-01-01 10:00:00"), "page_view", "Mozilla/5.0", "app0", "u1", "cpc", "net1", "MSrcA", "rsrcA", "CampA", "termA"),
+      (ts("2024-01-01 11:00:00"), "page_view", "Mozilla/5.0", "app0", "u2", "search", null, null, "rsrcB", null, "termB"),
+      (ts("2024-01-01 12:00:00"), "page_view", "MegaBot/2.1", "app0", "u3", "cpc", "net1", "MSrcA", "rsrcA", "CampA", "termA"),
+      (ts("2024-01-01 13:00:00"), "signup", "Mozilla/5.0", "app0", "u4", "cpc", "net1", "MSrcA", "rsrcA", "CampA", "termA"))
+    val batch2 = Seq(
+      (ts("2024-01-01 14:00:00"), "page_view", "Mozilla/5.0", "app0", "u5", "cpc", "net1", "MSrcA", "rsrcA", "CampA", "termA"),
+      (ts("2024-01-02 09:00:00"), "page_view", "Mozilla/5.0", "app1", "u1", "cpc", "net2", "MSrcB", "rsrcB", "CampB", null),
+      (ts("2024-01-02 10:00:00"), "page_view", "Mozilla/5.0", "app1", "u6", "internal", null, null, null, null, null),
+      (ts("2024-01-02 11:00:00"), "page_view", "Mozilla/5.0", "app1", "u7", "affiliate", null, "MSrcC", null, null, null))
+    val spends = Seq(
+      ("c1", "DomA", ts("2024-01-01 00:00:00"), "CampA", 12.5),
+      ("c1", "DomA", ts("2024-01-02 00:00:00"), "CampZ", 99.0))
+      .toDF("company_id", "company_domain", "spend_date", "campaign_name", "spend")
+
+    val allEvents = (batch1 ++ batch2).toDF(eventCols: _*)
+    val expected = TrafficDailyAgg.build(allEvents, spends, profile = Profile.AtScale)
+    val cols = expected.columns
+    val expectedRows = expected.collect().map(_.toSeq.map(String.valueOf)).toSet
+    // 3 surviving groups (paid app0, organic app0, paid app1) × 2 branches
+    assert(expectedRows.size == 6, s"unexpected batch target: $expectedRows")
+
+    val mat = new Materializer(spark,
+      java.nio.file.Files.createTempDirectory("graft_dailystream_").toString)
+    val in = MemoryStream[(java.sql.Timestamp, String, String, String, String,
+      String, String, String, String, String, String)]
+    // 30-day delay: nothing in this slice is ever late enough to drop
+    val q = DailyTrafficModel.stream(in.toDF().toDF(eventCols: _*), spends,
+      mat, "daily_stream", delay = "30 days").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = mat.readPrior("daily_stream").get
+      .select(cols.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == expectedRows,
+      s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
+  }
+
   test("lastTouch keeps the best touch across batches (paid beats later organic)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TouchEvent]
