@@ -23,6 +23,29 @@ import graft.ops.{Aggs, Filters, Ids, Pivot}
   */
 object TrafficPagesAgg {
 
+  private def labeledOf(pageTraffic: DataFrame): DataFrame =
+    Pivot.byUnion(pageTraffic,
+      Seq("company_domain", "date", "page_urlpath"),
+      labelCol = "type", valueCol = "traffic",
+      allFrom = "total_visits", uniqueFrom = "unique_visits")
+
+  private def idKeys =
+    Seq(col("date"), col("company_domain"), col("page_urlpath"), col("type"))
+
+  private def project(withId: DataFrame): DataFrame =
+    withId
+      .withColumn("company_id", lit(1))
+      .select("id", "date", "type", "page_urlpath", "traffic", "company_id", "company_domain")
+
+  /** labeled_visits + final projection (:38-78) under the AtScale id —
+    * the model's TAIL from any frame in the page_traffic shape. The
+    * content-hash id is a pure function of the key columns, which is
+    * what makes the streaming surface's id-keyed upsert exact
+    * (streaming/PageTrafficModel reuses this verbatim per micro-batch).
+    */
+  private[graft] def finishAtScale(pageTraffic: DataFrame): DataFrame =
+    project(Ids.scaleSafeId(labeledOf(pageTraffic), idKeys))
+
   /** @param events `atomic.events`-shaped input (RefShapes.eventsRef). */
   def build(events: DataFrame, prior: Option[DataFrame] = None,
             profile: Profile = Profile.Faithful): DataFrame = {
@@ -50,20 +73,10 @@ object TrafficPagesAgg {
           totalName = "total_visits", uniqueName = "unique_visits")
     }
 
-    // labeled_visits (:38-56)
-    val labeled = Pivot.byUnion(pageTraffic,
-      Seq("company_domain", "date", "page_urlpath"),
-      labelCol = "type", valueCol = "traffic",
-      allFrom = "total_visits", uniqueFrom = "unique_visits")
-
-    // final_rows + projection (:58-78)
-    val idKeys = Seq(col("date"), col("company_domain"), col("page_urlpath"), col("type"))
-    val withId = profile match {
-      case Profile.Faithful => Ids.globalRowNumber(labeled, idKeys)
-      case Profile.AtScale => Ids.scaleSafeId(labeled, idKeys)
+    // labeled_visits + final_rows + projection (:38-78)
+    profile match {
+      case Profile.Faithful => project(Ids.globalRowNumber(labeledOf(pageTraffic), idKeys))
+      case Profile.AtScale => finishAtScale(pageTraffic)
     }
-    withId
-      .withColumn("company_id", lit(1))
-      .select("id", "date", "type", "page_urlpath", "traffic", "company_id", "company_domain")
   }
 }

@@ -112,6 +112,25 @@ object ExtQueries {
       DedupOps.dedupNearDupsCC(docs, DedupOps.jaccardPairs(docs, 0.9))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
     }),
+    // the embedding-cosine near-dup APPLICATION: the corpus with the
+    // higher id of every cosine-similar pair removed (the same greedy
+    // policy as the token path, driven by vector pairs).
+    "q_ext_dedup_embed_corpus" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      DedupOps.removeNearDups(e, SimilarityOps.cosinePairs(e, 0.35),
+        idCol = "vec_id", dropCol = "vec_b")
+        .select(col("vec_id"), size(col("embedding")).as("dims"))
+    }),
+    // corpus-level reporting rollup: per-language doc/token/quality/
+    // distinct-content statistics — the one-shuffle summary a pipeline
+    // publishes after each ingest (partial-aggregable except the exact
+    // distinct, which is the declared oracle-parity choice here).
+    "q_ext_corpus_stats" -> ((s, dir) =>
+      Sources(s, dir).documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(TextOps.tokenCount(col("text"))).as("total_tokens"),
+          avg(TextOps.qualityScore(col("text"))).as("avg_quality"),
+          countDistinct(TextOps.fingerprint(col("text"))).as("distinct_contents"))),
     "q_ext_jaccard_pairs" -> ((s, dir) =>
       DedupOps.jaccardPairs(docsSub(s, dir), 0.9)),
     // document-frequency pruning ON: tokens in > 80% of the corpus are
@@ -234,6 +253,15 @@ object ExtQueries {
   private def markerScore(words: Seq[String]): String =
     s"len(list_intersect($dtoksSql, [${words.map(w => s"'$w'").mkString(",")}]))"
 
+  // shared by the text-features oracle and the corpus-stats rollup
+  private val qualitySql =
+    s"""0.5 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0)
+       |    + 0.3 * (CASE WHEN $stopRatioSql BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+       |    + 0.2 * (1.0 - $punctRatioSql)""".stripMargin
+
+  private val fingerprintSql =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
   // Shared by every token-Jaccard oracle (pairs, pruned pairs, greedy
   // near-dup corpus, CC near-dup corpus): the docsSub → tokenize →
   // size → shared-count CTE block, written once so a tokenization or
@@ -282,11 +310,23 @@ object ExtQueries {
          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
          |  $stopRatioSql AS stopword_ratio,
          |  $punctRatioSql AS punct_ratio,
-         |  0.5 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0)
-         |    + 0.3 * (CASE WHEN $stopRatioSql BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
-         |    + 0.2 * (1.0 - $punctRatioSql) AS quality,
-         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  $qualitySql AS quality,
+         |  $fingerprintSql AS fp
          |FROM documents""".stripMargin),
+    "q_ext_dedup_embed_corpus" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+         |)
+         |SELECT vec_id, len(embedding) AS dims FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
+    "q_ext_corpus_stats" ->
+      (s"""SELECT lang, count(*) AS docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+         |  avg($qualitySql) AS avg_quality,
+         |  count(DISTINCT $fingerprintSql) AS distinct_contents
+         |FROM documents GROUP BY 1""".stripMargin),
     "q_ext_langid" ->
       (s"""SELECT doc_id, lang,
          |  CASE

@@ -201,6 +201,53 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
   }
 
+  test("streaming pages model equals the batch AtScale TrafficPagesAgg on the same slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{Profile, TrafficPagesAgg}
+
+    val eventCols = Seq("collector_tstamp", "event", "useragent", "refr_medium",
+      "app_id", "domain_userid", "page_urlpath")
+    // two pages on two days; /p/1's day-1 group is touched again in batch
+    // 2 (same user — total increments, unique must NOT) plus gated rows:
+    // bot, non-page_view, internal referrer, NULL path
+    val batch1 = Seq(
+      (ts("2024-01-01 10:00:00"), "page_view", "Mozilla/5.0", "search", "app0", "u1", "/p/1"),
+      (ts("2024-01-01 11:00:00"), "page_view", "Mozilla/5.0", "search", "app0", "u2", "/p/1"),
+      (ts("2024-01-01 12:00:00"), "page_view", "Mozilla/5.0", "search", "app0", "u1", "/p/2"),
+      (ts("2024-01-01 13:00:00"), "page_view", "MegaBot/2.1", "search", "app0", "u3", "/p/1"),
+      (ts("2024-01-01 14:00:00"), "signup", "Mozilla/5.0", "search", "app0", "u4", "/p/1"))
+    val batch2 = Seq(
+      (ts("2024-01-01 15:00:00"), "page_view", "Mozilla/5.0", "search", "app0", "u1", "/p/1"),
+      (ts("2024-01-02 09:00:00"), "page_view", "Mozilla/5.0", "search", "app0", "u5", "/p/2"),
+      (ts("2024-01-02 10:00:00"), "page_view", "Mozilla/5.0", "internal", "app0", "u6", "/p/3"),
+      (ts("2024-01-02 11:00:00"), "page_view", "Mozilla/5.0", "search", "app0", "u7", null))
+
+    val allEvents = (batch1 ++ batch2).toDF(eventCols: _*)
+    val expected = TrafficPagesAgg.build(allEvents, profile = Profile.AtScale)
+    val cols = expected.columns
+    val expectedRows = expected.collect().map(_.toSeq.map(String.valueOf)).toSet
+    // 3 surviving (date, path) groups × 2 pivot branches
+    assert(expectedRows.size == 6, s"unexpected batch target: $expectedRows")
+
+    val mat = new Materializer(spark,
+      java.nio.file.Files.createTempDirectory("graft_pagestream_").toString)
+    val in = MemoryStream[(java.sql.Timestamp, String, String, String, String, String, String)]
+    val q = PageTrafficModel.stream(in.toDF().toDF(eventCols: _*),
+      mat, "pages_stream", delay = "30 days").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = mat.readPrior("pages_stream").get
+      .select(cols.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == expectedRows,
+      s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
+  }
+
   test("lastTouch keeps the best touch across batches (paid beats later organic)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TouchEvent]
