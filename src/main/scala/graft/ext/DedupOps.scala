@@ -241,10 +241,27 @@ object DedupOps {
     */
   def minHashNearDupPairs(docs: DataFrame, threshold: Double,
                           numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                          textCol: String = "text", idCol: String = "doc_id",
+                          maxDocFreqRatio: Option[Double] = None): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
-    val sh = array_distinct(shingles(col(textCol), shingleK))
+    val sh0 = array_distinct(shingles(col(textCol), shingleK))
+    // Document-frequency pruning for the signature path: hot shingles are
+    // removed BEFORE hashing, so they can neither flood LSH buckets nor
+    // inflate the verify's intersection. The hot set is collected to the
+    // driver as an array_except literal — safe by construction: tokens
+    // with df > r·N number fewer than (total postings)/(r·N) =
+    // avgDocLen/r, a bound independent of corpus size.
+    val sh = maxDocFreqRatio match {
+      case None => sh0
+      case Some(r) =>
+        require(r > 0 && r <= 1, s"maxDocFreqRatio must be in (0,1]: $r")
+        val maxDf = math.floor(r * docs.count()).toLong
+        val hot = docs.select(explode(sh0).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+          .select("t").collect().map(_.getString(0))
+        if (hot.isEmpty) sh0 else array_except(sh0, typedLit(hot.toSeq))
+    }
     val sigs = docs.select(col(idCol).as("doc_id"),
       sh.as("toks"),
       minHashSignature(sh, numHashes).as("sig"))

@@ -39,4 +39,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"scale-hostile join strategy appeared:\n$p")
   }
+
+  test("pruned jaccard: hot-token prune is a broadcast anti-join, never a shuffled one") {
+    val p = plan("q_ext_jaccard_pairs_pruned")
+    // the heavy-hitter set is tiny by definition — if this regresses to a
+    // SortMergeJoin LeftAnti, the prune itself shuffles the full index
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-token prune not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin LeftAnti"),
+      s"prune shuffles the token index:\n$p")
+  }
+
+  test("corpus stats: two-column scan feeding a partial-aggregated rollup") {
+    val p = plan("q_ext_corpus_stats")
+    assert(!p.contains("doc_id") && !p.contains("source"),
+      s"scan reads columns beyond (lang, text):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partial aggregation:\n$p")
+  }
 }

@@ -170,6 +170,12 @@ class ExtOpsSpec extends SparkSpec {
     val tok = docs.select(col("doc_id"),
       explode(TextOps.distinctTokens(col("text"))).as("t"))
     assert(DedupOps.pruneHotTokens(tok, 15).count() == tok.count() - 30)
+    // the MinHash path prunes the same hot set BEFORE hashing: signatures
+    // are computed over pruned shingle sets, so the result matches the
+    // exact pruned metric (identical pruned sets → identical signatures)
+    val mh = DedupOps.minHashNearDupPairs(docs, 0.9, maxDocFreqRatio = Some(0.5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((0L, 1L)), s"pruned minhash pairs: $mh")
   }
 
   test("connected components: min-label fixpoint over chains and isolated components") {
