@@ -188,6 +188,16 @@ class ExtOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L), comp.toString)
   }
 
+  test("connected components: 1000-link chain converges in O(log d) rounds") {
+    // the adversarial shape for label propagation: one path graph of
+    // diameter 1000. Plain min-label needs ~1000 rounds (beyond the
+    // 50-round cap); the pointer-jumping loop must land it in ~log2(d)
+    val pairs = (0 until 1000).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val comp = DedupOps.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(comp.length == 1001 && comp.forall(_._2 == 0L),
+      s"chain must collapse to root 0: ${comp.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("CC policy keeps exactly one doc per component where greedy keeps several") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "lonely"))
       .toDF("doc_id", "text")

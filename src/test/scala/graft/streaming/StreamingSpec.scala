@@ -201,6 +201,43 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
   }
 
+  test("streaming daily model over the FIXTURE events equals the batch AtScale build") {
+    import graft.model.{Profile, RefShapes, TrafficDailyAgg}
+    import graft.runtime.Sources
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = RefShapes.eventsRef(Sources(spark, dir).events)
+    val spends = RefShapes.campaignSpendsRef(Sources(spark, dir).events)
+    val expected = TrafficDailyAgg.build(batchEvents, spends, profile = Profile.AtScale)
+    val cols = expected.columns
+    val expectedRows = expected.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(expectedRows.size > 50, s"fixture slice too small: ${expectedRows.size}")
+
+    // the same parquet through the streaming file source: raw schema (ts
+    // is a nanos LONG under the Sources bootstrap), same conversion, same
+    // RefShapes mapping — pure per-row exprs lift onto the stream as-is
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory: expose the fixture file through
+    // a temp dir symlink (read-only — nothing is written to the fixture)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_eventsdir_")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val rawStream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    val streamEvents = RefShapes.eventsRef(
+      rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val mat = new Materializer(spark,
+      java.nio.file.Files.createTempDirectory("graft_dailyfix_").toString)
+    val q = DailyTrafficModel.stream(streamEvents, spends, mat,
+      "daily_stream_fixture", delay = "3650 days").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = mat.readPrior("daily_stream_fixture").get
+      .select(cols.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == expectedRows,
+      s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
+  }
+
   test("streaming pages model equals the batch AtScale TrafficPagesAgg on the same slice") {
     implicit val sqlCtx = spark.sqlContext
     import graft.model.{Profile, TrafficPagesAgg}
