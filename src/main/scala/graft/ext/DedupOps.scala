@@ -190,6 +190,66 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-token candidate pairs under a global rarity order (seam for
+    * [[jaccardPairsPrefix]] and its reduction spec): each doc
+    * contributes only its p = n − ⌈t·n⌉ + 1 globally-rarest tokens to
+    * the inverted index.
+    */
+  private[ext] def prefixCandidates(docs: DataFrame, threshold: Double,
+                                    textCol: String, idCol: String): DataFrame = {
+    val tok = tokenIndex(docs, textCol, idCol)
+    val dfRank = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfRank, Seq("t"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("t"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "t")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** EXACT all-pairs token-set Jaccard ≥ threshold with PREFIX FILTERING
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Xiao et al., ppjoin): byte-identical output to [[jaccardPairs]] —
+    * it shares the same oracle — from a fraction of the candidate pairs.
+    *
+    * Sort every doc's tokens by one GLOBAL rarity order (ascending df,
+    * token as tiebreak) and index only the first p = n − ⌈t·n⌉ + 1 of
+    * them. If two sets with Jaccard ≥ t shared no prefix token, all
+    * their shared tokens would sit in the suffixes of length ⌈t·n⌉ − 1,
+    * capping the overlap below what Jaccard ≥ t requires — so joining
+    * prefixes loses no true pair (the standard prefix-filter lemma).
+    * Candidates are then verified with exact intersection sizes.
+    *
+    * The 100 TB property: each doc indexes its RAREST tokens, so the
+    * hot head of the Zipf curve never enters the join at all — the
+    * worst-case per-token fan-out collapses WITHOUT the lossy metric
+    * trade of `maxDocFreqRatio` (this path stays exact). Cost: one df
+    * aggregation and a per-doc (not global) rank window, both one
+    * shuffle; the verify joins full token arrays to the (small)
+    * candidate set only.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
+    val cand = prefixCandidates(docs, threshold, textCol, idCol)
+    val tokSets = docs.select(col(idCol).as("doc_id"),
+      TextOps.distinctTokens(col(textCol)).as("toks"))
+    cand
+      .join(tokSets.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tokSets.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double") /
+          size(array_union(col("ta.toks"), col("tb.toks")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Prime modulus for the universal-hash family (fits min-hash values in

@@ -133,6 +133,11 @@ object ExtQueries {
           countDistinct(TextOps.fingerprint(col("text"))).as("distinct_contents"))),
     "q_ext_jaccard_pairs" -> ((s, dir) =>
       DedupOps.jaccardPairs(docsSub(s, dir), 0.9)),
+    // EXACT prefix-filtered variant: provably the same pairs (it shares
+    // q_ext_jaccard_pairs' oracle) from a fraction of the candidates —
+    // each doc indexes only its globally-rarest n−⌈0.9n⌉+1 tokens.
+    "q_ext_jaccard_pairs_prefix" -> ((s, dir) =>
+      DedupOps.jaccardPairsPrefix(docsSub(s, dir), 0.9)),
     // document-frequency pruning ON: tokens in > 80% of the corpus are
     // dropped before the self-join (threshold relaxed to 0.8 so the
     // pruned metric still yields pairs on the fixture's flat vocabulary).
@@ -373,6 +378,15 @@ object ExtQueries {
          |SELECT doc_id, lang, md5(text) AS content_md5 FROM docs
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin),
     "q_ext_jaccard_pairs" ->
+      (s"""WITH ${jaccardCtes(pruned = false)}
+         |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9""".stripMargin),
+    // the prefix-filtered path is EXACT — identical result set, so it
+    // faces the identical oracle text as the naive inverted-index join
+    "q_ext_jaccard_pairs_prefix" ->
       (s"""WITH ${jaccardCtes(pruned = false)}
          |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
          |FROM shared

@@ -178,6 +178,52 @@ class ExtOpsSpec extends SparkSpec {
     assert(mh == Set((0L, 1L)), s"pruned minhash pairs: $mh")
   }
 
+  test("prefix-filtered jaccard is exact: equals the naive join on random corpora") {
+    // deterministic pseudo-random docs over a 40-token vocabulary with
+    // planted near-dup twins so every threshold band has true pairs
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 12).map(j => s"w${math.floorMod(mix(i.toLong * 17 + j), 40)}")
+      val text = if (i % 10 == 9) // twin of the previous doc, one token off
+        ((0 until 11).map(j => s"w${math.floorMod(mix((i - 1).toLong * 17 + j), 40)}") :+ "wx").mkString(" ")
+      else base.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      def key(df: DataFrame) = df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val naive = key(DedupOps.jaccardPairs(docs, t))
+      val prefix = key(DedupOps.jaccardPairsPrefix(docs, t))
+      assert(prefix == naive,
+        s"t=$t: prefix missing ${(naive -- prefix).take(3)} extra ${(prefix -- naive).take(3)}")
+      assert(t > 0.5 || naive.nonEmpty, s"t=$t should have pairs on this corpus")
+    }
+  }
+
+  test("prefix filtering keeps the hot token out of the join entirely") {
+    // same planted-hot corpus as the pruning test: "hot" is in every doc,
+    // so it is the globally COMMONEST token and never lands in any doc's
+    // rarest-(n-⌈tn⌉+1) prefix → candidates collapse from all C(30,2)
+    // pairs to the docs genuinely sharing rare tokens — with NO metric
+    // change (exactness preserved, unlike maxDocFreqRatio)
+    val docs = (0 until 30).map { i =>
+      val rare = if (i == 1) "r0a r0b r0c r0d"
+                 else s"r${i}a r${i}b r${i}c r${i}d"
+      (i.toLong, s"hot $rare")
+    }.toDF("doc_id", "text")
+    val cand = DedupOps.prefixCandidates(docs, 0.9, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((0L, 1L)), s"prefix candidates: $cand")
+    val pairs = DedupOps.jaccardPairsPrefix(docs, 0.9)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((0L, 1L, 1.0)), pairs.mkString(","))
+  }
+
   test("connected components: min-label fixpoint over chains and isolated components") {
     // chain 1-2-3-4-5 (needs several propagation rounds) + separate {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
