@@ -93,6 +93,7 @@ object DedupOps {
     // for the price of the node-distinct shuffle the init pays anyway
     var labels = edges.groupBy(col("src").as("node"))
       .agg(least(min(col("dst")), col("src")).as("root")).localCheckpoint()
+    if (labels.isEmpty) return labels  // no pairs → no components
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("root").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -205,8 +206,15 @@ object DedupOps {
           .partitionBy("doc_id").orderBy(col("df"), col("t"))))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    // ⌈t·n⌉ in EXACT decimal arithmetic: a double `n * t` can overshoot
+    // an exact integer product (0.07 * 100 = 7.000…001 → ceil 8) and
+    // silently shorten the prefix below the lemma's bound. Rounding the
+    // threshold DOWN to 18 decimal digits only lengthens the prefix
+    // (conservative), never shortens it.
+    val tDec = new java.math.BigDecimal(threshold)
+      .setScale(18, java.math.RoundingMode.DOWN)
     val prefix = ranked
-      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("rn") <= col("n") - ceil(col("n") * lit(tDec)) + 1)
       .select("doc_id", "t")
     prefix.as("a").join(prefix.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))

@@ -37,8 +37,11 @@ object ExtQueries {
   // losing threads block on the winner's lazy-val monitor until the save
   // completes, so no caller can observe a partial index. The temp dir is
   // recorded on the holder BEFORE training so a JVM exit mid-train still
-  // reclaims it; a failed train deregisters, deletes, and rethrows (the
-  // next call starts a fresh holder).
+  // reclaims it; a failed train deletes its temp dir and rethrows but
+  // the holder STAYS registered — Scala lazy vals re-run a failed
+  // initializer, so blocked losers (and later calls) retry inside this
+  // same, still-tracked holder; deregistering here would orphan a
+  // loser's successful retry from the shutdown hook.
   private final class IvfIdxHolder(s: SparkSession, dir: String) {
     @volatile var tmpDir: String = _
     lazy val path: String = {
@@ -47,7 +50,6 @@ object ExtQueries {
       try { IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p); p }
       catch {
         case e: Throwable =>
-          ivfIndexDirs.synchronized(ivfIndexDirs.remove(dir))
           tmpDir = null
           graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
           throw e

@@ -30,7 +30,11 @@ object RelationalQueries {
   // persists) before rewriting.
   private final class BucketedHolder(s: SparkSession, dir: String) {
     lazy val tables: (String, String) = {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // sanitized name + content hash of the FULL dir string: two dirs
+      // that sanitize identically (sf0.1 vs sf0_1) must not share tables
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
       val li = s"bkt_lineitem_$tag"
       val ord = s"bkt_orders_$tag"
       def reset(name: String): Unit = {

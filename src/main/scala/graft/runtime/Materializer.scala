@@ -27,11 +27,17 @@ import java.nio.file.{Files, Paths}
   * mutates nothing else: in particular a lone `__tmp` beside a healthy
   * live table is left alone — it is either a concurrent materialize's
   * in-flight write or a dead write the next run's Overwrite replaces —
-  * so overlapping readers never destroy a writer's work. The seam is
-  * single-WRITER per (baseDir, model); readers may overlap the writer.
-  * On a real deployment this seam is where a table format (Delta/
-  * Iceberg MERGE, or date-partition overwrite) plugs in; the anti-join
-  * form shuffles both sides by `id` once, which AQE sizes.
+  * so readers overlapping a writer's (long) PARQUET-WRITE phase are
+  * safe. The remaining unsafe overlap is the two-rename swap window
+  * itself: a reader's recover() there cannot distinguish a crashed
+  * writer from a live one mid-swap and would "restore" the prior table
+  * out from under it. The contract is therefore: single WRITER per
+  * (baseDir, model); readers may overlap the write phase but reads
+  * concurrent with the millisecond swap window need external
+  * coordination (on a real deployment this whole seam is where a table
+  * format's atomic commit — Delta/Iceberg MERGE, or date-partition
+  * overwrite — plugs in). The anti-join form shuffles both sides by
+  * `id` once, which AQE sizes.
   */
 final class Materializer(spark: SparkSession, baseDir: String) {
 

@@ -47,10 +47,16 @@ object DailyTrafficModel {
 
   /** Streaming event_traffic: the model's 5-key dual-count aggregate as
     * a watermarked day-window agg. Output schema matches the batch
-    * `eventTrafficOf` exactly (`window.start` IS the event's civil date
-    * under the session timezone, same value as `to_date(ts)`).
+    * `eventTrafficOf` exactly. REQUIRES a UTC session: `window(ts, "1
+    * day")` aligns to epoch (UTC) days while the batch `to_date(ts)`
+    * uses the session timezone — they coincide only under UTC, so a
+    * non-UTC session would silently split civil days across two windows.
+    * Asserted here rather than documented-and-hoped.
     */
-  def eventTraffic(classified: DataFrame, delay: String = "1 day"): DataFrame =
+  def eventTraffic(classified: DataFrame, delay: String = "1 day"): DataFrame = {
+    require(classified.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "streaming day windows align to UTC; set spark.sql.session.timeZone=UTC " +
+        "to match the batch model's to_date grouping")
     classified
       .filter(col("traffic_type").isNotNull)
       .withWatermark("collector_tstamp", delay)
@@ -62,6 +68,7 @@ object DailyTrafficModel {
       .select(to_date(col("w.start")).as("event_date"),
         col("app_id"), col("traffic_type"), col("col_3"), col("col_4"),
         col("total_visits"), col("unique_visitors"))
+  }
 
   /** Sink: every micro-batch of updated groups runs the batch model's
     * enrichment tail and upserts by the (key-functional) surrogate id.

@@ -44,9 +44,14 @@ object PageTrafficModel {
 
   /** Streaming page_traffic: the model's 3-key dual-count aggregate as a
     * watermarked day-window agg, output schema identical to the batch
-    * `page_traffic` stage.
+    * `page_traffic` stage. REQUIRES a UTC session (same reason as
+    * DailyTrafficModel.eventTraffic: epoch-aligned windows vs session-tz
+    * `to_date` coincide only under UTC).
     */
-  def pageTraffic(views: DataFrame, delay: String = "1 day"): DataFrame =
+  def pageTraffic(views: DataFrame, delay: String = "1 day"): DataFrame = {
+    require(views.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "streaming day windows align to UTC; set spark.sql.session.timeZone=UTC " +
+        "to match the batch model's to_date grouping")
     Aggs.dualCountApprox(
       views.withWatermark("collector_tstamp", delay),
       Seq(window(col("collector_tstamp"), "1 day").as("w"),
@@ -56,6 +61,7 @@ object PageTrafficModel {
       .select(to_date(col("w.start")).as("date"),
         col("app_id").as("company_domain"), col("page_urlpath"),
         col("total_visits"), col("unique_visits"))
+  }
 
   /** Sink: every micro-batch of updated groups runs the batch model's
     * AtScale tail and upserts by the (key-functional) content-hash id.

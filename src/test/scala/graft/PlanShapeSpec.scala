@@ -46,7 +46,9 @@ class PlanShapeSpec extends SparkSpec {
     // SortMergeJoin LeftAnti, the prune itself shuffles the full index
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"hot-token prune not a broadcast anti-join:\n$p")
-    assert(!p.contains("SortMergeJoin LeftAnti"),
+    // plan lines read "SortMergeJoin [keys], [keys], LeftAnti" — match
+    // across the key lists, not the adjacent-words form (never occurs)
+    assert("SortMergeJoin[^\\n]*LeftAnti".r.findFirstIn(p).isEmpty,
       s"prune shuffles the token index:\n$p")
   }
 

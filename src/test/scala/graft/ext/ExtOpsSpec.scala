@@ -244,6 +244,15 @@ class ExtOpsSpec extends SparkSpec {
       s"chain must collapse to root 0: ${comp.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("CC policy on a corpus with NO near-dups returns every doc unchanged") {
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.connectedComponents(noPairs).isEmpty)
+    val kept = DedupOps.dedupNearDupsCC(docs, noPairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+  }
+
   test("CC policy keeps exactly one doc per component where greedy keeps several") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "lonely"))
       .toDF("doc_id", "text")
@@ -267,7 +276,13 @@ class ExtOpsSpec extends SparkSpec {
     val brute = keys("q_ext_knn_brute")
     val approx4 = keys("q_ext_knn_ivf_probe_approx")   // nprobe 4 of 16
     val exact16 = keys("q_ext_knn_ivf_probe")          // nprobe = nlist
-    assert(approx4.subsetOf(brute.union(approx4)) && approx4.nonEmpty)
+    // structural contract: every query answered with exactly k rows of
+    // real, non-self corpus neighbors (ANN may rank non-top-k neighbors
+    // in, but never fabricate ids or return a query as its own neighbor)
+    val byQuery = approx4.groupBy(_._1)
+    assert(byQuery.size == brute.groupBy(_._1).size && byQuery.values.forall(_.size == 3),
+      s"approx probe must answer every query with exactly k rows: ${byQuery.view.mapValues(_.size).toMap}")
+    assert(approx4.forall { case (q, c) => q != c }, "self-neighbor returned")
     // The fixture embeddings are near-uniform random (max pairwise cos
     // ≈ 0.5) — the ADVERSARIAL case for any cell-partitioned ANN, since
     // true neighbors sit barely closer than strangers and scatter across
