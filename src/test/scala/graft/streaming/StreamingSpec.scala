@@ -238,6 +238,52 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
   }
 
+  test("daily model stream restarts from its checkpoint and still equals the batch build") {
+    import graft.model.{Profile, RefShapes, TrafficDailyAgg}
+    import graft.runtime.Sources
+    val dir = "/root/testdata/sf0.001"
+    val rawBatch = Sources(spark, dir).events
+    val expected = TrafficDailyAgg.build(RefShapes.eventsRef(rawBatch),
+      RefShapes.campaignSpendsRef(rawBatch), profile = Profile.AtScale)
+    val cols = expected.columns
+    val expectedRows = expected.collect().map(_.toSeq.map(String.valueOf)).toSet
+
+    // split the fixture into two replayable parquet files: the file
+    // source + checkpoint give exactly-once delivery across a restart
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_restart_src_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt_").toString
+    rawBatch.filter(col("event_id") % 2 === 0)
+      .write.parquet(s"$streamDir/half=a")
+    val rawSchema = spark.read.parquet(s"$streamDir/half=a").schema
+    val spends = RefShapes.campaignSpendsRef(rawBatch)
+    val mat = new Materializer(spark,
+      java.nio.file.Files.createTempDirectory("graft_restart_out_").toString)
+
+    def startQuery() = {
+      val raw = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$streamDir/half=*")
+      DailyTrafficModel.stream(RefShapes.eventsRef(raw), spends, mat,
+        "daily_restart", delay = "3650 days")
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // new data lands while the query is DOWN; the restarted query must
+    // resume from the checkpoint, fold the new file into the SAME agg
+    // state, and upsert the affected ids in place
+    rawBatch.filter(col("event_id") % 2 === 1)
+      .write.parquet(s"$streamDir/half=b")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = mat.readPrior("daily_restart").get
+      .select(cols.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == expectedRows,
+      s"missing=${(expectedRows -- got).take(3)}\nextra=${(got -- expectedRows).take(3)}")
+  }
+
   test("streaming pages model equals the batch AtScale TrafficPagesAgg on the same slice") {
     implicit val sqlCtx = spark.sqlContext
     import graft.model.{Profile, TrafficPagesAgg}
