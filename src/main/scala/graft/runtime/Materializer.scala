@@ -28,20 +28,34 @@ import java.nio.file.{Files, Paths}
   * live table is left alone — it is either a concurrent materialize's
   * in-flight write or a dead write the next run's Overwrite replaces —
   * so readers overlapping a writer's (long) PARQUET-WRITE phase are
-  * safe. The remaining unsafe overlap is the two-rename swap window
-  * itself: a reader's recover() there cannot distinguish a crashed
-  * writer from a live one mid-swap and would "restore" the prior table
-  * out from under it. The contract is therefore: single WRITER per
-  * (baseDir, model); readers may overlap the write phase but reads
-  * concurrent with the millisecond swap window need external
-  * coordination (on a real deployment this whole seam is where a table
-  * format's atomic commit — Delta/Iceberg MERGE, or date-partition
-  * overwrite — plugs in). The anti-join form shuffles both sides by
-  * `id` once, which AQE sizes.
+  * safe. The swap window itself is serialized per model by an in-JVM
+  * lock: recovery and the two renames hold the same monitor, so
+  * same-process readers (e.g. a downstream streaming model re-reading
+  * this table, streaming/StreamingDag) can never "restore" the prior
+  * table out from under a live swap; [[withSwapLock]] additionally
+  * lets a reader pin the directory across its own scan. CROSS-process
+  * coordination is out of scope — that is where a table format's
+  * atomic commit (Delta/Iceberg MERGE, or date-partition overwrite)
+  * plugs in on a real deployment. The anti-join form shuffles both
+  * sides by `id` once, which AQE sizes.
   */
 final class Materializer(spark: SparkSession, baseDir: String) {
 
   def outPath(model: String): String = s"$baseDir/$model"
+
+  // one monitor per model: serializes the swap renames against recovery
+  // and against withSwapLock readers (same JVM; reentrant)
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(model: String): Object =
+    swapLocks.computeIfAbsent(model, _ => new Object)
+
+  /** Run `f` holding the model's swap lock: no swap or recovery of this
+    * model's directories can interleave. Use to pin the table across a
+    * read that must not see a mid-swap directory (force the scan —
+    * collect/localCheckpoint — INSIDE `f`; a lazy plan escapes the
+    * lock).
+    */
+  def withSwapLock[T](model: String)(f: => T): T = lockFor(model).synchronized(f)
 
   /** Repair an interrupted swap before any read — and ONLY when the
     * marker state is actually inconsistent (a `__old` dir exists).
@@ -51,7 +65,7 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     * it may be a concurrent materialize's in-flight write). Idempotent;
     * no-op — no filesystem mutation at all — on a healthy table.
     */
-  private def recover(model: String): Unit = {
+  private def recover(model: String): Unit = lockFor(model).synchronized {
     val out = Paths.get(outPath(model))
     val bak = Paths.get(outPath(model) + "__old")
     if (Files.exists(bak)) {
@@ -92,10 +106,12 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     result.write.mode(SaveMode.Overwrite).parquet(tmp)
     val out = Paths.get(outPath(model))
     val bak = Paths.get(outPath(model) + "__old")
-    deleteRecursive(bak)
-    if (Files.exists(out)) Files.move(out, bak)
-    Files.move(Paths.get(tmp), out)
-    deleteRecursive(bak)
+    lockFor(model).synchronized {
+      deleteRecursive(bak)
+      if (Files.exists(out)) Files.move(out, bak)
+      Files.move(Paths.get(tmp), out)
+      deleteRecursive(bak)
+    }
     spark.read.parquet(outPath(model))
   }
 

@@ -110,19 +110,35 @@ object LeadEnrichment {
 
   /** Sink: every micro-batch of updated touch states re-enriches the
     * touched users' lead rows through the batch model's own tail and
-    * upserts them by `domain_userid`.
+    * upserts them by `domain_userid`. The static-upstream form: the
+    * spend dimension is derived once from a fixed daily table.
     */
   def sink(touches: Dataset[LeadTouch], leads: DataFrame, trafficDaily: DataFrame,
            mat: Materializer, model: String): DataStreamWriter[Row] = {
-    val leadActivities = LeadActivitiesAgg.leadActivitiesOf(leads, None)
     val trafficSpend = LeadActivitiesAgg.trafficSpendOf(trafficDaily)
+    sinkWithSpend(touches, leads, () => trafficSpend, mat, model)
+  }
+
+  /** Sink variant for a LIVE upstream (the streaming `ref()` edge,
+    * streaming/StreamingDag): `trafficSpend()` is re-evaluated at every
+    * micro-batch, so a daily table that is itself being maintained by a
+    * streaming query is picked up as it changes. Eventually consistent
+    * while upstream is in motion — a user's attribution row refreshes
+    * with the then-current spend at each of their touches — and exactly
+    * the batch DAG's answer once upstream is quiescent and the user is
+    * touched again.
+    */
+  def sinkWithSpend(touches: Dataset[LeadTouch], leads: DataFrame,
+                    trafficSpend: () => DataFrame,
+                    mat: Materializer, model: String): DataStreamWriter[Row] = {
+    val leadActivities = LeadActivitiesAgg.leadActivitiesOf(leads, None)
     touches.toDF().writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val latest = latestEventsFrame(batch)
         val touched = leadActivities.join(
           latest.select("domain_userid").distinct(), Seq("domain_userid"), "left_semi")
         mat.materialize(model, UserKey)(_ =>
-          LeadActivitiesAgg.enrich(touched, latest, trafficSpend,
+          LeadActivitiesAgg.enrich(touched, latest, trafficSpend(),
             keepRawUserAs = Some(UserKey)))
         ()
     }
