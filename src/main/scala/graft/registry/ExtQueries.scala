@@ -137,7 +137,11 @@ object ExtQueries {
       DedupOps.jaccardPairs(docsSub(s, dir), 0.9)),
     // EXACT prefix-filtered variant: provably the same pairs (it shares
     // q_ext_jaccard_pairs' oracle) from a fraction of the candidates —
-    // each doc indexes only its globally-rarest n−⌈0.9n⌉+1 tokens.
+    // each doc indexes only its globally-rarest n−⌈0.9n⌉+1 tokens. At
+    // fixture scale the df-rank overhead outweighs the candidate savings
+    // (the naive join is already tiny); the crossover is where posting
+    // lists explode — ExtOpsSpec's planted-hot-token corpus shows the
+    // candidate set collapsing 435 → 1 with zero metric change.
     "q_ext_jaccard_pairs_prefix" -> ((s, dir) =>
       DedupOps.jaccardPairsPrefix(docsSub(s, dir), 0.9)),
     // document-frequency pruning ON: tokens in > 80% of the corpus are
