@@ -54,9 +54,7 @@ object DailyTrafficModel {
     * Asserted here rather than documented-and-hoped.
     */
   def eventTraffic(classified: DataFrame, delay: String = "1 day"): DataFrame = {
-    require(classified.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
-      "streaming day windows align to UTC; set spark.sql.session.timeZone=UTC " +
-        "to match the batch model's to_date grouping")
+    StreamingOps.requireUtcSession(classified.sparkSession)
     classified
       .filter(col("traffic_type").isNotNull)
       .withWatermark("collector_tstamp", delay)

@@ -49,9 +49,7 @@ object PageTrafficModel {
     * `to_date` coincide only under UTC).
     */
   def pageTraffic(views: DataFrame, delay: String = "1 day"): DataFrame = {
-    require(views.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
-      "streaming day windows align to UTC; set spark.sql.session.timeZone=UTC " +
-        "to match the batch model's to_date grouping")
+    StreamingOps.requireUtcSession(views.sparkSession)
     Aggs.dualCountApprox(
       views.withWatermark("collector_tstamp", delay),
       Seq(window(col("collector_tstamp"), "1 day").as("w"),

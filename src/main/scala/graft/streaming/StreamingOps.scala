@@ -24,6 +24,22 @@ import graft.runtime.Materializer
   */
 object StreamingOps {
 
+  /** Guard for the streaming day-window models: `window(ts, "1 day")`
+    * aligns to epoch (UTC) days while the batch models group on
+    * session-timezone `to_date`, so the two surfaces coincide only when
+    * the session timezone IS UTC. Accepts any fixed zero-offset zone id
+    * ("UTC", "Etc/UTC", "GMT", "+00:00") — it is the offset rules that
+    * matter, not the spelling.
+    */
+  private[streaming] def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val rules = java.time.ZoneId.of(tz).getRules
+    require(rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+      s"streaming day windows align to UTC but the session timezone is '$tz'; " +
+        "set spark.sql.session.timeZone=UTC to match the batch to_date grouping")
+  }
+
   /** Streaming A1: per-(day, app) visit counts with a late-data bound.
     * Update mode; pair with `upsertSink` for incremental materialization.
     */
