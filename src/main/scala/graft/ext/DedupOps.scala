@@ -138,10 +138,45 @@ object DedupOps {
       .drop("node", "root")
   }
 
-  /** (id, token) inverted index over distinct tokens. */
+  /** (id, token) inverted index over an arbitrary distinct-token-array
+    * column (words, shingles, …).
+    */
+  private def tokenIndexOf(docs: DataFrame, tokensCol: Column, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokensCol).as("t"))
+
+  /** (id, token) inverted index over distinct word tokens. */
   private def tokenIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.distinctTokens(col(textCol))).as("t"))
+    tokenIndexOf(docs, TextOps.distinctTokens(col(textCol)), idCol)
+
+  /** sizes + shared-count + final division over any (doc_id, t) index —
+    * the shared tail of every set-Jaccard variant.
+    */
+  private def pairsFromIndex(tok: DataFrame, threshold: Double): DataFrame = {
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Order-SENSITIVE n-gram Jaccard: the same inverted-index shape as
+    * [[jaccardPairs]] but over k-token shingle sets, so shuffled word
+    * order scores near zero where the token-set metric scores 1.0 —
+    * the usual web-dedup setting (k 2-5). Short docs (< k tokens)
+    * contribute their whole token run as a single shingle, mirroring
+    * [[shingles]].
+    */
+  def shingleJaccardPairs(docs: DataFrame, threshold: Double, k: Int,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    pairsFromIndex(
+      tokenIndexOf(docs, array_distinct(shingles(col(textCol), k)), idCol), threshold)
 
   /** Drop tokens whose posting list exceeds `maxDf` docs. The hot set is
     * tiny by definition (heavy hitters), so it broadcasts and the prune
@@ -177,18 +212,7 @@ object DedupOps {
         val maxDf = math.floor(r * docs.count()).toLong
         pruneHotTokens(tokenIndex(docs, textCol, idCol), maxDf)
     }
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = tok.as("a").join(tok.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") /
-          (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    pairsFromIndex(tok, threshold)
   }
 
   /** Prefix-token candidate pairs under a global rarity order (seam for

@@ -149,6 +149,13 @@ object ExtQueries {
     // pruned metric still yields pairs on the fixture's flat vocabulary).
     "q_ext_jaccard_pairs_pruned" -> ((s, dir) =>
       DedupOps.jaccardPairs(docsSub(s, dir), 0.8, maxDocFreqRatio = Some(0.8))),
+    // order-SENSITIVE n-gram similarity: bigram-shingle Jaccard. The
+    // fixture's word soup has no ordered near-dups (max bigram J ≈
+    // 0.095), so the gate scores the top similarity band (≥ 0.08) —
+    // it verifies the shingle tokenization + metric end-to-end; the
+    // semantic near-dup use of shingles is spec'd via MinHash shingleK.
+    "q_ext_jaccard_bigram_pairs" -> ((s, dir) =>
+      DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2)),
     "q_ext_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>
@@ -406,6 +413,26 @@ object ExtQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.8""".stripMargin),
+    // bigram shingles: adjacent-token pairs, with the < 2-token doc
+    // fallback (whole run as one shingle) mirroring DedupOps.shingles
+    "q_ext_jaccard_bigram_pairs" ->
+      (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+         |base AS (SELECT doc_id, $toksSql AS toks FROM docs),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [array_to_string(toks, ' ')] END) AS grams FROM base),
+         |tok AS (SELECT doc_id, unnest(grams) AS t FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.08""".stripMargin),
     // CC policy: component = min id reachable over the verified near-dup
     // graph (recursive min-reachability walk, seeded with every doc so
     // isolated docs are their own root); keep docs that root themselves.

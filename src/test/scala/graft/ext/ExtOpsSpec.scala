@@ -178,6 +178,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(mh == Set((0L, 1L)), s"pruned minhash pairs: $mh")
   }
 
+  test("shingle jaccard is order-sensitive where token-set jaccard is not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // same tokens, reversed order
+      (3L, "alpha beta gamma delta"),   // true duplicate of 1
+      (4L, "zz")                        // short doc: whole run = 1 shingle
+    ).toDF("doc_id", "text")
+    val tokenPairs = DedupOps.jaccardPairs(docs, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(tokenPairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"token-set metric should pair all permutations: $tokenPairs")
+    val bigramPairs = DedupOps.shingleJaccardPairs(docs, 0.9, k = 2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // reversal shares NO bigram: only the true duplicate survives
+    assert(bigramPairs == Set((1L, 3L, 1.0)), s"bigram pairs: $bigramPairs")
+  }
+
   test("prefix-filtered jaccard is exact: equals the naive join on random corpora") {
     // deterministic pseudo-random docs over a 40-token vocabulary with
     // planted near-dup twins so every threshold band has true pairs
