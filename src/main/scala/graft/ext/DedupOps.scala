@@ -144,10 +144,6 @@ object DedupOps {
   private def tokenIndexOf(docs: DataFrame, tokensCol: Column, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(tokensCol).as("t"))
 
-  /** (id, token) inverted index over distinct word tokens. */
-  private def tokenIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    tokenIndexOf(docs, TextOps.distinctTokens(col(textCol)), idCol)
-
   /** sizes + shared-count + final division over any (doc_id, t) index —
     * the shared tail of every set-Jaccard variant.
     */
@@ -172,11 +168,19 @@ object DedupOps {
     * the usual web-dedup setting (k 2-5). Short docs (< k tokens)
     * contribute their whole token run as a single shingle, mirroring
     * [[shingles]].
+    *
+    * `maxDocFreqRatio` prunes hot SHINGLES exactly as [[jaccardPairs]]
+    * prunes hot words (same floor(ratio · N) bound, Jaccard exact over
+    * the pruned shingle sets) — on the web this is the knob that stops a
+    * boilerplate header k-gram repeated corpus-wide from becoming a
+    * quadratic join key.
     */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double, k: Int,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+                          textCol: String = "text", idCol: String = "doc_id",
+                          maxDocFreqRatio: Option[Double] = None): DataFrame =
     pairsFromIndex(
-      tokenIndexOf(docs, array_distinct(shingles(col(textCol), k)), idCol), threshold)
+      prunedIndexOf(docs, array_distinct(shingles(col(textCol), k)), idCol,
+        maxDocFreqRatio), threshold)
 
   /** Drop tokens whose posting list exceeds `maxDf` docs. The hot set is
     * tiny by definition (heavy hitters), so it broadcasts and the prune
@@ -188,6 +192,23 @@ object DedupOps {
       .filter(col("df") > maxDf).select("t")
     tok.join(broadcast(hot), Seq("t"), "left_anti")
   }
+
+  /** Inverted index with optional document-frequency pruning — the
+    * shared head of every set-Jaccard variant (word tokens and shingles
+    * alike). None = full index; Some(r) drops tokens with df >
+    * floor(r · N), the same bound the DuckDB oracles compute.
+    */
+  private def prunedIndexOf(docs: DataFrame, tokensCol: Column, idCol: String,
+                            maxDocFreqRatio: Option[Double]): DataFrame =
+    maxDocFreqRatio match {
+      case None => tokenIndexOf(docs, tokensCol, idCol)
+      case Some(r) =>
+        require(r > 0 && r <= 1, s"maxDocFreqRatio must be in (0,1]: $r")
+        // one O(1)-result count job to fix the absolute bound; the same
+        // floor(ratio · N) the DuckDB oracle computes
+        val maxDf = math.floor(r * docs.count()).toLong
+        pruneHotTokens(tokenIndexOf(docs, tokensCol, idCol), maxDf)
+    }
 
   /** All-pairs token-set Jaccard ≥ threshold via inverted-index join.
     * Integer shared/size counts; single double division at the end.
@@ -202,27 +223,21 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    textCol: String = "text", idCol: String = "doc_id",
-                   maxDocFreqRatio: Option[Double] = None): DataFrame = {
-    val tok = maxDocFreqRatio match {
-      case None => tokenIndex(docs, textCol, idCol)
-      case Some(r) =>
-        require(r > 0 && r <= 1, s"maxDocFreqRatio must be in (0,1]: $r")
-        // one O(1)-result count job to fix the absolute bound; the same
-        // floor(ratio · N) the DuckDB oracle computes
-        val maxDf = math.floor(r * docs.count()).toLong
-        pruneHotTokens(tokenIndex(docs, textCol, idCol), maxDf)
-    }
-    pairsFromIndex(tok, threshold)
-  }
+                   maxDocFreqRatio: Option[Double] = None): DataFrame =
+    pairsFromIndex(
+      prunedIndexOf(docs, TextOps.distinctTokens(col(textCol)), idCol,
+        maxDocFreqRatio), threshold)
 
   /** Prefix-token candidate pairs under a global rarity order (seam for
     * [[jaccardPairsPrefix]] and its reduction spec): each doc
     * contributes only its p = n − ⌈t·n⌉ + 1 globally-rarest tokens to
-    * the inverted index.
+    * the inverted index. `tokensCol` is any distinct-token-array column
+    * (words or shingles — the lemma only needs ONE global order over
+    * whatever the set elements are).
     */
-  private[ext] def prefixCandidates(docs: DataFrame, threshold: Double,
-                                    textCol: String, idCol: String): DataFrame = {
-    val tok = tokenIndex(docs, textCol, idCol)
+  private[ext] def prefixCandidatesOf(docs: DataFrame, threshold: Double,
+                                      tokensCol: Column, idCol: String): DataFrame = {
+    val tok = tokenIndexOf(docs, tokensCol, idCol)
     val dfRank = tok.groupBy("t").agg(count(lit(1)).as("df"))
     val ranked = tok.join(dfRank, Seq("t"))
       .withColumn("rn", row_number().over(
@@ -268,11 +283,28 @@ object DedupOps {
     * candidate set only.
     */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    prefixFilteredPairsOf(docs, threshold, TextOps.distinctTokens(col(textCol)), idCol)
+
+  /** EXACT order-sensitive shingle Jaccard with prefix filtering:
+    * byte-identical output to [[shingleJaccardPairs]] (no pruning) —
+    * same lemma, applied to the k-gram set. This is the scale path for
+    * web dedup: the boilerplate head of the shingle df-distribution
+    * never enters the join, with no metric change.
+    */
+  def shingleJaccardPairsPrefix(docs: DataFrame, threshold: Double, k: Int,
+                                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    prefixFilteredPairsOf(docs, threshold,
+      array_distinct(shingles(col(textCol), k)), idCol)
+
+  /** Prefix-filtered candidates → exact intersection/union verify —
+    * the shared tail of both prefix variants.
+    */
+  private def prefixFilteredPairsOf(docs: DataFrame, threshold: Double,
+                                    tokensCol: Column, idCol: String): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
-    val cand = prefixCandidates(docs, threshold, textCol, idCol)
-    val tokSets = docs.select(col(idCol).as("doc_id"),
-      TextOps.distinctTokens(col(textCol)).as("toks"))
+    val cand = prefixCandidatesOf(docs, threshold, tokensCol, idCol)
+    val tokSets = docs.select(col(idCol).as("doc_id"), tokensCol.as("toks"))
     cand
       .join(tokSets.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(tokSets.as("tb"), col("doc_b") === col("tb.doc_id"))
@@ -354,9 +386,15 @@ object DedupOps {
           .select("t").collect().map(_.getString(0))
         if (hot.isEmpty) sh0 else array_except(sh0, typedLit(hot.toSeq))
     }
+    // A doc whose EVERY shingle is hot prunes to an empty set: all such
+    // docs would share one degenerate signature, collide in every band,
+    // and verify at 0/0 = NaN — which Spark orders ABOVE the threshold,
+    // reporting unrelated all-stopword docs as near-dups. An empty set
+    // carries no dedup signal, so those docs are excluded outright.
     val sigs = docs.select(col(idCol).as("doc_id"),
       sh.as("toks"),
       minHashSignature(sh, numHashes).as("sig"))
+      .filter(size(col("toks")) > 0)
     val bandsDf = lshBands(sigs, "sig", bands, rows)
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&

@@ -67,13 +67,46 @@ object ImageIoCodec extends ImageCodec {
       (w, h, img.getRGB(0, 0, w, h, null, 0, w))
     }
 
+  /** Nearest-neighbor resample with a PINNED source mapping — dst (x,y)
+    * reads src (⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋), the canonical NN kernel —
+    * rather than `Graphics2D.drawImage`, whose sample placement is
+    * implementation-defined. Pinning makes the resample bit-exact and
+    * platform-independent, so an analytic oracle can recompute every
+    * output pixel (q_ext_media_resize_real); bilinear lives in
+    * [[resizeBilinear]] for callers preferring smoothness over
+    * reproducibility.
+    */
   override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
     readImage(payload).map { img =>
+      val sw = img.getWidth; val sh = img.getHeight
       val out = new java.awt.image.BufferedImage(
         targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      try g.drawImage(img, 0, 0, targetW, targetH, null)
-      finally g.dispose()
+      var y = 0
+      while (y < targetH) {
+        val sy = y * sh / targetH
+        var x = 0
+        while (x < targetW) { out.setRGB(x, y, img.getRGB(x * sw / targetW, sy)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Bilinear resample via `AffineTransformOp` (the JDK's interpolating
+    * path) — smoother output, but sample placement is the JDK's, so no
+    * analytic oracle; dims + decodability are spec-gated instead.
+    */
+  def resizeBilinear(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    readImage(payload).map { img =>
+      val sx = targetW.toDouble / img.getWidth
+      val sy = targetH.toDouble / img.getHeight
+      val op = new java.awt.image.AffineTransformOp(
+        java.awt.geom.AffineTransform.getScaleInstance(sx, sy),
+        java.awt.image.AffineTransformOp.TYPE_BILINEAR)
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      op.filter(img, out)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray

@@ -28,12 +28,82 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
 
-  /** BPE-ish subword count: runs of letters, runs of digits, and single
-    * non-alphanumeric marks each count as one token — a deterministic
-    * stand-in for a real BPE vocab's pre-tokenizer.
+  /** ROUGH subword count (honest name — this is a pre-tokenizer
+    * heuristic, not BPE): runs of letters, runs of digits, and single
+    * non-alphanumeric marks each count as one token. Pure Column
+    * expression, so it runs map-side at scan throughput — the cheap
+    * budgeting proxy; [[bpeTokenCount]] runs the real merge loop.
     */
-  def bpeTokenCount(c: Column): Column =
+  def roughTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("bigint")
+
+  /** A tiny rank-ordered merge table (common English pairs) for specs
+    * and demos; a real pipeline passes its tokenizer's learned merges.
+    */
+  val DemoBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n",
+    "a" -> "t", "o" -> "u", "i" -> "s", "e" -> "s", "t" -> "o")
+
+  /** REAL byte-pair-encoding token count (Sennrich et al. 2016 — the
+    * merge phase every BPE tokenizer runs): whitespace pre-tokenize;
+    * each word starts as its character-symbol sequence and repeatedly
+    * merges ALL occurrences of the present pair with the lowest merge
+    * rank until no table pair remains; the count is the surviving
+    * symbols summed over words. The merge table is the caller's (ship
+    * the tokenizer's learned ranks) — token budgets are only honest
+    * against the vocab that will actually tokenize the corpus.
+    *
+    * A Scala UDF by necessity (a data-dependent fixpoint loop has no
+    * Column form) — still map-side and shuffle-free; the rank map rides
+    * the closure once per executor. No DuckDB-expressible oracle
+    * (iterative merging defeats portable SQL), so this is spec-gated
+    * (TextBpeSpec) rather than registry-gated, per the SURVEY §5.2
+    * contract for non-SQL-expressible ops.
+    */
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column = {
+    val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val count = udf { text: String =>
+      if (text == null) 0L
+      else {
+        var total = 0L
+        text.trim.split("\\s+").foreach { word =>
+          var syms = word.map(_.toString).toArray
+          var done = syms.length <= 1
+          while (!done) {
+            // lowest-rank pair present anywhere in the word
+            var best = -1
+            var bestAt = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              rank.get((syms(i), syms(i + 1))).foreach { r =>
+                if (r < bestAt) { bestAt = r; best = i }
+              }
+              i += 1
+            }
+            if (best < 0) done = true
+            else {
+              val (l, r) = (merges(bestAt)._1, merges(bestAt)._2)
+              // merge ALL occurrences of the chosen pair, left to right
+              val out = Array.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  out += l + r; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              syms = out.result()
+              done = syms.length <= 1
+            }
+          }
+          total += syms.length
+        }
+        total
+      }
+    }
+    count(c)
+  }
 
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")

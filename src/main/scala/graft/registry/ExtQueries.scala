@@ -56,7 +56,12 @@ object ExtQueries {
       }
     }
   }
-  private val ivfIndexDirs = scala.collection.mutable.LinkedHashMap[String, IvfIdxHolder]()
+  // Keyed by (session, dir): the persisted index parquet is re-readable
+  // by any session, but the holder's train ran against the keying
+  // session — a fresh session must train (and pay for) its own index
+  // rather than inherit a path whose lifecycle another session owns.
+  private val ivfIndexDirs =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), IvfIdxHolder]()
   private lazy val ivfCleanup = sys.addShutdownHook {
     ivfIndexDirs.synchronized(ivfIndexDirs.values.toList)
       .flatMap(h => Option(h.tmpDir))
@@ -66,8 +71,18 @@ object ExtQueries {
   private def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
     ivfCleanup
     val holder = ivfIndexDirs.synchronized(
-      ivfIndexDirs.getOrElseUpdate(dir, new IvfIdxHolder(s, dir)))
+      ivfIndexDirs.getOrElseUpdate((s, dir), new IvfIdxHolder(s, dir)))
     IvfIndex.load(s, holder.path)
+  }
+
+  // Cold-path temp dirs (one per q_ext_knn_ivf CALL — the query times the
+  // full train+save+load lifecycle): the returned frame lazily reads the
+  // saved index, so dirs live until JVM exit; repeat calls per dir replace
+  // the previous cold dir to bound accumulation in long sessions.
+  private val ivfColdDirs = scala.collection.mutable.LinkedHashMap[String, String]()
+  private lazy val ivfColdCleanup = sys.addShutdownHook {
+    ivfColdDirs.synchronized(ivfColdDirs.values.toList)
+      .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
   }
 
   val queries: Map[String, Q] = Map(
@@ -75,7 +90,7 @@ object ExtQueries {
       Sources(s, dir).documents.select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("token_count"),
-        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextOps.roughTokenCount(col("text")).as("rough_tokens"),
         TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
         TextOps.punctRatio(col("text")).as("punct_ratio"),
         TextOps.qualityScore(col("text")).as("quality"),
@@ -156,6 +171,14 @@ object ExtQueries {
     // semantic near-dup use of shingles is spec'd via MinHash shingleK.
     "q_ext_jaccard_bigram_pairs" -> ((s, dir) =>
       DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2)),
+    // df-pruning on the SHINGLE path (the variant real web dedup runs —
+    // a boilerplate header k-gram repeated corpus-wide is a quadratic
+    // join key without it): bigrams in > 10% of the subset are dropped
+    // before the self-join, same floor(ratio · N) as the word-token
+    // pruned gate; Jaccard exact over the pruned gram sets.
+    "q_ext_jaccard_bigram_pairs_pruned" -> ((s, dir) =>
+      DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2,
+        maxDocFreqRatio = Some(0.1))),
     "q_ext_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>
@@ -168,16 +191,26 @@ object ExtQueries {
       SimilarityOps.cosinePairs(Sources(s, dir).embeddings, 0.35)),
     "q_ext_knn_lsh" -> ((s, dir) =>
       SimilarityOps.lshCosinePairs(Sources(s, dir).embeddings, 0.35)),
-    // All three IVF rows run the LIFECYCLE path — load the session's
-    // persisted index (trained+saved once) and probe it with NO train
-    // and NO corpus reshuffle (plan asserted in ExtOpsSpec); the ad-hoc
-    // retrain-per-call wrapper (SimilarityOps.ivfTopK) stays available
-    // for one-shot use but no bench row times it. nprobe = nlist probes
-    // every cell, so those two rows are EXACT top-k by construction and
-    // hash-match the brute-force DuckDB oracle (whichever runs first
-    // pays the one-time train; the other times the bare repeat probe).
+    // The two exact IVF rows now time DISTINCT lifecycle phases:
+    //  - q_ext_knn_ivf is the COLD path — train + save + load + probe a
+    //    fresh throwaway index on every call, so the bench row isolates
+    //    the one-time index-build cost a deployment pays per (re)ingest;
+    //  - q_ext_knn_ivf_probe is the WARM path — load the session's
+    //    persisted index (trained once, holder-cached) and probe with NO
+    //    train and NO corpus reshuffle (plan asserted in ExtOpsSpec) —
+    //    the steady-state per-query number.
+    // Both run nprobe = nlist (probe every cell), so both are EXACT
+    // top-k and hash-match the brute-force DuckDB oracle.
     "q_ext_knn_ivf" -> ((s, dir) => {
-      val idx = ivfIndex(s, dir)
+      ivfColdCleanup
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfcold_").toString
+      ivfColdDirs.synchronized {
+        ivfColdDirs.remove(dir).foreach(d =>
+          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+        ivfColdDirs(dir) = p
+      }
+      IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
+      val idx = IvfIndex.load(s, p)
       idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
         k = 3, nprobe = idx.nlist)
     }),
@@ -255,6 +288,24 @@ object ExtQueries {
           col("media_meta.height").as("height"),
           length(col("media")).as("resized_bytes"),
           md5(hex(col("media"))).as("resized_md5"))),
+    // the REAL-resize gate: generated PNGs → ImageIoCodec nearest-
+    // neighbor resample to 16×12 (pinned kernel: dst (x,y) reads src
+    // (⌊x·w/16⌋, ⌊y·h/12⌋)) → PNG re-encode → REAL decode of the
+    // resized payload → luminance histogram. The oracle recomputes every
+    // resampled pixel analytically from the generator formula + the
+    // pinned mapping, so a hash match proves the resample touched
+    // exactly the intended source pixels and the codec round-tripped
+    // them bit-exactly. (The byte-decimation resize STUB row above stays
+    // for payloads the JDK can't decode — wav/video containers.)
+    "q_ext_media_resize_real" -> ((s, dir) =>
+      MultimodalOps.decodeImage(
+        MultimodalOps.resizeImage(
+          MultimodalOps.withGeneratedPng(Sources(s, dir).documents),
+          targetW = 16, targetH = 12))
+        .select(col("doc_id"), col("decoded_width"), col("decoded_height"),
+          round(element_at(col("features"), 1), 6).as("bin0"),
+          round(element_at(col("features"), 6), 6).as("bin5"),
+          round(element_at(col("features"), 16), 6).as("bin15"))),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -304,6 +355,35 @@ object ExtQueries {
       |)""".stripMargin
   }
 
+  // Bigram-shingle mirror of jaccardCtes, shared by the plain and
+  // df-pruned bigram gates: tokenize → adjacent-pair grams (short-doc
+  // fallback mirroring DedupOps.shingles) → optional floor(0.1 · N)
+  // hot-gram prune → sizes/shared. One text, so a shingle or prune
+  // tweak cannot desynchronize the two gates.
+  private def bigramCtes(pruned: Boolean): String = {
+    val gramCtes =
+      s"""docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |base AS (SELECT doc_id, $toksSql AS toks FROM docs),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS grams FROM base)""".stripMargin
+    val tokCte =
+      if (!pruned) "tok AS (SELECT doc_id, unnest(grams) AS t FROM sh)"
+      else
+        """tok0 AS (SELECT doc_id, unnest(grams) AS t FROM sh),
+          |hot AS (SELECT t FROM tok0 GROUP BY t
+          |  HAVING count(*) > CAST(floor(0.1 * (SELECT count(*) FROM docs)) AS BIGINT)),
+          |tok AS (SELECT * FROM tok0 WHERE t NOT IN (SELECT t FROM hot))""".stripMargin
+    s"""$gramCtes,
+      |$tokCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |)""".stripMargin
+  }
+
   // Shared by q_ext_knn_brute AND both IVF queries: at nprobe = nlist IVF
   // probes every cell, so all three compute the identical exact top-3.
   private val knnExactSql =
@@ -325,7 +405,7 @@ object ExtQueries {
     "q_ext_text_features" ->
       (s"""SELECT doc_id,
          |  len($toksSql) AS token_count,
-         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS rough_tokens,
          |  $stopRatioSql AS stopword_ratio,
          |  $punctRatioSql AS punct_ratio,
          |  $qualitySql AS quality,
@@ -416,18 +496,14 @@ object ExtQueries {
     // bigram shingles: adjacent-token pairs, with the < 2-token doc
     // fallback (whole run as one shingle) mirroring DedupOps.shingles
     "q_ext_jaccard_bigram_pairs" ->
-      (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-         |base AS (SELECT doc_id, $toksSql AS toks FROM docs),
-         |sh AS (SELECT doc_id, list_distinct(
-         |  CASE WHEN len(toks) >= 2
-         |    THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
-         |    ELSE [array_to_string(toks, ' ')] END) AS grams FROM base),
-         |tok AS (SELECT doc_id, unnest(grams) AS t FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
-         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |)
+      (s"""WITH ${bigramCtes(pruned = false)}
+         |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.08""".stripMargin),
+    "q_ext_jaccard_bigram_pairs_pruned" ->
+      (s"""WITH ${bigramCtes(pruned = true)}
          |SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
          |FROM shared
          |JOIN sizes sa ON doc_a = sa.doc_id
@@ -494,10 +570,15 @@ object ExtQueries {
          |    CAST(len(list_filter(range(n), i -> substr(hx, CAST(2*i+1 AS INT), 1) = '7')) AS DOUBLE) / n END, 6) AS bin7
          |FROM h""".stripMargin),
     // Analytic mirror of the real-decode gate: regenerate each pixel's
-    // 24-bit RGB from (doc_id*31 + i) * 2654435769 (bits 16-23 / 8-15 /
-    // 0-7 are untouched by the 24-bit mask, so no masking needed before
-    // extraction), integer ITU-601 luma, 16 bins — all integer math, so
-    // the doubles divide out bit-identically to the decoded histogram.
+    // 24-bit RGB from (doc_id*31 + i) * 2654435769, integer ITU-601
+    // luma, 16 bins — all integer math, so the doubles divide out
+    // bit-identically to the decoded histogram. The multiplicand is
+    // reduced mod 2^24 BEFORE the multiply: the extracted bits 0-23
+    // depend only on (doc_id*31 + i) mod 2^24 (2^24 divides both the
+    // engine's 2^64 wrap and this modulus), and the bounded product
+    // (< 2^24 · 2654435769 ≈ 2^56) keeps DuckDB's CHECKED BIGINT
+    // arithmetic from overflowing at large doc_id, where the engine's
+    // Long would wrap silently and the unbounded oracle would abort.
     "q_ext_media_decode_real" ->
       ("""WITH d AS (
          |  SELECT doc_id,
@@ -508,15 +589,46 @@ object ExtQueries {
          |lum AS (
          |  SELECT doc_id, w, h,
          |    list_transform(range(w*h), i ->
-         |      (299 * ((((doc_id*31 + i) * 2654435769) >> 16) & 255)
-         |     + 587 * ((((doc_id*31 + i) * 2654435769) >> 8) & 255)
-         |     + 114 * (((doc_id*31 + i) * 2654435769) & 255)) // 1000 // 16) AS bins
+         |      (299 * (((((doc_id*31 + i) % 16777216) * 2654435769) >> 16) & 255)
+         |     + 587 * (((((doc_id*31 + i) % 16777216) * 2654435769) >> 8) & 255)
+         |     + 114 * ((((doc_id*31 + i) % 16777216) * 2654435769) & 255)) // 1000 // 16) AS bins
          |  FROM d
          |)
          |SELECT doc_id, w AS decoded_width, h AS decoded_height,
          |  round(CAST(len(list_filter(bins, v -> v = 0)) AS DOUBLE) / (w*h), 6) AS bin0,
          |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / (w*h), 6) AS bin5,
          |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / (w*h), 6) AS bin15
+         |FROM lum""".stripMargin),
+    // Analytic mirror of the real-RESIZE gate: the pinned nearest
+    // kernel maps resized pixel i (row-major over 16×12: x = i % 16,
+    // y = i ∕ 16) to source index (⌊y·h/12⌋·w + ⌊x·w/16⌋), whose RGB
+    // the generator formula yields directly — same mod-2^24 bounding as
+    // the decode gate. DuckDB's // is left-associative; parens pin the
+    // ⌊x·w/16⌋ = (x*w)//16 (multiply-then-floor) order the kernel uses.
+    "q_ext_media_resize_real" ->
+      ("""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 8 + 1) * 8 AS INT) AS w,
+         |    CAST((doc_id % 6 + 1) * 8 AS INT) AS h
+         |  FROM documents
+         |),
+         |px AS (
+         |  SELECT doc_id,
+         |    list_transform(range(192), i ->
+         |      ((doc_id*31 + (((i // 16) * h) // 12) * w + (((i % 16) * w) // 16))
+         |        % 16777216) * 2654435769) AS pxs
+         |  FROM d
+         |),
+         |lum AS (
+         |  SELECT doc_id, list_transform(pxs, p ->
+         |    (299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255)
+         |     + 114 * (p & 255)) // 1000 // 16) AS bins
+         |  FROM px
+         |)
+         |SELECT doc_id, 16 AS decoded_width, 12 AS decoded_height,
+         |  round(CAST(len(list_filter(bins, v -> v = 0)) AS DOUBLE) / 192, 6) AS bin0,
+         |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / 192, 6) AS bin5,
+         |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / 192, 6) AS bin15
          |FROM lum""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a

@@ -54,10 +54,17 @@ object RelationalQueries {
       (li, ord)
     }
   }
-  private val bucketed = scala.collection.mutable.LinkedHashMap[String, BucketedHolder]()
+  // Keyed by (session, dir), not dir alone: the holder registers tables in
+  // the keying session's in-memory catalog, so a second session reusing a
+  // dir-only cache entry would get names its own catalog can't resolve.
+  // Each new session rebuilds (rewrites the same warehouse paths — benign
+  // for serial sessions; concurrent distinct sessions on one warehouse
+  // remain out of scope, as with the Materializer's single-writer rule).
+  private val bucketed =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), BucketedHolder]()
   private def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val holder = bucketed.synchronized(
-      bucketed.getOrElseUpdate(dir, new BucketedHolder(s, dir)))
+      bucketed.getOrElseUpdate((s, dir), new BucketedHolder(s, dir)))
     val (li, ord) = holder.tables
     (Bucketing.read(s, li), Bucketing.read(s, ord))
   }
@@ -106,11 +113,18 @@ object RelationalQueries {
     // BucketingSpec); the only shuffle left is the final 5-group agg.
     // The merge hint keeps the planner from sidestepping the bucketed
     // path with a small-side broadcast at test scale.
+    // Revenue sums per-row DECIMAL(18,2) casts, not doubles: ~120k lines
+    // fold into only 5 groups here, and bucket-order vs scan-order double
+    // accumulation drifts past the comparator's precision. Decimal
+    // addition is exact and order-independent; the per-row double product
+    // is identical in both engines, and its 2dp cast mirrors in the
+    // oracle. Result cast back to double so both sides stay float-typed.
     "q_rel_bucketed_join" -> ((s, dir) => {
       val (li, ord) = bucketedPair(s, dir)
       li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,2)")).cast("double").as("revenue"),
           count(lit(1)).as("line_count"))
     }),
   )
@@ -118,7 +132,7 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q_rel_bucketed_join" ->
       ("""SELECT o_orderpriority,
-         |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          |  count(*) AS line_count
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1""".stripMargin),

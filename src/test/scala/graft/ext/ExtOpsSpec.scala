@@ -178,6 +178,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(mh == Set((0L, 1L)), s"pruned minhash pairs: $mh")
   }
 
+  test("docs whose every token is hot do NOT pair as NaN near-dups under pruning") {
+    // docs 20-24 are pure stopword soup: pruning empties their token
+    // sets, which (pre-fix) gave them identical degenerate signatures,
+    // band collisions, and a 0/0 = NaN jaccard that Spark orders ABOVE
+    // any threshold — reporting unrelated docs as near-dups
+    val docs = ((0 until 20).map(i => (i.toLong, s"the of and u${i}a u${i}b u${i}c")) ++
+      (20 until 25).map(i => (i.toLong, "the of and"))).toDF("doc_id", "text")
+    val mh = DedupOps.minHashNearDupPairs(docs, 0.9, maxDocFreqRatio = Some(0.5))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(mh.forall(!_._3.isNaN), s"NaN jaccard leaked: ${mh.toSeq}")
+    assert(!mh.exists(p => p._1 >= 20 || p._2 >= 20),
+      s"all-stopword docs must not pair: ${mh.toSeq}")
+  }
+
   test("shingle jaccard is order-sensitive where token-set jaccard is not") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
@@ -233,12 +247,68 @@ class ExtOpsSpec extends SparkSpec {
                  else s"r${i}a r${i}b r${i}c r${i}d"
       (i.toLong, s"hot $rare")
     }.toDF("doc_id", "text")
-    val cand = DedupOps.prefixCandidates(docs, 0.9, "text", "doc_id")
+    val cand = DedupOps.prefixCandidatesOf(docs, 0.9,
+        TextOps.distinctTokens(col("text")), "doc_id")
       .as[(Long, Long)].collect().toSet
     assert(cand == Set((0L, 1L)), s"prefix candidates: $cand")
     val pairs = DedupOps.jaccardPairsPrefix(docs, 0.9)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
     assert(pairs == Seq((0L, 1L, 1.0)), pairs.mkString(","))
+  }
+
+  test("shingle df-pruning collapses a planted hot bigram; prefix variant stays exact") {
+    // every doc opens with the same boilerplate header, so the bigram
+    // "breaking news" has df = N and fans out to all C(30,2) pairs in the
+    // unpruned index; docs 0 and 1 share their entire rare tail
+    val docs = (0 until 30).map { i =>
+      val tail = if (i == 1) "r0a r0b r0c r0d"
+                 else s"r${i}a r${i}b r${i}c r${i}d"
+      (i.toLong, s"breaking news $tail")
+    }.toDF("doc_id", "text")
+    val all = DedupOps.shingleJaccardPairs(docs, 0.0, k = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(all.size == 30 * 29 / 2, s"hot bigram must connect every pair: ${all.size}")
+    // ratio 0.5 → maxDf 15 prunes "breaking news" AND "news r..."? no —
+    // "news rXa" differs per doc (df 1-2); only the header bigram is hot
+    val pruned = DedupOps.shingleJaccardPairs(docs, 0.0, k = 2, maxDocFreqRatio = Some(0.5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pruned == Set((0L, 1L)), s"pruned bigram pairs: $pruned")
+    // pruned metric scores the true dup pair exactly: pruned sets are
+    // {news r0a, r0a r0b, r0b r0c, r0c r0d} on both sides → J = 1.0
+    val scored = DedupOps.shingleJaccardPairs(docs, 0.9, k = 2, maxDocFreqRatio = Some(0.5))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(scored.toSeq == Seq((0L, 1L, 1.0)), scored.mkString(","))
+    // the prefix variant reaches the same collapse LOSSLESSLY: the hot
+    // header bigram is the globally commonest shingle, so it never lands
+    // in any doc's rarity prefix — exact scores, no metric change
+    val prefix = DedupOps.shingleJaccardPairsPrefix(docs, 0.9, k = 2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(prefix.toSeq == Seq((0L, 1L, 1.0)), prefix.mkString(","))
+  }
+
+  test("prefix-filtered shingle jaccard equals the naive shingle join on random corpora") {
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 12).map(j => s"w${math.floorMod(mix(i.toLong * 17 + j), 40)}")
+      val text = if (i % 10 == 9) // twin of the previous doc, one trailing token off
+        ((0 until 11).map(j => s"w${math.floorMod(mix((i - 1).toLong * 17 + j), 40)}") :+ "wx").mkString(" ")
+      else base.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      def key(df: DataFrame) = df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val naive = key(DedupOps.shingleJaccardPairs(docs, t, k = 2))
+      val prefix = key(DedupOps.shingleJaccardPairsPrefix(docs, t, k = 2))
+      assert(prefix == naive,
+        s"t=$t: prefix missing ${(naive -- prefix).take(3)} extra ${(prefix -- naive).take(3)}")
+      assert(t > 0.3 || naive.nonEmpty, s"t=$t should have pairs on this corpus")
+    }
   }
 
   test("connected components: min-label fixpoint over chains and isolated components") {
@@ -259,6 +329,36 @@ class ExtOpsSpec extends SparkSpec {
     val comp = DedupOps.connectedComponents(pairs).as[(Long, Long)].collect()
     assert(comp.length == 1001 && comp.forall(_._2 == 0L),
       s"chain must collapse to root 0: ${comp.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("the 100 TB pipeline composes: LSH candidates → exact verify → CC → one survivor") {
+    // the composition a real web-scale dedup runs — minHashNearDupPairs
+    // (banded LSH candidates, exact-Jaccard verified) feeding the
+    // connected-components survivor policy — checked against the same
+    // policy over the EXHAUSTIVE exact pair set. Equality holds exactly
+    // when LSH recall is 1.0 on the corpus; recall is the probability
+    // curve 1-(1-s^rows)^bands, so the clusters here sit at s ≥ 0.968
+    // (miss probability < 2e-8 per pair, and deterministic for fixed
+    // data) — on a corpus with pairs near the threshold, the LSH-fed CC
+    // may split a cluster a missed edge would have joined (documented
+    // recall caveat, NOT exercised here).
+    val docs = ((0 until 10).flatMap { c =>
+      val base = (0 until 30).map(j => s"c${c}t$j").mkString(" ")
+      // 3-doc cluster: two identical (J=1) + one with a tail token
+      // (J = 30/31): CC must keep exactly the min id 3c
+      Seq((c.toLong * 3, base), (c.toLong * 3 + 1, base), (c.toLong * 3 + 2, base + " extra"))
+    } ++ (100 until 120).map(i =>
+      (i.toLong, (0 until 30).map(j => s"u${i}w$j").mkString(" ")))).toDF("doc_id", "text")
+    val exactPairs = DedupOps.jaccardPairs(docs, 0.9)
+    val lshPairs = DedupOps.minHashNearDupPairs(docs, 0.9)
+    def survivors(pairs: DataFrame) =
+      DedupOps.dedupNearDupsCC(docs, pairs).select("doc_id").as[Long].collect().toSet
+    val viaExact = survivors(exactPairs)
+    val viaLsh = survivors(lshPairs)
+    assert(viaExact == ((0 until 10).map(_.toLong * 3) ++ (100L until 120L)).toSet,
+      s"exact CC survivors wrong: $viaExact")
+    assert(viaLsh == viaExact,
+      s"LSH-fed CC diverged: missing ${viaExact -- viaLsh}, extra ${viaLsh -- viaExact}")
   }
 
   test("CC policy on a corpus with NO near-dups returns every doc unchanged") {
@@ -338,7 +438,7 @@ class ExtOpsSpec extends SparkSpec {
     val rows = Seq((1L, "word"), (2L, "  a  the  "), (3L, "hi, there! (ok)")).toDF("doc_id", "text")
     val got = rows.select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("tc"),
-        TextOps.bpeTokenCount(col("text")).as("bpe"),
+        TextOps.roughTokenCount(col("text")).as("rough"),
         TextOps.stopwordRatio(col("text")).as("sr"),
         TextOps.punctRatio(col("text")).as("pr"))
       .as[(Long, Long, Long, Double, Double)].collect()

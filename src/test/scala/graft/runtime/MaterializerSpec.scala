@@ -79,19 +79,53 @@ class MaterializerSpec extends SparkSpec {
     val v1 = Seq(("k1", 1), ("k2", 2)).toDF("id", "v")
     mat.materialize("t", "id")(_ => v1)
     // simulate a crash between the two swap renames: live moved to __old,
-    // replacement never landed, plus a leftover __tmp from the dead writer
+    // replacement never landed, plus the dead writer's unique tmp dir
     val out = java.nio.file.Paths.get(mat.outPath("t"))
     val bak = java.nio.file.Paths.get(mat.outPath("t") + "__old")
     Files.move(out, bak)
-    Files.createDirectories(java.nio.file.Paths.get(mat.outPath("t") + "__tmp"))
+    val deadTmp = java.nio.file.Paths.get(mat.outPath("t") + "__tmp_dead")
+    Files.createDirectories(deadTmp)
     val recovered = mat.readPrior("t")
     assert(recovered.isDefined, "prior table must be restored from __old")
     assert(recovered.get.as[(String, Int)].collect().toMap == Map("k1" -> 1, "k2" -> 2))
-    assert(!Files.exists(bak) && !Files.exists(java.nio.file.Paths.get(mat.outPath("t") + "__tmp")))
+    assert(!Files.exists(bak))
+    // tmp dirs are uniquely named per invocation, so recovery cannot tell
+    // a dead one from a concurrent writer's in-flight one — it leaves
+    // them (deployments sweep orphans by age)
+    assert(Files.exists(deadTmp), "recovery must not touch tmp dirs")
     // and the next materialization proceeds normally on the restored table
     val next = mat.materialize("t", "id")(_ => Seq(("k2", 20)).toDF("id", "v"))
       .as[(String, Int)].collect().toMap
     assert(next == Map("k1" -> 1, "k2" -> 20))
+  }
+
+  test("concurrent materializes of one model serialize: both upserts land, no clobber") {
+    // two Materializer INSTANCES over the same warehouse (the shape two
+    // engine entry points in one JVM produce): the JVM-global
+    // (dir, model) monitor + OS file lock serialize each whole
+    // materialize, so whichever order the threads win, the second build
+    // reads the first's table as its prior — BOTH upserts land (the
+    // serializable-history property; same final table either order) —
+    // and unique tmp dirs mean no writer can clobber another's bytes.
+    val dir = freshDir()
+    val matA = new Materializer(spark, dir)
+    val matB = new Materializer(spark, dir)
+    matA.materialize("t", "id")(_ => Seq(("k1", 1)).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { matA.materialize("t", "id")(_ => Seq(("k1", 10)).toDF("id", "v")); () }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { matB.materialize("t", "id")(_ => Seq(("k2", 20)).toDF("id", "v")); () }
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+    val fin = spark.read.parquet(matA.outPath("t")).as[(String, Int)].collect().toMap
+    assert(fin == Map("k1" -> 10, "k2" -> 20), s"lost or torn upsert: $fin")
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains("__tmp")).map(_.getName).toSeq
+    assert(leftovers.isEmpty, s"orphaned tmp dirs: $leftovers")
   }
 
   test("recovery never touches a lone __tmp beside a healthy table") {
