@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus-curation operators (charter, SURVEY §0(c)) — the
+  * selection/quality passes a training-data pipeline runs between dedup
+  * and tokenization: repetition quality signals, deterministic
+  * stratified sampling, per-key quotas.
+  *
+  * Scale design: every operator here is one partial-aggregable shuffle
+  * or a pure map-side filter — nothing quadratic, nothing driver-side.
+  */
+object CorpusOps {
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.3 family),
+    * token-level: `top_token_fraction` (occurrences of the most frequent
+    * token / all tokens) and `dup_token_fraction` (occurrences of tokens
+    * appearing ≥ 2 times / all tokens). High values mark boilerplate and
+    * keyword-stuffing pages that length/stopword heuristics miss.
+    *
+    * Integer counts end-to-end with one double division per signal, so
+    * the DuckDB mirror is exact. Two aggregations, but the first groups
+    * by (doc_id, token) — partial aggregation collapses each doc's
+    * tokens map-side, so the shuffle carries per-doc type counts, not
+    * raw tokens.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_token_fraction"),
+        (sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") /
+          sum(col("c"))).as("dup_token_fraction"))
+
+  /** Deterministic stratified sampling by content hash: keep a document
+    * iff the first hex byte of md5(text) sorts ≤ the stratum's cut
+    * (two lowercase hex chars, "00".."ff" ≈ rate/256; absent stratum =
+    * keep nothing). Hash-gated sampling is how a pipeline downsamples an
+    * over-represented language/domain REPRODUCIBLY: the decision is a
+    * pure function of content, so reruns, retries, and different
+    * partitionings select the identical subset — no RNG state anywhere.
+    * Map-side only; the md5 prunes to a 2-char comparison per row.
+    */
+  def stratifiedHashSample(docs: DataFrame, cuts: Map[String, String],
+                           strataCol: String = "lang",
+                           textCol: String = "text"): DataFrame = {
+    require(cuts.values.forall(c => c.length == 2 && c.matches("[0-9a-f]{2}")),
+      s"cuts must be 2-char lowercase hex: $cuts")
+    val cutExpr = cuts.foldLeft(lit(null).cast("string")) { case (acc, (k, cut)) =>
+      when(col(strataCol) === k, lit(cut)).otherwise(acc)
+    }
+    // NULL cut (unlisted stratum) compares NULL → filter drops the row
+    docs.filter(substring(md5(col(textCol)), 1, 2) <= cutExpr)
+  }
+
+  /** Per-key quota (the Common-Crawl per-domain cap): keep at most `n`
+    * rows per key under a caller-supplied TOTAL order (include a unique
+    * tiebreak — and prefer integer order columns: a float computed
+    * independently by two engines can flip rows at the quota boundary).
+    * One hash shuffle on the key; the window sort is per-key.
+    */
+  def capPerKey(docs: DataFrame, keys: Seq[Column], order: Seq[Column],
+                n: Int): DataFrame =
+    graft.ops.Dedup.topNPerKey(docs, keys, order, n)
+}

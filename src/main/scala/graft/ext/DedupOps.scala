@@ -314,6 +314,27 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination check (the n-gram overlap test every
+    * serious training pipeline runs against its eval suites): for each
+    * corpus document, the number of DISTINCT k-gram shingles it shares
+    * with ANY benchmark document. Downstream policy filters or flags
+    * rows with `shared_kgrams` above a tolerance.
+    *
+    * Scale shape: eval suites are MBs against a 100 TB corpus, so the
+    * benchmark's distinct-gram set is broadcast and the check is a
+    * map-side semi-join on the corpus scan — no corpus shuffle beyond
+    * the per-doc count, which partial-aggregates. Docs sharing nothing
+    * are absent from the output (it's a flag list, not a corpus map).
+    */
+  def contaminationCheck(docs: DataFrame, benchmark: DataFrame, k: Int,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = array_distinct(shingles(col(textCol), k))
+    val benchGrams = benchmark.select(explode(grams).as("t")).distinct()
+    docs.select(col(idCol).as("doc_id"), explode(grams).as("t"))
+      .join(broadcast(benchGrams), Seq("t"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_kgrams"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Prime modulus for the universal-hash family (fits min-hash values in

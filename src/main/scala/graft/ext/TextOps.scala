@@ -158,4 +158,22 @@ object TextOps {
     * exact-dedup key (see DedupOps.exactDupGroups).
     */
   def fingerprint(c: Column): Column = md5(normalizeWs(c))
+
+  // PII patterns restricted to syntax RE2 and Java regex interpret
+  // identically (no lookaround, no backrefs), so the DuckDB oracle can
+  // run the literal same expressions.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII redaction (the pre-training scrub pass): replace every email
+    * address and NNN-NNN-NNNN phone number with a typed placeholder.
+    * Pure Column expression — two codegen'd regexp_replace passes, no
+    * UDF, map-side at scan throughput. Pattern coverage is the
+    * deliberately-conservative curation baseline (high precision);
+    * swapping in a learned NER scrubber would ride the same seam.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

@@ -22,10 +22,17 @@ object Dedup {
     * (include unique tie-breaks) for deterministic results — the reference
     * already does this (ts DESC, event_id DESC, :53-54).
     */
-  def topOnePerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+  def topOnePerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    topNPerKey(df, keys, order, 1)
+
+  /** Quota generalization of W1: keep the first `n` rows per key under
+    * `order` (per-key cap / top-n). Same single key-shuffle; the rank
+    * never leaves the exchange.
+    */
+  def topNPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], n: Int): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= n)
       .drop("__rn")
   }
 

@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{DedupOps, IvfIndex, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IvfIndex, MultimodalOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -98,6 +98,49 @@ object ExtQueries {
     "q_ext_langid" -> ((s, dir) =>
       Sources(s, dir).documents.select(
         col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))),
+    // Gopher-family repetition signals: integer token-type counts, one
+    // double division per signal at the end.
+    "q_ext_quality_repetition" -> ((s, dir) =>
+      CorpusOps.repetitionSignals(Sources(s, dir).documents)),
+    // PII scrub: the fixture corpus carries no PII, so the gate PLANTS a
+    // deterministic email + phone on every third doc (mirrored in the
+    // oracle) — the hash match then proves the redactor fired on every
+    // plant and altered nothing else; residual_pii pins zero leftovers.
+    "q_ext_pii_redact" -> ((s, dir) => {
+      val planted = Sources(s, dir).documents.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@example.com or 555-123-4567")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+        (col("doc_id") % 3 === 0).as("planted"),
+        md5(TextOps.redactPii(col("text"))).as("redacted_md5"),
+        size(regexp_extract_all(TextOps.redactPii(col("text")),
+          lit(TextOps.EmailPattern), lit(0))).as("residual_pii"))
+    }),
+    // benchmark decontamination: corpus docs sharing any 3-gram with the
+    // benchmark slice (doc_id % 97 = 0 stands in for an eval suite)
+    "q_ext_contamination" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents
+      DedupOps.contaminationCheck(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), k = 3)
+    }),
+    // reproducible stratified downsampling: per-language md5-prefix cuts
+    // (en ~16%, zh ~6%, fr ~100%, …) — content-hash gating, no RNG
+    "q_ext_sample_stratified" -> ((s, dir) =>
+      CorpusOps.stratifiedHashSample(Sources(s, dir).documents,
+        Map("en" -> "28", "de" -> "7f", "fr" -> "ff", "es" -> "3f", "zh" -> "0f"))
+        .select("doc_id", "lang")),
+    // per-key quota: keep the 20 longest docs per language (integer
+    // order + unique tiebreak — floats at a quota boundary are the
+    // cross-engine hazard, see CorpusOps.capPerKey)
+    "q_ext_cap_per_lang" -> ((s, dir) =>
+      CorpusOps.capPerKey(Sources(s, dir).documents,
+        keys = Seq(col("lang")),
+        order = Seq(TextOps.tokenCount(col("text")).desc, col("doc_id")),
+        n = 20)
+        .select("doc_id", "lang")),
     "q_ext_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Sources(s, dir).documents)),
     // the dedup APPLICATIONS: the corpus a training pipeline consumes.
@@ -443,6 +486,52 @@ object ExtQueries {
          |    ELSE 'und'
          |  END AS lang_pred
          |FROM documents""".stripMargin),
+    "q_ext_quality_repetition" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(max(c) AS DOUBLE) / sum(c) AS top_token_fraction,
+         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_token_fraction
+         |FROM tf GROUP BY 1""".stripMargin),
+    "q_ext_pii_redact" ->
+      ("""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+         |    ELSE text END AS text
+         |  FROM documents
+         |),
+         |red AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS rtext
+         |  FROM planted
+         |)
+         |SELECT doc_id, doc_id % 3 = 0 AS planted, md5(rtext) AS redacted_md5,
+         |  len(regexp_extract_all(rtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS residual_pii
+         |FROM red""".stripMargin),
+    // 3-gram shingles with the same short-doc fallback as DedupOps.shingles
+    "q_ext_contamination" ->
+      (s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+         |    ELSE [array_to_string(toks, ' ')] END) AS grams FROM base),
+         |bench AS (SELECT DISTINCT unnest(grams) AS t FROM sh WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, unnest(grams) AS t FROM sh WHERE doc_id % 97 != 0)
+         |SELECT doc_id, count(*) AS shared_kgrams
+         |FROM corpus WHERE t IN (SELECT t FROM bench) GROUP BY 1""".stripMargin),
+    "q_ext_sample_stratified" ->
+      ("""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(text), 1, 2) <= CASE lang
+         |  WHEN 'en' THEN '28' WHEN 'de' THEN '7f' WHEN 'fr' THEN 'ff'
+         |  WHEN 'es' THEN '3f' WHEN 'zh' THEN '0f' END""".stripMargin),
+    "q_ext_cap_per_lang" ->
+      (s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY len($toksSql) DESC, doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn <= 20""".stripMargin),
     "q_ext_exact_dedup" ->
       ("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n

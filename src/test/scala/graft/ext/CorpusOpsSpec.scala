@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge-case gates for the corpus-curation ops (the oracle rows cover
+  * fixture-scale parity; these pin the semantics the fixture can't
+  * reach).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals: hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),          // top = 3/4, dup = 3/4
+      (2L, "a b c d"),          // no repetition: top = 1/4, dup = 0
+      (3L, "x x y y"))          // top = 2/4, dup = 4/4
+      .toDF("doc_id", "text")
+    val got = CorpusOps.repetitionSignals(docs)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0.75, 0.75), got.toString)
+    assert(got(2L) == (0.25, 0.0), got.toString)
+    assert(got(3L) == (0.5, 1.0), got.toString)
+  }
+
+  test("PII redaction replaces emails and phones, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "mail me at alice.smith+spam@sub.example.org today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "no pii here, just words"),
+      (4L, "both bob@ex.co and 111-222-3333"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail me at <EMAIL> today", got(1L))
+    assert(got(2L) == "call <PHONE> or <PHONE> now", got(2L))
+    assert(got(3L) == "no pii here, just words", got(3L))
+    assert(got(4L) == "both <EMAIL> and <PHONE>", got(4L))
+  }
+
+  test("stratified hash sample: content-determined, stratum-scoped, absent stratum drops") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "xx", s"doc number $i body")).toDF("doc_id", "lang", "text")
+    val cuts = Map("en" -> "7f")   // ~50% of the en stratum
+    val s1 = CorpusOps.stratifiedHashSample(docs, cuts).select("doc_id").as[Long].collect().toSet
+    val s2 = CorpusOps.stratifiedHashSample(docs, cuts).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "hash sampling must be deterministic across runs")
+    assert(s1.forall(_ % 2 == 0), "absent stratum (xx) must be dropped entirely")
+    assert(s1.nonEmpty && s1.size < 100, s"en stratum should thin out: ${s1.size}/100")
+    // the decision is a pure function of CONTENT: repartitioning the
+    // input cannot change the selection
+    val s3 = CorpusOps.stratifiedHashSample(docs.repartition(7), cuts)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 == s1, "selection must be partitioning-invariant")
+    intercept[IllegalArgumentException] {
+      CorpusOps.stratifiedHashSample(docs, Map("en" -> "XY"))
+    }
+  }
+
+  test("per-key cap keeps exactly n rows per key under the total order") {
+    val docs = (0 until 30).map(i => (i.toLong, s"k${i % 3}", s"${"w " * (i + 1)}"))
+      .toDF("doc_id", "lang", "text")
+    val got = CorpusOps.capPerKey(docs,
+        keys = Seq(col("lang")),
+        order = Seq(TextOps.tokenCount(col("text")).desc, col("doc_id")), n = 2)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(got.length == 6, s"3 keys × cap 2: ${got.toSeq}")
+    // per key the two LONGEST docs are ids 27/24 (k0), 28/25 (k1), 29/26 (k2)
+    val byKey = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byKey == Map("k0" -> Set(27L, 24L), "k1" -> Set(28L, 25L), "k2" -> Set(29L, 26L)),
+      byKey.toString)
+  }
+
+  test("contamination check counts distinct shared k-grams and skips clean docs") {
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox runs far"),    // shares 2 distinct 3-grams
+      (2L, "quick brown fox jumps elsewhere"), // shares 2
+      (3L, "completely unrelated words only"), // clean → absent
+      (4L, "the quick brown the quick brown")) // repeated gram counts ONCE
+      .toDF("doc_id", "text")
+    val got = DedupOps.contaminationCheck(docs, bench, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 4L -> 1L), got.toString)
+  }
+}
