@@ -141,6 +141,23 @@ object ExtQueries {
         order = Seq(TextOps.tokenCount(col("text")).desc, col("doc_id")),
         n = 20)
         .select("doc_id", "lang")),
+    // the COMPOSED curation pipeline — scrub → quality/length filter →
+    // exact dedup → stratified downsample, the end-to-end pass a user
+    // runs nightly, hash-gated as ONE query so the stage seams (does
+    // dedup see scrubbed text? does sampling hash the deduped corpus?)
+    // are verified, not just each stage alone. All stages are map-side
+    // except dedup's single fingerprint shuffle.
+    "q_ext_curation_pipeline" -> ((s, dir) => {
+      val scrubbed = Sources(s, dir).documents
+        .select(col("doc_id"), col("lang"), TextOps.redactPii(col("text")).as("text"))
+      val filtered = scrubbed.filter(
+        TextOps.tokenCount(col("text")).between(5, 5000) &&
+          TextOps.qualityScore(col("text")) >= 0.5)
+      val deduped = DedupOps.dedupExact(filtered)
+      CorpusOps.stratifiedHashSample(deduped,
+        Map("en" -> "9f", "de" -> "ff", "fr" -> "ff", "es" -> "ff", "zh" -> "3f"))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
+    }),
     "q_ext_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Sources(s, dir).documents)),
     // the dedup APPLICATIONS: the corpus a training pipeline consumes.
@@ -532,6 +549,32 @@ object ExtQueries {
          |    PARTITION BY lang ORDER BY len($toksSql) DESC, doc_id) AS rn
          |  FROM documents
          |) WHERE rn <= 20""".stripMargin),
+    // stage-for-stage mirror of the composed pipeline; toksSql/qualitySql
+    // reference column `text`, so re-binding them inside CTEs over the
+    // scrubbed text applies them to the right stage automatically
+    "q_ext_curation_pipeline" ->
+      (s"""WITH scrubbed AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(
+         |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS text
+         |  FROM documents
+         |),
+         |filtered AS (
+         |  SELECT * FROM scrubbed
+         |  WHERE len($toksSql) BETWEEN 5 AND 5000 AND ($qualitySql) >= 0.5
+         |),
+         |deduped AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+         |      PARTITION BY $fingerprintSql ORDER BY doc_id) AS rn
+         |    FROM filtered
+         |  ) WHERE rn = 1
+         |)
+         |SELECT doc_id, lang, md5(text) AS content_md5 FROM deduped
+         |WHERE substr(md5(text), 1, 2) <= CASE lang
+         |  WHEN 'en' THEN '9f' WHEN 'de' THEN 'ff' WHEN 'fr' THEN 'ff'
+         |  WHEN 'es' THEN 'ff' WHEN 'zh' THEN '3f' END""".stripMargin),
     "q_ext_exact_dedup" ->
       ("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n

@@ -59,4 +59,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"no map-side partial aggregation:\n$p")
   }
+
+  test("contamination: benchmark gram set broadcasts, corpus side never sort-merges") {
+    val p = plan("q_ext_contamination")
+    // the eval suite is MBs against the corpus — a SortMergeJoin here
+    // would shuffle every corpus shingle by gram
+    assert(p.contains("BroadcastHashJoin"), s"benchmark grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shingles shuffled for the semi-join:\n$p")
+    assert(p.contains("partial_count"), s"per-doc count not partial-aggregated:\n$p")
+  }
+
+  test("stratified sample: pure map-side filter, zero shuffles") {
+    val p = plan("q_ext_sample_stratified")
+    assert(!p.contains("Exchange"), s"a content-hash filter must not shuffle:\n$p")
+    assert(!p.contains("embedding") && !p.contains("source"),
+      s"scan reads columns beyond (doc_id, lang, text):\n$p")
+  }
+
+  test("repetition signals: both aggs partial, shuffle carries type counts not tokens") {
+    val p = plan("q_ext_quality_repetition")
+    assert(p.contains("partial_count"), s"token-type count not partial-aggregated:\n$p")
+    // (doc_id, token) grouping then doc_id grouping: the second agg's
+    // input is already one row per (doc, type) — ≤ 2 exchanges total
+    assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles appeared:\n$p")
+  }
 }
