@@ -64,4 +64,31 @@ object CorpusOps {
   def capPerKey(docs: DataFrame, keys: Seq[Column], order: Seq[Column],
                 n: Int): DataFrame =
     graft.ops.Dedup.topNPerKey(docs, keys, order, n)
+
+  /** Fixed-size token chunking with overlap — the split a pipeline runs
+    * before tokenizer/packing so no training sequence crosses a document
+    * boundary. Emits (doc_id, chunk_idx, chunk_text, chunk_tokens):
+    * chunk i covers tokens [i·stride, i·stride + size) with
+    * stride = size − overlap; the last chunk may be short; a document
+    * shorter than `size` yields exactly one chunk. Pure Column
+    * expressions (sequence → transform → posexplode) — map-side,
+    * chunk count per row is data-proportional, no shuffle.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, overlap: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = TextOps.tokens(col(textCol))
+    // number of chunks = 1 + ceil(max(0, n - chunkSize) / stride), via
+    // integer arithmetic: 1 + floor((max(0, n - chunkSize) + stride - 1) / stride)
+    val nChunks = lit(1) +
+      floor((greatest(size(toks) - chunkSize, lit(0)) + (stride - 1)) / stride).cast("int")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          slice(toks, i * stride + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("bigint").as("chunk_tokens"))
+  }
 }

@@ -141,6 +141,11 @@ object ExtQueries {
         order = Seq(TextOps.tokenCount(col("text")).desc, col("doc_id")),
         n = 20)
         .select("doc_id", "lang")),
+    // fixed-size token chunking, 32-token windows overlapping by 8 — the
+    // pre-tokenizer split; map-side posexplode, chunk count proportional
+    // to doc length, no shuffle
+    "q_ext_chunk_tokens" -> ((s, dir) =>
+      CorpusOps.chunkTokens(Sources(s, dir).documents, chunkSize = 32, overlap = 8)),
     // the COMPOSED curation pipeline — scrub → quality/length filter →
     // exact dedup → stratified downsample, the end-to-end pass a user
     // runs nightly, hash-gated as ONE query so the stage seams (does
@@ -549,6 +554,18 @@ object ExtQueries {
          |    PARTITION BY lang ORDER BY len($toksSql) DESC, doc_id) AS rn
          |  FROM documents
          |) WHERE rn <= 20""".stripMargin),
+    // chunk i covers 1-based token positions [i·24+1, i·24+32], clamped
+    // at the end like Spark's slice; // is DuckDB integer division,
+    // mirroring floor() over Spark's double division
+    "q_ext_chunk_tokens" ->
+      (s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |  1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS nchunks FROM base),
+         |ch AS (SELECT doc_id, unnest(range(nchunks)) AS i, toks FROM n)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+         |  CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens
+         |FROM ch""".stripMargin),
     // stage-for-stage mirror of the composed pipeline; toksSql/qualitySql
     // reference column `text`, so re-binding them inside CTEs over the
     // scrubbed text applies them to the right stage automatically

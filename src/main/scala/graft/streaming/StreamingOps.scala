@@ -100,6 +100,35 @@ object StreamingOps {
         mat.materialize(model, uniqueKey)(_ => batch)
         ()
     }
+
+  /** Streaming exact dedup — the ingest front door: emit each content
+    * fingerprint's FIRST-SEEN row, drop every later duplicate, across
+    * micro-batch boundaries (state holds one entry per distinct
+    * fingerprint — the same cardinality the batch dedup shuffles, held
+    * as state instead). Append semantics. NB the batch [[graft.ext.DedupOps.dedupExact]]
+    * keeps the LOWEST id per fingerprint; a stream has no retrospect, so
+    * first-seen is the streaming analog — they coincide exactly when
+    * arrival order is id order (the usual append-only ingest).
+    *
+    * Unbounded corpora should bound the state with
+    * [[dedupExactStreamBounded]]: dedup is then exact only within the
+    * watermark horizon — the standard trade once "all history" no longer
+    * fits state.
+    */
+  def dedupExactStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
+  /** Watermark-bounded variant: exact within `delay` of the max seen
+    * `tsCol`; state entries expire past the horizon.
+    */
+  def dedupExactStreamBounded(docs: DataFrame, tsCol: String, delay: String,
+                              textCol: String = "text"): DataFrame =
+    docs.withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }
 
 /** One attribution-relevant event (typed for the stateful path). */

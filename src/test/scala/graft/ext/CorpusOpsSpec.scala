@@ -71,6 +71,28 @@ class CorpusOpsSpec extends SparkSpec {
       byKey.toString)
   }
 
+  test("token chunking: stride, overlap, tail and short-doc shapes") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // exact fit: no short tail
+      (2L, "a b"),                                      // shorter than a chunk
+      (3L, (1 to 9).map(i => s"s$i").mkString(" ")))    // short tail chunk
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkTokens(docs, chunkSize = 4, overlap = 1)
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    // doc 1 (10 toks, stride 3): 1+⌈6/3⌉ = 3 chunks at starts 0,3,6 —
+    // consecutive chunks share exactly `overlap` tokens, last ends flush
+    assert(got(1L) == Seq(("t1 t2 t3 t4", 4L), ("t4 t5 t6 t7", 4L),
+      ("t7 t8 t9 t10", 4L)), got(1L).toString)
+    assert(got(2L) == Seq(("a b", 2L)), got(2L).toString)
+    // doc 3 (9 toks): 1+⌈5/3⌉ = 3 chunks, the tail runs short (s7 s8 s9)
+    assert(got(3L) == Seq(("s1 s2 s3 s4", 4L), ("s4 s5 s6 s7", 4L), ("s7 s8 s9", 3L)),
+      got(3L).toString)
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkTokens(docs, chunkSize = 4, overlap = 4)
+    }
+  }
+
   test("contamination check counts distinct shared k-grams and skips clean docs") {
     val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
     val docs = Seq(

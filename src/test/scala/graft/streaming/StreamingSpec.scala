@@ -348,4 +348,49 @@ class StreamingSpec extends SparkSpec {
       assert(rows.last.eventId == "7", rows.mkString(","))
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops duplicates across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.dedupExactStream(docs).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData((1L, "alpha beta"), (2L, "gamma delta"),
+        (3L, "ALPHA   beta"))        // same fingerprint as doc 1 (ws+case canon)
+      q.processAllAvailable()
+      in.addData((4L, "alpha beta"), // cross-batch duplicate of doc 1
+        (5L, "epsilon zeta"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      // first-seen per fingerprint: 3 collapses into 1 within the batch,
+      // 4 collapses ACROSS batches (the state the batch path lacks)
+      assert(got == Set(1L, 2L, 5L), got.toString)
+      // first-seen ≡ batch dedupExact (keep-lowest) when arrival order is
+      // id order — the documented coincidence
+      val batch = graft.ext.DedupOps.dedupExact(Seq(
+        (1L, "alpha beta"), (2L, "gamma delta"), (3L, "ALPHA   beta"),
+        (4L, "alpha beta"), (5L, "epsilon zeta")).toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(batch == got, s"streaming first-seen diverged from batch keep-lowest: $batch vs $got")
+    } finally q.stop()
+  }
+
+  test("watermark-bounded streaming dedup stays exact inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = StreamingOps.dedupExactStreamBounded(docs, "ingest_ts", "1 hour").writeStream
+      .format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "alpha beta"),
+        (2L, ts("2024-01-01 10:10:00"), "gamma delta"))
+      q.processAllAvailable()
+      // within the 1-hour horizon of doc 1: must still dedup
+      in.addData((3L, ts("2024-01-01 10:30:00"), "alpha beta"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_wm_out").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L), got.toString)
+    } finally q.stop()
+  }
 }
