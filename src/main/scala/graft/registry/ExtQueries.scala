@@ -70,18 +70,29 @@ object ExtQueries {
 
   private def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
     ivfCleanup
-    val holder = ivfIndexDirs.synchronized(
-      ivfIndexDirs.getOrElseUpdate((s, dir), new IvfIdxHolder(s, dir)))
+    val holder = ivfIndexDirs.synchronized {
+      // evict holders whose session has been STOPPED: their frames can
+      // no longer run, and keeping the entry would pin the dead
+      // session's object graph for the JVM lifetime
+      ivfIndexDirs.keys.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
+        ivfIndexDirs.remove(k).flatMap(h => Option(h.tmpDir))
+          .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+      }
+      ivfIndexDirs.getOrElseUpdate((s, dir), new IvfIdxHolder(s, dir))
+    }
     IvfIndex.load(s, holder.path)
   }
 
-  // Cold-path temp dirs (one per q_ext_knn_ivf CALL — the query times the
-  // full train+save+load lifecycle): the returned frame lazily reads the
-  // saved index, so dirs live until JVM exit; repeat calls per dir replace
-  // the previous cold dir to bound accumulation in long sessions.
-  private val ivfColdDirs = scala.collection.mutable.LinkedHashMap[String, String]()
+  // Cold-path temp dirs: one per q_ext_knn_ivf CALL (the query times the
+  // full train+save+load lifecycle), APPEND-ONLY and reclaimed at JVM
+  // exit — a returned frame lazily reads its saved index, so no call may
+  // delete an earlier call's dir (an eager replace-on-repeat would pull
+  // the index out from under a still-referenced frame, or out from under
+  // a concurrent call's in-flight train). Growth is one small dir per
+  // cold build — the explicit cost the cold row exists to measure.
+  private val ivfColdDirs = scala.collection.mutable.ListBuffer[String]()
   private lazy val ivfColdCleanup = sys.addShutdownHook {
-    ivfColdDirs.synchronized(ivfColdDirs.values.toList)
+    ivfColdDirs.synchronized(ivfColdDirs.toList)
       .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
   }
 
@@ -115,8 +126,10 @@ object ExtQueries {
       planted.select(col("doc_id"),
         (col("doc_id") % 3 === 0).as("planted"),
         md5(TextOps.redactPii(col("text"))).as("redacted_md5"),
-        size(regexp_extract_all(TextOps.redactPii(col("text")),
-          lit(TextOps.EmailPattern), lit(0))).as("residual_pii"))
+        (size(regexp_extract_all(TextOps.redactPii(col("text")),
+          lit(TextOps.EmailPattern), lit(0))) +
+          size(regexp_extract_all(TextOps.redactPii(col("text")),
+            lit(TextOps.PhonePattern), lit(0)))).as("residual_pii"))
     }),
     // benchmark decontamination: corpus docs sharing any 3-gram with the
     // benchmark slice (doc_id % 97 = 0 stands in for an eval suite)
@@ -269,11 +282,7 @@ object ExtQueries {
     "q_ext_knn_ivf" -> ((s, dir) => {
       ivfColdCleanup
       val p = java.nio.file.Files.createTempDirectory("graft_ivfcold_").toString
-      ivfColdDirs.synchronized {
-        ivfColdDirs.remove(dir).foreach(d =>
-          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
-        ivfColdDirs(dir) = p
-      }
+      ivfColdDirs.synchronized { ivfColdDirs += p }
       IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p)
       val idx = IvfIndex.load(s, p)
       idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
@@ -530,7 +539,8 @@ object ExtQueries {
          |  FROM planted
          |)
          |SELECT doc_id, doc_id % 3 = 0 AS planted, md5(rtext) AS redacted_md5,
-         |  len(regexp_extract_all(rtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS residual_pii
+         |  len(regexp_extract_all(rtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         |    + len(regexp_extract_all(rtext, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS residual_pii
          |FROM red""".stripMargin),
     // 3-gram shingles with the same short-doc fallback as DedupOps.shingles
     "q_ext_contamination" ->

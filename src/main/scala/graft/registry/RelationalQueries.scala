@@ -63,8 +63,12 @@ object RelationalQueries {
   private val bucketed =
     scala.collection.mutable.LinkedHashMap[(SparkSession, String), BucketedHolder]()
   private def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val holder = bucketed.synchronized(
-      bucketed.getOrElseUpdate((s, dir), new BucketedHolder(s, dir)))
+    val holder = bucketed.synchronized {
+      // drop entries for STOPPED sessions so the cache never pins a dead
+      // session's object graph across a long-lived multi-session process
+      bucketed.keys.filter(_._1.sparkContext.isStopped).toList.foreach(bucketed.remove)
+      bucketed.getOrElseUpdate((s, dir), new BucketedHolder(s, dir))
+    }
     val (li, ord) = holder.tables
     (Bucketing.read(s, li), Bucketing.read(s, ord))
   }

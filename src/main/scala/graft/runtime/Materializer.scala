@@ -31,63 +31,77 @@ import java.nio.file.{Files, Paths}
   * write or a crashed write (an orphan a deployment sweeps by age) — so
   * readers overlapping a writer's (long) PARQUET-WRITE phase are safe.
   *
-  * [[materialize]] is serialized PER MODEL for its whole run at two
-  * levels — in-JVM via one monitor per (canonical warehouse dir, model)
-  * (JVM-GLOBAL companion registry, so even two Materializer instances
-  * on one warehouse serialize) and cross-PROCESS via a blocking OS file
-  * lock (`FileChannel.lock` on `<model>.lock`, reentrant through a
-  * held-locks registry). That is dbt's own contract (a model never runs
-  * concurrently with itself), and it is what makes concurrent callers
-  * SERIALIZABLE: each build reads the previous winner's table as its
-  * prior instead of racing its prior scan against another writer's
-  * renames. Recovery and [[withSwapLock]] readers share the same
-  * monitor, so same-process readers can never "restore" the prior
-  * table out from under a live swap, and a reader can pin the
-  * directory across its own scan. Cross-process READERS remain
-  * uncoordinated (a reader in another process can still observe the
-  * sub-millisecond rename window) — that last seam is where a table
-  * format's atomic commit (Delta/Iceberg) plugs in on a real
-  * deployment. The anti-join form shuffles both sides by `id` once,
-  * which AQE sizes.
+  * [[materialize]] is serialized PER MODEL for its whole run — in-JVM
+  * via a WRITER mutex per (canonical warehouse dir, model) (JVM-GLOBAL
+  * companion registry, so even two Materializer instances on one
+  * warehouse serialize) and cross-PROCESS via a blocking OS file lock
+  * (`FileChannel.lock` on `<model>.lock`, gated by a per-key
+  * ReentrantLock so same-thread nesting rides the hold count and
+  * same-JVM threads block instead of tripping
+  * OverlappingFileLockException). That is dbt's own contract (a model
+  * never runs concurrently with itself), and it is what makes
+  * concurrent callers SERIALIZABLE: each build reads the previous
+  * winner's table as its prior instead of racing its prior scan against
+  * another writer's renames. A SEPARATE swap monitor guards only the
+  * rename window, recovery, and [[withSwapLock]] readers — so a reader
+  * pinning this table (a downstream streaming model) waits out a
+  * rename, never a multi-second build, and same-process readers can
+  * never "restore" the prior table out from under a live swap. Lock
+  * order everywhere: writer mutex → file lock → swap monitor.
+  * Cross-process READERS remain uncoordinated (a reader in another
+  * process can still observe the sub-millisecond rename window) — that
+  * last seam is where a table format's atomic commit (Delta/Iceberg)
+  * plugs in on a real deployment. The anti-join form shuffles both
+  * sides by `id` once, which AQE sizes.
   */
 final class Materializer(spark: SparkSession, baseDir: String) {
 
   def outPath(model: String): String = s"$baseDir/$model"
 
-  // one monitor per (canonical dir, model), JVM-global: two instances on
-  // the same warehouse share the monitor (and thereby never contend for
-  // the OS file lock from one JVM, which would throw Overlapping-
-  // FileLockException instead of blocking)
-  private val canonicalBase = Paths.get(baseDir).toAbsolutePath.normalize.toString
+  // Two JVM-global lock levels per (canonical dir, model), shared by all
+  // instances on one warehouse:
+  //  - the WRITER mutex serializes whole materialize runs (dbt's
+  //    model-never-runs-concurrently-with-itself contract);
+  //  - the SWAP monitor guards only the rename window and recovery, so
+  //    withSwapLock READERS wait microseconds for a swap, never minutes
+  //    for a build.
+  // Lock ORDER is writer → OS file lock → swap, everywhere — recover
+  // takes the file lock BEFORE the swap monitor for exactly this reason.
+  // The canonical key resolves symlinks (toRealPath): two aliases of one
+  // warehouse must share monitors, or they would meet unsynchronized at
+  // the same physical lock file and throw OverlappingFileLockException.
+  private lazy val canonicalBase: String = {
+    val p = Paths.get(baseDir)
+    Files.createDirectories(p)
+    p.toRealPath().toString
+  }
+  private def writerLockFor(model: String): Object =
+    Materializer.writerLocks.computeIfAbsent(s"$canonicalBase/$model", _ => new Object)
   private def lockFor(model: String): Object =
     Materializer.swapLocks.computeIfAbsent(s"$canonicalBase/$model", _ => new Object)
 
   /** Run `f` holding the model's cross-process lock file (blocking OS
-    * lock). REENTRANT per model: the caller must hold the in-JVM
-    * monitor, under which a depth counter lets a nested call (recover
-    * inside materialize) ride the already-held lock — a second
-    * `FileChannel.lock` on a file this JVM holds would throw
-    * OverlappingFileLockException rather than block.
+    * lock). A per-key ReentrantLock gates the acquisition: a nested call
+    * on the SAME thread (recover inside materialize) rides the held OS
+    * lock via the hold count, while a second THREAD blocks on the gate —
+    * `FileChannel.lock` on a file this JVM already holds would throw
+    * OverlappingFileLockException rather than block, so the JVM-level
+    * gate must win before the OS-level lock is touched.
     */
   private def withFileLock[T](model: String)(f: => T): T = {
-    val key = s"$canonicalBase/$model"
-    Materializer.heldFileLocks.get(key) match {
-      case Some(depth) =>
-        Materializer.heldFileLocks.update(key, depth + 1)
-        try f
-        finally Materializer.heldFileLocks.update(key, Materializer.heldFileLocks(key) - 1)
-      case None =>
+    val gate = Materializer.fileLockGates.computeIfAbsent(
+      s"$canonicalBase/$model", _ => new java.util.concurrent.locks.ReentrantLock())
+    gate.lock()
+    try {
+      if (gate.getHoldCount > 1) f  // nested on this thread: OS lock already held
+      else {
         Files.createDirectories(Paths.get(baseDir))
         val ch = java.nio.channels.FileChannel.open(
           Paths.get(s"$baseDir/$model.lock"),
           java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val l = ch.lock()
-          Materializer.heldFileLocks.update(key, 1)
-          try f
-          finally { Materializer.heldFileLocks.remove(key); l.release() }
-        } finally ch.close()
-    }
+        try { val l = ch.lock(); try f finally l.release() } finally ch.close()
+      }
+    } finally gate.unlock()
   }
 
   /** Run `f` holding the model's swap lock: no swap or recovery of this
@@ -106,15 +120,19 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     * it may be a concurrent materialize's in-flight write). Idempotent;
     * no-op — no filesystem mutation at all — on a healthy table.
     */
-  private def recover(model: String): Unit = lockFor(model).synchronized {
+  private def recover(model: String): Unit = {
     val out = Paths.get(outPath(model))
     val bak = Paths.get(outPath(model) + "__old")
+    // racy probe first: the healthy-table fast path takes no lock at all.
+    // On a hit, acquire file lock BEFORE the swap monitor (the global
+    // lock order) and re-check — another process/thread may have
+    // completed this same recovery in between.
     if (Files.exists(bak)) withFileLock(model) {
-      // re-check under the cross-process lock: another process may have
-      // completed this same recovery between the probe and the lock
-      if (Files.exists(bak)) {
-        if (!Files.exists(out)) Files.move(bak, out)
-        else deleteRecursive(bak)
+      lockFor(model).synchronized {
+        if (Files.exists(bak)) {
+          if (!Files.exists(out)) Files.move(bak, out)
+          else deleteRecursive(bak)
+        }
       }
     }
   }
@@ -132,13 +150,16 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     */
   def materialize(model: String, uniqueKey: String)
                  (build: Option[DataFrame] => DataFrame): DataFrame =
-    // SERIALIZED per model for the WHOLE run (in-JVM monitor +
-    // cross-process OS file lock) — dbt's own contract: a model never
+    // SERIALIZED per model for the WHOLE run on the WRITER mutex (in-JVM)
+    // + OS file lock (cross-process) — dbt's own contract: a model never
     // runs concurrently with itself. Serialization is what makes
     // concurrent callers' upserts apply in SOME order (each build reads
     // the previous winner's table as its prior) instead of racing the
-    // prior scan against another writer's swap renames.
-    lockFor(model).synchronized { withFileLock(model) {
+    // prior scan against another writer's swap renames. The SWAP monitor
+    // is taken only around the renames, so withSwapLock readers (e.g. a
+    // downstream streaming model pinning this table) wait out a rename,
+    // not a build.
+    writerLockFor(model).synchronized { withFileLock(model) {
       val prior = readPrior(model)
       val fresh = build(prior)
       val result = prior match {
@@ -157,10 +178,12 @@ final class Materializer(spark: SparkSession, baseDir: String) {
         result.write.mode(SaveMode.Overwrite).parquet(tmp)
         val out = Paths.get(outPath(model))
         val bak = Paths.get(outPath(model) + "__old")
-        deleteRecursive(bak)
-        if (Files.exists(out)) Files.move(out, bak)
-        Files.move(Paths.get(tmp), out)
-        deleteRecursive(bak)
+        lockFor(model).synchronized {
+          deleteRecursive(bak)
+          if (Files.exists(out)) Files.move(out, bak)
+          Files.move(Paths.get(tmp), out)
+          deleteRecursive(bak)
+        }
       } catch {
         // a failed write must not orphan its tmp dir
         case e: Throwable => deleteRecursive(Paths.get(tmp)); throw e
@@ -197,12 +220,17 @@ final class Materializer(spark: SparkSession, baseDir: String) {
 }
 
 object Materializer {
-  // JVM-global swap monitors, keyed by canonical "warehouse/model": all
+  // JVM-global monitors, keyed by canonical "warehouse/model": all
   // Materializer instances over one warehouse serialize on the same
-  // monitor (a per-instance map would let two instances race the
-  // renames and deadlock-by-exception on the shared OS file lock)
+  // objects (per-instance maps would let two instances race the renames
+  // and deadlock-by-exception on the shared OS file lock). writerLocks
+  // serialize whole materialize runs; swapLocks guard only the rename
+  // window (+ recovery + withSwapLock readers).
+  private val writerLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  // OS file locks this JVM currently holds, with reentrancy depth; each
-  // key is only ever touched under that key's swap monitor
-  private val heldFileLocks = scala.collection.concurrent.TrieMap[String, Int]()
+  // per-key gates serializing OS-file-lock acquisition inside one JVM
+  // (ReentrantLock: same-thread nesting via hold count, cross-thread
+  // blocking); lock ORDER everywhere is writer → gate/OS → swap
+  private val fileLockGates =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 }

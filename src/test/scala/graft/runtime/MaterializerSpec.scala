@@ -148,6 +148,47 @@ class MaterializerSpec extends SparkSpec {
     assert(!Files.exists(bak), "stale __old beside a live table must be dropped")
   }
 
+  test("withSwapLock readers are never blocked by an in-flight build") {
+    // the writer mutex covers the whole materialize, but the swap
+    // monitor (which readers share) must only cover the renames — a
+    // downstream streaming model pinning this table has to read freely
+    // while an upstream batch builds for seconds
+    val mat = new Materializer(spark, freshDir())
+    mat.materialize("t", "id")(_ => Seq(("k1", 1)).toDF("id", "v"))
+    val buildEntered = new java.util.concurrent.CountDownLatch(1)
+    val releaseBuild = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      mat.materialize("t", "id") { _ =>
+        buildEntered.countDown()
+        releaseBuild.await()
+        Seq(("k2", 2)).toDF("id", "v")
+      }
+      ()
+    })
+    writer.start()
+    try {
+      assert(buildEntered.await(30, java.util.concurrent.TimeUnit.SECONDS), "build never started")
+      // reader pins and scans WHILE the writer sits mid-build holding
+      // the writer mutex + file lock — this deadlocked under a
+      // single-monitor design. Time-bounded on a daemon thread so a
+      // regression fails the test instead of hanging the suite.
+      @volatile var pinned: Map[String, Int] = null
+      val reader = new Thread(() => {
+        pinned = mat.withSwapLock("t") {
+          mat.readPrior("t").get.as[(String, Int)].collect().toMap
+        }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      reader.join(30000)
+      assert(pinned == Map("k1" -> 1), s"reader blocked by in-flight build: $pinned")
+    } finally releaseBuild.countDown()
+    writer.join(60000)
+    assert(!writer.isAlive, "writer failed to finish after release")
+    val fin = spark.read.parquet(mat.outPath("t")).as[(String, Int)].collect().toMap
+    assert(fin == Map("k1" -> 1, "k2" -> 2), fin.toString)
+  }
+
   test("upsert replaces matching ids and appends new ones") {
     val mat = new Materializer(spark, freshDir())
     val v1 = Seq(("k1", 1), ("k2", 2)).toDF("id", "v")
