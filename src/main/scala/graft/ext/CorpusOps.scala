@@ -74,6 +74,39 @@ object CorpusOps {
     * expressions (sequence → transform → posexplode) — map-side,
     * chunk count per row is data-proportional, no shuffle.
     */
+  // hex digit → value as a Column expression (no engine-specific
+  // conv(): a 16-branch CASE both engines evaluate identically)
+  private def hexNibble(c: Column): Column =
+    (0 until 16).foldLeft(lit(-1)) { (acc, v) => when(c === f"$v%x", v).otherwise(acc) }
+
+  /** Deterministic shard assignment for training output: shard =
+    * (first md5 byte of the key) mod `numShards`. A pure function of
+    * the key, so re-runs and retries land every row in the same shard —
+    * the property that lets a training job resume against a partially
+    * written corpus. Map-side; pair with [[writeSharded]] to lay the
+    * corpus out as one directory per shard.
+    */
+  def assignShards(docs: DataFrame, numShards: Int,
+                   keyCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0 && numShards <= 256, s"need 1..256 shards: $numShards")
+    val hx = md5(col(keyCol).cast("string"))
+    docs.withColumn("shard",
+      (hexNibble(substring(hx, 1, 1)) * 16 + hexNibble(substring(hx, 2, 1))) % numShards)
+  }
+
+  /** Hash-sharded corpus layout: one `shard=K` parquet directory per
+    * shard, each internally splittable — the write-side partitioning a
+    * training loader consumes shard-by-shard. The shuffle-free write:
+    * partitionBy routes rows by the (map-side) shard column without a
+    * repartition, so each task writes up to `numShards` files; callers
+    * wanting exactly one file per shard repartition on `shard` first
+    * and trade one shuffle for file count.
+    */
+  def writeSharded(docs: DataFrame, numShards: Int, path: String,
+                   keyCol: String = "doc_id"): Unit =
+    assignShards(docs, numShards, keyCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def chunkTokens(docs: DataFrame, chunkSize: Int, overlap: Int,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,

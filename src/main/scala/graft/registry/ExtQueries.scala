@@ -154,6 +154,11 @@ object ExtQueries {
         order = Seq(TextOps.tokenCount(col("text")).desc, col("doc_id")),
         n = 20)
         .select("doc_id", "lang")),
+    // deterministic training-shard assignment (md5-byte mod 8) — the
+    // write-side routing writeSharded lays out as shard=K directories
+    "q_ext_shard_assign" -> ((s, dir) =>
+      CorpusOps.assignShards(Sources(s, dir).documents, numShards = 8)
+        .select("doc_id", "shard")),
     // fixed-size token chunking, 32-token windows overlapping by 8 — the
     // pre-tokenizer split; map-side posexplode, chunk count proportional
     // to doc length, no shuffle
@@ -564,6 +569,11 @@ object ExtQueries {
          |    PARTITION BY lang ORDER BY len($toksSql) DESC, doc_id) AS rn
          |  FROM documents
          |) WHERE rn <= 20""".stripMargin),
+    "q_ext_shard_assign" ->
+      ("""SELECT doc_id,
+         |  (16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+         |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS shard
+         |FROM documents""".stripMargin),
     // chunk i covers 1-based token positions [i·24+1, i·24+32], clamped
     // at the end like Spark's slice; // is DuckDB integer division,
     // mirroring floor() over Spark's double division

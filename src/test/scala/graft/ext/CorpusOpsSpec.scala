@@ -93,6 +93,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment: in-range, deterministic, key-functional; sharded write layout") {
+    val docs = (0 until 256).map(i => (i.toLong, s"body $i")).toDF("doc_id", "text")
+    val a1 = CorpusOps.assignShards(docs, 8).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    val a2 = CorpusOps.assignShards(docs.repartition(5), 8).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    assert(a1 == a2, "assignment must be partitioning-invariant")
+    assert(a1.values.forall(s => s >= 0 && s < 8), "shard out of range")
+    // md5 spreads: every shard populated, none hoarding (loose 3× bound)
+    val sizes = a1.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.forall(n => n >= 8 && n <= 96), sizes.toMap.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    CorpusOps.writeSharded(docs, 8, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 until 8).map(s => s"shard=$s"), dirs.toSeq.toString)
+    // reading the layout back reproduces the assignment exactly
+    val back = spark.read.parquet(out).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    assert(back == a1, "sharded layout diverged from the assignment")
+  }
+
   test("contamination check counts distinct shared k-grams and skips clean docs") {
     val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
     val docs = Seq(
