@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Deduplication operators for LLM training-data pipelines
@@ -475,5 +476,98 @@ object DedupOps {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  // ───── duplicated-SPAN family (substring-level dedup; Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better",
+  // arXiv:2107.06499) — document-level dedup above misses the long
+  // boilerplate span repeated INSIDE otherwise-distinct documents; this
+  // family finds and removes those spans, reduced to plain joins instead
+  // of the paper's suffix array (which is a single-machine structure —
+  // the gram index is the shuffle-native equivalent at n-gram
+  // granularity).
+
+  /** Positional n-gram instances: one row per gram OCCURRENCE —
+    * (doc_id, i, g) with 0-based start index `i` and the gram keyed by
+    * its 128-bit md5 fingerprint, the repo's exact-dedup convention
+    * ([[exactDupGroups]]): the corpus-wide count shuffles fixed-width
+    * keys, never n-token strings. NO array_distinct — self-repetition
+    * inside one doc is precisely what the span pass must see. Docs
+    * shorter than n tokens emit nothing.
+    */
+  private def gramInstancesOf(docs: DataFrame, n: Int,
+                              textCol: String, idCol: String): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              j => md5(concat_ws(" ", slice(toks, j + 1, lit(n))))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "g")
+  }
+
+  /** Per-document duplicated-span statistics: `n_grams` positional
+    * n-gram instances, of which `dup_grams` occur more than once
+    * CORPUS-WIDE (a second copy in another doc, or in the same doc —
+    * self-repetition counts, matching what the scrub removes). The
+    * instances-over-threshold ratio is the curation signal the span
+    * paper thresholds on. Integer-exact output; docs with < n tokens
+    * are absent (they have no spans).
+    *
+    * Scale: instances collapse to (gram, doc) counts first (one shuffle
+    * on the md5 key — bounded by doc length, never pairwise), the
+    * corpus-wide total rides a window over the gram key (second
+    * shuffle), and the rollup is one more on doc_id. A boilerplate gram
+    * repeated corpus-wide fans IN to one count row — no posting-list
+    * self-join anywhere, so there is no quadratic hot-key failure mode
+    * to prune (contrast [[jaccardPairs]]).
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 5, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val perDocGram = gramInstancesOf(docs, n, textCol, idCol)
+      .groupBy("g", "doc_id").agg(count(lit(1)).as("m"))
+    perDocGram
+      .withColumn("tot", sum(col("m")).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_grams"),
+        sum(when(col("tot") > 1, col("m")).otherwise(0L)).as("dup_grams"))
+  }
+
+  /** Remove duplicated spans from the corpus (the Lee et al. scrub):
+    * every token position covered by ANY n-gram instance that occurs
+    * more than once corpus-wide is dropped; the survivors are rejoined
+    * in order. Output (doc_id, clean_text) keeps EVERY input doc —
+    * fully-boilerplate docs come back as the empty string (the
+    * downstream length filter's job to drop), and docs shorter than n
+    * tokens pass through whitespace-normalized but uncut. Overlapping
+    * dup spans coalesce via the DISTINCT covered-position set.
+    *
+    * Scale: dup instances come from a count-window over the gram key
+    * (fan-in, as [[dupSpanStats]]); covered positions explode to at
+    * most n rows per dup instance and dedup on (doc, position); the
+    * rebuild is an anti-join on (doc, position) — the same key both
+    * sides just shuffled on — plus one collect_list per doc, bounded by
+    * doc length. Nothing pairwise, nothing driver-side.
+    */
+  def scrubDupSpans(docs: DataFrame, n: Int = 5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val dupInst = gramInstancesOf(docs, n, textCol, idCol)
+      .withColumn("tot", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("tot") > 1)
+    val covered = dupInst
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+    val rebuilt = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          s => s.getField("w"))).as("clean_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IvfIndex, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IvfIndex, MultimodalOps, RelevanceOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -262,6 +262,21 @@ object ExtQueries {
     "q_ext_jaccard_bigram_pairs_pruned" -> ((s, dir) =>
       DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2,
         maxDocFreqRatio = Some(0.1))),
+    // duplicated-SPAN family (Lee et al. 2022 substring dedup, reduced
+    // to gram-index joins): per-doc span stats on the FULL documents
+    // table — the op is linear (fan-in counts, no pair join), so no
+    // docsSub subsetting is needed even though the pair queries use it.
+    "q_ext_dup_span_stats" -> ((s, dir) =>
+      DedupOps.dupSpanStats(Sources(s, dir).documents, n = 5)),
+    "q_ext_scrub_dup_spans" -> ((s, dir) =>
+      DedupOps.scrubDupSpans(Sources(s, dir).documents, n = 5)
+        // compare md5 of the rebuilt text, not 50k raw strings
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("bigint").as("clean_len"))),
+    // per-doc top-5 characteristic terms by division-exact smoothed
+    // rarity (see RelevanceOps determinism contract)
+    "q_ext_top_terms" -> ((s, dir) =>
+      RelevanceOps.topTermsByRarity(Sources(s, dir).documents, k = 5)),
     "q_ext_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>
@@ -433,6 +448,20 @@ object ExtQueries {
       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
       |)""".stripMargin
   }
+
+  // Positional 5-gram CTEs for the duplicated-span family: parallel
+  // unnest zips each gram with its 0-based start index; the Spark side
+  // keys grams by md5 (fixed-width shuffle keys) while this mirror
+  // joins on the raw gram string — identical semantics, the fingerprint
+  // is a pure re-keying. Docs under 5 tokens emit no grams.
+  private val spanGramCtes =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(range(len(t) - 4)) AS i,
+      |         unnest(list_transform(range(len(t) - 4),
+      |                i -> array_to_string(t[i+1:i+5], ' '))) AS g
+      |  FROM toks WHERE len(t) >= 5),
+      |gc AS (SELECT g, count(*) AS c FROM grams GROUP BY 1)""".stripMargin
 
   // Bigram-shingle mirror of jaccardCtes, shared by the plain and
   // df-pruned bigram gates: tokenize → adjacent-pair grams (short-doc
@@ -678,6 +707,34 @@ object ExtQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.08""".stripMargin),
+    "q_ext_dup_span_stats" ->
+      (s"""WITH $spanGramCtes
+         |SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+         |FROM grams JOIN gc USING (g)
+         |GROUP BY 1""".stripMargin),
+    "q_ext_scrub_dup_spans" ->
+      (s"""WITH $spanGramCtes,
+         |pos AS (SELECT doc_id, unnest(range(len(t))) AS p, unnest(t) AS w FROM toks),
+         |dupinst AS (SELECT doc_id, i FROM grams JOIN gc USING (g) WHERE c > 1),
+         |cover AS (SELECT DISTINCT doc_id, i + o AS p
+         |  FROM dupinst CROSS JOIN generate_series(0, 4) AS gs(o)),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.w FROM pos LEFT JOIN cover
+         |  ON pos.doc_id = cover.doc_id AND pos.p = cover.p WHERE cover.p IS NULL)
+         |SELECT d.doc_id, md5(coalesce(k.ct, '')) AS clean_md5,
+         |  CAST(length(coalesce(k.ct, '')) AS BIGINT) AS clean_len
+         |FROM documents d LEFT JOIN
+         |  (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS ct FROM kept GROUP BY 1) k
+         |  USING (doc_id)""".stripMargin),
+    "q_ext_top_terms" ->
+      (s"""WITH pos AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, term, tf, df,
+         |  CAST(tf * (n + 1) AS DOUBLE) / (df + 1) AS score
+         |FROM tf JOIN dft USING (term) CROSS JOIN n
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5""".stripMargin),
     // CC policy: component = min id reachable over the verified near-dup
     // graph (recursive min-reachability walk, seeded with every doc so
     // isolated docs are their own root); keep docs that root themselves.
