@@ -75,6 +75,11 @@ final class IvfIndex private (
   private[ext] def explainTopK(queries: DataFrame, k: Int, nprobe: Int): String =
     topK(queries, k, nprobe).queryExecution.executedPlan.toString
 
+  /** The (cid, corpus_id, cv) cell assignment — the clustering seam
+    * SemDeDup-style semantic dedup composes on.
+    */
+  private[ext] def assignments: DataFrame = index
+
   /** Corpus rows per cell (diagnostics/spec seam for balance checks). */
   private[ext] def cellSizes(): Map[Int, Long] =
     index.groupBy("cid").count().collect()

@@ -1,0 +1,180 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Product quantization (Jégou, Douze, Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)) — the
+  * memory side of the ANN scale story that IVF's probe pruning doesn't
+  * touch: the corpus never holds full vectors at query time, only an
+  * m-byte CODE per vector (here m sub-ids in [0, ksub)), so a corpus
+  * whose raw embeddings are tens of TB quantizes to a code table a
+  * fraction of a percent of that — small enough to keep resident where
+  * the flat vectors never could be.
+  *
+  *   - TRAIN  — split the (L2-normalized) vector into `m` contiguous
+  *     subvectors; per subspace, k-means `ksub` sub-centroids on a
+  *     driver-side hash-order sample (same determinism recipe as
+  *     [[IvfIndex.train]]: sequential driver arithmetic, no distributed
+  *     float-sum ordering).
+  *   - ENCODE — one distributed map-only pass: each subspace's code is
+  *     the argmin-L2 sub-centroid, computed as argmax of
+  *     dot(v_j, c) − ½·‖c‖² over literal centroids (codegen-friendly
+  *     Column expressions — no UDF, no shuffle).
+  *   - SEARCH — asymmetric distance computation: the QUERY keeps its
+  *     exact subvectors; each corpus code contributes
+  *     Σ_j dot(q_j, codebook[j][code_j]), evaluated from broadcast
+  *     literal codebooks against the code column — the corpus-side scan
+  *     reads m small ints per row, never the vector. Top-k by the usual
+  *     per-query window.
+  *
+  * Approximation error is the quantization residual; recall is gated in
+  * PqIndexSpec against the exact brute-force scorer. Compose with IVF
+  * for probe pruning + code-table residency (IVF-PQ) — the cells hold
+  * codes instead of `cv`.
+  */
+final class PqIndex private (
+    @transient private val codes: DataFrame,
+    val codebooks: Array[Array[Array[Double]]]) {
+
+  /** Subspace count (code bytes per vector). */
+  def m: Int = codebooks.length
+
+  /** Sub-centroids per subspace. */
+  def ksub: Int = codebooks(0).length
+
+  private def dsub: Int = codebooks(0)(0).length
+
+  /** (query_id, qv, corpus_id, sim): every query × code ADC score —
+    * shared tail of [[topK]] and [[topKRefined]].
+    */
+  private def adcScores(queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = SimilarityOps.normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val adc = (0 until m).map { j =>
+      val sub = slice(col("qv"), j * dsub + 1, dsub)
+      val book = array(codebooks(j).map(c => array(c.map(lit): _*)): _*)
+      SimilarityOps.dotFast(sub, element_at(book, col("code").getItem(j) + 1))
+    }.reduce(_ + _)
+    codes.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("qv"), col("corpus_id"), adc.as("sim"))
+  }
+
+  private def topPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
+      .filter(col("rank") <= k)
+
+  /** Approximate top-k neighbors per query vector via ADC alone.
+    * Queries stay distributed (broadcast to the code scan); `sim` is
+    * the ADC approximation of the cosine dot. Ranking quality is
+    * bounded by quantization residual — on near-uniform data (where
+    * true neighbors sit barely above the noise floor) use
+    * [[topKRefined]].
+    */
+  def topK(queries: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topPerQuery(adcScores(queries, idCol, vecCol), k)
+      .select("query_id", "corpus_id", "sim", "rank")
+
+  /** The production PQ pipeline: ADC shortlists `shortlist` candidates
+    * per query from the CODE scan, then only those rows are re-ranked
+    * with the exact dot against the full vectors. The corpus-wide pass
+    * still never touches a vector — the exact join reads
+    * |queries|·shortlist full vectors, not N — so the memory story
+    * survives while the ranking becomes exact within the shortlist
+    * (recall = P(true top-k ⊆ ADC top-shortlist), → 1 as shortlist
+    * grows). `corpus` must carry the same ids the index was trained on.
+    */
+  def topKRefined(queries: DataFrame, corpus: DataFrame, k: Int, shortlist: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = topPerQuery(adcScores(queries, idCol, vecCol), shortlist)
+      .select(col("query_id"), col("qv"), col("corpus_id"))
+    val cv = SimilarityOps.normalized(corpus, idCol, vecCol)
+      .select(col("id").as("corpus_id"), col("v").as("cv"))
+    // candidate side is |Q|·shortlist rows BY CONSTRUCTION — broadcast
+    // it so the corpus vector lookup is a map-side hash join against the
+    // scan, never a corpus-wide shuffle on corpus_id
+    val exact = cv.join(broadcast(cand), Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        SimilarityOps.dotFast(col("qv"), col("cv")).as("sim"))
+    topPerQuery(exact, k).select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /** The code table (corpus_id, code array<int>) — diagnostics/spec seam. */
+  private[ext] def codeTable: DataFrame = codes
+}
+
+object PqIndex {
+
+  /** argmax_c dot(v_j, c) − ½‖c‖² == argmin_c ‖v_j − c‖² (the ‖v_j‖²
+    * term is constant per row); struct ordering compares sim first.
+    */
+  private def subCode(sub: Column, book: Array[Array[Double]]): Column =
+    array_max(array(book.zipWithIndex.map { case (c, i) =>
+      val bias = c.map(x => x * x).sum / 2
+      struct((SimilarityOps.dotFast(sub, array(c.map(lit): _*)) - lit(bias)).as("sim"),
+        lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** Train codebooks on a driver-side hash-order sample and encode the
+    * corpus in one distributed pass. `dims` must divide evenly into `m`
+    * subspaces. Per-subspace k-means is plain L2 Lloyd (PQ quantizes
+    * residual energy; the vectors are L2-normalized once up front so ADC
+    * dots approximate cosine).
+    */
+  def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            lloydIters: Int = 4, trainSampleSize: Int = 2048): PqIndex = {
+    val c = SimilarityOps.normalized(corpus, idCol, vecCol)
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("id").cast("string")))
+      .limit(math.max(ksub, trainSampleSize))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "PQ training requires a non-empty corpus")
+    val dims = sample(0).length
+    require(dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    val dsub = dims / m
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+      val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      // distinct by CONTENT (Array equality is referential)
+      var centers = subs.map(_.toSeq).distinct.map(_.toArray).take(ksub) match {
+        // degenerate subspace (fewer distinct subvectors than ksub):
+        // pad with the first so every code id stays valid
+        case few if few.length < ksub =>
+          few ++ Array.fill(ksub - few.length)(few.head)
+        case full => full
+      }
+      for (_ <- 1 to lloydIters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < ksub) {
+            val ctr = centers(ci)
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          val s = sums(best); var i = 0
+          while (i < dsub) { s(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        centers = centers.zipWithIndex.map { case (old, ci) =>
+          if (counts(ci) == 0) old else sums(ci).map(_ / counts(ci))
+        }
+      }
+      centers
+    }
+    val codeCol = array((0 until m).map { j =>
+      subCode(slice(col("v"), j * dsub + 1, dsub), codebooks(j))
+    }: _*)
+    new PqIndex(
+      c.select(col("id").as("corpus_id"), codeCol.as("code")), codebooks)
+  }
+}

@@ -66,6 +66,29 @@ object SimilarityOps {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings (the IvfIndex
+    * quantizer — deterministic driver-side Lloyd on a hash-order
+    * sample), then compare pairs ONLY within a cluster. Replaces the
+    * O(n²) all-pairs with O(Σ|cell|²) — at 100 TB the cells are the
+    * only thing that ever meets itself in a join, and the cell id is
+    * the shuffle key, so a balanced quantizer bounds every task.
+    * Same (vec_a, vec_b, sim) shape as [[cosinePairs]]; recall is
+    * bounded by P(near-dup pair shares a cell) — ≈ 1 for true semantic
+    * duplicates (which quantize together by construction), lower for
+    * borderline pairs straddling a cell boundary (the accepted
+    * SemDeDup trade; raise nlist for cost, lower it for recall).
+    */
+  def semanticNearDupPairs(embs: DataFrame, threshold: Double, nlist: Int = 16,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = IvfIndex.train(embs, nlist, idCol, vecCol).assignments
+    cells.as("a").join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("a.corpus_id") < col("b.corpus_id"))
+      .select(col("a.corpus_id").as("vec_a"), col("b.corpus_id").as("vec_b"),
+        dotFast(col("a.cv"), col("b.cv")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact top-k neighbors per query vector (brute force): broadcast the
     * normalized query set against the corpus, window-rank per query.
     * Deterministic tie-break on neighbor id.

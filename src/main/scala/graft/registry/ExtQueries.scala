@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IvfIndex, MultimodalOps, RelevanceOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IvfIndex, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -67,6 +67,22 @@ object ExtQueries {
       .flatMap(h => Option(h.tmpDir))
       .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
   }
+
+  // One trained PQ code table per (session, dir) — training collects a
+  // driver-side sample and encodes once; the code frame itself is lazy
+  // Spark state tied to the keying session, so the same
+  // (session, dir)-keyed holder discipline as the IVF/bucketed caches
+  // applies (stopped sessions evicted on the next lookup).
+  private final class PqHolder(s: SparkSession, dir: String) {
+    lazy val idx: PqIndex = PqIndex.train(Sources(s, dir).embeddings)
+  }
+  private val pqIndexes =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), PqHolder]()
+  private def pqIndex(s: SparkSession, dir: String): PqIndex =
+    pqIndexes.synchronized {
+      pqIndexes.keys.filter(_._1.sparkContext.isStopped).toList.foreach(pqIndexes.remove)
+      pqIndexes.getOrElseUpdate((s, dir), new PqHolder(s, dir))
+    }.idx
 
   private def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
     ivfCleanup
@@ -321,6 +337,37 @@ object ExtQueries {
       val idx = ivfIndex(s, dir)
       idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
         k = 3, nprobe = 4)
+    }),
+    // Product quantization (PqIndex): the MEMORY side of the ANN story —
+    // the corpus-wide scan reads m-byte codes, never vectors.
+    //  - exactmode sets shortlist = everything, so the ADC stage passes
+    //    every candidate to the exact re-rank and the result must
+    //    hash-match the same brute-force oracle as the IVF rows — the
+    //    refine seam (normalize + dot + window) is proven bit-exact;
+    //  - q_ext_knn_pq is the production shape: 64-of-N ADC shortlist
+    //    from the code scan, exact re-rank of |Q|·64 rows. No oracle
+    //    (approximate by design); recall floors are spec-gated in
+    //    PqIndexSpec on clustered AND adversarial-uniform corpora.
+    "q_ext_knn_pq_exactmode" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      pqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
+        k = 3, shortlist = Int.MaxValue)
+    }),
+    "q_ext_knn_pq" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      pqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
+        k = 3, shortlist = 64)
+    }),
+    // SemDeDup-style semantic dedup: cluster-local near-dup pairs →
+    // greedy drop. No oracle (cell-boundary recall is approximate by
+    // contract); exact-twin recall and cells≡clusters equality vs the
+    // global all-pairs are spec-gated in SemDedupSpec.
+    "q_ext_dedup_semantic" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      DedupOps.removeNearDups(e,
+          SimilarityOps.semanticNearDupPairs(e, threshold = 0.35),
+          idCol = "vec_id", dropCol = "vec_b")
+        .select(col("vec_id"), col("label"))
     }),
     "q_ext_json_extract" -> ((s, dir) =>
       Sources(s, dir).events
@@ -757,6 +804,9 @@ object ExtQueries {
     "q_ext_knn_brute" -> knnExactSql,
     "q_ext_knn_ivf" -> knnExactSql,
     "q_ext_knn_ivf_probe" -> knnExactSql,
+    // PQ with shortlist = everything re-ranks every candidate exactly —
+    // same result set as brute force, same oracle
+    "q_ext_knn_pq_exactmode" -> knnExactSql,
     "q_ext_cosine_pairs" ->
       ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

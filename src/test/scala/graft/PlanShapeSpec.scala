@@ -83,4 +83,51 @@ class PlanShapeSpec extends SparkSpec {
     // input is already one row per (doc, type) — ≤ 2 exchanges total
     assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles appeared:\n$p")
   }
+
+  test("span stats: fan-in counts only — no pairwise join anywhere") {
+    val p = plan("q_ext_dup_span_stats")
+    // the whole point vs the Jaccard family: a hot gram must collapse
+    // into a count, never expand into a posting-list self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span stats must be join-free (agg + window only):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"gram counts not partial-aggregated before the shuffle:\n$p")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"scan reads columns beyond (doc_id, text):\n$p")
+  }
+
+  test("span scrub: covered positions anti-join; no pairwise or nested-loop join") {
+    val p = plan("q_ext_scrub_dup_spans")
+    assert(p.contains("LeftAnti"), s"position rebuild lost its anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scale-hostile join strategy appeared:\n$p")
+  }
+
+  test("top terms: df side fans in and broadcasts; tf partial-aggregated") {
+    val p = plan("q_ext_top_terms")
+    // the df frame is (term, count) — vocabulary-sized, compact — and
+    // must BROADCAST to the tf side; a SortMergeJoin here would shuffle
+    // every (doc, term) row by term, putting a hot term's whole posting
+    // list through one task's sort. (The tf subtree appears under both
+    // branches in the initial plan; AQE's exchange reuse collapses the
+    // duplicate at runtime, so scan count is not asserted.)
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tf shuffled by term for the df join:\n$p")
+    assert(p.contains("partial_count"), s"tf not partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scale-hostile join strategy appeared:\n$p")
+  }
+
+  test("PQ production row: corpus-side scan feeds ADC via broadcast, never shuffled") {
+    val p = plan("q_ext_knn_pq")
+    // the query side broadcasts to the code scan (ADC) and the refine
+    // join's shortlist side is |Q|·shortlist rows — the corpus may be
+    // scanned for codes and for the shortlist's exact vectors, but must
+    // never be hash-repartitioned for a join
+    assert(!"Exchange hashpartitioning\\([^\\n]*(corpus_id|vec_id)".r.findFirstIn(p).isDefined ||
+      p.contains("BroadcastHashJoin"),
+      s"corpus shuffled for the PQ join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"PQ refine sort-merges the corpus:\n$p")
+  }
 }
