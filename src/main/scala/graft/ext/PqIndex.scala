@@ -54,7 +54,10 @@ final class PqIndex private (
       .select(col("id").as("query_id"), col("v").as("qv"))
     val adc = (0 until m).map { j =>
       val sub = slice(col("qv"), j * dsub + 1, dsub)
-      val book = array(codebooks(j).map(c => array(c.map(lit): _*)): _*)
+      // ONE literal node per codebook (array<array<double>>), not a
+      // ksub·dsub CreateArray tree — keeps the ADC expression small
+      // enough for whole-stage codegen
+      val book = typedLit(codebooks(j).map(_.toSeq).toSeq)
       SimilarityOps.dotFast(sub, element_at(book, col("code").getItem(j) + 1))
     }.reduce(_ + _)
     codes.join(broadcast(q), col("query_id") =!= col("corpus_id"))
@@ -105,6 +108,21 @@ final class PqIndex private (
 
   /** The code table (corpus_id, code array<int>) — diagnostics/spec seam. */
   private[ext] def codeTable: DataFrame = codes
+
+  /** Persist the encode (code parquet + codebook table); reopen with
+    * [[PqIndex.load]]. The saved code table IS the index at scale —
+    * m small ints per corpus row — so probes read it instead of
+    * re-encoding the corpus per action.
+    */
+  def save(path: String): Unit = {
+    val spark = codes.sparkSession
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("subspace", "cidx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
 }
 
 object PqIndex {
@@ -115,7 +133,8 @@ object PqIndex {
   private def subCode(sub: Column, book: Array[Array[Double]]): Column =
     array_max(array(book.zipWithIndex.map { case (c, i) =>
       val bias = c.map(x => x * x).sum / 2
-      struct((SimilarityOps.dotFast(sub, array(c.map(lit): _*)) - lit(bias)).as("sim"),
+      // typedLit: one literal node per centroid, not a dsub CreateArray
+      struct((SimilarityOps.dotFast(sub, typedLit(c.toSeq)) - lit(bias)).as("sim"),
         lit(i).as("idx"))
     }: _*)).getField("idx")
 
@@ -176,5 +195,19 @@ object PqIndex {
     }: _*)
     new PqIndex(
       c.select(col("id").as("corpus_id"), codeCol.as("code")), codebooks)
+  }
+
+  /** Reopen a persisted index: codebooks are driver-collected (m·ksub
+    * rows), the code table is the parquet scan — no re-encode.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    graft.functions.VectorFunctions.register(spark)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("subspace")), r.getInt(r.fieldIndex("cidx")),
+        r.getSeq[Double](r.fieldIndex("centroid"))))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray))
+    new PqIndex(spark.read.parquet(s"$path/codes"), books)
   }
 }

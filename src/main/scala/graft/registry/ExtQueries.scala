@@ -68,21 +68,43 @@ object ExtQueries {
       .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
   }
 
-  // One trained PQ code table per (session, dir) — training collects a
-  // driver-side sample and encodes once; the code frame itself is lazy
-  // Spark state tied to the keying session, so the same
-  // (session, dir)-keyed holder discipline as the IVF/bucketed caches
-  // applies (stopped sessions evicted on the next lookup).
+  // One trained+PERSISTED PQ code table per (session, dir), same
+  // lifecycle discipline as the IVF holder: train+save once (lazy val —
+  // losers of a concurrent first call block on the winner), probes read
+  // the saved code parquet instead of re-encoding the corpus per
+  // action; temp dirs reclaimed at JVM exit, stopped sessions evicted.
   private final class PqHolder(s: SparkSession, dir: String) {
-    lazy val idx: PqIndex = PqIndex.train(Sources(s, dir).embeddings)
+    @volatile var tmpDir: String = _
+    lazy val path: String = {
+      val p = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString
+      tmpDir = p
+      try { PqIndex.train(Sources(s, dir).embeddings).save(p); p }
+      catch {
+        case e: Throwable =>
+          tmpDir = null
+          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+          throw e
+      }
+    }
   }
   private val pqIndexes =
     scala.collection.mutable.LinkedHashMap[(SparkSession, String), PqHolder]()
-  private def pqIndex(s: SparkSession, dir: String): PqIndex =
-    pqIndexes.synchronized {
-      pqIndexes.keys.filter(_._1.sparkContext.isStopped).toList.foreach(pqIndexes.remove)
+  private lazy val pqCleanup = sys.addShutdownHook {
+    pqIndexes.synchronized(pqIndexes.values.toList)
+      .flatMap(h => Option(h.tmpDir))
+      .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+  }
+  private def pqIndex(s: SparkSession, dir: String): PqIndex = {
+    pqCleanup
+    val holder = pqIndexes.synchronized {
+      pqIndexes.keys.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
+        pqIndexes.remove(k).flatMap(h => Option(h.tmpDir))
+          .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+      }
       pqIndexes.getOrElseUpdate((s, dir), new PqHolder(s, dir))
-    }.idx
+    }
+    PqIndex.load(s, holder.path)
+  }
 
   private def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
     ivfCleanup

@@ -43,6 +43,21 @@ class PqIndexSpec extends SparkSpec {
     assert(table() == table())
   }
 
+  test("save/load round-trip: persisted index answers identically") {
+    val embs = clusteredRows.toDF("vec_id", "embedding")
+    val queries = clusteredRows.take(10).toDF("vec_id", "embedding")
+    val trained = PqIndex.train(embs, m = 8, ksub = 16)
+    val p = java.nio.file.Files.createTempDirectory("pq_spec_").toString
+    try {
+      trained.save(p)
+      val loaded = PqIndex.load(spark, p)
+      assert(loaded.m == trained.m && loaded.ksub == trained.ksub)
+      def key(idx: PqIndex) = idx.topK(queries, k = 3)
+        .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(key(loaded) == key(trained))
+    } finally graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+  }
+
   test("ADC top-k answers every query with exactly k non-self rows") {
     val embs = clusteredRows.toDF("vec_id", "embedding")
     val queries = clusteredRows.take(20).toDF("vec_id", "embedding")
