@@ -89,9 +89,11 @@ final class IvfIndex private (
 object IvfIndex {
 
   /** (sim, cid) struct per centroid — built once per call site so the
-    * quantizer array is evaluated a single time per row.
+    * quantizer array is evaluated a single time per row. Shared with
+    * IvfPqIndex's probe (which also reuses the per-cell sim as the
+    * centroid term of its residual ADC).
     */
-  private def cellScores(v: Column, centroids: Array[(Int, Seq[Double])]): Column =
+  private[ext] def cellScores(v: Column, centroids: Array[(Int, Seq[Double])]): Column =
     array(centroids.map { case (cid, vec) =>
       struct(SimilarityOps.dotFast(v, array(vec.map(lit): _*)).as("sim"),
         lit(cid).as("cid"))

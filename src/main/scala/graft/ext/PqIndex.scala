@@ -44,24 +44,15 @@ final class PqIndex private (
   /** Sub-centroids per subspace. */
   def ksub: Int = codebooks(0).length
 
-  private def dsub: Int = codebooks(0)(0).length
-
   /** (query_id, qv, corpus_id, sim): every query × code ADC score —
     * shared tail of [[topK]] and [[topKRefined]].
     */
   private def adcScores(queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = SimilarityOps.normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("v").as("qv"))
-    val adc = (0 until m).map { j =>
-      val sub = slice(col("qv"), j * dsub + 1, dsub)
-      // ONE literal node per codebook (array<array<double>>), not a
-      // ksub·dsub CreateArray tree — keeps the ADC expression small
-      // enough for whole-stage codegen
-      val book = typedLit(codebooks(j).map(_.toSeq).toSeq)
-      SimilarityOps.dotFast(sub, element_at(book, col("code").getItem(j) + 1))
-    }.reduce(_ + _)
     codes.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("qv"), col("corpus_id"), adc.as("sim"))
+      .select(col("query_id"), col("qv"), col("corpus_id"),
+        PqIndex.adcExpr(col("qv"), col("code"), codebooks).as("sim"))
   }
 
   private def topPerQuery(scored: DataFrame, k: Int): DataFrame =
@@ -138,26 +129,18 @@ object PqIndex {
         lit(i).as("idx"))
     }: _*)).getField("idx")
 
-  /** Train codebooks on a driver-side hash-order sample and encode the
-    * corpus in one distributed pass. `dims` must divide evenly into `m`
-    * subspaces. Per-subspace k-means is plain L2 Lloyd (PQ quantizes
-    * residual energy; the vectors are L2-normalized once up front so ADC
-    * dots approximate cosine).
+  /** Per-subspace L2 Lloyd over a driver-side sample → [m][ksub][dsub]
+    * codebooks. Shared by [[PqIndex.train]] (raw vectors) and
+    * [[IvfPqIndex.train]] (cell residuals). Deterministic: sequential
+    * driver arithmetic over a deterministic sample.
     */
-  def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
-            idCol: String = "vec_id", vecCol: String = "embedding",
-            lloydIters: Int = 4, trainSampleSize: Int = 2048): PqIndex = {
-    val c = SimilarityOps.normalized(corpus, idCol, vecCol)
-    val sample: Array[Array[Double]] = c
-      .orderBy(xxhash64(col("id").cast("string")))
-      .limit(math.max(ksub, trainSampleSize))
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(sample.nonEmpty, "PQ training requires a non-empty corpus")
+  private[ext] def lloydBooks(sample: Array[Array[Double]], m: Int, ksub: Int,
+                              lloydIters: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "PQ training requires a non-empty sample")
     val dims = sample(0).length
     require(dims % m == 0, s"dims $dims must divide into m=$m subspaces")
     val dsub = dims / m
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+    (0 until m).toArray.map { j =>
       val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
       // distinct by CONTENT (Array equality is referential)
       var centers = subs.map(_.toSeq).distinct.map(_.toArray).take(ksub) match {
@@ -190,11 +173,52 @@ object PqIndex {
       }
       centers
     }
-    val codeCol = array((0 until m).map { j =>
-      subCode(slice(col("v"), j * dsub + 1, dsub), codebooks(j))
+  }
+
+  /** The m-subcode encode column for a vector column. */
+  private[ext] def encodeExpr(vCol: Column,
+                              books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books(0)(0).length
+    array(books.indices.map { j =>
+      subCode(slice(vCol, j * dsub + 1, dsub), books(j))
     }: _*)
+  }
+
+  /** The ADC score column: Σ_j dot(qv_j, book_j[code_j]) for a query
+    * vector column against a code column.
+    */
+  private[ext] def adcExpr(qvCol: Column, codeCol: Column,
+                           books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books(0)(0).length
+    books.indices.map { j =>
+      val sub = slice(qvCol, j * dsub + 1, dsub)
+      // ONE literal node per codebook (array<array<double>>), not a
+      // ksub·dsub CreateArray tree — keeps the ADC expression small
+      // enough for whole-stage codegen
+      val book = typedLit(books(j).map(_.toSeq).toSeq)
+      SimilarityOps.dotFast(sub, element_at(book, codeCol.getItem(j) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Train codebooks on a driver-side hash-order sample and encode the
+    * corpus in one distributed pass. `dims` must divide evenly into `m`
+    * subspaces. Per-subspace k-means is plain L2 Lloyd (PQ quantizes
+    * residual energy; the vectors are L2-normalized once up front so ADC
+    * dots approximate cosine).
+    */
+  def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            lloydIters: Int = 4, trainSampleSize: Int = 2048): PqIndex = {
+    val c = SimilarityOps.normalized(corpus, idCol, vecCol)
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("id").cast("string")))
+      .limit(math.max(ksub, trainSampleSize))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val codebooks = lloydBooks(sample, m, ksub, lloydIters)
     new PqIndex(
-      c.select(col("id").as("corpus_id"), codeCol.as("code")), codebooks)
+      c.select(col("id").as("corpus_id"),
+        encodeExpr(col("v"), codebooks).as("code")), codebooks)
   }
 
   /** Reopen a persisted index: codebooks are driver-collected (m·ksub

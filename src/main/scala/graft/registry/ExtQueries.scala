@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IvfIndex, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IvfIndex, IvfPqIndex, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -104,6 +104,40 @@ object ExtQueries {
       pqIndexes.getOrElseUpdate((s, dir), new PqHolder(s, dir))
     }
     PqIndex.load(s, holder.path)
+  }
+
+  // IVF-PQ: same persisted-lifecycle holder as the PQ index.
+  private final class IvfPqHolder(s: SparkSession, dir: String) {
+    @volatile var tmpDir: String = _
+    lazy val path: String = {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_").toString
+      tmpDir = p
+      try { IvfPqIndex.train(Sources(s, dir).embeddings).save(p); p }
+      catch {
+        case e: Throwable =>
+          tmpDir = null
+          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+          throw e
+      }
+    }
+  }
+  private val ivfPqIndexes =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), IvfPqHolder]()
+  private lazy val ivfPqCleanup = sys.addShutdownHook {
+    ivfPqIndexes.synchronized(ivfPqIndexes.values.toList)
+      .flatMap(h => Option(h.tmpDir))
+      .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+  }
+  private def ivfPqIndex(s: SparkSession, dir: String): IvfPqIndex = {
+    ivfPqCleanup
+    val holder = ivfPqIndexes.synchronized {
+      ivfPqIndexes.keys.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
+        ivfPqIndexes.remove(k).flatMap(h => Option(h.tmpDir))
+          .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+      }
+      ivfPqIndexes.getOrElseUpdate((s, dir), new IvfPqHolder(s, dir))
+    }
+    IvfPqIndex.load(s, holder.path)
   }
 
   private def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
@@ -379,6 +413,26 @@ object ExtQueries {
       val e = Sources(s, dir).embeddings
       pqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
         k = 3, shortlist = 64)
+    }),
+    // IVF-PQ (the full composition a 100 TB ANN runs: probe pruning ×
+    // residual code compression):
+    //  - exactmode probes every cell with an unbounded refine, so the
+    //    result must hash-match the brute-force oracle (probe + residual
+    //    ADC + refine seams all proven exact end-to-end);
+    //  - q_ext_knn_ivfpq is the production shape — 4-of-16 probe,
+    //    32-candidate ADC shortlist from the cid-partitioned code scan,
+    //    exact re-rank of |Q|·32 rows. No oracle (approximate by
+    //    design); recall and reconstruction-error gates in IvfPqSpec.
+    "q_ext_knn_ivfpq_exactmode" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val idx = ivfPqIndex(s, dir)
+      idx.topKRefined(e.filter(col("vec_id") < 20), e,
+        k = 3, nprobe = idx.nlist, shortlist = Int.MaxValue)
+    }),
+    "q_ext_knn_ivfpq" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      ivfPqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
+        k = 3, nprobe = 4, shortlist = 32)
     }),
     // SemDeDup-style semantic dedup: cluster-local near-dup pairs →
     // greedy drop. No oracle (cell-boundary recall is approximate by
@@ -829,6 +883,9 @@ object ExtQueries {
     // PQ with shortlist = everything re-ranks every candidate exactly —
     // same result set as brute force, same oracle
     "q_ext_knn_pq_exactmode" -> knnExactSql,
+    // IVF-PQ at nprobe = nlist + unbounded refine: every cell probed,
+    // every candidate exactly re-ranked — same oracle
+    "q_ext_knn_ivfpq_exactmode" -> knnExactSql,
     "q_ext_cosine_pairs" ->
       ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
