@@ -112,12 +112,16 @@ object CorpusOps {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
-    val toks = TextOps.tokens(col(textCol))
+    // tokenize in a separate projection: the per-chunk lambda re-evaluates
+    // captured subtrees, so an inlined split would re-run per chunk
+    val toks = col("__toks")
     // number of chunks = 1 + ceil(max(0, n - chunkSize) / stride), via
     // integer arithmetic: 1 + floor((max(0, n - chunkSize) + stride - 1) / stride)
     val nChunks = lit(1) +
       floor((greatest(size(toks) - chunkSize, lit(0)) + (stride - 1)) / stride).cast("int")
     docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1), i =>
           slice(toks, i * stride + 1, lit(chunkSize)))))
       .select(col("doc_id"), col("pos").as("chunk_idx"),

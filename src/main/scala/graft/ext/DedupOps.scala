@@ -180,7 +180,8 @@ object DedupOps {
                           textCol: String = "text", idCol: String = "doc_id",
                           maxDocFreqRatio: Option[Double] = None): DataFrame =
     pairsFromIndex(
-      prunedIndexOf(docs, array_distinct(shingles(col(textCol), k)), idCol,
+      prunedIndexOf(withToks(docs, textCol, idCol),
+        array_distinct(shinglesOfTokens(col("__toks"), k)), idCol,
         maxDocFreqRatio), threshold)
 
   /** Drop tokens whose posting list exceeds `maxDf` docs. The hot set is
@@ -295,8 +296,8 @@ object DedupOps {
     */
   def shingleJaccardPairsPrefix(docs: DataFrame, threshold: Double, k: Int,
                                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    prefixFilteredPairsOf(docs, threshold,
-      array_distinct(shingles(col(textCol), k)), idCol)
+    prefixFilteredPairsOf(withToks(docs, textCol, idCol), threshold,
+      array_distinct(shinglesOfTokens(col("__toks"), k)), idCol)
 
   /** Prefix-filtered candidates → exact intersection/union verify —
     * the shared tail of both prefix variants.
@@ -329,9 +330,11 @@ object DedupOps {
     */
   def contaminationCheck(docs: DataFrame, benchmark: DataFrame, k: Int,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = array_distinct(shingles(col(textCol), k))
-    val benchGrams = benchmark.select(explode(grams).as("t")).distinct()
-    docs.select(col(idCol).as("doc_id"), explode(grams).as("t"))
+    val grams = array_distinct(shinglesOfTokens(col("__toks"), k))
+    val benchGrams = withToks(benchmark, textCol, idCol)
+      .select(explode(grams).as("t")).distinct()
+    withToks(docs, textCol, idCol)
+      .select(col(idCol).as("doc_id"), explode(grams).as("t"))
       .join(broadcast(benchGrams), Seq("t"))
       .groupBy("doc_id").agg(count(lit(1)).as("shared_kgrams"))
   }
@@ -345,15 +348,32 @@ object DedupOps {
 
   /** Token k-shingles as strings; documents shorter than k tokens yield
     * their whole token run as a single shingle.
+    *
+    * PERF NOTE: the lambda body re-evaluates its captured `toks`
+    * subtree per element (subexpression elimination does not reach into
+    * HigherOrderFunction lambdas), so passing the raw split here costs
+    * O(len²) regex work per doc. DataFrame-level callers should project
+    * the tokens into a column first and use [[shinglesOfTokens]] — the
+    * attribute reference is free. This text-column form remains for
+    * one-shot Column contexts.
     */
-  def shingles(textCol: Column, k: Int): Column = {
-    val toks = TextOps.tokens(textCol)
+  def shingles(textCol: Column, k: Int): Column =
+    shinglesOfTokens(TextOps.tokens(textCol), k)
+
+  /** [[shingles]] over a PRE-PROJECTED token-array column. */
+  def shinglesOfTokens(toks: Column, k: Int): Column = {
     if (k == 1) toks
     else when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         j => concat_ws(" ", slice(toks, j, lit(k)))))
       .otherwise(array(concat_ws(" ", toks)))
   }
+
+  /** (idCol, __toks) projection: tokenize once per row so downstream
+    * shingle lambdas reference a cheap attribute (see [[shingles]]).
+    */
+  private def withToks(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
 
   /** MinHash signature (array<long> of length numHashes) over a shingle
     * array, via the universal family h_i(x) = (2i+1)·x + i·c mod P on
@@ -391,7 +411,8 @@ object DedupOps {
                           maxDocFreqRatio: Option[Double] = None): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
-    val sh0 = array_distinct(shingles(col(textCol), shingleK))
+    val d = withToks(docs, textCol, idCol)
+    val sh0 = array_distinct(shinglesOfTokens(col("__toks"), shingleK))
     // Document-frequency pruning for the signature path: hot shingles are
     // removed BEFORE hashing, so they can neither flood LSH buckets nor
     // inflate the verify's intersection. The hot set is collected to the
@@ -402,8 +423,8 @@ object DedupOps {
       case None => sh0
       case Some(r) =>
         require(r > 0 && r <= 1, s"maxDocFreqRatio must be in (0,1]: $r")
-        val maxDf = math.floor(r * docs.count()).toLong
-        val hot = docs.select(explode(sh0).as("t"))
+        val maxDf = math.floor(r * d.count()).toLong
+        val hot = d.select(explode(sh0).as("t"))
           .groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
           .select("t").collect().map(_.getString(0))
         if (hot.isEmpty) sh0 else array_except(sh0, typedLit(hot.toSeq))
@@ -413,7 +434,7 @@ object DedupOps {
     // and verify at 0/0 = NaN — which Spark orders ABOVE the threshold,
     // reporting unrelated all-stopword docs as near-dups. An empty set
     // carries no dedup signal, so those docs are excluded outright.
-    val sigs = docs.select(col(idCol).as("doc_id"),
+    val sigs = d.select(col(idCol).as("doc_id"),
       sh.as("toks"),
       minHashSignature(sh, numHashes).as("sig"))
       .filter(size(col("toks")) > 0)
@@ -498,8 +519,15 @@ object DedupOps {
   private def gramInstancesOf(docs: DataFrame, n: Int,
                               textCol: String, idCol: String): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
-    val toks = TextOps.tokens(col(textCol))
+    // tokenize in a SEPARATE projection so the regex split runs once per
+    // document — inlined, the `toks` subtree is re-evaluated inside the
+    // per-gram lambda (subexpression elimination does not reach into
+    // HigherOrderFunction lambda bodies), turning an O(len) split into
+    // O(len²) work per doc
+    val toks = col("__toks")
     docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
         posexplode(when(size(toks) >= n,
             transform(sequence(lit(0), size(toks) - n),
               j => md5(concat_ws(" ", slice(toks, j + 1, lit(n))))))
