@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Incremental corpus ingest: dedup a NEW batch against the
+  * already-materialized corpus without ever shuffling the corpus.
+  *
+  * The naive shape — anti-join incoming against 100 TB of existing
+  * fingerprints — hash-repartitions the full corpus per ingest. This op
+  * spends one map-side corpus SCAN instead:
+  *
+  *   1. within-batch exact dedup (keep-lowest, [[DedupOps.dedupExact]]);
+  *   2. a Bloom filter over the existing fingerprints (built by a
+  *      map-side sketch aggregate — partition sketches OR together, no
+  *      shuffle, deterministic) is broadcast to the batch; rows the
+  *      filter misses are DEFINITELY new (no false negatives) and pass
+  *      through with zero join work;
+  *   3. the ~fpp sliver of bloom-positive rows is exactly verified:
+  *      their distinct fingerprints broadcast to the corpus scan
+  *      (map-side inner join → the small set of fingerprints that
+  *      really exist), and a broadcast anti-join against THAT set
+  *      clears the false positives.
+  *
+  * Output is therefore EXACTLY the anti-join result — the Bloom filter
+  * only routes work — which is what lets the gate be a DuckDB oracle
+  * rather than a recall bound. The probe is a Scala UDF by necessity:
+  * Catalyst exposes no public Column surface for sketch membership.
+  */
+object IngestOps {
+
+  def appendDedupExact(existing: DataFrame, incoming: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val fpOf = TextOps.fingerprint(col(textCol))
+    val batch = DedupOps.dedupExact(incoming, textCol, idCol)
+      .withColumn("__fp", fpOf)
+    val exFp = existing.select(fpOf.as("__fp"))
+    // Spark's sketch aggregate returns a null buffer on an empty frame
+    // (NPE in BloomFilter.readFrom) — and an empty corpus dedups nothing
+    if (existing.isEmpty) return batch.drop("__fp")
+    val bloom = exFp.stat.bloomFilter("__fp", expectedItems, fpp)
+    val bc = existing.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val clear = batch.filter(!mightContain(col("__fp")))
+    val suspect = batch.filter(mightContain(col("__fp")))
+    // fingerprints that REALLY exist: broadcast the (tiny) suspect set
+    // into the corpus scan — map-side, corpus never repartitions
+    val confirmedDup = exFp
+      .join(broadcast(suspect.select("__fp").distinct()), Seq("__fp"))
+      .distinct()
+    clear.unionByName(
+        suspect.join(broadcast(confirmedDup), Seq("__fp"), "left_anti"))
+      .drop("__fp")
+  }
+}

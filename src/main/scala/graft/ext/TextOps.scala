@@ -114,10 +114,14 @@ object TextOps {
     size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
   }
 
-  /** Fraction of characters that are common punctuation marks. */
+  /** Fraction of characters that are common punctuation marks; 0.0 for
+    * the empty string (an unguarded length-0 divisor is a runtime error
+    * under ANSI mode, the Spark 4 default).
+    */
   def punctRatio(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\-]", ""))).cast("double") /
-      length(c)
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\-]", ""))).cast("double") /
+        length(c))
 
   /** Composite quality score in [0,1]: length saturation (0.5) +
     * stopword-ratio plausibility band (0.3) + low punctuation (0.2).

@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IvfIndex, IvfPqIndex, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -334,6 +334,21 @@ object ExtQueries {
     "q_ext_jaccard_bigram_pairs_pruned" -> ((s, dir) =>
       DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2,
         maxDocFreqRatio = Some(0.1))),
+    // Incremental ingest dedup: the odd-id half of the corpus arrives as
+    // a new batch and dedups against the already-ingested even-id half.
+    // Bloom-routed (corpus never repartitions — see IngestOps) but
+    // EXACTLY the anti-join result, so it takes a plain DuckDB oracle.
+    // expectedItems is set far below the corpus size on purpose: a
+    // saturated, collision-heavy filter routes MORE rows through the
+    // exact-verify path and the result must not change.
+    "q_ext_ingest_dedup" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents
+      IngestOps.appendDedupExact(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          expectedItems = 256)
+        .select(col("doc_id"), col("lang"))
+    }),
     // duplicated-SPAN family (Lee et al. 2022 substring dedup, reduced
     // to gram-index joins): per-doc span stats on the FULL documents
     // table — the op is linear (fan-in counts, no pair join), so no
@@ -533,8 +548,9 @@ object ExtQueries {
   private val stopRatioSql =
     s"""CAST(len(list_filter($toksSql, t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE) / len($toksSql)"""
 
+  // empty-string guard mirrors TextOps.punctRatio (ANSI division)
   private val punctRatioSql =
-    """CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS DOUBLE) / length(text)"""
+    """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS DOUBLE) / length(text) END"""
 
   private def markerScore(words: Seq[String]): String =
     s"len(list_intersect($dtoksSql, [${words.map(w => s"'$w'").mkString(",")}]))"
@@ -830,6 +846,14 @@ object ExtQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.08""".stripMargin),
+    "q_ext_ingest_dedup" ->
+      ("""WITH ex AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+         |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         |keep AS (SELECT md5(text) AS bfp, min(doc_id) AS keep_id
+         |         FROM inc GROUP BY 1)
+         |SELECT i.doc_id, i.lang FROM inc i
+         |JOIN keep k ON md5(i.text) = k.bfp AND i.doc_id = k.keep_id
+         |WHERE md5(i.text) NOT IN (SELECT fp FROM ex)""".stripMargin),
     "q_ext_dup_span_stats" ->
       (s"""WITH $spanGramCtes
          |SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,

@@ -119,6 +119,16 @@ class PlanShapeSpec extends SparkSpec {
       s"scale-hostile join strategy appeared:\n$p")
   }
 
+  test("ingest dedup: the existing corpus is scanned, never repartitioned") {
+    val p = plan("q_ext_ingest_dedup")
+    // the whole point of the bloom routing: every join in the plan
+    // broadcasts the small side — a SortMergeJoin would shuffle the
+    // existing fingerprints per ingest
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"existing corpus repartitioned for the ingest join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
+  }
+
   test("PQ production row: corpus-side scan feeds ADC via broadcast, never shuffled") {
     val p = plan("q_ext_knn_pq")
     // the query side broadcasts to the code scan (ADC) and the refine

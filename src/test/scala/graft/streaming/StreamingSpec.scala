@@ -393,4 +393,39 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(1L, 2L), got.toString)
     } finally q.stop()
   }
+
+  test("stateless curation front door: quality/langid/redact/fingerprint stream ≡ batch") {
+    // the per-document curation battery is pure Column logic, so the
+    // SAME expressions run unchanged under readStream — the ingest
+    // front door a streaming pipeline puts before the stateful dedup.
+    // Gate: streamed output rows are byte-identical to the batch run.
+    import graft.ext.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      md5(TextOps.redactPii(col("text"))).as("redacted_md5"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val rows = Seq(
+      (1L, "the cat and the dog went to the house"),
+      (2L, "contact us at someone@example.com or 555-123-4567 today"),
+      (3L, "der hund und die katze"),
+      (4L, ""))
+    val in = MemoryStream[(Long, String)]
+    val q = curate(in.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("curate_out").outputMode("append").start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("curate_out")
+        .as[(Long, Double, String, String, String)].collect().toSet
+      val batch = curate(rows.toDF("doc_id", "text"))
+        .as[(Long, Double, String, String, String)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+      // and the PII plant actually got scrubbed in-stream
+      assert(streamed.map(_._1).contains(2L))
+    } finally q.stop()
+  }
 }
