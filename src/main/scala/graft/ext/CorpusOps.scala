@@ -55,6 +55,39 @@ object CorpusOps {
     docs.filter(substring(md5(col(textCol)), 1, 2) <= cutExpr)
   }
 
+  /** Leakage-safe train/val/test split: assign by near-dup CLUSTER, not
+    * by document. Splitting docs independently leaks — a near-duplicate
+    * pair straddling train/test hands the model its own eval answers —
+    * so the unit of assignment is the connected component of the
+    * caller's near-dup pair graph ([[DedupOps.connectedComponents]]):
+    * every doc hashes its component ROOT, and the whole cluster lands
+    * in one split. Docs in no pair root to themselves. Cuts follow the
+    * [[stratifiedHashSample]] convention — 2-hex-char boundaries on
+    * md5(root): ≤ valCut → "val", ≤ testCut → "test", else "train"
+    * (≈ valCut/256 and (testCut−valCut)/256 of CLUSTERS respectively).
+    * Deterministic: pure function of content-derived roots, no RNG —
+    * re-runs, retries, and corpus repartitionings produce the identical
+    * split.
+    *
+    * Scale: CC is the iterative min-label pass (O(log d) rounds); the
+    * root join is one shuffle on doc id; the assignment itself is a
+    * map-side md5-prefix comparison.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       valCut: String = "0c", testCut: String = "19",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(Seq(valCut, testCut).forall(_.matches("[0-9a-f]{2}")) && valCut <= testCut,
+      s"cuts must be 2-char lowercase hex with valCut <= testCut: $valCut, $testCut")
+    val cc = DedupOps.connectedComponents(pairs)
+      .withColumnRenamed("node", idCol).withColumnRenamed("root", "__root0")
+    val rooted = docs.join(cc, Seq(idCol), "left")
+      .withColumn("__root", coalesce(col("__root0"), col(idCol)))
+    val hx = substring(md5(col("__root").cast("string")), 1, 2)
+    rooted.withColumn("split",
+        when(hx <= valCut, "val").when(hx <= testCut, "test").otherwise("train"))
+      .drop("__root0", "__root")
+  }
+
   /** Per-key quota (the Common-Crawl per-domain cap): keep at most `n`
     * rows per key under a caller-supplied TOTAL order (include a unique
     * tiebreak — and prefer integer order columns: a float computed

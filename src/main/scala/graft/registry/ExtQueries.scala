@@ -334,6 +334,15 @@ object ExtQueries {
     "q_ext_jaccard_bigram_pairs_pruned" -> ((s, dir) =>
       DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2,
         maxDocFreqRatio = Some(0.1))),
+    // Leakage-safe split: train/val/test assigned by near-dup CLUSTER
+    // (connected components of the verified jaccard pairs), so no
+    // near-dup pair ever straddles a split boundary; singleton docs
+    // root to themselves. Deterministic md5-prefix cuts on the root.
+    "q_ext_split_leakage_safe" -> ((s, dir) => {
+      val docs = docsSub(s, dir)
+      CorpusOps.leakageSafeSplit(docs, DedupOps.jaccardPairs(docs, 0.9))
+        .select(col("doc_id"), col("split"))
+    }),
     // Incremental ingest dedup: the odd-id half of the corpus arrives as
     // a new batch and dedups against the already-ingested even-id half.
     // Bloom-routed (corpus never repartitions — see IngestOps) but
@@ -846,6 +855,26 @@ object ExtQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.08""".stripMargin),
+    // same recursive min-reachability component derivation as the CC
+    // dedup oracle, projected to the md5-prefix split assignment
+    "q_ext_split_leakage_safe" ->
+      (s"""WITH RECURSIVE ${jaccardCtes(pruned = false)},
+         |pairs AS (SELECT doc_a, doc_b FROM shared
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+         |comp AS (SELECT node, min(reach) AS root FROM walk GROUP BY node)
+         |SELECT d.doc_id,
+         |  CASE WHEN substr(md5(CAST(c.root AS VARCHAR)), 1, 2) <= '0c' THEN 'val'
+         |       WHEN substr(md5(CAST(c.root AS VARCHAR)), 1, 2) <= '19' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM docs d JOIN comp c ON d.doc_id = c.node""".stripMargin),
     "q_ext_ingest_dedup" ->
       ("""WITH ex AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
          |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

@@ -126,4 +126,38 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 4L -> 1L), got.toString)
   }
+
+  test("leakage-safe split: near-dup clusters never straddle a split boundary") {
+    // 20 docs; {1,2,3} chained near-dups, {10,11} a pair, rest singletons
+    val docs = (1L to 20L).map(i => (i, s"unique doc body number $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.leakageSafeSplit(docs, pairs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 20, "every doc must receive a split")
+    assert(got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // the invariant the op exists for: each cluster is wholly in ONE split
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, s"cluster {1,2,3} split: $got")
+    assert(got(10L) == got(11L), s"pair {10,11} split: $got")
+  }
+
+  test("leakage-safe split is deterministic and repartition-invariant") {
+    val docs = (1L to 50L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val pairs = Seq((5L, 6L)).toDF("doc_a", "doc_b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.leakageSafeSplit(d, pairs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a = run(docs)
+    assert(a == run(docs.repartition(13)))
+    // cuts partition the hash space: all three labels appear over enough
+    // clusters (50 singletons ⇒ expected ~2.3 val, ~2.5 test)
+    assert(a.values.toSet.contains("train"))
+  }
+
+  test("leakage-safe split with no pairs degrades to a pure hash split") {
+    val docs = (1L to 30L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = CorpusOps.leakageSafeSplit(docs, none)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 30)
+  }
 }
