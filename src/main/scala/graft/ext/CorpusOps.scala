@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Corpus-curation operators (charter, SURVEY §0(c)) — the
@@ -125,6 +126,35 @@ object CorpusOps {
     val hx = md5(col(keyCol).cast("string"))
     docs.withColumn("shard",
       (hexNibble(substring(hx, 1, 1)) * 16 + hexNibble(substring(hx, 2, 1))) % numShards)
+  }
+
+  /** Packed-stream sequence assignment (the GPT-style training pack:
+    * concatenate the token stream, slice fixed windows — no padding):
+    * each chunk's `bin` is the window its START offset falls in within
+    * its shard's deterministic stream order, `bin_offset` the position
+    * inside that window. Sequences may cross bin boundaries — that is
+    * the packed-stream contract; the loader reads bins as contiguous
+    * windows of the shard stream. Integer arithmetic throughout
+    * (DIV/MOD on the running token sum, never a double at 100 TB
+    * stream offsets).
+    *
+    * Scale: the running sum is a window per SHARD (one shuffle on the
+    * shard key, each shard's prefix-sum independent) — the global-order
+    * single-partition window a naive pack would need is exactly what
+    * sharding removes. Order within shard is caller-supplied and must
+    * be deterministic (doc_id, chunk_idx).
+    */
+  def packSequences(chunks: DataFrame, budgetTokens: Long,
+                    shardCol: String = "shard",
+                    orderCols: Seq[String] = Seq("doc_id", "chunk_idx"),
+                    tokensCol: String = "chunk_tokens"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val w = Window.partitionBy(col(shardCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks.withColumn("__start", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("bin", expr(s"CAST(__start DIV $budgetTokens AS BIGINT)"))
+      .withColumn("bin_offset", expr(s"CAST(__start % $budgetTokens AS BIGINT)"))
+      .drop("__start")
   }
 
   /** Hash-sharded corpus layout: one `shard=K` parquet directory per

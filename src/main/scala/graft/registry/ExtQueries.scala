@@ -236,6 +236,26 @@ object ExtQueries {
     // to doc length, no shuffle
     "q_ext_chunk_tokens" -> ((s, dir) =>
       CorpusOps.chunkTokens(Sources(s, dir).documents, chunkSize = 32, overlap = 8)),
+    // packed-stream assignment over non-overlapping 64-token chunks:
+    // shard by doc hash (all of a doc's chunks stay contiguous in one
+    // shard stream), then per-shard prefix-sum binning at 256 tokens
+    "q_ext_pack_sequences" -> ((s, dir) =>
+      CorpusOps.packSequences(
+          CorpusOps.assignShards(
+            CorpusOps.chunkTokens(Sources(s, dir).documents,
+              chunkSize = 64, overlap = 0),
+            numShards = 8),
+          budgetTokens = 256)
+        .select(col("shard"), col("doc_id"), col("chunk_idx"),
+          col("chunk_tokens"), col("bin"), col("bin_offset"))),
+    // exact per-language length quantiles (interpolated percentile is
+    // one correctly-rounded expression per group — engine-portable)
+    "q_ext_length_quantiles" -> ((s, dir) =>
+      Sources(s, dir).documents.groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"),
+          count(lit(1)).as("docs"))),
     // the COMPOSED curation pipeline — scrub → quality/length filter →
     // exact dedup → stratified downsample, the end-to-end pass a user
     // runs nightly, hash-gated as ONE query so the stage seams (does
@@ -754,6 +774,32 @@ object ExtQueries {
     // chunk i covers 1-based token positions [i·24+1, i·24+32], clamped
     // at the end like Spark's slice; // is DuckDB integer division,
     // mirroring floor() over Spark's double division
+    "q_ext_pack_sequences" ->
+      (s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |  1 + (greatest(len(toks) - 64, 0) + 63) // 64 AS nchunks FROM base),
+         |ch AS (SELECT doc_id, unnest(range(nchunks)) AS i, toks FROM n),
+         |chunks AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(len(toks[i*64+1 : i*64+64]) AS BIGINT) AS chunk_tokens FROM ch),
+         |sharded AS (SELECT *,
+         |  (16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+         |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS shard
+         |  FROM chunks),
+         |packed AS (SELECT *,
+         |  sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+         |    ROWS UNBOUNDED PRECEDING) - chunk_tokens AS strt
+         |  FROM sharded)
+         |SELECT shard, doc_id, chunk_idx, chunk_tokens,
+         |  CAST(strt // 256 AS BIGINT) AS bin,
+         |  CAST(strt % 256 AS BIGINT) AS bin_offset
+         |FROM packed""".stripMargin),
+    "q_ext_length_quantiles" ->
+      ("""SELECT lang,
+         |  quantile_cont(n_chars, 0.25) AS p25,
+         |  quantile_cont(n_chars, 0.5) AS p50,
+         |  quantile_cont(n_chars, 0.9) AS p90,
+         |  count(*) AS docs
+         |FROM documents GROUP BY 1""".stripMargin),
     "q_ext_chunk_tokens" ->
       (s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |n AS (SELECT doc_id, toks,

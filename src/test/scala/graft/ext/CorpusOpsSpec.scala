@@ -127,6 +127,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 4L -> 1L), got.toString)
   }
 
+  test("packSequences: hand-computed prefix-sum bins, boundary-crossing chunks") {
+    // one shard, budget 10; chunks of 4,4,4,7 tokens → starts 0,4,8,12
+    // → bins 0,0,0,1; the third chunk STARTS in bin 0 at offset 8 and
+    // crosses into bin 1 — the packed-stream contract
+    val chunks = Seq(
+      (1L, 0, 4L), (1L, 1, 4L), (2L, 0, 4L), (3L, 0, 7L))
+      .toDF("doc_id", "chunk_idx", "chunk_tokens")
+      .withColumn("shard", lit(0))
+    val got = CorpusOps.packSequences(chunks, budgetTokens = 10)
+      .select("doc_id", "chunk_idx", "bin", "bin_offset")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0, 0L, 0L), (1L, 1, 0L, 4L), (2L, 0, 0L, 8L), (3L, 0, 1L, 2L)),
+      got.toString)
+  }
+
+  test("packSequences: shards pack independently and deterministically") {
+    val chunks = Seq(
+      (1L, 0, 5L, 0), (2L, 0, 5L, 1), (3L, 0, 5L, 0), (4L, 0, 5L, 1))
+      .toDF("doc_id", "chunk_idx", "chunk_tokens", "shard")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.packSequences(df, budgetTokens = 8)
+        .select("doc_id", "bin", "bin_offset").as[(Long, Long, Long)].collect().toSet
+    val got = run(chunks)
+    // each shard's stream starts at offset 0: docs 1/3 in shard 0 at
+    // offsets 0/5, docs 2/4 in shard 1 at offsets 0/5
+    assert(got == Set((1L, 0L, 0L), (3L, 0L, 5L), (2L, 0L, 0L), (4L, 0L, 5L)), got.toString)
+    assert(got == run(chunks.repartition(7)))
+  }
+
   test("leakage-safe split: near-dup clusters never straddle a split boundary") {
     // 20 docs; {1,2,3} chained near-dups, {10,11} a pair, rest singletons
     val docs = (1L to 20L).map(i => (i, s"unique doc body number $i")).toDF("doc_id", "text")
