@@ -394,6 +394,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination: stream-static broadcast join flags in-flight docs") {
+    // the decontamination check runs at the ingest front door too: the
+    // eval suite is a STATIC frame (broadcast), the corpus is the
+    // stream; per-doc counts are a stateful agg read in complete mode
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ext.DedupOps.contaminationCheck(
+        in.toDF().toDF("doc_id", "text"), bench, k = 3)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, "the quick brown fox runs far"))
+      q.processAllAvailable()
+      in.addData((2L, "completely unrelated words only"),
+        (3L, "quick brown fox jumps elsewhere"))
+      q.processAllAvailable()
+      val got = spark.table("contam_out").as[(Long, Long)].collect().toMap
+      // identical to the batch semantics: clean doc 2 absent
+      assert(got == Map(1L -> 2L, 3L -> 2L), got.toString)
+    } finally q.stop()
+  }
+
   test("stateless curation front door: quality/langid/redact/fingerprint stream ≡ batch") {
     // the per-document curation battery is pure Column logic, so the
     // SAME expressions run unchanged under readStream — the ingest
