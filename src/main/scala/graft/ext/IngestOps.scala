@@ -35,22 +35,25 @@ object IngestOps {
     val fpOf = TextOps.fingerprint(col(textCol))
     val batch = DedupOps.dedupExact(incoming, textCol, idCol)
       .withColumn("__fp", fpOf)
-    val exFp = existing.select(fpOf.as("__fp"))
+    // null-text rows have a null fingerprint: SQL join semantics never
+    // match null keys, so the anti-join contract KEEPS them — drop them
+    // from the existing side (they can't dedup anything) and route them
+    // through the not-contained path below
+    val exFp = existing.select(fpOf.as("__fp")).na.drop()
     // Spark's sketch aggregate returns a null buffer on an empty frame
     // (NPE in BloomFilter.readFrom) — and an empty corpus dedups nothing
     if (existing.isEmpty) return batch.drop("__fp")
     val bloom = exFp.stat.bloomFilter("__fp", expectedItems, fpp)
     val bc = existing.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bc.value.mightContainString(s))
-    val clear = batch.filter(!mightContain(col("__fp")))
-    val suspect = batch.filter(mightContain(col("__fp")))
-    // fingerprints that REALLY exist: broadcast the (tiny) suspect set
-    // into the corpus scan — map-side, corpus never repartitions
-    val confirmedDup = exFp
-      .join(broadcast(suspect.select("__fp").distinct()), Seq("__fp"))
-      .distinct()
-    clear.unionByName(
-        suspect.join(broadcast(confirmedDup), Seq("__fp"), "left_anti"))
-      .drop("__fp")
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    // fingerprints that REALLY exist: broadcast the (tiny) bloom-positive
+    // set into the corpus scan — map-side, corpus never repartitions —
+    // then one broadcast anti-join clears exactly the true dups. Single
+    // split point (no clear/suspect branch pair), so the deduped-batch
+    // subplan is evaluated twice, not three times.
+    val suspectFps = batch.filter(mightContain(col("__fp")))
+      .select("__fp").distinct()
+    val confirmedDup = exFp.join(broadcast(suspectFps), Seq("__fp")).distinct()
+    batch.join(broadcast(confirmedDup), Seq("__fp"), "left_anti").drop("__fp")
   }
 }

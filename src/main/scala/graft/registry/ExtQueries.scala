@@ -28,10 +28,11 @@ object ExtQueries {
   private def docsSub(s: SparkSession, dir: String): DataFrame =
     Sources(s, dir).documents.filter(col("doc_id") % 10 === 0)
 
-  // One persisted IVF index per (session-lifetime, sf dir): trained and
-  // saved ONCE, so the IVF queries time the load→probe path alone — the
+  // One persisted index per (session, dir) and index family, trained and
+  // saved ONCE, so the warm rows time the load->probe path alone — the
   // number that matters at scale — instead of retraining per call. Dirs
   // are bounded by the number of distinct sfDirs and reclaimed at exit.
+  //
   // The map registers the COMPUTATION (a holder whose lazy `path` runs
   // train+save), not the finished path: under concurrent first calls the
   // losing threads block on the winner's lazy-val monitor until the save
@@ -42,118 +43,66 @@ object ExtQueries {
   // initializer, so blocked losers (and later calls) retry inside this
   // same, still-tracked holder; deregistering here would orphan a
   // loser's successful retry from the shutdown hook.
-  private final class IvfIdxHolder(s: SparkSession, dir: String) {
-    @volatile var tmpDir: String = _
-    lazy val path: String = {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
-      tmpDir = p
-      try { IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p); p }
-      catch {
-        case e: Throwable =>
-          tmpDir = null
-          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
-          throw e
+  //
+  // Keyed by (session, dir): the persisted parquet is re-readable by any
+  // session, but the holder's train ran against the keying session — a
+  // fresh session must train (and pay for) its own index rather than
+  // inherit a path whose lifecycle another session owns. Entries whose
+  // session has been STOPPED are evicted on the next lookup: their
+  // frames can no longer run, and keeping them would pin the dead
+  // session's object graph for the JVM lifetime.
+  //
+  // ONE implementation for all three index families (IVF, PQ, IVF-PQ) —
+  // a per-family copy of this lifecycle drifted once already; the only
+  // thing that varies is the train-and-save closure.
+  private final class IndexDirCache(tmpPrefix: String,
+                                    trainAndSave: (SparkSession, String, String) => Unit) {
+    private final class Holder(s: SparkSession, dir: String) {
+      @volatile var tmpDir: String = _
+      lazy val path: String = {
+        val p = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+        tmpDir = p
+        try { trainAndSave(s, dir, p); p }
+        catch {
+          case e: Throwable =>
+            tmpDir = null
+            graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
+            throw e
+        }
       }
     }
-  }
-  // Keyed by (session, dir): the persisted index parquet is re-readable
-  // by any session, but the holder's train ran against the keying
-  // session — a fresh session must train (and pay for) its own index
-  // rather than inherit a path whose lifecycle another session owns.
-  private val ivfIndexDirs =
-    scala.collection.mutable.LinkedHashMap[(SparkSession, String), IvfIdxHolder]()
-  private lazy val ivfCleanup = sys.addShutdownHook {
-    ivfIndexDirs.synchronized(ivfIndexDirs.values.toList)
-      .flatMap(h => Option(h.tmpDir))
-      .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+    private val holders =
+      scala.collection.mutable.LinkedHashMap[(SparkSession, String), Holder]()
+    private lazy val cleanup = sys.addShutdownHook {
+      holders.synchronized(holders.values.toList)
+        .flatMap(h => Option(h.tmpDir))
+        .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+    }
+    def pathFor(s: SparkSession, dir: String): String = {
+      cleanup
+      holders.synchronized {
+        holders.keys.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
+          holders.remove(k).flatMap(h => Option(h.tmpDir))
+            .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
+        }
+        holders.getOrElseUpdate((s, dir), new Holder(s, dir))
+      }.path
+    }
   }
 
-  // One trained+PERSISTED PQ code table per (session, dir), same
-  // lifecycle discipline as the IVF holder: train+save once (lazy val —
-  // losers of a concurrent first call block on the winner), probes read
-  // the saved code parquet instead of re-encoding the corpus per
-  // action; temp dirs reclaimed at JVM exit, stopped sessions evicted.
-  private final class PqHolder(s: SparkSession, dir: String) {
-    @volatile var tmpDir: String = _
-    lazy val path: String = {
-      val p = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString
-      tmpDir = p
-      try { PqIndex.train(Sources(s, dir).embeddings).save(p); p }
-      catch {
-        case e: Throwable =>
-          tmpDir = null
-          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
-          throw e
-      }
-    }
-  }
-  private val pqIndexes =
-    scala.collection.mutable.LinkedHashMap[(SparkSession, String), PqHolder]()
-  private lazy val pqCleanup = sys.addShutdownHook {
-    pqIndexes.synchronized(pqIndexes.values.toList)
-      .flatMap(h => Option(h.tmpDir))
-      .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
-  }
-  private def pqIndex(s: SparkSession, dir: String): PqIndex = {
-    pqCleanup
-    val holder = pqIndexes.synchronized {
-      pqIndexes.keys.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
-        pqIndexes.remove(k).flatMap(h => Option(h.tmpDir))
-          .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
-      }
-      pqIndexes.getOrElseUpdate((s, dir), new PqHolder(s, dir))
-    }
-    PqIndex.load(s, holder.path)
-  }
+  private val ivfIndexCache = new IndexDirCache("graft_ivfidx_",
+    (s, dir, p) => IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p))
+  private val pqIndexCache = new IndexDirCache("graft_pqidx_",
+    (s, dir, p) => PqIndex.train(Sources(s, dir).embeddings).save(p))
+  private val ivfPqIndexCache = new IndexDirCache("graft_ivfpqidx_",
+    (s, dir, p) => IvfPqIndex.train(Sources(s, dir).embeddings).save(p))
 
-  // IVF-PQ: same persisted-lifecycle holder as the PQ index.
-  private final class IvfPqHolder(s: SparkSession, dir: String) {
-    @volatile var tmpDir: String = _
-    lazy val path: String = {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_").toString
-      tmpDir = p
-      try { IvfPqIndex.train(Sources(s, dir).embeddings).save(p); p }
-      catch {
-        case e: Throwable =>
-          tmpDir = null
-          graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(p))
-          throw e
-      }
-    }
-  }
-  private val ivfPqIndexes =
-    scala.collection.mutable.LinkedHashMap[(SparkSession, String), IvfPqHolder]()
-  private lazy val ivfPqCleanup = sys.addShutdownHook {
-    ivfPqIndexes.synchronized(ivfPqIndexes.values.toList)
-      .flatMap(h => Option(h.tmpDir))
-      .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
-  }
-  private def ivfPqIndex(s: SparkSession, dir: String): IvfPqIndex = {
-    ivfPqCleanup
-    val holder = ivfPqIndexes.synchronized {
-      ivfPqIndexes.keys.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
-        ivfPqIndexes.remove(k).flatMap(h => Option(h.tmpDir))
-          .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
-      }
-      ivfPqIndexes.getOrElseUpdate((s, dir), new IvfPqHolder(s, dir))
-    }
-    IvfPqIndex.load(s, holder.path)
-  }
-
-  private def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
-    ivfCleanup
-    val holder = ivfIndexDirs.synchronized {
-      // evict holders whose session has been STOPPED: their frames can
-      // no longer run, and keeping the entry would pin the dead
-      // session's object graph for the JVM lifetime
-      ivfIndexDirs.keys.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
-        ivfIndexDirs.remove(k).flatMap(h => Option(h.tmpDir))
-          .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
-      }
-      ivfIndexDirs.getOrElseUpdate((s, dir), new IvfIdxHolder(s, dir))
-    }
-    IvfIndex.load(s, holder.path)
-  }
+  private def ivfIndex(s: SparkSession, dir: String): IvfIndex =
+    IvfIndex.load(s, ivfIndexCache.pathFor(s, dir))
+  private def pqIndex(s: SparkSession, dir: String): PqIndex =
+    PqIndex.load(s, pqIndexCache.pathFor(s, dir))
+  private def ivfPqIndex(s: SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex.load(s, ivfPqIndexCache.pathFor(s, dir))
 
   // Cold-path temp dirs: one per q_ext_knn_ivf CALL (the query times the
   // full train+save+load lifecycle), APPEND-ONLY and reclaimed at JVM
@@ -922,13 +871,13 @@ object ExtQueries {
          |       ELSE 'train' END AS split
          |FROM docs d JOIN comp c ON d.doc_id = c.node""".stripMargin),
     "q_ext_ingest_dedup" ->
-      ("""WITH ex AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+      (s"""WITH ex AS (SELECT $fingerprintSql AS fp FROM documents WHERE doc_id % 2 = 0),
          |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-         |keep AS (SELECT md5(text) AS bfp, min(doc_id) AS keep_id
+         |keep AS (SELECT $fingerprintSql AS bfp, min(doc_id) AS keep_id
          |         FROM inc GROUP BY 1)
          |SELECT i.doc_id, i.lang FROM inc i
-         |JOIN keep k ON md5(i.text) = k.bfp AND i.doc_id = k.keep_id
-         |WHERE md5(i.text) NOT IN (SELECT fp FROM ex)""".stripMargin),
+         |JOIN keep k ON $fingerprintSql = k.bfp AND i.doc_id = k.keep_id
+         |WHERE $fingerprintSql NOT IN (SELECT fp FROM ex)""".stripMargin),
     "q_ext_dup_span_stats" ->
       (s"""WITH $spanGramCtes
          |SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,

@@ -109,8 +109,20 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     * read that must not see a mid-swap directory (force the scan —
     * collect/localCheckpoint — INSIDE `f`; a lazy plan escapes the
     * lock).
+    *
+    * Recovery runs BEFORE the monitor is taken — the global lock order
+    * is writer → file lock → swap monitor, so a recover() fired from
+    * INSIDE `f` (readPrior on a crash-leftover `__old`) must not be the
+    * first acquisition of the file-lock gate: a concurrent materialize
+    * holds that gate and waits for this monitor to swap, and the
+    * monitor-holding reader waiting for the gate is a circular wait.
+    * recover() is therefore a no-op under a held swap monitor (see its
+    * doc for the crash-window trade).
     */
-  def withSwapLock[T](model: String)(f: => T): T = lockFor(model).synchronized(f)
+  def withSwapLock[T](model: String)(f: => T): T = {
+    recover(model)
+    lockFor(model).synchronized(f)
+  }
 
   /** Repair an interrupted swap before any read — and ONLY when the
     * marker state is actually inconsistent (a `__old` dir exists).
@@ -121,6 +133,14 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     * no-op — no filesystem mutation at all — on a healthy table.
     */
   private def recover(model: String): Unit = {
+    // Lock-order guard: NEVER acquire the file-lock gate while this
+    // thread already holds the swap monitor (gate-holder may be waiting
+    // on the monitor — circular wait). withSwapLock pre-recovers before
+    // entering the monitor, so under the monitor there is nothing left
+    // to repair from THIS JVM; the residual window — a cross-process
+    // writer crashing mid-swap while we hold the monitor — degrades to
+    // a missing-table read this call, repaired by the next recover.
+    if (Thread.holdsLock(lockFor(model))) return
     val out = Paths.get(outPath(model))
     val bak = Paths.get(outPath(model) + "__old")
     // racy probe first: the healthy-table fast path takes no lock at all.

@@ -134,10 +134,11 @@ class PlanShapeSpec extends SparkSpec {
     // the query side broadcasts to the code scan (ADC) and the refine
     // join's shortlist side is |Q|·shortlist rows — the corpus may be
     // scanned for codes and for the shortlist's exact vectors, but must
-    // never be hash-repartitioned for a join
-    assert(!"Exchange hashpartitioning\\([^\\n]*(corpus_id|vec_id)".r.findFirstIn(p).isDefined ||
-      p.contains("BroadcastHashJoin"),
-      s"corpus shuffled for the PQ join:\n$p")
+    // never be hash-repartitioned for a join: the only corpus-keyed
+    // exchanges allowed are the top-k windows' query_id partitionings
+    assert("Exchange hashpartitioning\\([^\\n]*(corpus_id|vec_id)".r.findFirstIn(p).isEmpty,
+      s"corpus hash-repartitioned for a PQ join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"PQ refine sort-merges the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"refine join not broadcast:\n$p")
   }
 }

@@ -14,9 +14,11 @@ class IngestSpec extends SparkSpec {
 
   private def naive(existing: org.apache.spark.sql.DataFrame,
                     incoming: org.apache.spark.sql.DataFrame): Set[Long] = {
-    val exFp = existing.select(md5(col("text")).as("fp"))
+    // the SAME normalized fingerprint the op keys on — a raw md5 here
+    // would test a weaker equivalence than the contract states
+    val exFp = existing.select(TextOps.fingerprint(col("text")).as("fp"))
     DedupOps.dedupExact(incoming)
-      .join(exFp, md5(col("text")) === col("fp"), "left_anti")
+      .join(exFp, TextOps.fingerprint(col("text")) === col("fp"), "left_anti")
       .select("doc_id").as[Long].collect().toSet
   }
 
@@ -50,6 +52,27 @@ class IngestSpec extends SparkSpec {
     val got = IngestOps.appendDedupExact(none, incoming)
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(11L, 15L, 17L))
+  }
+
+  test("whitespace/case variants dedup (normalized fingerprint, not raw md5)") {
+    val ws = Seq((21L, "Shared  DOC alpha")).toDF("doc_id", "text")
+    val got = IngestOps.appendDedupExact(existing, ws)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.isEmpty, s"ws/case variant of an existing doc survived: $got")
+  }
+
+  test("null text rows pass through (null keys never match an anti-join)") {
+    val withNulls = Seq((31L, Option("fresh doc one")), (33L, Option.empty[String]),
+      (35L, Option("shared doc alpha"))).toDF("doc_id", "text")
+    val got = IngestOps.appendDedupExact(existing, withNulls)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(31L, 33L), got.toString)
+    // and a null on the EXISTING side dedups nothing
+    val exNull = existing.unionByName(
+      Seq((90L, Option.empty[String])).toDF("doc_id", "text"))
+    val got2 = IngestOps.appendDedupExact(exNull, withNulls)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 == Set(31L, 33L), got2.toString)
   }
 
   test("fixture halves: bloom-routed equals naive at corpus scale") {

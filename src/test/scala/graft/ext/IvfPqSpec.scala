@@ -10,19 +10,7 @@ import org.apache.spark.sql.functions._
 class IvfPqSpec extends SparkSpec {
   import spark.implicits._
 
-  private def synthVec(seed: Int): Seq[Float] = (0 until 64).map { d =>
-    var z = (seed.toLong * 64 + d) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat
-  }
-
-  private def clusteredRows: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
-    val center = synthVec(1000 + i % 4)
-    val jitter = synthVec(2000 + i).map(_ * 0.05f)
-    (i.toLong, center.zip(jitter).map { case (c, j) => c + j })
-  }
+  import VectorFixtures.clusteredRows
 
   test("full probe + unbounded refine is exact: equals brute force") {
     val dir = "/root/testdata/sf0.001"

@@ -128,6 +128,47 @@ class MaterializerSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"orphaned tmp dirs: $leftovers")
   }
 
+  test("crash-leftover __old: swap-lock reader + concurrent writer cannot deadlock") {
+    // regression: recover() fired INSIDE withSwapLock used to take the
+    // file-lock gate while holding the swap monitor — the inverse of the
+    // writer's gate → monitor order — so a reader and a writer meeting
+    // over a crash-leftover __old dir deadlocked. Now withSwapLock
+    // pre-recovers before the monitor and in-monitor recover is a no-op.
+    val mat = new Materializer(spark, freshDir())
+    mat.materialize("t", "id")(_ => Seq(("k1", 1)).toDF("id", "v"))
+    val out = java.nio.file.Paths.get(mat.outPath("t"))
+    Files.move(out, java.nio.file.Paths.get(mat.outPath("t") + "__old"))
+    val v2 = Seq(("k2", 2)).toDF("id", "v")
+    val readerIn = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var readerRows = -1L
+    @volatile var writerDone = false
+    val reader = new Thread(() => {
+      mat.withSwapLock("t") {
+        readerIn.countDown()
+        release.await(20, java.util.concurrent.TimeUnit.SECONDS)
+        readerRows = mat.readPrior("t").map(_.count()).getOrElse(0L)
+      }
+    })
+    val writer = new Thread(() => {
+      mat.materialize("t", "id")(_ => v2)
+      writerDone = true
+    })
+    reader.setDaemon(true); writer.setDaemon(true)
+    reader.start()
+    assert(readerIn.await(20, java.util.concurrent.TimeUnit.SECONDS))
+    writer.start()
+    Thread.sleep(500) // let the writer reach its blocking acquisition
+    release.countDown()
+    reader.join(60000); writer.join(60000)
+    assert(!reader.isAlive && !writer.isAlive,
+      "reader/writer deadlocked over crash-leftover __old")
+    assert(readerRows == 1L, s"reader saw $readerRows rows of the recovered table")
+    assert(writerDone)
+    val end = mat.readPrior("t").get.as[(String, Int)].collect().toMap
+    assert(end == Map("k1" -> 1, "k2" -> 2), end.toString)
+  }
+
   test("recovery never touches a lone __tmp beside a healthy table") {
     val mat = new Materializer(spark, freshDir())
     mat.materialize("t", "id")(_ => Seq(("k1", 1)).toDF("id", "v"))
