@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -303,6 +303,13 @@ object ExtQueries {
     "q_ext_jaccard_bigram_pairs_pruned" -> ((s, dir) =>
       DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2,
         maxDocFreqRatio = Some(0.1))),
+    // LM-likelihood quality scoring: every doc scored by how typical its
+    // char trigrams are of the reference slice (doc_id % 97 — the same
+    // stand-in slice the contamination gate uses)
+    "q_ext_lm_quality" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents
+      LmOps.trigramLogLikelihood(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
     // Leakage-safe split: train/val/test assigned by near-dup CLUSTER
     // (connected components of the verified jaccard pairs), so no
     // near-dup pair ever straddles a split boundary; singleton docs
@@ -850,6 +857,21 @@ object ExtQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.08""".stripMargin),
+    "q_ext_lm_quality" ->
+      ("""WITH nt AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+         |rtg AS (SELECT unnest(list_transform(range(length(t) - 2),
+         |    i -> substr(t, i + 1, 3))) AS g
+         |  FROM nt WHERE doc_id % 97 = 0 AND length(t) >= 3),
+         |rc AS (SELECT g, count(*) AS c FROM rtg GROUP BY 1),
+         |nv AS (SELECT COALESCE(sum(c), 0) AS n, count(*) AS v FROM rc),
+         |dtg AS (SELECT doc_id, unnest(list_transform(range(length(t) - 2),
+         |    i -> substr(t, i + 1, 3))) AS g
+         |  FROM nt WHERE length(t) >= 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  avg(ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / (nv.n + nv.v + 1))) AS logprob
+         |FROM dtg LEFT JOIN rc USING (g) CROSS JOIN nv
+         |GROUP BY 1""".stripMargin),
     // same recursive min-reachability component derivation as the CC
     // dedup oracle, projected to the md5-prefix split assignment
     "q_ext_split_leakage_safe" ->
