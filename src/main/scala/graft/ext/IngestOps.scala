@@ -41,8 +41,11 @@ object IngestOps {
     // through the not-contained path below
     val exFp = existing.select(fpOf.as("__fp")).na.drop()
     // Spark's sketch aggregate returns a null buffer on an empty frame
-    // (NPE in BloomFilter.readFrom) — and an empty corpus dedups nothing
-    if (existing.isEmpty) return batch.drop("__fp")
+    // (NPE in BloomFilter.readFrom) — and a corpus with no non-null
+    // fingerprints dedups nothing. Guard on exFp, not existing: an
+    // all-null-text corpus is non-empty but still yields an empty
+    // sketch input.
+    if (exFp.isEmpty) return batch.drop("__fp")
     val bloom = exFp.stat.bloomFilter("__fp", expectedItems, fpp)
     val bc = existing.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))

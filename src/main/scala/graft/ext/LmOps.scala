@@ -45,12 +45,17 @@ object LmOps {
     */
   def trigramLogLikelihood(docs: DataFrame, reference: DataFrame,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val refCounts = trigramsOf(reference, textCol, idCol)
+    // collect the model ONCE (it must fit in a broadcast anyway) and
+    // derive N/V locally — computing them with a second aggregate job
+    // would re-run the whole reference normalize→explode→count pipeline
+    val model: Array[(String, Long)] = trigramsOf(reference, textCol, idCol)
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val (n, v) = {
-      val r = refCounts.agg(sum("c"), count(lit(1))).head
-      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(1))
-    }
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = model.map(_._2).sum
+    val v = model.length.toLong
+    val session = docs.sparkSession
+    import session.implicits._
+    val refCounts = model.toSeq.toDF("t", "c")
     trigramsOf(docs, textCol, idCol)
       .join(broadcast(refCounts), Seq("t"), "left")
       .select(col("doc_id"),

@@ -43,14 +43,8 @@ class ExtOpsSpec extends SparkSpec {
 
   // splitmix64-mixed synthetic vectors (a single LCG multiply leaves
   // consecutive seeds correlated at cos ~0.6); each base gets a
-  // perturbed twin at cos ~0.9996
-  private def synthVec(seed: Int): Seq[Float] = (0 until 64).map { d =>
-    var z = (seed.toLong * 64 + d) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat
-  }
+  // perturbed twin at cos ~0.9996. Shared fixture — see VectorFixtures.
+  import VectorFixtures.synthVec
 
   private def twinRows: Seq[(Long, Seq[Float])] = (0 until 40).flatMap { i =>
     val base = synthVec(i)
@@ -93,13 +87,10 @@ class ExtOpsSpec extends SparkSpec {
       s"exact-mode IVF diverged from brute: ${ivf.diff(brute)} / ${brute.diff(ivf)}")
   }
 
-  // 4 well-separated clusters × 50 points: hash-order seeds concentrate in
-  // dense regions, so unrefined cells are skewed; Lloyd must re-balance.
-  private def clusteredRows: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
-    val center = synthVec(1000 + i % 4)
-    val jitter = synthVec(2000 + i).map(_ * 0.05f)
-    (i.toLong, center.zip(jitter).map { case (c, j) => c + j })
-  }
+  // 4 well-separated clusters × 50 points — shared fixture, see
+  // VectorFixtures (the IVF/PQ/SemDeDup gates compare across the
+  // IDENTICAL corpus on purpose)
+  import VectorFixtures.clusteredRows
 
   test("Lloyd refinement balances cell sizes without regressing recall") {
     val embs = clusteredRows.toDF("vec_id", "embedding")
