@@ -29,6 +29,40 @@ import org.apache.spark.sql.functions._
   */
 object IngestOps {
 
+  /** The documents-table schema, declared EXPLICITLY for raw-format
+    * drops: schema inference is a full extra pass over the data and
+    * type-unstable across drops (one file of all-numeric "text" flips
+    * the column), so the ingest front door always states its contract.
+    */
+  val DocumentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** Read a JSONL document drop — the interchange format corpus dumps
+    * arrive in. PERMISSIVE mode: a malformed line becomes a row of
+    * nulls (filterable, countable) instead of failing a 100 TB job;
+    * splittable line format, so parallelism is file-block-shaped.
+    */
+  def readDocumentsJsonl(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.schema(DocumentsSchema).json(path)
+
+  /** CSV variant (header expected, quoted fields). Same explicit-schema
+    * and permissive-corruption contract as [[readDocumentsJsonl]].
+    * `escape = "` selects RFC-4180 doubled-quote escaping — Spark's
+    * default is backslash escaping, which silently mangles standard
+    * CSV exports containing quotes.
+    */
+  def readDocumentsCsv(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.schema(DocumentsSchema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("escape", "\"").csv(path)
+
   def appendDedupExact(existing: DataFrame, incoming: DataFrame,
                        textCol: String = "text", idCol: String = "doc_id",
                        expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {

@@ -129,6 +129,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
   }
 
+  test("IVF-PQ production row: probes broadcast to the code scan, never sort-merged") {
+    val p = plan("q_ext_knn_ivfpq")
+    // the probe frame (|Q|·nprobe rows) and the refine shortlist both
+    // broadcast; the cid-partitioned code scan and the corpus vector
+    // scan must never be hash-repartitioned for a join
+    assert("Exchange hashpartitioning\\([^\\n]*(corpus_id|vec_id)".r.findFirstIn(p).isEmpty,
+      s"corpus hash-repartitioned for an IVF-PQ join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scale-hostile join strategy appeared:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe/refine joins not broadcast:\n$p")
+  }
+
   test("PQ production row: corpus-side scan feeds ADC via broadcast, never shuffled") {
     val p = plan("q_ext_knn_pq")
     // the query side broadcasts to the code scan (ADC) and the refine

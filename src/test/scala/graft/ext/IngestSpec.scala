@@ -75,6 +75,39 @@ class IngestSpec extends SparkSpec {
     assert(got2 == Set(31L, 33L), got2.toString)
   }
 
+  test("JSONL/CSV document drops round-trip through the explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest_fmt_").toString
+    try {
+      val jsonl = new java.io.PrintWriter(s"$dir/docs.jsonl")
+      jsonl.println("""{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "n_chars": 10}""")
+      jsonl.println("""{"doc_id": 2, "text": "gamma, \"quoted\"", "lang": "de", "source": "web", "n_chars": 15}""")
+      jsonl.println("""not json at all""") // corrupt line → nulls, not a crash
+      jsonl.close()
+      val j = IngestOps.readDocumentsJsonl(spark, s"$dir/docs.jsonl")
+      assert(j.schema == IngestOps.DocumentsSchema)
+      val rows = j.as[(Option[Long], Option[String], Option[String], Option[String], Option[Long])]
+        .collect().toSet
+      assert(rows.contains((Some(1L), Some("alpha beta"), Some("en"), Some("web"), Some(10L))))
+      assert(rows.contains((Some(2L), Some("gamma, \"quoted\""), Some("de"), Some("web"), Some(15L))))
+      assert(rows.exists(_._1.isEmpty), "corrupt line must surface as a null row")
+
+      val csv = new java.io.PrintWriter(s"$dir/docs.csv")
+      csv.println("doc_id,text,lang,source,n_chars")
+      csv.println("1,\"alpha beta\",en,web,10")
+      csv.println("2,\"gamma, \"\"quoted\"\"\",de,web,15")
+      csv.close()
+      val c = IngestOps.readDocumentsCsv(spark, s"$dir/docs.csv")
+      val crows = c.as[(Long, String, String, String, Long)].collect().toSet
+      assert(crows == Set((1L, "alpha beta", "en", "web", 10L),
+        (2L, "gamma, \"quoted\"", "de", "web", 15L)), crows.toString)
+      // and the raw drop feeds the dedup front door unchanged
+      val got = IngestOps.appendDedupExact(existing,
+          j.filter(col("doc_id").isNotNull))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L))
+    } finally graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(dir))
+  }
+
   test("fixture halves: bloom-routed equals naive at corpus scale") {
     val docs = graft.runtime.Sources(spark, "/root/testdata/sf0.001").documents
     val ex = docs.filter(col("doc_id") % 2 === 0)
