@@ -93,20 +93,24 @@ object ImageIoCodec extends ImageCodec {
       bos.toByteArray
     }
 
-  /** Bilinear resample via `AffineTransformOp` (the JDK's interpolating
-    * path) — smoother output, but sample placement is the JDK's, so no
-    * analytic oracle; dims + decodability are spec-gated instead.
+  /** Bilinear resample via `Graphics2D` with the BILINEAR interpolation
+    * hint — smoother output than the pinned nearest-neighbor kernel,
+    * but sample placement is the JDK's, so no analytic oracle; dims +
+    * decodability + determinism are spec-gated instead
+    * (MultimodalSpec). NB deliberately NOT `AffineTransformOp`: its
+    * `filter` throws ImagingOpException on downscales of the image
+    * types PNG decode produces (the gate caught exactly that).
     */
   def resizeBilinear(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
     readImage(payload).map { img =>
-      val sx = targetW.toDouble / img.getWidth
-      val sy = targetH.toDouble / img.getHeight
-      val op = new java.awt.image.AffineTransformOp(
-        java.awt.geom.AffineTransform.getScaleInstance(sx, sy),
-        java.awt.image.AffineTransformOp.TYPE_BILINEAR)
       val out = new java.awt.image.BufferedImage(
         targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      op.filter(img, out)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray

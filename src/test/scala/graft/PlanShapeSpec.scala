@@ -129,6 +129,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
   }
 
+  test("LM quality scoring: model table broadcasts, corpus never shuffled by trigram") {
+    val p = plan("q_ext_lm_quality")
+    // the model is charset³-bounded and must broadcast; a SortMergeJoin
+    // here would shuffle every (doc, trigram) instance by trigram —
+    // a hot trigram's whole posting through one task's sort
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled by trigram:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_avg") || p.contains("partial_sum"),
+      s"per-doc rollup not partial-aggregated:\n$p")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"scan reads columns beyond (doc_id, text):\n$p")
+  }
+
   test("IVF-PQ production row: probes broadcast to the code scan, never sort-merged") {
     val p = plan("q_ext_knn_ivfpq")
     // the probe frame (|Q|·nprobe rows) and the refine shortlist both

@@ -112,6 +112,20 @@ class MultimodalSpec extends SparkSpec {
     assert(cb.toSeq == Seq[Byte](1, 2, 3, 4) && cw == 13 && ch == 11)
   }
 
+  test("resizeBilinear: target dims, decodable output, deterministic; corrupt → None") {
+    // the gate the method's doc promises: no analytic oracle (sample
+    // placement is the JDK's), so dims + decodability + determinism
+    val png = makePng(1, 8, 6)
+    val out = ImageIoCodec.resizeBilinear(png, 4, 3)
+    assert(out.isDefined, "valid PNG must resize")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.get))
+    assert(img.getWidth == 4 && img.getHeight == 3, s"${img.getWidth}x${img.getHeight}")
+    assert(out.get.toSeq == ImageIoCodec.resizeBilinear(png, 4, 3).get.toSeq,
+      "bilinear resample must be deterministic")
+    assert(ImageIoCodec.resizeBilinear(Array[Byte](1, 2, 3), 4, 3).isEmpty,
+      "corrupt payload must yield None, not throw")
+  }
+
   test("resizeStub: schema preserved, metadata dims updated, payload shrunk by the stride") {
     val in = media.repartition(3)
     val out = MultimodalOps.resizeStub(in, 64, 64)
