@@ -101,6 +101,35 @@ object StreamingOps {
         ()
     }
 
+  /** Continuous corpus ingest — the end-to-end streaming front door:
+    * each micro-batch is exact-deduped WITHIN itself (keep-lowest) and
+    * against the ALREADY-MATERIALIZED corpus (Bloom-routed,
+    * [[graft.ext.IngestOps.appendDedupExact]] — the corpus is scanned,
+    * never repartitioned), then appended through the Materializer's
+    * locked swap. foreachBatch is the stream↔external-table bridge: the
+    * corpus is re-read as each batch's prior inside the materialize
+    * locks, so concurrent writers serialize and restarts re-dedup
+    * against whatever actually landed — a REPLAYED micro-batch is
+    * idempotent twice over (its rows upsert their own doc_ids, and its
+    * content dedups against its previous append).
+    *
+    * Contrast [[dedupExactStream]]: that holds the fingerprint set as
+    * STREAMING STATE (exact, but state grows with the corpus and dies
+    * with the checkpoint); this holds it in the materialized table
+    * itself — unbounded corpus, restart-safe, at the cost of a corpus
+    * scan per micro-batch (amortized by the Bloom route).
+    */
+  def corpusIngestSink(docs: DataFrame, mat: Materializer,
+                       model: String): DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        mat.materialize(model, "doc_id") {
+          case None        => graft.ext.DedupOps.dedupExact(batch)
+          case Some(prior) => graft.ext.IngestOps.appendDedupExact(prior, batch)
+        }
+        ()
+    }
+
   /** Streaming exact dedup — the ingest front door: emit each content
     * fingerprint's FIRST-SEEN row, drop every later duplicate, across
     * micro-batch boundaries (state holds one entry per distinct

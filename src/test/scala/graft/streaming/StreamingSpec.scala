@@ -394,6 +394,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus ingest sink: cross-batch content dedup against the materialized table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("ingest_stream").toString)
+    def corpus: Set[Long] = mat.readPrior("corpus")
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestSink(
+      in.toDF().toDF("doc_id", "text"), mat, "corpus").start()
+    try {
+      // batch 1: doc 3 is a ws/case variant of doc 1 → in-batch dedup
+      in.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA   beta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      // batch 2: doc 4 duplicates the MATERIALIZED corpus, doc 5 is new
+      in.addData((4L, "alpha beta"), (5L, "delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 5L), corpus.toString)
+      // redelivered batch (at-least-once source): idempotent
+      in.addData((4L, "alpha beta"), (5L, "delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 5L), corpus.toString)
+    } finally q.stop()
+  }
+
   test("streaming contamination: stream-static broadcast join flags in-flight docs") {
     // the decontamination check runs at the ingest front door too: the
     // eval suite is a STATIC frame (broadcast), the corpus is the
