@@ -405,6 +405,22 @@ object DedupOps {
     * jaccardPairs); shingleK≥2 compares k-gram sets (order-sensitive,
     * the usual web-dedup setting).
     */
+  /** (doc_id, toks, sig) MinHash signature frame — the map-only head of
+    * the LSH pipeline, shared by [[minHashNearDupPairs]] and the
+    * incremental-ingest near-dup path (IngestOps). Docs whose shingle
+    * set is empty are excluded (no dedup signal; see the NaN note in
+    * [[minHashNearDupPairs]]).
+    */
+  private[ext] def minHashSigFrame(docs: DataFrame, numHashes: Int, shingleK: Int,
+                                   textCol: String, idCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val d = withToks(docs, textCol, idCol)
+    val sh = array_distinct(shinglesOfTokens(col("__toks"), shingleK))
+    d.select(col(idCol).as("doc_id"), sh.as("toks"),
+        minHashSignature(sh, numHashes).as("sig"))
+      .filter(size(col("toks")) > 0)
+  }
+
   def minHashNearDupPairs(docs: DataFrame, threshold: Double,
                           numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
                           textCol: String = "text", idCol: String = "doc_id",

@@ -63,6 +63,48 @@ object IngestOps {
       .option("header", "true").option("mode", "PERMISSIVE")
       .option("escape", "\"").csv(path)
 
+  /** Near-dup-aware incremental ingest — the production recipe for "new
+    * crawl vs existing corpus": within-batch exact + greedy near-dup
+    * removal first, then every surviving incoming doc is LSH-checked
+    * against the materialized corpus and dropped if a verified
+    * near-duplicate already exists.
+    *
+    * Scale shape: the corpus side is SCANNED (signature + bands are
+    * map-only over it), never repartitioned — the incoming batch's band
+    * keys broadcast into the corpus band stream, candidate ids
+    * broadcast back into the corpus token fetch, and the final drop is
+    * a broadcast anti-join. Corpus cost per ingest is two map-side
+    * scans; nothing corpus-sized ever shuffles. Recall is LSH recall at
+    * the configured (numHashes, bands) operating point — the same
+    * contract as [[DedupOps.minHashNearDupPairs]], spec-gated.
+    * Doc ids are assumed unique across existing ∪ incoming.
+    */
+  def appendDedupNearDup(existing: DataFrame, incoming: DataFrame, threshold: Double,
+                         numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    val exact = DedupOps.dedupExact(incoming, textCol, idCol)
+    val batch = DedupOps.removeNearDups(exact,
+      DedupOps.minHashNearDupPairs(exact, threshold, numHashes, bands, shingleK,
+        textCol, idCol),
+      idCol)
+    val exS = DedupOps.minHashSigFrame(existing, numHashes, shingleK, textCol, idCol)
+    val inS = DedupOps.minHashSigFrame(batch, numHashes, shingleK, textCol, idCol)
+    val cand = DedupOps.lshBands(exS, "sig", bands, rows).as("x")
+      .join(broadcast(DedupOps.lshBands(inS, "sig", bands, rows).as("y")),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("ex_id"), col("y.doc_id").as("in_id"))
+      .distinct()
+    val drops = exS.select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
+      .join(broadcast(cand), Seq("ex_id"))
+      .join(broadcast(inS.select(col("doc_id").as("in_id"), col("toks").as("in_toks"))),
+        Seq("in_id"))
+      .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
+        size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
+      .select(col("in_id").as(idCol)).distinct()
+    batch.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   def appendDedupExact(existing: DataFrame, incoming: DataFrame,
                        textCol: String = "text", idCol: String = "doc_id",
                        expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {

@@ -108,6 +108,26 @@ class IngestSpec extends SparkSpec {
     } finally graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(dir))
   }
 
+  test("near-dup ingest: corpus near-dups dropped, in-batch near-dups collapsed, novel kept") {
+    val ex = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val inc = Seq(
+      (11L, "a b c d e f g h i j k"),  // jaccard 10/11 ≈ 0.909 vs corpus doc 1 → dropped
+      (12L, "x y z w v u t s r q"),    // novel → kept
+      (13L, "m n o p q r2 s2 t2 u2 v2"),
+      (14L, "m n o p q r2 s2 t2 u2 w2"), // 9/11 vs 13 → in-batch pair, keep 13
+      (15L, "x y z w v u t s r q"))    // exact dup of 12 → keep 12
+      .toDF("doc_id", "text")
+    val got = IngestOps.appendDedupNearDup(ex, inc, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(12L, 13L), got.toString)
+    // idempotency of the composition: once the survivors are appended,
+    // re-ingesting the same batch adds nothing
+    val appended = ex.unionByName(inc.filter(col("doc_id").isin(12L, 13L)))
+    val again = IngestOps.appendDedupNearDup(appended, inc, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again.isEmpty, s"re-ingest must be fully absorbed: $again")
+  }
+
   test("fixture halves: bloom-routed equals naive at corpus scale") {
     val docs = graft.runtime.Sources(spark, "/root/testdata/sf0.001").documents
     val ex = docs.filter(col("doc_id") % 2 === 0)
