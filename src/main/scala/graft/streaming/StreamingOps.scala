@@ -130,6 +130,27 @@ object StreamingOps {
         ()
     }
 
+  /** [[corpusIngestSink]] with NEAR-dup awareness: each micro-batch
+    * additionally drops rows whose verified near-duplicate already
+    * lives in the materialized corpus
+    * ([[graft.ext.IngestOps.appendDedupNearDup]] — corpus scanned
+    * map-side, batch band keys broadcast). Same table-is-the-state
+    * restart/idempotency story: a replayed batch's rows are near-dups
+    * of their own previous append and are absorbed.
+    */
+  def corpusIngestNearDupSink(docs: DataFrame, mat: Materializer, model: String,
+                              threshold: Double): DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        mat.materialize(model, "doc_id") {
+          case None        => graft.ext.IngestOps.appendDedupNearDup(
+            batch.limit(0), batch, threshold)
+          case Some(prior) => graft.ext.IngestOps.appendDedupNearDup(
+            prior, batch, threshold)
+        }
+        ()
+    }
+
   /** Streaming exact dedup — the ingest front door: emit each content
     * fingerprint's FIRST-SEEN row, drop every later duplicate, across
     * micro-batch boundaries (state holds one entry per distinct

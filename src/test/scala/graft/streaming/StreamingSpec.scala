@@ -419,6 +419,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup corpus ingest sink: cross-batch near-duplicates absorbed by the table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("ingest_nd_stream").toString)
+    def corpus: Set[Long] = mat.readPrior("nd")
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestNearDupSink(
+      in.toDF().toDF("doc_id", "text"), mat, "nd", threshold = 0.8).start()
+    try {
+      in.addData((1L, "a b c d e f g h i j"), (2L, "x y z w v u t s r q"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      // batch 2: 11 is a near-dup (10/11) of MATERIALIZED doc 1; 12 novel
+      in.addData((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+    } finally q.stop()
+  }
+
   test("streaming contamination: stream-static broadcast join flags in-flight docs") {
     // the decontamination check runs at the ingest front door too: the
     // eval suite is a STATIC frame (broadcast), the corpus is the
