@@ -105,6 +105,30 @@ object IngestOps {
     batch.join(broadcast(drops), Seq(idCol), "left_anti")
   }
 
+  /** Embedding-modality incremental ingest: drop every incoming vector
+    * whose cosine similarity to ANY materialized vector reaches the
+    * threshold (within-batch greedy removal first, lowest id wins).
+    * The incoming batch broadcasts into the corpus scan — a
+    * nested-loop pass over |corpus|·|batch| pairs, which is the honest
+    * cost of exact cosine screening and still never shuffles the
+    * corpus; swap the screen for an IVF/PQ probe when the batch itself
+    * is large. Vector ids are assumed unique across existing ∪ incoming.
+    */
+  def appendDedupEmbeddings(existing: DataFrame, incoming: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val batch = DedupOps.removeNearDups(incoming,
+      SimilarityOps.cosinePairs(incoming, threshold, idCol, vecCol),
+      idCol, dropCol = "vec_b")
+    val exV = SimilarityOps.normalized(existing, idCol, vecCol)
+      .select(col("v").as("ex_v"))
+    val inV = SimilarityOps.normalized(batch, idCol, vecCol)
+      .select(col("id").as("in_id"), col("v").as("in_v"))
+    val drops = exV.join(broadcast(inV),
+        SimilarityOps.dotFast(col("ex_v"), col("in_v")) >= threshold)
+      .select(col("in_id").as(idCol)).distinct()
+    batch.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   def appendDedupExact(existing: DataFrame, incoming: DataFrame,
                        textCol: String = "text", idCol: String = "doc_id",
                        expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {

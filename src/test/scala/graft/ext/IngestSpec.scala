@@ -128,6 +128,26 @@ class IngestSpec extends SparkSpec {
     assert(again.isEmpty, s"re-ingest must be fully absorbed: $again")
   }
 
+  test("embedding ingest: cosine near-dups of the corpus dropped, novel kept, idempotent") {
+    import VectorFixtures.synthVec
+    def jig(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (v, d) => if (d == 0) v + eps else v }
+    val ex = Seq((1L, synthVec(1)), (2L, synthVec(2))).toDF("vec_id", "embedding")
+    val inc = Seq(
+      (11L, jig(synthVec(1), 0.01f)),  // near-dup of corpus vec 1 → dropped
+      (12L, synthVec(50)),             // novel → kept
+      (13L, synthVec(60)),
+      (14L, jig(synthVec(60), 0.01f))) // in-batch pair → keep 13
+      .toDF("vec_id", "embedding")
+    val got = IngestOps.appendDedupEmbeddings(ex, inc, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(12L, 13L), got.toString)
+    val appended = ex.unionByName(inc.filter(col("vec_id").isin(12L, 13L)))
+    val again = IngestOps.appendDedupEmbeddings(appended, inc, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again.isEmpty, s"re-ingest must be fully absorbed: $again")
+  }
+
   test("fixture halves: bloom-routed equals naive at corpus scale") {
     val docs = graft.runtime.Sources(spark, "/root/testdata/sf0.001").documents
     val ex = docs.filter(col("doc_id") % 2 === 0)
