@@ -303,6 +303,18 @@ object ExtQueries {
     "q_ext_jaccard_bigram_pairs_pruned" -> ((s, dir) =>
       DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2,
         maxDocFreqRatio = Some(0.1))),
+    // Near-dup-aware ingest composition, bench-visible: odd-id subset
+    // half arrives against the even-id half. No oracle (LSH recall by
+    // contract, as q_ext_minhash_neardup); semantics spec-gated in
+    // IngestSpec.
+    "q_ext_ingest_neardup" -> ((s, dir) => {
+      val docs = docsSub(s, dir)
+      IngestOps.appendDedupNearDup(
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 20 =!= 0),
+          threshold = 0.9)
+        .select(col("doc_id"), col("lang"))
+    }),
     // LM-likelihood quality scoring: every doc scored by how typical its
     // char trigrams are of the reference slice (doc_id % 97 — the same
     // stand-in slice the contamination gate uses)
