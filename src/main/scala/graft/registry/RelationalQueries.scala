@@ -117,18 +117,23 @@ object RelationalQueries {
     // BucketingSpec); the only shuffle left is the final 5-group agg.
     // The merge hint keeps the planner from sidestepping the bucketed
     // path with a small-side broadcast at test scale.
-    // Revenue sums per-row DECIMAL(18,2) casts, not doubles: ~120k lines
-    // fold into only 5 groups here, and bucket-order vs scan-order double
-    // accumulation drifts past the comparator's precision. Decimal
-    // addition is exact and order-independent; the per-row double product
-    // is identical in both engines, and its 2dp cast mirrors in the
-    // oracle. Result cast back to double so both sides stay float-typed.
+    // Revenue casts the INPUT columns to DECIMAL(18,2) before the
+    // arithmetic, never the computed product: ~120k lines fold into only
+    // 5 groups here, and bucket-order vs scan-order double accumulation
+    // drifts past the comparator's precision — while rounding the double
+    // PRODUCT to 2dp is engine-divergent at x.xx5 ties (Spark rounds the
+    // shortest-string BigDecimal HALF_UP; DuckDB rounds the raw binary).
+    // The stored doubles are exact-2dp values, so the input cast is
+    // unambiguous in both engines and every downstream op is exact,
+    // order-independent decimal arithmetic. Result cast back to double so
+    // both sides stay float-typed.
     "q_rel_bucketed_join" -> ((s, dir) => {
       val (li, ord) = bucketedPair(s, dir)
       li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,2)")).cast("double").as("revenue"),
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
           count(lit(1)).as("line_count"))
     }),
   )
@@ -136,7 +141,7 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q_rel_bucketed_join" ->
       ("""SELECT o_orderpriority,
-         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
          |  count(*) AS line_count
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1""".stripMargin),
