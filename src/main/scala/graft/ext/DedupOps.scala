@@ -409,51 +409,52 @@ object DedupOps {
     * the LSH pipeline, shared by [[minHashNearDupPairs]] and the
     * incremental-ingest near-dup path (IngestOps). Docs whose shingle
     * set is empty are excluded (no dedup signal; see the NaN note in
-    * [[minHashNearDupPairs]]).
+    * [[minHashNearDupPairs]]). `hot` is a pinned stopword-shingle list
+    * removed BEFORE hashing (array_except literal), so hot shingles can
+    * neither flood LSH buckets nor inflate the verify's intersection —
+    * every frame that will be COMPARED (banded or verified) against
+    * another must be built with the same list, or the metric silently
+    * shifts between sides.
     */
   private[ext] def minHashSigFrame(docs: DataFrame, numHashes: Int, shingleK: Int,
-                                   textCol: String, idCol: String): DataFrame = {
+                                   textCol: String, idCol: String,
+                                   hot: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    val d = withToks(docs, textCol, idCol)
-    val sh = array_distinct(shinglesOfTokens(col("__toks"), shingleK))
-    d.select(col(idCol).as("doc_id"), sh.as("toks"),
-        minHashSignature(sh, numHashes).as("sig"))
-      .filter(size(col("toks")) > 0)
-  }
-
-  def minHashNearDupPairs(docs: DataFrame, threshold: Double,
-                          numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
-                          textCol: String = "text", idCol: String = "doc_id",
-                          maxDocFreqRatio: Option[Double] = None): DataFrame = {
-    graft.functions.VectorFunctions.register(docs.sparkSession)
-    val rows = numHashes / bands
     val d = withToks(docs, textCol, idCol)
     val sh0 = array_distinct(shinglesOfTokens(col("__toks"), shingleK))
-    // Document-frequency pruning for the signature path: hot shingles are
-    // removed BEFORE hashing, so they can neither flood LSH buckets nor
-    // inflate the verify's intersection. The hot set is collected to the
-    // driver as an array_except literal — safe by construction: tokens
-    // with df > r·N number fewer than (total postings)/(r·N) =
-    // avgDocLen/r, a bound independent of corpus size.
-    val sh = maxDocFreqRatio match {
-      case None => sh0
-      case Some(r) =>
-        require(r > 0 && r <= 1, s"maxDocFreqRatio must be in (0,1]: $r")
-        val maxDf = math.floor(r * d.count()).toLong
-        val hot = d.select(explode(sh0).as("t"))
-          .groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-          .select("t").collect().map(_.getString(0))
-        if (hot.isEmpty) sh0 else array_except(sh0, typedLit(hot.toSeq))
-    }
+    val sh = if (hot.isEmpty) sh0 else array_except(sh0, typedLit(hot))
     // A doc whose EVERY shingle is hot prunes to an empty set: all such
     // docs would share one degenerate signature, collide in every band,
     // and verify at 0/0 = NaN — which Spark orders ABOVE the threshold,
     // reporting unrelated all-stopword docs as near-dups. An empty set
     // carries no dedup signal, so those docs are excluded outright.
-    val sigs = d.select(col(idCol).as("doc_id"),
-      sh.as("toks"),
-      minHashSignature(sh, numHashes).as("sig"))
+    d.select(col(idCol).as("doc_id"), sh.as("toks"),
+        minHashSignature(sh, numHashes).as("sig"))
       .filter(size(col("toks")) > 0)
+  }
+
+  /** Shingles whose document frequency exceeds `ratio · |docs|`,
+    * collected to the driver — safe by construction: tokens with df >
+    * r·N number fewer than (total postings)/(r·N) = avgDocLen/r, a
+    * bound independent of corpus size.
+    */
+  private[ext] def hotShinglesOf(docs: DataFrame, ratio: Double, shingleK: Int,
+                                 textCol: String, idCol: String): Seq[String] = {
+    require(ratio > 0 && ratio <= 1, s"maxDocFreqRatio must be in (0,1]: $ratio")
+    val d = withToks(docs, textCol, idCol)
+    val sh0 = array_distinct(shinglesOfTokens(col("__toks"), shingleK))
+    val maxDf = math.floor(ratio * d.count()).toLong
+    d.select(explode(sh0).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("t").collect().map(_.getString(0)).toSeq
+  }
+
+  /** LSH candidate pairs + exact-Jaccard verify over a signature frame —
+    * the shared tail of [[minHashNearDupPairs]] and the within-batch leg
+    * of the incremental ingest (IngestOps).
+    */
+  private[ext] def pairsOfSigFrame(sigs: DataFrame, bands: Int, rows: Int,
+                                   threshold: Double): DataFrame = {
     val bandsDf = lshBands(sigs, "sig", bands, rows)
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -468,6 +469,20 @@ object DedupOps {
         (size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double") /
           size(array_union(col("ta.toks"), col("tb.toks")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  def minHashNearDupPairs(docs: DataFrame, threshold: Double,
+                          numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          maxDocFreqRatio: Option[Double] = None): DataFrame = {
+    val rows = numHashes / bands
+    // Document-frequency pruning for the signature path: hot shingles are
+    // removed BEFORE hashing (see minHashSigFrame's contract note).
+    val hot = maxDocFreqRatio
+      .map(r => hotShinglesOf(docs, r, shingleK, textCol, idCol)).getOrElse(Nil)
+    pairsOfSigFrame(
+      minHashSigFrame(docs, numHashes, shingleK, textCol, idCol, hot),
+      bands, rows, threshold)
   }
 
   // ---- SimHash -------------------------------------------------------------

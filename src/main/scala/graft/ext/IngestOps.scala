@@ -63,6 +63,59 @@ object IngestOps {
       .option("header", "true").option("mode", "PERMISSIVE")
       .option("escape", "\"").csv(path)
 
+  /** (doc_id, toks, sig) MinHash signature frame over a document frame —
+    * the persistable LSH index of a corpus. This is what the streaming
+    * ingest sink materializes as its `<model>__sigs` side-table
+    * ([[graft.streaming.StreamingOps.corpusIngestNearDupSink]]) so each
+    * micro-batch checks candidates against STORED signatures instead of
+    * re-signaturing the corpus text. `hotShingles` is a PINNED stopword
+    * list (see [[appendDedupNearDup]]'s `maxDocFreqRatio` for the
+    * derived-per-ingest form): stored signatures bake the list in, so an
+    * index and every batch checked against it must share one list.
+    */
+  def minHashSigsOf(docs: DataFrame, numHashes: Int = 32, shingleK: Int = 1,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    hotShingles: Seq[String] = Nil): DataFrame =
+    DedupOps.minHashSigFrame(docs, numHashes, shingleK, textCol, idCol, hotShingles)
+
+  /** [[appendDedupNearDup]] against a PRE-BUILT signature frame
+    * ([[minHashSigsOf]] output — live, or re-read from a persisted
+    * side-table). Takes no corpus document frame at all: candidates,
+    * verify tokens, and the drop set all derive from `existingSigs`, so
+    * the corpus text is — by construction, not by optimization — never
+    * re-tokenized or re-hashed per ingest. Per-batch cost is the batch's
+    * own signatures plus one map-side SCAN of the signature frame.
+    */
+  def appendDedupNearDupIndexed(existingSigs: DataFrame, incoming: DataFrame,
+                                threshold: Double,
+                                numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                                textCol: String = "text", idCol: String = "doc_id",
+                                hotShingles: Seq[String] = Nil): DataFrame = {
+    val rows = numHashes / bands
+    val exact = DedupOps.dedupExact(incoming, textCol, idCol)
+    // one signature pass serves both the within-batch pair search and the
+    // corpus check: survivors' sig rows are semi-joined out afterwards
+    val inAll = DedupOps.minHashSigFrame(exact, numHashes, shingleK, textCol, idCol,
+      hotShingles)
+    val batch = DedupOps.removeNearDups(exact,
+      DedupOps.pairsOfSigFrame(inAll, bands, rows, threshold), idCol)
+    val inS = inAll.join(broadcast(batch.select(col(idCol).as("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val cand = DedupOps.lshBands(existingSigs, "sig", bands, rows).as("x")
+      .join(broadcast(DedupOps.lshBands(inS, "sig", bands, rows).as("y")),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("ex_id"), col("y.doc_id").as("in_id"))
+      .distinct()
+    val drops = existingSigs.select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
+      .join(broadcast(cand), Seq("ex_id"))
+      .join(broadcast(inS.select(col("doc_id").as("in_id"), col("toks").as("in_toks"))),
+        Seq("in_id"))
+      .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
+        size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
+      .select(col("in_id").as(idCol)).distinct()
+    batch.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   /** Near-dup-aware incremental ingest — the production recipe for "new
     * crawl vs existing corpus": within-batch exact + greedy near-dup
     * removal first, then every surviving incoming doc is LSH-checked
@@ -78,31 +131,62 @@ object IngestOps {
     * the configured (numHashes, bands) operating point — the same
     * contract as [[DedupOps.minHashNearDupPairs]], spec-gated.
     * Doc ids are assumed unique across existing ∪ incoming.
+    *
+    * `maxDocFreqRatio` prunes hot shingles exactly as the batch dedup
+    * paths do: the hot list is derived from the EXISTING corpus (df >
+    * ratio·|existing| — the statistically meaningful side) and applied
+    * to BOTH sides before hashing, so a corpus-wide boilerplate shingle
+    * can neither flood the band join with |ex|×|in| candidates nor
+    * shift the verified metric between sides. Repeated ingests should
+    * prefer [[appendDedupNearDupIndexed]] with a PINNED list: a
+    * per-ingest derived list drifts as the corpus grows, and pruning
+    * must match whatever signatures it is compared against.
     */
-  def appendDedupNearDup(existing: DataFrame, incoming: DataFrame, threshold: Double,
-                         numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val rows = numHashes / bands
+  /** [[appendDedupNearDup]] with the LSH candidate stage replaced by an
+    * EXHAUSTIVE inverted-index pair search: every within-batch and
+    * cross-corpus pair sharing ≥1 token is exactly verified, so the
+    * output is a pure function of the verified-Jaccard metric — no LSH
+    * recall term — and the row takes a plain SQL oracle (the
+    * `*_exactmode` pattern that gates the PQ/IVF-PQ compositions). An
+    * oracle mode, not a production path: its candidate cost is the full
+    * all-pairs index join the LSH composition exists to avoid.
+    */
+  def appendDedupNearDupExhaustive(existing: DataFrame, incoming: DataFrame,
+                                   threshold: Double, shingleK: Int = 1,
+                                   textCol: String = "text",
+                                   idCol: String = "doc_id"): DataFrame = {
     val exact = DedupOps.dedupExact(incoming, textCol, idCol)
     val batch = DedupOps.removeNearDups(exact,
-      DedupOps.minHashNearDupPairs(exact, threshold, numHashes, bands, shingleK,
-        textCol, idCol),
-      idCol)
-    val exS = DedupOps.minHashSigFrame(existing, numHashes, shingleK, textCol, idCol)
-    val inS = DedupOps.minHashSigFrame(batch, numHashes, shingleK, textCol, idCol)
-    val cand = DedupOps.lshBands(exS, "sig", bands, rows).as("x")
-      .join(broadcast(DedupOps.lshBands(inS, "sig", bands, rows).as("y")),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
-      .select(col("x.doc_id").as("ex_id"), col("y.doc_id").as("in_id"))
-      .distinct()
-    val drops = exS.select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
-      .join(broadcast(cand), Seq("ex_id"))
-      .join(broadcast(inS.select(col("doc_id").as("in_id"), col("toks").as("in_toks"))),
-        Seq("in_id"))
+      DedupOps.shingleJaccardPairs(exact, threshold, shingleK, textCol, idCol), idCol)
+    // same shingle sets the LSH path verifies over (tokens projected
+    // before the shingle lambda — see DedupOps.shingles PERF NOTE)
+    def tokFrame(df: DataFrame, idAs: String, toksAs: String): DataFrame =
+      df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol).as(idAs),
+          array_distinct(DedupOps.shinglesOfTokens(col("__toks"), shingleK)).as(toksAs))
+        .filter(size(col(toksAs)) > 0)
+    val exT = tokFrame(existing, "ex_id", "ex_toks")
+    val inT = tokFrame(batch, "in_id", "in_toks")
+    val cand = exT.select(col("ex_id"), explode(col("ex_toks")).as("t"))
+      .join(inT.select(col("in_id"), explode(col("in_toks")).as("t")), Seq("t"))
+      .select("ex_id", "in_id").distinct()
+    val drops = cand.join(exT, Seq("ex_id")).join(inT, Seq("in_id"))
       .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
         size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
       .select(col("in_id").as(idCol)).distinct()
     batch.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
+  def appendDedupNearDup(existing: DataFrame, incoming: DataFrame, threshold: Double,
+                         numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         maxDocFreqRatio: Option[Double] = None): DataFrame = {
+    val hot = maxDocFreqRatio
+      .map(r => DedupOps.hotShinglesOf(existing, r, shingleK, textCol, idCol))
+      .getOrElse(Nil)
+    appendDedupNearDupIndexed(
+      DedupOps.minHashSigFrame(existing, numHashes, shingleK, textCol, idCol, hot),
+      incoming, threshold, numHashes, bands, shingleK, textCol, idCol, hot)
   }
 
   /** Embedding-modality incremental ingest: drop every incoming vector

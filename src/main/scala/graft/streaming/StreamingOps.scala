@@ -132,21 +132,62 @@ object StreamingOps {
 
   /** [[corpusIngestSink]] with NEAR-dup awareness: each micro-batch
     * additionally drops rows whose verified near-duplicate already
-    * lives in the materialized corpus
-    * ([[graft.ext.IngestOps.appendDedupNearDup]] — corpus scanned
-    * map-side, batch band keys broadcast). Same table-is-the-state
+    * lives in the materialized corpus. Same table-is-the-state
     * restart/idempotency story: a replayed batch's rows are near-dups
     * of their own previous append and are absorbed.
+    *
+    * The corpus's MinHash signatures live in a `<model>__sigs` side-table
+    * (schema = [[graft.ext.IngestOps.minHashSigsOf]]) this sink maintains
+    * alongside the corpus, so per-batch signature COMPUTE is ∝ batch —
+    * the corpus text is never re-tokenized or re-hashed per trigger
+    * (that was the r6 full-corpus-recompute seam; the check itself is
+    * [[graft.ext.IngestOps.appendDedupNearDupIndexed]], which cannot
+    * touch corpus text by construction). Each trigger runs two steps:
+    *
+    *   1. REPAIR: sign corpus rows missing from the side-table (id-only
+    *      anti-join; normally the previous batch's append, the whole
+    *      corpus once on migration from the r6 sink, the crash gap after
+    *      an interrupted trigger) and upsert them. Self-healing, so the
+    *      two tables need no cross-table atomic commit.
+    *   2. CHECK+APPEND: dedup the batch against the (now complete)
+    *      side-table, append survivors to the corpus. Their signatures
+    *      land at the next trigger's repair.
+    *
+    * Both tables still pay the Materializer's whole-table parquet
+    * rewrite per upsert — parquet has no MERGE; that (like the
+    * cross-process reader seam) is where a table format's atomic commit
+    * plugs in on a real deployment. The sink assumes ONE ingest stream
+    * per model (the usual topology — a streaming query owns its sink
+    * tables); `hotShingles` is a PINNED stopword-shingle list baked into
+    * stored signatures, so it must stay constant for a table's lifetime.
+    * A replaced doc_id with CHANGED text is out of contract (the repair
+    * anti-join is id-keyed); corpus ingest appends new ids.
     */
   def corpusIngestNearDupSink(docs: DataFrame, mat: Materializer, model: String,
-                              threshold: Double): DataStreamWriter[Row] =
+                              threshold: Double,
+                              numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                              hotShingles: Seq[String] = Nil): DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        mat.materialize(model, "doc_id") {
-          case None        => graft.ext.IngestOps.appendDedupNearDup(
-            batch.limit(0), batch, threshold)
-          case Some(prior) => graft.ext.IngestOps.appendDedupNearDup(
-            prior, batch, threshold)
+        val sigsModel = model + "__sigs"
+        if (mat.exists(model)) {
+          mat.materialize(sigsModel, "doc_id") { priorSigs =>
+            val corpus = mat.readPrior(model).get
+            val unsigned = priorSigs match {
+              case None     => corpus
+              case Some(ps) =>
+                corpus.join(ps.select("doc_id"), Seq("doc_id"), "left_anti")
+            }
+            graft.ext.IngestOps.minHashSigsOf(unsigned, numHashes, shingleK,
+              hotShingles = hotShingles)
+          }
+        }
+        mat.materialize(model, "doc_id") { prior =>
+          val exS = (if (prior.isDefined) mat.readPrior(sigsModel) else None)
+            .getOrElse(graft.ext.IngestOps.minHashSigsOf(batch.limit(0),
+              numHashes, shingleK, hotShingles = hotShingles))
+          graft.ext.IngestOps.appendDedupNearDupIndexed(exS, batch, threshold,
+            numHashes, bands, shingleK, hotShingles = hotShingles)
         }
         ()
     }

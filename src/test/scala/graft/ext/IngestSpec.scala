@@ -128,6 +128,52 @@ class IngestSpec extends SparkSpec {
     assert(again.isEmpty, s"re-ingest must be fully absorbed: $again")
   }
 
+  test("indexed near-dup ingest over a persisted signature frame matches the direct path") {
+    val ex = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val inc = Seq(
+      (11L, "a b c d e f g h i j k"),
+      (12L, "x y z w v u t s r q"),
+      (13L, "m n o p q r2 s2 t2 u2 v2"),
+      (14L, "m n o p q r2 s2 t2 u2 w2"),
+      (15L, "x y z w v u t s r q"))
+      .toDF("doc_id", "text")
+    // the side-table path: signatures built once, round-tripped through
+    // parquet (what the streaming sink materializes), then the batch is
+    // checked against the STORED frame — no corpus text in reach
+    val dir = java.nio.file.Files.createTempDirectory("sigtab_").toString
+    try {
+      IngestOps.minHashSigsOf(ex).write.parquet(s"$dir/sigs")
+      val sigs = spark.read.parquet(s"$dir/sigs")
+      val got = IngestOps.appendDedupNearDupIndexed(sigs, inc, threshold = 0.8)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(12L, 13L), got.toString)
+      // and equals the direct (text-to-text) composition
+      val direct = IngestOps.appendDedupNearDup(ex, inc, threshold = 0.8)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == direct, s"indexed $got vs direct $direct")
+    } finally graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(dir))
+  }
+
+  test("near-dup ingest: maxDocFreqRatio prunes corpus-wide boilerplate before banding") {
+    // every corpus doc carries the same 7-token boilerplate; unique tails
+    // differ. Unpruned, boilerplate alone puts every incoming doc at
+    // jaccard 7/9 ≈ 0.78 to the corpus (and to its batch-mates) — the
+    // hot-key flood the knob exists to stop. Pruned (df > 0.5·|corpus|),
+    // the metric runs over the tails only: 12 is a true near-dup of
+    // corpus doc 1 ({alpha} ≡ {alpha}), 11 ({zeta}) shares nothing.
+    val boiler = "terms of service apply to all pages"
+    val ex = Seq((1L, s"$boiler alpha"), (2L, s"$boiler beta")).toDF("doc_id", "text")
+    val inc = Seq((11L, s"$boiler zeta"), (12L, s"$boiler alpha")).toDF("doc_id", "text")
+    val unpruned = IngestOps.appendDedupNearDup(ex, inc, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(unpruned.isEmpty,
+      s"boilerplate similarity should dominate the unpruned metric: $unpruned")
+    val pruned = IngestOps.appendDedupNearDup(ex, inc, threshold = 0.7,
+        maxDocFreqRatio = Some(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(pruned == Set(11L), pruned.toString)
+  }
+
   test("embedding ingest: cosine near-dups of the corpus dropped, novel kept, idempotent") {
     import VectorFixtures.synthVec
     def jig(base: Seq[Float], eps: Float): Seq[Float] =

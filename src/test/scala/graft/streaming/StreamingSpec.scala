@@ -425,6 +425,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("ingest_nd_stream").toString)
     def corpus: Set[Long] = mat.readPrior("nd")
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def sigIds: Set[Long] = mat.readPrior("nd__sigs")
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingOps.corpusIngestNearDupSink(
       in.toDF().toDF("doc_id", "text"), mat, "nd", threshold = 0.8).start()
@@ -432,10 +434,51 @@ class StreamingSpec extends SparkSpec {
       in.addData((1L, "a b c d e f g h i j"), (2L, "x y z w v u t s r q"))
       q.processAllAvailable()
       assert(corpus == Set(1L, 2L), corpus.toString)
-      // batch 2: 11 is a near-dup (10/11) of MATERIALIZED doc 1; 12 novel
+      // batch 2: 11 is a near-dup (10/11) of MATERIALIZED doc 1; 12 novel.
+      // The check runs against the __sigs SIDE-TABLE, which batch 2's
+      // repair step has just brought up to batch 1's corpus — the corpus
+      // text is never re-signatured (appendDedupNearDupIndexed takes no
+      // corpus frame at all).
       in.addData((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
       q.processAllAvailable()
       assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      assert(sigIds == Set(1L, 2L), s"side-table should lag one trigger: $sigIds")
+      // redelivered batch (at-least-once source): idempotent — 11 and 12
+      // are absorbed by the table; the repair step signs 12
+      in.addData((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      assert(sigIds == Set(1L, 2L, 12L), sigIds.toString)
+    } finally q.stop()
+  }
+
+  test("near-dup sink candidates come from the signature side-table, not corpus text") {
+    // poison-pill proof of the r7 side-table contract: plant a signature
+    // row whose doc has NO corpus-text counterpart. If the next batch's
+    // near-dup of that planted content is dropped, the decision can only
+    // have come from the stored signatures — re-signaturing the corpus
+    // text could never have produced it. (The repair step only ADDS
+    // missing ids, so the plant survives it.)
+    implicit val sqlCtx = spark.sqlContext
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("ingest_nd_poison").toString)
+    def corpus: Set[Long] = mat.readPrior("nd")
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestNearDupSink(
+      in.toDF().toDF("doc_id", "text"), mat, "nd", threshold = 0.8).start()
+    try {
+      in.addData((1L, "a b c d e f g h i j"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L), corpus.toString)
+      val plant = Seq((999L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+      mat.materialize("nd__sigs", "doc_id") { _ =>
+        graft.ext.IngestOps.minHashSigsOf(plant)
+      }
+      // 21 is a 10/11 near-dup of the PLANTED signature only; 22 novel
+      in.addData((21L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"), (22L, "z1 z2 z3 z4"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 22L), corpus.toString)
     } finally q.stop()
   }
 
