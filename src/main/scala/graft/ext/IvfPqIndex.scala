@@ -85,8 +85,12 @@ final class IvfPqIndex private (
       .select(col("query_id"), col("qv"), col("corpus_id"))
     val cv = SimilarityOps.normalized(corpus, idCol, vecCol)
       .select(col("id").as("corpus_id"), col("v").as("cv"))
-    // candidate side is |Q|·shortlist rows by construction — broadcast
-    val exact = cv.join(broadcast(cand), Seq("corpus_id"))
+    // candidate side is |Q|·shortlist rows by construction — broadcast,
+    // except in unbounded-shortlist exact mode (same OOM guard and cap
+    // as PqIndex.topKRefined)
+    val candSide =
+      if (shortlist <= PqIndex.maxBroadcastShortlist) broadcast(cand) else cand
+    val exact = cv.join(candSide, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         SimilarityOps.dotFast(col("qv"), col("cv")).as("sim"))
     topPerQuery(exact, k).select("query_id", "corpus_id", "sim", "rank")

@@ -90,8 +90,14 @@ final class PqIndex private (
       .select(col("id").as("corpus_id"), col("v").as("cv"))
     // candidate side is |Q|·shortlist rows BY CONSTRUCTION — broadcast
     // it so the corpus vector lookup is a map-side hash join against the
-    // scan, never a corpus-wide shuffle on corpus_id
-    val exact = cv.join(broadcast(cand), Seq("corpus_id"))
+    // scan, never a corpus-wide shuffle on corpus_id. EXCEPT when the
+    // shortlist is effectively unbounded (the exact/oracle mode passes
+    // Int.MaxValue): the candidate side is then |Q|·N rows each carrying
+    // a full query vector, and forcing THAT broadcast is a driver OOM on
+    // a real corpus — drop the hint and let the planner choose.
+    val candSide =
+      if (shortlist <= PqIndex.maxBroadcastShortlist) broadcast(cand) else cand
+    val exact = cv.join(candSide, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         SimilarityOps.dotFast(col("qv"), col("cv")).as("sim"))
     topPerQuery(exact, k).select("query_id", "corpus_id", "sim", "rank")
@@ -117,6 +123,12 @@ final class PqIndex private (
 }
 
 object PqIndex {
+
+  /** Largest per-query shortlist for which [[PqIndex.topKRefined]] still
+    * force-broadcasts the candidate side: beyond this the "small by
+    * construction" premise no longer holds (see the join-site comment).
+    */
+  private[ext] val maxBroadcastShortlist = 4096
 
   /** argmax_c dot(v_j, c) − ½‖c‖² == argmin_c ‖v_j − c‖² (the ‖v_j‖²
     * term is constant per row); struct ordering compares sim first.

@@ -315,6 +315,21 @@ object ExtQueries {
           threshold = 0.9)
         .select(col("doc_id"), col("lang"))
     }),
+    // EXACT-mode oracle for the near-dup ingest composition (the
+    // q_ext_knn_pq_exactmode pattern): identical dedup-then-check recipe
+    // with the LSH candidate stage replaced by exhaustive verified
+    // Jaccard, so this row hash-matches a plain DuckDB mirror and gates
+    // every non-LSH seam of the composition (exact dedup, within-batch
+    // removal, cross-corpus drop policy). The LSH row above remains the
+    // production datapoint.
+    "q_ext_ingest_neardup_exactmode" -> ((s, dir) => {
+      val docs = docsSub(s, dir)
+      IngestOps.appendDedupNearDupExhaustive(
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 20 =!= 0),
+          threshold = 0.9)
+        .select(col("doc_id"), col("lang"))
+    }),
     // LM-likelihood quality scoring: every doc scored by how typical its
     // char trigrams are of the reference slice (doc_id % 97 — the same
     // stand-in slice the contamination gate uses)
@@ -905,13 +920,56 @@ object ExtQueries {
          |       ELSE 'train' END AS split
          |FROM docs d JOIN comp c ON d.doc_id = c.node""".stripMargin),
     "q_ext_ingest_dedup" ->
+      // NOT EXISTS with an equality predicate, not NOT IN: the op keeps
+      // null-fingerprint rows (null keys never match an anti-join —
+      // IngestSpec), while NOT IN under three-valued logic would return
+      // zero rows on a single NULL existing-side fingerprint and drop
+      // NULL incoming ones. The keep join is null-SAFE (IS NOT DISTINCT
+      // FROM) because dedupExact groups null fingerprints like any other
+      // key. Both latent on the fixture (no null text) — encoded so the
+      // oracle states the same contract the op and its spec do.
       (s"""WITH ex AS (SELECT $fingerprintSql AS fp FROM documents WHERE doc_id % 2 = 0),
          |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
          |keep AS (SELECT $fingerprintSql AS bfp, min(doc_id) AS keep_id
          |         FROM inc GROUP BY 1)
          |SELECT i.doc_id, i.lang FROM inc i
-         |JOIN keep k ON $fingerprintSql = k.bfp AND i.doc_id = k.keep_id
-         |WHERE $fingerprintSql NOT IN (SELECT fp FROM ex)""".stripMargin),
+         |JOIN keep k ON $fingerprintSql IS NOT DISTINCT FROM k.bfp AND i.doc_id = k.keep_id
+         |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = $fingerprintSql)""".stripMargin),
+    // exact-mode mirror of the near-dup ingest composition: exact dedup
+    // (keep-lowest per normalized fingerprint) → within-batch exhaustive
+    // Jaccard removal (drop the higher id of every ≥0.9 pair) → drop
+    // batch docs with a ≥0.9 match anywhere in the existing half
+    "q_ext_ingest_neardup_exactmode" ->
+      (s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+         |ex AS (SELECT * FROM docs WHERE doc_id % 20 = 0),
+         |inc AS (SELECT * FROM docs WHERE doc_id % 20 <> 0),
+         |keep AS (SELECT $fingerprintSql AS fp, min(doc_id) AS keep_id
+         |         FROM inc GROUP BY 1),
+         |batch0 AS (SELECT i.* FROM inc i JOIN keep k
+         |           ON $fingerprintSql IS NOT DISTINCT FROM k.fp AND i.doc_id = k.keep_id),
+         |btok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM batch0),
+         |bsizes AS (SELECT doc_id, count(*) AS n FROM btok GROUP BY 1),
+         |bshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+         |            FROM btok a JOIN btok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |            GROUP BY 1, 2),
+         |bdrop AS (SELECT DISTINCT doc_b FROM bshared
+         |          JOIN bsizes sa ON doc_a = sa.doc_id
+         |          JOIN bsizes sb ON doc_b = sb.doc_id
+         |          WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9),
+         |batch AS (SELECT * FROM batch0
+         |          WHERE doc_id NOT IN (SELECT doc_b FROM bdrop)),
+         |etok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM ex),
+         |esizes AS (SELECT doc_id, count(*) AS n FROM etok GROUP BY 1),
+         |xtok AS (SELECT doc_id, unnest($dtoksSql) AS t FROM batch),
+         |xsizes AS (SELECT doc_id, count(*) AS n FROM xtok GROUP BY 1),
+         |xshared AS (SELECT a.doc_id AS ex_id, b.doc_id AS in_id, count(*) AS s
+         |            FROM etok a JOIN xtok b ON a.t = b.t GROUP BY 1, 2),
+         |xdrop AS (SELECT DISTINCT in_id FROM xshared
+         |          JOIN esizes sa ON ex_id = sa.doc_id
+         |          JOIN xsizes sb ON in_id = sb.doc_id
+         |          WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9)
+         |SELECT doc_id, lang FROM batch
+         |WHERE doc_id NOT IN (SELECT in_id FROM xdrop)""".stripMargin),
     "q_ext_dup_span_stats" ->
       (s"""WITH $spanGramCtes
          |SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
