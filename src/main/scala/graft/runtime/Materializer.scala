@@ -17,19 +17,35 @@ import java.nio.file.{Files, Paths}
   *     batch; rows whose `id` matches an existing row REPLACE it, others
   *     append: `prior left_anti fresh on id` ∪ fresh.
   *
-  * Parquet has no MERGE, so the upsert writes to a UNIQUE temp dir per
-  * invocation (`__tmp_<uuid>` — two concurrent materializes of one model
-  * can never clobber each other's in-flight bytes) and swaps. The swap
-  * is two renames (live → `__old`, tmp → live), and every read path
-  * first runs [[recover]]: a crash between the renames leaves live
-  * missing and `__old` present — an unambiguous marker — so recovery
-  * restores the prior table (`__old` wins; the fresh batch is simply
-  * re-run). A crash after the second rename leaves a stale `__old` NEXT
-  * TO a live table, which recovery deletes. Recovery mutates nothing
-  * else: in particular `__tmp_*` dirs beside a healthy live table are
-  * left alone — each is either a concurrent materialize's in-flight
-  * write or a crashed write (an orphan a deployment sweeps by age) — so
-  * readers overlapping a writer's (long) PARQUET-WRITE phase are safe.
+  * Parquet has no MERGE, so each run writes a fresh VERSIONED dir
+  * (`<model>__v_<uuid>` — two concurrent materializes of one model can
+  * never clobber each other's in-flight bytes) and COMMITS it through a
+  * MANIFEST POINTER: `<model>.current` is a one-line file naming the
+  * live version dir, replaced by an atomic same-directory rename. Every
+  * read path resolves the pointer first, so there is NO window in which
+  * the table "does not exist" — the minimal table-format commit
+  * (single-table Iceberg-style), closing the cross-process reader seam
+  * the previous rename-the-live-dir swap left open. Commit order inside
+  * the swap monitor: (a) GC version dirs that are neither the published
+  * version nor the new one (plus stale pointer temp files); (b) publish
+  * the pointer. A crash at any point leaves either the old pointer
+  * naming an intact dir (the new dir is an orphan the next commit GCs)
+  * or the new pointer naming the new dir — never a dangling pointer.
+  * The superseded version therefore survives exactly one materialize
+  * cycle: an uncoordinated cross-process reader that resolved it keeps
+  * a full cycle to finish its scan (vs the sub-ms rename window
+  * before); in-process readers pin tables with [[withSwapLock]] and
+  * race nothing. Readers never GC.
+  *
+  * LEGACY layout (a fixed `<model>` live dir, pre-manifest): still
+  * readable — resolution falls back to it when no pointer exists, and
+  * [[recover]] still repairs its interrupted two-rename swaps
+  * (`__old` marker). The first manifest materialize reads it as the
+  * prior; the second deletes it (it is ≥2 generations stale by then).
+  * [[materializeByDatePartition]] intentionally KEEPS the fixed-dir
+  * layout — dynamic partition overwrite rewrites partitions in place,
+  * which is incompatible with whole-dir versioning — so its models
+  * must not be mixed with manifest-committed runs of the same name.
   *
   * [[materialize]] is serialized PER MODEL for its whole run — in-JVM
   * via a WRITER mutex per (canonical warehouse dir, model) (JVM-GLOBAL
@@ -42,21 +58,52 @@ import java.nio.file.{Files, Paths}
   * never runs concurrently with itself), and it is what makes
   * concurrent callers SERIALIZABLE: each build reads the previous
   * winner's table as its prior instead of racing its prior scan against
-  * another writer's renames. A SEPARATE swap monitor guards only the
-  * rename window, recovery, and [[withSwapLock]] readers — so a reader
+  * another writer's commit. A SEPARATE swap monitor guards only the
+  * commit window, recovery, and [[withSwapLock]] readers — so a reader
   * pinning this table (a downstream streaming model) waits out a
-  * rename, never a multi-second build, and same-process readers can
-  * never "restore" the prior table out from under a live swap. Lock
-  * order everywhere: writer mutex → file lock → swap monitor.
-  * Cross-process READERS remain uncoordinated (a reader in another
-  * process can still observe the sub-millisecond rename window) — that
-  * last seam is where a table format's atomic commit (Delta/Iceberg)
-  * plugs in on a real deployment. The anti-join form shuffles both
-  * sides by `id` once, which AQE sizes.
+  * pointer flip, never a multi-second build. Lock order everywhere:
+  * writer mutex → file lock → swap monitor. The anti-join form shuffles
+  * both sides by `id` once, which AQE sizes.
   */
 final class Materializer(spark: SparkSession, baseDir: String) {
 
-  def outPath(model: String): String = s"$baseDir/$model"
+  /** Directory of the model's CURRENT table: the manifest-resolved
+    * version dir, or the legacy fixed dir when no pointer exists. Safe
+    * to hand to `spark.read.parquet`; becomes stale only after TWO
+    * subsequent materializes (see class doc).
+    */
+  def outPath(model: String): String =
+    currentVersion(model).map(v => s"$baseDir/$v").getOrElse(legacyPath(model))
+
+  private def legacyPath(model: String): String = s"$baseDir/$model"
+  private def pointerPath(model: String): java.nio.file.Path =
+    Paths.get(baseDir, model + ".current")
+
+  /** Version-dir NAME the manifest currently publishes, if any. */
+  private def currentVersion(model: String): Option[String] = {
+    val p = pointerPath(model)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  /** All of this model's version-dir names on disk (published, new,
+    * or crash orphans). The `__v_` separator keeps prefix-sharing model
+    * names (`m` vs `m__sigs`) from matching each other's versions.
+    */
+  private def versionDirs(model: String): Seq[String] =
+    Option(new java.io.File(baseDir).list()).toSeq.flatten
+      .filter(_.startsWith(model + "__v_"))
+
+  /** Atomically replace the manifest pointer (write temp + rename —
+    * readers see the old or the new content, never a partial file).
+    */
+  private def publishPointer(model: String, version: String): Unit = {
+    val tmp = Paths.get(baseDir,
+      model + ".current__tmp_" + java.util.UUID.randomUUID().toString)
+    Files.writeString(tmp, version)
+    Files.move(tmp, pointerPath(model),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   // Two JVM-global lock levels per (canonical dir, model), shared by all
   // instances on one warehouse:
@@ -141,8 +188,8 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     // writer crashing mid-swap while we hold the monitor — degrades to
     // a missing-table read this call, repaired by the next recover.
     if (Thread.holdsLock(lockFor(model))) return
-    val out = Paths.get(outPath(model))
-    val bak = Paths.get(outPath(model) + "__old")
+    val out = Paths.get(legacyPath(model))
+    val bak = Paths.get(legacyPath(model) + "__old")
     // racy probe first: the healthy-table fast path takes no lock at all.
     // On a hit, acquire file lock BEFORE the swap monitor (the global
     // lock order) and re-check — another process/thread may have
@@ -193,20 +240,34 @@ final class Materializer(spark: SparkSession, baseDir: String) {
       }
       // unique per invocation: even a writer that somehow bypasses the
       // locks (a crashed run's successor) can never clobber in-flight bytes
-      val tmp = outPath(model) + "__tmp_" + java.util.UUID.randomUUID().toString
+      val newName = model + "__v_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val newDir = s"$baseDir/$newName"
       try {
-        result.write.mode(SaveMode.Overwrite).parquet(tmp)
-        val out = Paths.get(outPath(model))
-        val bak = Paths.get(outPath(model) + "__old")
+        result.write.mode(SaveMode.Overwrite).parquet(newDir)
         lockFor(model).synchronized {
-          deleteRecursive(bak)
-          if (Files.exists(out)) Files.move(out, bak)
-          Files.move(Paths.get(tmp), out)
-          deleteRecursive(bak)
+          val prev = currentVersion(model)
+          // GC everything this commit supersedes BEFORE the pointer flip:
+          // versions that are neither published nor new (crash orphans +
+          // the table of two commits ago), stale pointer temps, and —
+          // once a pointer already exists — the ≥2-generations-old
+          // legacy dirs. The version `prev` names is deliberately KEPT:
+          // it is what uncoordinated readers may still be scanning.
+          versionDirs(model)
+            .filterNot(n => prev.contains(n) || n == newName)
+            .foreach(n => deleteRecursive(Paths.get(baseDir, n)))
+          Option(new java.io.File(baseDir).list()).toSeq.flatten
+            .filter(_.startsWith(model + ".current__tmp_"))
+            .foreach(n => Files.deleteIfExists(Paths.get(baseDir, n)))
+          if (prev.isDefined) {
+            deleteRecursive(Paths.get(legacyPath(model)))
+            deleteRecursive(Paths.get(legacyPath(model) + "__old"))
+          }
+          publishPointer(model, newName)
         }
       } catch {
-        // a failed write must not orphan its tmp dir
-        case e: Throwable => deleteRecursive(Paths.get(tmp)); throw e
+        // a failed write must not orphan its version dir
+        case e: Throwable => deleteRecursive(Paths.get(newDir)); throw e
       }
       spark.read.parquet(outPath(model))
     } }
@@ -228,12 +289,14 @@ final class Materializer(spark: SparkSession, baseDir: String) {
     val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      fresh.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(outPath(model))
+      // fixed-dir layout on purpose: dynamic overwrite rewrites touched
+      // partitions IN PLACE, which whole-dir versioning cannot express
+      fresh.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(legacyPath(model))
     finally mode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    spark.read.parquet(outPath(model))
+    spark.read.parquet(legacyPath(model))
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit = Fs.deleteRecursive(p)

@@ -74,29 +74,37 @@ class MaterializerSpec extends SparkSpec {
     assert(incrOut == fullOut)
   }
 
-  test("interrupted swap recovers: __old restored when live dir is missing") {
-    val mat = new Materializer(spark, freshDir())
+  test("legacy-layout crash (__old without live) recovers, then migrates to manifest") {
+    // a table a pre-manifest engine left behind: fixed dir, no pointer,
+    // crashed between its two swap renames
+    val dir = freshDir()
+    val mat = new Materializer(spark, dir)
     val v1 = Seq(("k1", 1), ("k2", 2)).toDF("id", "v")
-    mat.materialize("t", "id")(_ => v1)
-    // simulate a crash between the two swap renames: live moved to __old,
-    // replacement never landed, plus the dead writer's unique tmp dir
-    val out = java.nio.file.Paths.get(mat.outPath("t"))
-    val bak = java.nio.file.Paths.get(mat.outPath("t") + "__old")
-    Files.move(out, bak)
-    val deadTmp = java.nio.file.Paths.get(mat.outPath("t") + "__tmp_dead")
+    v1.write.parquet(s"$dir/t")
+    Files.move(java.nio.file.Paths.get(s"$dir/t"),
+      java.nio.file.Paths.get(s"$dir/t__old"))
+    val deadTmp = java.nio.file.Paths.get(s"$dir/t__tmp_dead")
     Files.createDirectories(deadTmp)
     val recovered = mat.readPrior("t")
     assert(recovered.isDefined, "prior table must be restored from __old")
     assert(recovered.get.as[(String, Int)].collect().toMap == Map("k1" -> 1, "k2" -> 2))
-    assert(!Files.exists(bak))
-    // tmp dirs are uniquely named per invocation, so recovery cannot tell
-    // a dead one from a concurrent writer's in-flight one — it leaves
-    // them (deployments sweep orphans by age)
-    assert(Files.exists(deadTmp), "recovery must not touch tmp dirs")
-    // and the next materialization proceeds normally on the restored table
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/t__old")))
+    // legacy tmp dirs are uniquely named per invocation, so recovery
+    // cannot tell a dead one from an in-flight one — it leaves them
+    assert(Files.exists(deadTmp), "recovery must not touch legacy tmp dirs")
+    // the next materialization reads the restored table as its prior and
+    // commits through the manifest, KEEPING the legacy dir one cycle for
+    // uncoordinated readers that resolved it
     val next = mat.materialize("t", "id")(_ => Seq(("k2", 20)).toDF("id", "v"))
       .as[(String, Int)].collect().toMap
     assert(next == Map("k1" -> 1, "k2" -> 20))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/t")),
+      "legacy dir must survive the first manifest commit")
+    mat.materialize("t", "id")(_ => Seq(("k3", 3)).toDF("id", "v"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/t")),
+      "legacy dir must be GC'd by the second manifest commit")
+    val fin = mat.readPrior("t").get.as[(String, Int)].collect().toMap
+    assert(fin == Map("k1" -> 1, "k2" -> 20, "k3" -> 3))
   }
 
   test("concurrent materializes of one model serialize: both upserts land, no clobber") {
@@ -125,7 +133,12 @@ class MaterializerSpec extends SparkSpec {
     assert(fin == Map("k1" -> 10, "k2" -> 20), s"lost or torn upsert: $fin")
     val leftovers = new java.io.File(dir).listFiles()
       .filter(_.getName.contains("__tmp")).map(_.getName).toSeq
-    assert(leftovers.isEmpty, s"orphaned tmp dirs: $leftovers")
+    assert(leftovers.isEmpty, s"orphaned tmp files: $leftovers")
+    // manifest GC bounds disk: at most the published version + the one it
+    // superseded (kept a cycle for uncoordinated readers)
+    val versions = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("t__v_")).map(_.getName).toSeq
+    assert(versions.size <= 2, s"version dirs not GC'd: $versions")
   }
 
   test("crash-leftover __old: swap-lock reader + concurrent writer cannot deadlock") {
@@ -134,10 +147,12 @@ class MaterializerSpec extends SparkSpec {
     // writer's gate → monitor order — so a reader and a writer meeting
     // over a crash-leftover __old dir deadlocked. Now withSwapLock
     // pre-recovers before the monitor and in-monitor recover is a no-op.
-    val mat = new Materializer(spark, freshDir())
-    mat.materialize("t", "id")(_ => Seq(("k1", 1)).toDF("id", "v"))
-    val out = java.nio.file.Paths.get(mat.outPath("t"))
-    Files.move(out, java.nio.file.Paths.get(mat.outPath("t") + "__old"))
+    // Legacy layout (the only one recover repairs): built directly.
+    val dir = freshDir()
+    val mat = new Materializer(spark, dir)
+    Seq(("k1", 1)).toDF("id", "v").write.parquet(s"$dir/t")
+    Files.move(java.nio.file.Paths.get(s"$dir/t"),
+      java.nio.file.Paths.get(s"$dir/t__old"))
     val v2 = Seq(("k2", 2)).toDF("id", "v")
     val readerIn = new java.util.concurrent.CountDownLatch(1)
     val release = new java.util.concurrent.CountDownLatch(1)
@@ -169,24 +184,66 @@ class MaterializerSpec extends SparkSpec {
     assert(end == Map("k1" -> 1, "k2" -> 2), end.toString)
   }
 
-  test("recovery never touches a lone __tmp beside a healthy table") {
-    val mat = new Materializer(spark, freshDir())
+  test("readers never GC: an in-flight version dir survives reads, dies at the next commit") {
+    val dir = freshDir()
+    val mat = new Materializer(spark, dir)
     mat.materialize("t", "id")(_ => Seq(("k1", 1)).toDF("id", "v"))
-    // a concurrent materialize's in-flight write (or a dead one): with
-    // the live table healthy, readers must not delete it out from under
-    // the writer — the swap-marker state is consistent, so recovery is
-    // a no-op
-    val tmp = java.nio.file.Paths.get(mat.outPath("t") + "__tmp")
-    Files.createDirectories(tmp)
-    Files.writeString(tmp.resolve("part-inflight"), "writer owns this")
+    // a concurrent materialize's in-flight (or crashed) version write:
+    // readers must not delete it out from under the writer — GC runs
+    // only inside a commit, which the writer locks exclude
+    val inflight = java.nio.file.Paths.get(s"$dir/t__v_inflight")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-inflight"), "writer owns this")
     assert(mat.readPrior("t").isDefined)
-    assert(Files.exists(tmp.resolve("part-inflight")),
-      "reader-side recovery deleted an in-flight __tmp")
-    // post-swap leftover (__old beside live) IS cleaned on read
-    val bak = java.nio.file.Paths.get(mat.outPath("t") + "__old")
+    assert(Files.exists(inflight.resolve("part-inflight")),
+      "reader-side resolution deleted an in-flight version dir")
+    // the next COMMIT does GC it (it is neither published nor new)
+    mat.materialize("t", "id")(_ => Seq(("k2", 2)).toDF("id", "v"))
+    assert(!Files.exists(inflight), "orphan version dir must be GC'd at commit")
+    // legacy stale __old beside a healthy legacy table IS cleaned on read
+    val dir2 = freshDir()
+    val mat2 = new Materializer(spark, dir2)
+    Seq(("k1", 1)).toDF("id", "v").write.parquet(s"$dir2/t")
+    val bak = java.nio.file.Paths.get(s"$dir2/t__old")
     Files.createDirectories(bak)
-    mat.exists("t")
-    assert(!Files.exists(bak), "stale __old beside a live table must be dropped")
+    mat2.exists("t")
+    assert(!Files.exists(bak), "stale __old beside a live legacy table must be dropped")
+  }
+
+  test("cross-process reader never observes a missing table across manifest commits") {
+    // the r6 seam this layout exists to close: an UNCOORDINATED reader
+    // (another process — simulated here by reading through outPath with
+    // no locks) resolving mid-commit must always find an intact table.
+    // Under the old rename swap this window was real (live dir missing
+    // between the two renames); under the manifest the pointer always
+    // names a dir that survives at least one full materialize cycle.
+    val mat = new Materializer(spark, freshDir())
+    mat.materialize("t", "id")(_ => Seq(("k0", 0)).toDF("id", "v"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var readerFailure: Throwable = null
+    @volatile var reads = 0
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val n = spark.read.parquet(mat.outPath("t")).count()
+          assert(n >= 1, s"read an empty table: $n")
+          reads += 1
+        }
+      } catch { case t: Throwable => readerFailure = t }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    (1 to 5).foreach { i =>
+      mat.materialize("t", "id")(_ => Seq((s"k$i", i)).toDF("id", "v"))
+      ()
+    }
+    stop.set(true)
+    reader.join(30000)
+    assert(readerFailure == null,
+      s"uncoordinated reader failed mid-commit: $readerFailure")
+    assert(reads > 0, "reader never completed a read — test proves nothing")
+    val fin = mat.readPrior("t").get.as[(String, Int)].collect().toMap
+    assert(fin == (0 to 5).map(i => s"k$i" -> i).toMap, fin.toString)
   }
 
   test("withSwapLock readers are never blocked by an in-flight build") {
