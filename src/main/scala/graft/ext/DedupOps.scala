@@ -509,6 +509,22 @@ object DedupOps {
     docs.select(col(idCol).as("doc_id"),
       simhash64(transform(TextOps.distinctTokens(col(textCol)), t => xxhash64(t))).as("sig"))
 
+  /** EXHAUSTIVE SimHash pairs: all (a < b) with hamming ≤ maxDist, no
+    * chunk-candidate stage — the O(n²) baseline [[simHashNearDupPairs]]
+    * is measured against (RecallOps; the pigeonhole argument says the
+    * chunked path's recall is exactly 1.0 for maxDist ≤ 3, and the
+    * registered recall row keeps that claim measured, not assumed).
+    */
+  def simHashNearDupPairsExhaustive(docs: DataFrame, maxDist: Int = 3,
+                                    textCol: String = "text",
+                                    idCol: String = "doc_id"): DataFrame = {
+    val sigs = simHash(docs, textCol, idCol)
+    sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Near-dup pairs with hamming(sig_a, sig_b) ≤ maxDist (≤ 3): any such
     * pair shares at least one of four 16-bit chunks (pigeonhole), so
     * candidates come from 4 equality joins, then exact hamming verify.

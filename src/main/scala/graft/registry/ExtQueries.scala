@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RelevanceOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -380,6 +380,37 @@ object ExtQueries {
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashNearDupPairs(docsSub(s, dir), maxDist = 3)),
+    // Measured-recall rows (RecallOps): the number the three approximate
+    // no-oracle contracts promise, registered so it is bench-visible in
+    // every verify dump; floors pinned in RecallSpec. no_oracle (the
+    // hash internals are non-portable) but deterministic per fixture.
+    "q_ext_recall_minhash" -> ((s, dir) =>
+      RecallOps.setRecall("minhash_lsh_j0.9_32x8",
+        DedupOps.jaccardPairs(docsSub(s, dir), 0.9),
+        DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9),
+        Seq("doc_a", "doc_b"))),
+    "q_ext_recall_simhash" -> ((s, dir) =>
+      RecallOps.setRecall("simhash_h3_4x16",
+        DedupOps.simHashNearDupPairsExhaustive(docsSub(s, dir), maxDist = 3),
+        DedupOps.simHashNearDupPairs(docsSub(s, dir), maxDist = 3),
+        Seq("doc_a", "doc_b"))),
+    // sign-LSH cosine: recall over the WHOLE ≥0.35 band is dominated by
+    // near-threshold pairs the 4×8 operating point intentionally trades
+    // away (P(catch) ≈ 1-(1-p⁸)⁴, p = 1-θ/π — low at sim 0.35, → 1 as
+    // sim → 1); the second row measures the band above the fixture's
+    // 90th sim percentile (the fixture's max pairwise sim is ≈0.51, so
+    // a true near-dup band does not exist in it — the ≥0.9-band recall
+    // contract is pinned on planted twins in ExtOpsSpec instead). Both
+    // numbers measured, both registered.
+    "q_ext_recall_knn_lsh" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val found = SimilarityOps.lshCosinePairs(e, 0.35)
+      RecallOps.setRecall("sign_lsh_cos0.35_4x8",
+          SimilarityOps.cosinePairs(e, 0.35), found, Seq("vec_a", "vec_b"))
+        .unionByName(RecallOps.setRecall("sign_lsh_cos0.35_4x8_band0.45",
+          SimilarityOps.cosinePairs(e, 0.45),
+          found.filter(col("sim") >= 0.45), Seq("vec_a", "vec_b")))
+    }),
     "q_ext_knn_brute" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
@@ -1161,7 +1192,9 @@ object ExtQueries {
          |FROM m""".stripMargin),
     // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
     // intentionally no oracle (non-portable hash internals); see
-    // ExtOpsSpec property tests against the exact counterparts.
+    // ExtOpsSpec property tests against the exact counterparts, plus the
+    // REGISTERED measured-recall rows (q_ext_recall_*) whose floors
+    // RecallSpec pins.
     // q_ext_knn_ivf_probe_approx: no oracle (approximate at nprobe=4 by
     // design); recall spec-gated in ExtOpsSpec on the persisted index.
   )
