@@ -39,6 +39,51 @@ object LmOps {
               i => col("__t").substr(i, lit(3))))
           .otherwise(array().cast("array<string>"))).as("t"))
 
+  /** CONDITIONAL upgrade of [[trigramLogLikelihood]]: score = mean
+    * ln P(c₃ | c₁c₂) with P = (C₃(c₁c₂c₃)+1) / (C₂(c₁c₂)+V), where the
+    * context counts C₂ are the PREFIX MARGINAL of the trigram table
+    * (Σ_c C₃(c₁c₂·) — a proper distribution by construction) and V is
+    * the next-char vocabulary (distinct third characters in the
+    * reference trigrams). It scores whether a character is LIKELY GIVEN
+    * ITS CONTEXT rather than whether a trigram is common overall, so a
+    * fluent doc's score approaches ln(1) = 0 — a calibration the unigram
+    * form (ceiling ln(c_max/N)) cannot offer — and violating a COMMON
+    * context is punished by its full 1/(C₂+V) mass where the unigram
+    * form charges every unseen trigram the same flat 1/(N+V+1).
+    * (A doc of wholly-unseen contexts decays to the milder 1/V floor —
+    * the two forms are complements, not a strict ordering; LmOpsSpec
+    * pins both behaviors.)
+    *
+    * Same broadcast shape as the unigram model: ONE reference collect
+    * (charset³-bounded), prefix table and V derived locally from it;
+    * scoring is two broadcast joins (trigram + context) on the map side
+    * of a single doc-keyed shuffle. Same determinism envelope.
+    */
+  def conditionalTrigramLogLikelihood(docs: DataFrame, reference: DataFrame,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id"): DataFrame = {
+    val model: Array[(String, Long)] = trigramsOf(reference, textCol, idCol)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(model.nonEmpty, "reference corpus yields no trigrams")
+    val prefixCounts: Seq[(String, Long)] =
+      model.groupBy(_._1.substring(0, 2)).view.mapValues(_.map(_._2).sum).toSeq
+    val v = model.map(_._1.substring(2, 3)).distinct.length.toLong
+    val session = docs.sparkSession
+    import session.implicits._
+    val tri = model.toSeq.toDF("t", "c3")
+    val pre = prefixCounts.toDF("p", "cp")
+    trigramsOf(docs, textCol, idCol)
+      .withColumn("p", col("t").substr(1, 2))
+      .join(broadcast(tri), Seq("t"), "left")
+      .join(broadcast(pre), Seq("p"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cp"), lit(0L)) + v)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("lp")).as("logprob"))
+  }
+
   /** Per-document mean log-likelihood under the reference corpus's
     * trigram distribution: (doc_id, n_trigrams, logprob). Docs shorter
     * than 3 normalized chars have no trigrams and are absent.

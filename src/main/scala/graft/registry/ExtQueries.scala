@@ -337,6 +337,13 @@ object ExtQueries {
       val docs = Sources(s, dir).documents
       LmOps.trigramLogLikelihood(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
+    // bigram-CONDITIONAL LM quality (P(c3|c1c2), prefix-marginal
+    // contexts): the better-separating filter, same broadcast shape,
+    // same reference slice — oracle-gated like the unigram row
+    "q_ext_lm_quality_cond" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents
+      LmOps.conditionalTrigramLogLikelihood(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
     // Leakage-safe split: train/val/test assigned by near-dup CLUSTER
     // (connected components of the verified jaccard pairs), so no
     // near-dup pair ever straddles a split boundary; singleton docs
@@ -929,6 +936,27 @@ object ExtQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
          |  avg(ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / (nv.n + nv.v + 1))) AS logprob
          |FROM dtg LEFT JOIN rc USING (g) CROSS JOIN nv
+         |GROUP BY 1""".stripMargin),
+    // conditional form: contexts are the PREFIX MARGINAL of the trigram
+    // table (sum over third chars), V = distinct third characters
+    "q_ext_lm_quality_cond" ->
+      ("""WITH nt AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+         |rtg AS (SELECT unnest(list_transform(range(length(t) - 2),
+         |    i -> substr(t, i + 1, 3))) AS g
+         |  FROM nt WHERE doc_id % 97 = 0 AND length(t) >= 3),
+         |rc AS (SELECT g, count(*) AS c FROM rtg GROUP BY 1),
+         |pc AS (SELECT substr(g, 1, 2) AS p, sum(c) AS cp FROM rc GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT substr(g, 3, 1)) AS v FROM rc),
+         |dtg AS (SELECT doc_id, unnest(list_transform(range(length(t) - 2),
+         |    i -> substr(t, i + 1, 3))) AS g
+         |  FROM nt WHERE length(t) >= 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  avg(ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) /
+         |      (COALESCE(pc.cp, 0) + vv.v))) AS logprob
+         |FROM dtg LEFT JOIN rc USING (g)
+         |LEFT JOIN pc ON pc.p = substr(dtg.g, 1, 2)
+         |CROSS JOIN vv
          |GROUP BY 1""".stripMargin),
     // same recursive min-reachability component derivation as the CC
     // dedup oracle, projected to the md5-prefix split assignment
