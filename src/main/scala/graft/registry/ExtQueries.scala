@@ -418,6 +418,34 @@ object ExtQueries {
           SimilarityOps.cosinePairs(e, 0.45),
           found.filter(col("sim") >= 0.45), Seq("vec_a", "vec_b")))
     }),
+    // ANN recall@3 for the three production probe shapes, measured
+    // against the brute-force top-k on the same queries — the number
+    // their no-oracle rows promise (IVF cell-boundary misses, PQ
+    // quantization-shortlist misses, IVF-PQ both compounded)
+    "q_ext_recall_knn_ivf_probe" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 20)
+      RecallOps.setRecall("ivf_k3_probe4of16",
+        SimilarityOps.bruteForceTopK(e, q, k = 3),
+        ivfIndex(s, dir).topK(q, k = 3, nprobe = 4),
+        Seq("query_id", "corpus_id"))
+    }),
+    "q_ext_recall_knn_pq" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 20)
+      RecallOps.setRecall("pq_refine_k3_shortlist64",
+        SimilarityOps.bruteForceTopK(e, q, k = 3),
+        pqIndex(s, dir).topKRefined(q, e, k = 3, shortlist = 64),
+        Seq("query_id", "corpus_id"))
+    }),
+    "q_ext_recall_knn_ivfpq" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 20)
+      RecallOps.setRecall("ivfpq_k3_probe4of16_shortlist32",
+        SimilarityOps.bruteForceTopK(e, q, k = 3),
+        ivfPqIndex(s, dir).topKRefined(q, e, k = 3, nprobe = 4, shortlist = 32),
+        Seq("query_id", "corpus_id"))
+    }),
     "q_ext_knn_brute" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
@@ -507,6 +535,18 @@ object ExtQueries {
       val e = Sources(s, dir).embeddings
       DedupOps.removeNearDups(e,
           SimilarityOps.semanticNearDupPairs(e, threshold = 0.35),
+          idCol = "vec_id", dropCol = "vec_b")
+        .select(col("vec_id"), col("label"))
+    }),
+    // EXACT-mode oracle for the SemDeDup composition (the *_exactmode
+    // pattern): nlist = 1 puts the whole corpus in ONE cell, so the
+    // cluster-local pair search IS the global all-pairs and the
+    // quantize→within-cell-pairs→greedy-drop seams hash-match a plain
+    // DuckDB mirror. The nlist=16 row above stays production.
+    "q_ext_dedup_semantic_exactmode" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      DedupOps.removeNearDups(e,
+          SimilarityOps.semanticNearDupPairs(e, threshold = 0.35, nlist = 1),
           idCol = "vec_id", dropCol = "vec_b")
         .select(col("vec_id"), col("label"))
     }),
@@ -715,6 +755,16 @@ object ExtQueries {
          |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
          |)
          |SELECT vec_id, len(embedding) AS dims FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
+    // one cell ⇒ within-cell pairs ≡ global all-pairs — same drop set as
+    // the embed-corpus dedup, projected to (vec_id, label)
+    "q_ext_dedup_semantic_exactmode" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+         |)
+         |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
     "q_ext_corpus_stats" ->
       (s"""SELECT lang, count(*) AS docs,

@@ -32,6 +32,21 @@ class RecallSpec extends SparkSpec {
     assert(r == 1.0, s"maxDist<=3 must share a 16-bit chunk — recall $r ($f/$e)")
   }
 
+  test("ANN probe recall@3 on the near-uniform fixture stays off the floor") {
+    // the fixture embeddings are near-uniform — the ADVERSARIAL case for
+    // cell/quantization pruning, where true neighbors sit barely above
+    // the noise floor (clustered-corpus recall >= 0.8/0.9 is pinned on
+    // planted twins in ExtOpsSpec/PqIndexSpec/IvfPqSpec). These floors
+    // catch a collapse to ~0, not the easy-case contract; measured at
+    // r7: ivf_probe 0.53, pq 0.75, ivfpq 0.42.
+    val (ie, _, ir) = rows("q_ext_recall_knn_ivf_probe")("ivf_k3_probe4of16")
+    assert(ie == 60 && ir >= 0.3, s"ivf probe recall collapsed: $ir")
+    val (pe, _, pr) = rows("q_ext_recall_knn_pq")("pq_refine_k3_shortlist64")
+    assert(pe == 60 && pr >= 0.5, s"pq recall collapsed: $pr")
+    val (qe, _, qr) = rows("q_ext_recall_knn_ivfpq")("ivfpq_k3_probe4of16_shortlist32")
+    assert(qe == 60 && qr >= 0.25, s"ivfpq recall collapsed: $qr")
+  }
+
   test("sign-LSH cosine recall matches its operating-point curve, not zero") {
     val m = rows("q_ext_recall_knn_lsh")
     val (e, f, r) = m("sign_lsh_cos0.35_4x8")
