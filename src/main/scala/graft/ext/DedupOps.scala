@@ -339,6 +339,69 @@ object DedupOps {
       .groupBy("doc_id").agg(count(lit(1)).as("shared_kgrams"))
   }
 
+  // ---- winnowing document fingerprints -------------------------------------
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every character k-gram of the normalized
+    * text, slide a window of w consecutive hashes, select each window's
+    * MINIMUM — the classic rolling-hash fingerprinting robustness
+    * guarantee: any substring two documents share of length ≥ k+w-1
+    * contributes at least one COMMON selected fingerprint, while the
+    * selected density stays ≈ 2/(w+1) of all grams. Output is one
+    * (doc_id, fp) row per distinct selected fingerprint.
+    *
+    * The k-gram hash is md5 (portable — the DuckDB oracle selects the
+    * identical fingerprints; a 64-bit rolling hash would compute faster
+    * but gate weaker), and window-minimum is the lexicographic string
+    * min, deterministic in both engines. Docs shorter than k normalized
+    * chars have no grams and are absent; docs with fewer than w hashes
+    * winnow a single whole-run window. Map-side only — selection is a
+    * per-row Column program over PROJECTED gram-hash arrays (the
+    * lambda-capture rule, see [[shingles]]).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    val d = docs.select(col(idCol).as("doc_id"),
+        TextOps.normalizeWs(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= k)
+    val gd = d.select(col("doc_id"),
+      transform(sequence(lit(1), length(col("__t")) - (k - 1)),
+        i => md5(col("__t").substr(i, lit(k)))).as("__h"))
+    val sel = when(size(col("__h")) <= w, array(array_min(col("__h"))))
+      .otherwise(transform(sequence(lit(1), size(col("__h")) - (w - 1)),
+        i => array_min(slice(col("__h"), i, lit(w)))))
+    gd.select(col("doc_id"), explode(array_distinct(sel)).as("fp"))
+  }
+
+  /** Near-dup candidate pairs by winnowing-fingerprint overlap: docs
+    * sharing at least `minShared` selected fingerprints. The fourth
+    * dedup family — unlike MinHash/SimHash this one is fully
+    * oracle-portable (md5 fingerprints), and unlike full-text Jaccard
+    * the index holds only the winnowed ≈ 2/(w+1) fraction of grams.
+    * Same inverted-index shuffle shape as [[jaccardPairs]];
+    * `maxDocFreqRatio` prunes corpus-wide boilerplate fingerprints
+    * before the self-join with the same floor(ratio·N) bound.
+    */
+  def winnowNearDupPairs(docs: DataFrame, minShared: Int = 5, k: Int = 5, w: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         maxDocFreqRatio: Option[Double] = None): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+      .withColumnRenamed("fp", "t")
+    val idx = maxDocFreqRatio match {
+      case None => fps
+      case Some(r) =>
+        require(r > 0 && r <= 1, s"maxDocFreqRatio must be in (0,1]: $r")
+        pruneHotTokens(fps, math.floor(r * docs.count()).toLong)
+    }
+    idx.as("a").join(idx.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Prime modulus for the universal-hash family (fits min-hash values in

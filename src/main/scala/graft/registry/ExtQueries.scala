@@ -383,6 +383,19 @@ object ExtQueries {
     // rarity (see RelevanceOps determinism contract)
     "q_ext_top_terms" -> ((s, dir) =>
       RelevanceOps.topTermsByRarity(Sources(s, dir).documents, k = 5)),
+    // winnowing document fingerprints (rolling-hash fingerprinting,
+    // SIGMOD'03): per-doc digest of the SELECTED fingerprint set —
+    // n_fps + md5 over the sorted fingerprints, so the oracle proves the
+    // exact selection, not just counts
+    "q_ext_fingerprint_winnow" -> ((s, dir) =>
+      DedupOps.winnowFingerprints(Sources(s, dir).documents)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          md5(concat_ws("|", sort_array(collect_list(col("fp"))))).as("fps_md5"))),
+    // the dedup APPLICATION: pairs sharing ≥ 5 winnowed fingerprints on
+    // the docsSub subset — fully oracle-portable (md5 k-gram hashes)
+    "q_ext_winnow_neardup" -> ((s, dir) =>
+      DedupOps.winnowNearDupPairs(docsSub(s, dir), minShared = 5)),
     "q_ext_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>
@@ -1079,6 +1092,34 @@ object ExtQueries {
          |          WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.9)
          |SELECT doc_id, lang FROM batch
          |WHERE doc_id NOT IN (SELECT in_id FROM xdrop)""".stripMargin),
+    "q_ext_fingerprint_winnow" ->
+      ("""WITH nt AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(length(t) - 4),
+         |    i -> md5(substr(t, i + 1, 5))) AS h
+         |  FROM nt WHERE length(t) >= 5),
+         |sel AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+         |    ELSE list_transform(range(len(h) - 3), i -> list_min(h[i+1:i+4])) END) AS fps
+         |  FROM g)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |  md5(array_to_string(list_sort(fps), '|')) AS fps_md5
+         |FROM sel""".stripMargin),
+    "q_ext_winnow_neardup" ->
+      ("""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+         |nt AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM docs),
+         |g AS (SELECT doc_id, list_transform(range(length(t) - 4),
+         |    i -> md5(substr(t, i + 1, 5))) AS h
+         |  FROM nt WHERE length(t) >= 5),
+         |sel AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+         |    ELSE list_transform(range(len(h) - 3), i -> list_min(h[i+1:i+4])) END)) AS fp
+         |  FROM g)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin),
     "q_ext_dup_span_stats" ->
       (s"""WITH $spanGramCtes
          |SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,

@@ -302,6 +302,55 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: a shared substring of length >= k+w-1 yields a common fingerprint") {
+    // k=5, w=4 → any shared run of >= 8 chars must contribute at least
+    // one common SELECTED fingerprint (the SIGMOD'03 robustness bound);
+    // docs over disjoint alphabets share nothing
+    val shared = "zqxjkvwp"  // 8 chars, appears verbatim in docs 1 and 2
+    val docs = Seq(
+      (1L, s"aaaa $shared bbbb"),
+      (2L, s"cccc dddd $shared"),
+      (3L, "eeee ffff gggg hhhh")).toDF("doc_id", "text")
+    val fps = DedupOps.winnowFingerprints(docs)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared >= k+w-1 substring must survive winnowing in both docs")
+    assert((fps(1L) intersect fps(3L)).isEmpty && (fps(2L) intersect fps(3L)).isEmpty,
+      "disjoint-alphabet docs must share no fingerprints")
+    // density: selection keeps a fraction of grams, never all of them
+    val n1 = docs.filter($"doc_id" === 1L).select(length(trim($"text"))).as[Int].head() - 4
+    assert(fps(1L).size < n1, s"winnowing selected every gram (${fps(1L).size}/$n1)")
+  }
+
+  test("winnowing edge cases: short docs and the pair knob") {
+    // a doc with fewer than w hashes winnows one whole-run window (its
+    // single min); docs under k chars are absent
+    val fps = DedupOps.winnowFingerprints(
+        Seq((1L, "abcdef"), (2L, "abc")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect()
+    assert(fps.count(_._1 == 1L) == 1, s"short doc must yield exactly one fp: ${fps.toSeq}")
+    assert(!fps.exists(_._1 == 2L), "sub-k doc must be absent")
+    // pair overlap + df-pruning: the 1-2 pair's shared run (df 2 of 5 ≤
+    // floor(0.5·5)) survives while the corpus-wide boilerplate (df 5)
+    // is pruned out of the index — without the knob every doc pairs
+    // with every doc through the boilerplate alone
+    val boiler = "all rights reserved worldwide"
+    val docs = Seq(
+      (1L, s"$boiler unique alpha run zqxjkvwp"),
+      (2L, s"$boiler other beta text zqxjkvwp"),
+      (3L, s"$boiler completely different"),
+      (4L, s"$boiler mmmm nnnn oooo pppp"),
+      (5L, s"$boiler qqqq rrrr ssss tttt")).toDF("doc_id", "text")
+    val unpruned = DedupOps.winnowNearDupPairs(docs, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unpruned.size > 1, s"boilerplate should over-pair unpruned: $unpruned")
+    val pruned = DedupOps.winnowNearDupPairs(docs, minShared = 1,
+        maxDocFreqRatio = Some(0.5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pruned.contains((1L, 2L)) && !pruned.exists(p => p._1 >= 3L),
+      s"only true shared-run pairs should survive boilerplate pruning: $pruned")
+  }
+
   test("connected components: min-label fixpoint over chains and isolated components") {
     // chain 1-2-3-4-5 (needs several propagation rounds) + separate {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
