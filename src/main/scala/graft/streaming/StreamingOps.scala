@@ -192,6 +192,33 @@ object StreamingOps {
         ()
     }
 
+  /** EMBEDDING-modality continuous ingest: the [[corpusIngestSink]]
+    * bridge for vector corpora — each micro-batch drops vectors whose
+    * cosine similarity to the materialized corpus reaches `threshold`
+    * (within-batch greedy removal first), then appends survivors
+    * through the Materializer's manifest commit
+    * ([[graft.ext.IngestOps.appendDedupEmbeddings]]: the batch
+    * broadcasts into the corpus scan — exact screening, no corpus
+    * shuffle). Same table-is-the-state restart story as the text
+    * sinks: a replayed batch's vectors are cosine-1.0 duplicates of
+    * their own previous append and are absorbed. Swap the exact screen
+    * for an IVF/PQ probe when batches grow large (same trade as the
+    * batch op).
+    */
+  def corpusIngestEmbedSink(vecs: DataFrame, mat: Materializer, model: String,
+                            threshold: Double): DataStreamWriter[Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        mat.materialize(model, "vec_id") {
+          case None => graft.ext.DedupOps.removeNearDups(batch,
+            graft.ext.SimilarityOps.cosinePairs(batch, threshold),
+            idCol = "vec_id", dropCol = "vec_b")
+          case Some(prior) =>
+            graft.ext.IngestOps.appendDedupEmbeddings(prior, batch, threshold)
+        }
+        ()
+    }
+
   /** Streaming exact dedup — the ingest front door: emit each content
     * fingerprint's FIRST-SEEN row, drop every later duplicate, across
     * micro-batch boundaries (state holds one entry per distinct

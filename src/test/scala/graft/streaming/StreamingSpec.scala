@@ -482,6 +482,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding corpus ingest sink: cosine near-dups of the live table absorbed") {
+    import graft.ext.VectorFixtures.synthVec
+    def jig(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (v, d) => if (d == 0) v + eps else v }
+    implicit val sqlCtx = spark.sqlContext
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("ingest_emb_stream").toString)
+    def corpus: Set[Long] = mat.readPrior("vecs")
+      .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingOps.corpusIngestEmbedSink(
+      in.toDF().toDF("vec_id", "embedding"), mat, "vecs", threshold = 0.99).start()
+    try {
+      // batch 1: 3 is an in-batch jiggle of 1 → collapsed
+      in.addData((1L, synthVec(1)), (2L, synthVec(2)), (3L, jig(synthVec(1), 0.01f)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      // batch 2: 11 near-dups MATERIALIZED vec 1; 12 novel
+      in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      // redelivered batch (at-least-once source): absorbed by the table
+      in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+    } finally q.stop()
+  }
+
   test("streaming contamination: stream-static broadcast join flags in-flight docs") {
     // the decontamination check runs at the ingest front door too: the
     // eval suite is a STATIC frame (broadcast), the corpus is the
