@@ -129,6 +129,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
   }
 
+  test("near-dup ingest composition: candidate and verify joins broadcast, no blowup joins") {
+    val p = plan("q_ext_ingest_neardup")
+    // the corpus-side band stream meets the batch's band keys via
+    // broadcast; the drop set applies as a broadcast anti-join. The
+    // within-BATCH lsh self-join may legitimately shuffle (batch-sized);
+    // what must never appear is a cartesian/nested-loop pair expansion.
+    assert(p.contains("BroadcastHashJoin"), s"ingest candidate joins not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scale-hostile join strategy appeared:\n$p")
+  }
+
+  test("winnow pairs: overlap counts partial-aggregated, no pair blowup beyond the index join") {
+    val p = plan("q_ext_winnow_neardup")
+    // the fingerprint index self-join shuffles by fp (the declared
+    // inverted-index shape, same as jaccard); the overlap count must
+    // partial-aggregate on the map side and nothing may expand pairs
+    // via cartesian/nested-loop
+    assert(p.contains("partial_count"), s"overlap count not partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scale-hostile join strategy appeared:\n$p")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"scan reads columns beyond (doc_id, text):\n$p")
+  }
+
   test("LM quality scoring: model table broadcasts, corpus never shuffled by trigram") {
     val p = plan("q_ext_lm_quality")
     // the model is charset³-bounded and must broadcast; a SortMergeJoin
