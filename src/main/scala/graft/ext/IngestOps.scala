@@ -92,6 +92,11 @@ object IngestOps {
                                 textCol: String = "text", idCol: String = "doc_id",
                                 hotShingles: Seq[String] = Nil): DataFrame = {
     val rows = numHashes / bands
+    // drop signature-less rows (empty toks — the streaming side-table's
+    // convergence TOMBSTONES, see corpusIngestNearDupSink): they carry no
+    // dedup signal, and a degenerate empty-set signature would collide in
+    // every band
+    val exSigs = existingSigs.filter(size(col("toks")) > 0)
     val exact = DedupOps.dedupExact(incoming, textCol, idCol)
     // one signature pass serves both the within-batch pair search and the
     // corpus check: survivors' sig rows are semi-joined out afterwards
@@ -101,12 +106,12 @@ object IngestOps {
       DedupOps.pairsOfSigFrame(inAll, bands, rows, threshold), idCol)
     val inS = inAll.join(broadcast(batch.select(col(idCol).as("doc_id"))),
       Seq("doc_id"), "left_semi")
-    val cand = DedupOps.lshBands(existingSigs, "sig", bands, rows).as("x")
+    val cand = DedupOps.lshBands(exSigs, "sig", bands, rows).as("x")
       .join(broadcast(DedupOps.lshBands(inS, "sig", bands, rows).as("y")),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
       .select(col("x.doc_id").as("ex_id"), col("y.doc_id").as("in_id"))
       .distinct()
-    val drops = existingSigs.select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
+    val drops = exSigs.select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
       .join(broadcast(cand), Seq("ex_id"))
       .join(broadcast(inS.select(col("doc_id").as("in_id"), col("toks").as("in_toks"))),
         Seq("in_id"))

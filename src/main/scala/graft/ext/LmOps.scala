@@ -66,9 +66,15 @@ object LmOps {
       .groupBy("t").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(model.nonEmpty, "reference corpus yields no trigrams")
+    // split by CODEPOINTS, not Java chars: the trigrams are 3 codepoints
+    // (Spark substr semantics) but 3-6 UTF-16 units — String.substring(0,2)
+    // on a supplementary-plane char would key the context as half a
+    // surrogate pair and diverge from the scoring side's substr(1, 2)
+    def prefixOf(t: String): String = t.substring(0, t.offsetByCodePoints(0, 2))
+    def lastOf(t: String): String = t.substring(t.offsetByCodePoints(0, 2))
     val prefixCounts: Seq[(String, Long)] =
-      model.groupBy(_._1.substring(0, 2)).view.mapValues(_.map(_._2).sum).toSeq
-    val v = model.map(_._1.substring(2, 3)).distinct.length.toLong
+      model.groupBy(p => prefixOf(p._1)).view.mapValues(_.map(_._2).sum).toSeq
+    val v = model.map(p => lastOf(p._1)).distinct.length.toLong
     val session = docs.sparkSession
     import session.implicits._
     val tri = model.toSeq.toDF("t", "c3")

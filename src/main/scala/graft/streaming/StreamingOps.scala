@@ -178,8 +178,21 @@ object StreamingOps {
               case Some(ps) =>
                 corpus.join(ps.select("doc_id"), Seq("doc_id"), "left_anti")
             }
-            graft.ext.IngestOps.minHashSigsOf(unsigned, numHashes, shingleK,
-              hotShingles = hotShingles)
+            val signed = graft.ext.IngestOps.minHashSigsOf(unsigned, numHashes,
+              shingleK, hotShingles = hotShingles)
+            // TOMBSTONE docs that yield no signature (empty/whitespace
+            // text, or every shingle hot): without a side-table row the
+            // id-keyed repair anti-join would classify them "unsigned"
+            // and re-tokenize them on EVERY trigger forever. An
+            // empty-toks row carries no dedup signal and is filtered out
+            // of the check (appendDedupNearDupIndexed) — it exists only
+            // so the repair converges.
+            val tomb = unsigned.select(col("doc_id"))
+              .join(signed.select("doc_id"), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"),
+                array().cast("array<string>").as("toks"),
+                array().cast("array<bigint>").as("sig"))
+            signed.unionByName(tomb)
           }
         }
         mat.materialize(model, "doc_id") { prior =>

@@ -81,6 +81,18 @@ class LmOpsSpec extends SparkSpec {
       s"fluent in-distribution text should score near 0: ${cond(1L)}")
   }
 
+  test("conditional model: non-BMP reference chars key contexts by codepoint, not UTF-16 unit") {
+    // "😀ab" is 3 codepoints / 4 Java chars: the context must be 😀a and
+    // the vocab {b} — a UTF-16-unit split would key the context as the
+    // bare surrogate-pair emoji and miss every lookup
+    val ref = Seq((100L, "😀ab"))
+    val got = scoreCond(ref, Seq(
+      (1L, "😀ab"),   // seen trigram, seen context: ln((1+1)/(1+1)) = 0
+      (2L, "😀aq")))  // seen context, unseen next: ln(1/(1+1))
+    assert(math.abs(got(1L)._2 - 0.0) < 1e-12, got(1L).toString)
+    assert(math.abs(got(2L)._2 - math.log(1.0 / 2)) < 1e-12, got(2L).toString)
+  }
+
   test("conditional model punishes seen-context/unseen-continuation transitions") {
     // "th" is the most common context in the reference; following it
     // with q gets the full 1/(C2(th)+V) penalty — heavier than the

@@ -431,9 +431,13 @@ class StreamingSpec extends SparkSpec {
     val q = graft.streaming.StreamingOps.corpusIngestNearDupSink(
       in.toDF().toDF("doc_id", "text"), mat, "nd", threshold = 0.8).start()
     try {
-      in.addData((1L, "a b c d e f g h i j"), (2L, "x y z w v u t s r q"))
+      // doc 9 is EMPTY text: no shingles, no signature — it must still
+      // land in the corpus, get a convergence TOMBSTONE in the side-table
+      // (else the repair anti-join re-tokenizes it every trigger), and
+      // never affect candidate generation
+      in.addData((1L, "a b c d e f g h i j"), (2L, "x y z w v u t s r q"), (9L, ""))
       q.processAllAvailable()
-      assert(corpus == Set(1L, 2L), corpus.toString)
+      assert(corpus == Set(1L, 2L, 9L), corpus.toString)
       // batch 2: 11 is a near-dup (10/11) of MATERIALIZED doc 1; 12 novel.
       // The check runs against the __sigs SIDE-TABLE, which batch 2's
       // repair step has just brought up to batch 1's corpus — the corpus
@@ -441,14 +445,15 @@ class StreamingSpec extends SparkSpec {
       // corpus frame at all).
       in.addData((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
       q.processAllAvailable()
-      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
-      assert(sigIds == Set(1L, 2L), s"side-table should lag one trigger: $sigIds")
+      assert(corpus == Set(1L, 2L, 9L, 12L), corpus.toString)
+      assert(sigIds == Set(1L, 2L, 9L),
+        s"side-table should lag one trigger and tombstone the empty doc: $sigIds")
       // redelivered batch (at-least-once source): idempotent — 11 and 12
       // are absorbed by the table; the repair step signs 12
       in.addData((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
       q.processAllAvailable()
-      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
-      assert(sigIds == Set(1L, 2L, 12L), sigIds.toString)
+      assert(corpus == Set(1L, 2L, 9L, 12L), corpus.toString)
+      assert(sigIds == Set(1L, 2L, 9L, 12L), sigIds.toString)
     } finally q.stop()
   }
 
