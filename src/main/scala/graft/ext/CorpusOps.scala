@@ -99,6 +99,75 @@ object CorpusOps {
                 n: Int): DataFrame =
     graft.ops.Dedup.topNPerKey(docs, keys, order, n)
 
+  /** Shared tail of the rebalancing samplers: md5-ordered take of each
+    * key's quota (the [[stratifiedHashSample]] determinism convention —
+    * pure content function, no RNG, repartition-invariant; doc id as the
+    * unique tiebreak). `quotaDf` is (keyCol, __quota) — key-count-sized,
+    * broadcast.
+    */
+  private def takePerKeyQuota(docs: DataFrame, quotaDf: DataFrame, keyCol: String,
+                              textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(md5(col(textCol)), col(idCol))
+    docs.join(broadcast(quotaDf), Seq(keyCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Per-key quota sampling against a CALLER-SUPPLIED quota map (keys
+    * absent from the map are dropped). The mechanism under
+    * [[budgetSample]] and [[temperatureQuotas]]: deterministic md5-order
+    * take of `quotas(k)` rows per key.
+    */
+  def quotaSample(docs: DataFrame, quotas: Map[String, Long],
+                  keyCol: String = "lang", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    takePerKeyQuota(docs, quotas.toSeq.toDF(keyCol, "__quota"),
+      keyCol, textCol, idCol)
+  }
+
+  /** Budget-PROPORTIONAL downsample: quota_k = (budget · n_k) DIV N in
+    * pure INTEGER arithmetic (exact and engine-portable — a float
+    * normalization would flip quota boundaries by an ulp between
+    * engines), then the deterministic md5-order take. Floor division
+    * means up to (#keys − 1) rows under budget — the standard
+    * largest-floor trade. The count/quota frame is key-count-sized and
+    * broadcast; the take is one key shuffle.
+    */
+  def budgetSample(docs: DataFrame, budget: Long, keyCol: String = "lang",
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    // "__tot", not "__N": column resolution is case-insensitive, so a
+    // name differing from "__n" only by case would REPLACE it
+    val quotaDf = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy()))
+      .select(col(keyCol), expr(s"($budget * __n) DIV __tot").as("__quota"))
+    takePerKeyQuota(docs, quotaDf, keyCol, textCol, idCol)
+  }
+
+  /** XLM-R-style temperature rebalancing quotas (Conneau et al. 2020,
+    * arXiv:1911.02116 §3.1): quota_k = ⌊budget · n_k^α / Σ n^α⌋ — α < 1
+    * flattens the key distribution, upweighting low-resource languages
+    * relative to their corpus share; α = 1 degenerates to
+    * [[budgetSample]]'s proportional split. Driver-side by design (the
+    * per-key count table is tiny and the irrational powers make the
+    * arithmetic non-portable for an engine-vs-engine oracle — the
+    * SELECTION under a fixed quota map stays exactly deterministic via
+    * [[quotaSample]]). The power sum folds in sorted key order so the
+    * result is stable across runs.
+    */
+  def temperatureQuotas(docs: DataFrame, alpha: Double, budget: Long,
+                        keyCol: String = "lang"): Map[String, Long] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val counts = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pw = counts.map { case (k, n) => (k, math.pow(n.toDouble, alpha)) }
+    val s = pw.sortBy(_._1).map(_._2).sum
+    pw.map { case (k, p) => k -> math.floor(budget * p / s).toLong }.toMap
+  }
+
   /** Fixed-size token chunking with overlap — the split a pipeline runs
     * before tokenizer/packing so no training sequence crosses a document
     * boundary. Emits (doc_id, chunk_idx, chunk_text, chunk_tokens):

@@ -175,6 +175,14 @@ object ExtQueries {
         order = Seq(TextOps.tokenCount(col("text")).desc, col("doc_id")),
         n = 20)
         .select("doc_id", "lang")),
+    // budget-proportional rebalance to 300 docs: per-lang quotas in pure
+    // INTEGER arithmetic ((B·n) DIV N — a float normalization would flip
+    // quota boundaries between engines), md5-order take per lang. The
+    // α<1 temperature variant shares this mechanism via quotaSample with
+    // driver-derived quotas (CorpusOpsSpec pins it on perfect squares).
+    "q_ext_sample_budget" -> ((s, dir) =>
+      CorpusOps.budgetSample(Sources(s, dir).documents, budget = 300)
+        .select("doc_id", "lang")),
     // deterministic training-shard assignment (md5-byte mod 8) — the
     // write-side routing writeSharded lays out as shard=K directories
     "q_ext_shard_assign" -> ((s, dir) =>
@@ -850,6 +858,13 @@ object ExtQueries {
          |    PARTITION BY lang ORDER BY len($toksSql) DESC, doc_id) AS rn
          |  FROM documents
          |) WHERE rn <= 20""".stripMargin),
+    "q_ext_sample_budget" ->
+      ("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n) AS tot FROM c),
+         |q AS (SELECT lang, (300 * n) // tot AS quota FROM c CROSS JOIN t),
+         |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn FROM documents)
+         |SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota""".stripMargin),
     "q_ext_shard_assign" ->
       ("""SELECT doc_id,
          |  (16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)

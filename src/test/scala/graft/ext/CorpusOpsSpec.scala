@@ -71,6 +71,39 @@ class CorpusOpsSpec extends SparkSpec {
       byKey.toString)
   }
 
+  test("budget sample: integer-exact proportional quotas, md5-order take, deterministic") {
+    // counts a:2, b:6, budget 4 → quotas (4·2) DIV 8 = 1, (4·6) DIV 8 = 3
+    val docs = (Seq((1L, "a"), (2L, "a")) ++ (10L until 16L).map((_, "b")))
+      .map { case (id, k) => (id, k, s"text body $id") }
+      .toDF("doc_id", "lang", "text")
+    val got = CorpusOps.budgetSample(docs, budget = 4)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(got.count(_._2 == "a") == 1 && got.count(_._2 == "b") == 3, got.toSeq.toString)
+    // pure content function: rerun and repartition select the identical subset
+    val again = CorpusOps.budgetSample(docs.repartition(7), budget = 4)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(got.toSet == again.toSet, s"sample not deterministic: ${got.toSeq} vs ${again.toSeq}")
+  }
+
+  test("temperature quotas: perfect-square counts make the XLM-R arithmetic exact") {
+    // counts 4/9/16, α = 0.5 → weights 2/3/4 (sum 9); budget 9 → quotas
+    // 2/3/4 exactly — low-resource lang a holds 2/9 of the budget vs
+    // 4/29 of the corpus (upweighted), c drops from 16/29 to 4/9
+    val docs = ((0L until 4L).map((_, "a")) ++ (10L until 19L).map((_, "b")) ++
+      (20L until 36L).map((_, "c")))
+      .map { case (id, k) => (id, k, s"text body $id") }
+      .toDF("doc_id", "lang", "text")
+    val quotas = CorpusOps.temperatureQuotas(docs, alpha = 0.5, budget = 9)
+    assert(quotas == Map("a" -> 2L, "b" -> 3L, "c" -> 4L), quotas.toString)
+    // α = 1 degenerates to the proportional split: (9·n) DIV 29 = 1/2/4
+    val prop = CorpusOps.temperatureQuotas(docs, alpha = 1.0, budget = 9)
+    assert(prop == Map("a" -> 1L, "b" -> 2L, "c" -> 4L), prop.toString)
+    // and the selection mechanism honors the quota map exactly
+    val got = CorpusOps.quotaSample(docs, quotas)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 3L, "c" -> 4L), got.toString)
+  }
+
   test("token chunking: stride, overlap, tail and short-doc shapes") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // exact fit: no short tail
