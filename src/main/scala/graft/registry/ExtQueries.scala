@@ -213,6 +213,26 @@ object ExtQueries {
           percentile(col("n_chars"), lit(0.5)).as("p50"),
           percentile(col("n_chars"), lit(0.9)).as("p90"),
           count(lit(1)).as("docs"))),
+    // the SCALE-path variant: percentile_approx (Greenwald-Khanna
+    // sketch, mergeable — no per-group full sort at 100 TB) gated by
+    // the a1_approx pattern: the hash-compared output is a flag per
+    // quantile asserting the sketch value lands inside the EXACT
+    // (p−0.05, p+0.05) quantile band, which the oracle asserts TRUE —
+    // the sketch's rank-error contract (≤ n/accuracy ≪ 0.05·n) made
+    // portable across engines whose sketches differ
+    "q_ext_length_quantiles_approx" -> ((s, dir) => {
+      val ps = Seq(25, 50, 90)
+      val aggs = ps.flatMap { p =>
+        Seq(percentile_approx(col("n_chars"), lit(p / 100.0), lit(10000)).as(s"a$p"),
+          percentile(col("n_chars"), lit((p - 5) / 100.0)).as(s"lo$p"),
+          percentile(col("n_chars"), lit((p + 5) / 100.0)).as(s"hi$p"))
+      } :+ count(lit(1)).as("docs")
+      Sources(s, dir).documents.groupBy(col("lang"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("lang") +: ps.map(p =>
+          (col(s"a$p") >= col(s"lo$p") && col(s"a$p") <= col(s"hi$p"))
+            .as(s"within_p$p")) :+ col("docs"): _*)
+    }),
     // the COMPOSED curation pipeline — scrub → quality/length filter →
     // exact dedup → stratified downsample, the end-to-end pass a user
     // runs nightly, hash-gated as ONE query so the stage seams (does
@@ -898,6 +918,12 @@ object ExtQueries {
          |  quantile_cont(n_chars, 0.5) AS p50,
          |  quantile_cont(n_chars, 0.9) AS p90,
          |  count(*) AS docs
+         |FROM documents GROUP BY 1""".stripMargin),
+    // the flag contract: a violated sketch bound flips a flag to FALSE
+    // and fails the hash — a real gate, portable across engines
+    "q_ext_length_quantiles_approx" ->
+      ("""SELECT lang, TRUE AS within_p25, TRUE AS within_p50,
+         |  TRUE AS within_p90, count(*) AS docs
          |FROM documents GROUP BY 1""".stripMargin),
     "q_ext_chunk_tokens" ->
       (s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
