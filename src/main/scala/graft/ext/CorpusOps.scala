@@ -197,6 +197,46 @@ object CorpusOps {
       (hexNibble(substring(hx, 1, 1)) * 16 + hexNibble(substring(hx, 2, 1))) % numShards)
   }
 
+  /** CONTENT-DEFINED chunking (the Rabin/CDC family used by
+    * dedup-friendly storage and crawl-snapshot pipelines): a chunk
+    * boundary falls after token i wherever the k-gram ENDING at i
+    * hashes at or below `cutHex` (2 lowercase hex chars ≈ rate/256 —
+    * the [[stratifiedHashSample]] convention), so boundaries are a pure
+    * LOCAL function of content. The property fixed-size chunking lacks:
+    * inserting or deleting tokens shifts boundaries only within k
+    * tokens of the edit — every chunk past the edit's k-gram window
+    * keeps identical CONTENT (fixed-size re-frames everything
+    * downstream), which is what lets chunk-level dedup absorb
+    * re-crawled documents with local edits. Emits the
+    * (doc_id, chunk_idx, chunk_text, chunk_tokens) shape of
+    * [[chunkTokens]]; expected chunk length ≈ 256/(cut+1) tokens.
+    * Production CDC adds min/max chunk bounds via a sequential scan;
+    * this form keeps the decision local so reruns and the oracle select
+    * identical boundaries. Map-side only.
+    */
+  def chunkContentDefined(docs: DataFrame, k: Int = 3, cutHex: String = "07",
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(cutHex.matches("[0-9a-f]{2}"), s"cutHex must be 2-char lowercase hex: $cutHex")
+    val toks = col("__toks")
+    val n = size(toks)
+    // boundary positions i in [k, n-1]; position n never opens a chunk
+    // (the tail always closes at n). Guarded: Spark's sequence DESCENDS
+    // when the upper bound is below the lower one.
+    val bnds = when(n - 1 < k, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(k), n - 1), i =>
+        substring(md5(concat_ws(" ", slice(toks, i - (k - 1), lit(k)))), 1, 2) <= cutHex))
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(zip_with(
+          concat(array(lit(1)), transform(bnds, b => b + 1)),
+          concat(bnds, array(n)),
+          (s, e) => slice(toks, s, greatest(e - s + 1, lit(0))))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("bigint").as("chunk_tokens"))
+  }
+
   /** Packed-stream sequence assignment (the GPT-style training pack:
     * concatenate the token stream, slice fixed windows — no padding):
     * each chunk's `bin` is the window its START offset falls in within

@@ -191,6 +191,11 @@ object ExtQueries {
     // fixed-size token chunking, 32-token windows overlapping by 8 — the
     // pre-tokenizer split; map-side posexplode, chunk count proportional
     // to doc length, no shuffle
+    // content-defined chunking: boundaries where the trailing 3-gram
+    // hashes ≤ 07 (≈ 1/32 rate) — the insertion-robust complement to
+    // the fixed-size split below; robustness property spec-gated
+    "q_ext_chunk_cdc" -> ((s, dir) =>
+      CorpusOps.chunkContentDefined(Sources(s, dir).documents)),
     "q_ext_chunk_tokens" -> ((s, dir) =>
       CorpusOps.chunkTokens(Sources(s, dir).documents, chunkSize = 32, overlap = 8)),
     // packed-stream assignment over non-overlapping 64-token chunks:
@@ -925,6 +930,22 @@ object ExtQueries {
       ("""SELECT lang, TRUE AS within_p25, TRUE AS within_p50,
          |  TRUE AS within_p90, count(*) AS docs
          |FROM documents GROUP BY 1""".stripMargin),
+    // boundaries = positions whose trailing 3-gram md5 prefix <= '07';
+    // chunk (start, end) pairs rebuilt from the boundary list
+    "q_ext_chunk_cdc" ->
+      (s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks,
+         |  list_filter(range(3, len(toks)),
+         |    i -> substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 2) <= '07') AS bnds
+         |  FROM base),
+         |c AS (SELECT doc_id, toks,
+         |  list_prepend(1, list_transform(bnds, b -> b + 1)) AS starts,
+         |  list_append(bnds, len(toks)) AS ends FROM b),
+         |ch AS (SELECT doc_id, unnest(range(len(starts))) AS ci, toks, starts, ends FROM c)
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |  array_to_string(toks[starts[ci+1]:ends[ci+1]], ' ') AS chunk_text,
+         |  CAST(greatest(ends[ci+1] - starts[ci+1] + 1, 0) AS BIGINT) AS chunk_tokens
+         |FROM ch""".stripMargin),
     "q_ext_chunk_tokens" ->
       (s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |n AS (SELECT doc_id, toks,

@@ -104,6 +104,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 3L, "c" -> 4L), got.toString)
   }
 
+  test("content-defined chunking: local boundaries, insertion robustness, short docs") {
+    val body = (1 to 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, s"ins0 $body"),          // one token INSERTED at the front
+      (3L, "a b"))                  // shorter than k → single whole-doc chunk
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkContentDefined(docs)
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    val c1 = got.filter(_._1 == 1L).map(_._2).toSeq
+    val c2 = got.filter(_._1 == 2L).map(_._2).toSeq
+    assert(c1.size >= 2, s"expected multiple chunks from 120 tokens: ${c1.size}")
+    // the CDC property: the edit only disturbs chunks within the first
+    // boundary's reach — every later chunk's CONTENT is reproduced
+    // verbatim in the edited doc (fixed-size chunking reproduces none)
+    assert(c1.tail.forall(c2.contains),
+      s"post-edit chunks must be content-identical:\n${c1.tail.toSet -- c2.toSet}")
+    val fixed = CorpusOps.chunkTokens(docs, chunkSize = 21, overlap = 0)
+      .filter($"doc_id" isin (1L, 2L))
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    val f1 = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 intersect f2).size < c1.tail.size,
+      s"fixed-size should re-frame after an insertion (CDC's advantage): ${f1 intersect f2}")
+    // short doc: one whole-run chunk
+    assert(got.filter(_._1 == 3L).map(_._2).toSeq == Seq("a b"))
+    // determinism under repartition (pure content function)
+    val again = CorpusOps.chunkContentDefined(docs.repartition(5))
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
   test("token chunking: stride, overlap, tail and short-doc shapes") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // exact fit: no short tail
