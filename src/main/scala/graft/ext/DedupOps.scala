@@ -351,21 +351,32 @@ object DedupOps {
     * selected density stays ≈ 2/(w+1) of all grams. Output is one
     * (doc_id, fp) row per distinct selected fingerprint.
     *
-    * The k-gram hash is md5 (portable — the DuckDB oracle selects the
-    * identical fingerprints; a 64-bit rolling hash would compute faster
-    * but gate weaker), and window-minimum is the lexicographic string
-    * min, deterministic in both engines. Docs shorter than k normalized
-    * chars have no grams and are absent; docs with fewer than w hashes
-    * winnow a single whole-run window. Map-side only — selection is a
-    * per-row Column program over PROJECTED gram-hash arrays (the
-    * lambda-capture rule, see [[shingles]]).
+    * The k-gram hash defaults to md5 over char k-grams (portable — the
+    * DuckDB oracle selects the identical fingerprints) with selection as
+    * an interpreted Column program; `fastHash = true` switches to the
+    * codegen'd [[graft.functions.WinnowSig]] kernel — a Rabin-Karp
+    * ROLLING hash over byte k-grams with in-loop window minima. The
+    * guarantee is hash-agnostic (any injective map under any FIXED total
+    * order selects a common fingerprint from a shared run ≥ k+w-1), and
+    * the interpreted per-gram lambdas are the measured hot cost at
+    * sf0.1 — so fast is the production mode and md5 the oracle mode,
+    * the same split as the *_exactmode ANN rows. Docs shorter than k
+    * normalized chars have no grams and are absent; docs with fewer
+    * than w hashes winnow a single whole-run window. Map-side only.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id",
+                         fastHash: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
     val d = docs.select(col(idCol).as("doc_id"),
         TextOps.normalizeWs(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= k)
+    if (fastHash) {
+      graft.functions.VectorFunctions.register(docs.sparkSession)
+      return d.select(col("doc_id"), explode(array_distinct(
+          graft.functions.VectorFunctions.winnowSig(col("__t"), k, w))).as("__s"))
+        .select(col("doc_id"), col("__s").cast("string").as("fp"))
+    }
     val gd = d.select(col("doc_id"),
       transform(sequence(lit(1), length(col("__t")) - (k - 1)),
         i => md5(col("__t").substr(i, lit(k)))).as("__h"))
@@ -386,8 +397,9 @@ object DedupOps {
     */
   def winnowNearDupPairs(docs: DataFrame, minShared: Int = 5, k: Int = 5, w: Int = 4,
                          textCol: String = "text", idCol: String = "doc_id",
-                         maxDocFreqRatio: Option[Double] = None): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+                         maxDocFreqRatio: Option[Double] = None,
+                         fastHash: Boolean = false): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol, fastHash)
       .withColumnRenamed("fp", "t")
     val idx = maxDocFreqRatio match {
       case None => fps

@@ -135,6 +135,120 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection in one codegen'd pass: Rabin-Karp
+  * POLYNOMIAL ROLLING HASH over the UTF-8 bytes of the (normalized)
+  * text — O(1) per position, the "rolling" the fingerprinting
+  * literature means — then the window-of-w minimum per position
+  * (duplicates kept; callers `array_distinct`). The Column-API form
+  * (per-gram md5/xxhash via `transform` lambdas) is interpreted per
+  * element — measured to dominate the fingerprint row at sf0.1 — while
+  * this is one primitive loop inside whole-stage codegen. Hash domain:
+  * byte k-grams mod 2⁶⁴ (natural overflow, base 1000003); any injective
+  * hash under any fixed total order satisfies the winnowing guarantee,
+  * so this is the PRODUCTION selection — the md5 Column form remains
+  * the oracle-portable mode. Inputs shorter than k bytes yield an
+  * empty array (the caller filters them anyway); fewer than w grams
+  * winnow a single whole-run window.
+  */
+case class WinnowSig(child: Expression, k: Int, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+  private val B = 1000003L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_sig requires string, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - (bytes(i - 1) & 0xffL) * bk) * B + (bytes(i + k - 1) & 0xffL)
+      hs(i) = h
+      i += 1
+    }
+    val win = if (m <= w) m else w
+    val nw = m - win + 1
+    val out = new Array[Long](nw)
+    var s = 0
+    while (s < nw) {
+      var mn = hs(s)
+      var j = 1
+      while (j < win) { if (hs(s + j) < mn) mn = hs(s + j); j += 1 }
+      out(s) = mn
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bts = ctx.freshName("bts")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val bk = ctx.freshName("bk")
+      val hs = ctx.freshName("hs")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val win = ctx.freshName("win")
+      val nw = ctx.freshName("nw")
+      val mn = ctx.freshName("mn")
+      val out = ctx.freshName("out")
+      s"""
+         |byte[] $bts = $a.getBytes();
+         |int $n = $bts.length;
+         |if ($n < $k) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  int $m = $n - $k + 1;
+         |  long $bk = 1L;
+         |  for (int $i = 0; $i < $k - 1; $i++) $bk *= ${B}L;
+         |  long[] $hs = new long[$m];
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $k; $i++) $h = $h * ${B}L + ($bts[$i] & 0xffL);
+         |  $hs[0] = $h;
+         |  for (int $i = 1; $i < $m; $i++) {
+         |    $h = ($h - ($bts[$i - 1] & 0xffL) * $bk) * ${B}L + ($bts[$i + $k - 1] & 0xffL);
+         |    $hs[$i] = $h;
+         |  }
+         |  int $win = ($m <= $w) ? $m : $w;
+         |  int $nw = $m - $win + 1;
+         |  long[] $out = new long[$nw];
+         |  for (int $s = 0; $s < $nw; $s++) {
+         |    long $mn = $hs[$s];
+         |    for (int $j = 1; $j < $win; $j++) {
+         |      if ($hs[$s + $j] < $mn) $mn = $hs[$s + $j];
+         |    }
+         |    $out[$s] = $mn;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSig =
+    copy(child = newChild)
+}
+
 /** Registration + Column-API access for the vector expressions. */
 object VectorFunctions {
 
@@ -154,6 +268,14 @@ object VectorFunctions {
         case other =>
           throw new IllegalArgumentException(s"minhash_sig(arr, k): k must be an int literal, got $other")
       }, "built-in")
+    reg.createOrReplaceTempFunction("winnow_sig",
+      exprs => (exprs(1), exprs(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+          WinnowSig(exprs.head, k, w)
+        case other =>
+          throw new IllegalArgumentException(s"winnow_sig(text, k, w): k and w must be int literals, got $other")
+      }, "built-in")
   }
 
   /** Codegen'd dot product of two array<double> columns. */
@@ -162,4 +284,11 @@ object VectorFunctions {
   /** Codegen'd MinHash signature over an array<long> of shingle hashes. */
   def minHashSig(hashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", hashes, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Codegen'd winnowing selection (rolling byte-k-gram hash, window-w
+    * minima, duplicates kept) over a string column.
+    */
+  def winnowSig(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_sig", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
 }

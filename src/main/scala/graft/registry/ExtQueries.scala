@@ -429,6 +429,17 @@ object ExtQueries {
     // the docsSub subset — fully oracle-portable (md5 k-gram hashes)
     "q_ext_winnow_neardup" -> ((s, dir) =>
       DedupOps.winnowNearDupPairs(docsSub(s, dir), minShared = 5)),
+    // the PRODUCTION mode: codegen'd xxhash64 gram hashes — per-gram md5
+    // is the measured hot cost of the oracle row (~3× the rest of the
+    // row at sf0.1) and the winnowing guarantee is hash-agnostic. Full
+    // documents table; no oracle (hash internals non-portable, like the
+    // MinHash rows); the robustness property is spec-gated for BOTH
+    // hash modes in ExtOpsSpec.
+    "q_ext_fingerprint_winnow_fast" -> ((s, dir) =>
+      DedupOps.winnowFingerprints(Sources(s, dir).documents, fastHash = true)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          md5(concat_ws("|", sort_array(collect_list(col("fp"))))).as("fps_md5"))),
     "q_ext_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>

@@ -311,12 +311,18 @@ class ExtOpsSpec extends SparkSpec {
       (1L, s"aaaa $shared bbbb"),
       (2L, s"cccc dddd $shared"),
       (3L, "eeee ffff gggg hhhh")).toDF("doc_id", "text")
+    // the guarantee is hash-agnostic: both the md5 (oracle) and the
+    // xxhash64 (production) modes must exhibit it
+    for (fast <- Seq(false, true)) {
+      val fps = DedupOps.winnowFingerprints(docs, fastHash = fast)
+        .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      assert((fps(1L) intersect fps(2L)).nonEmpty,
+        s"shared >= k+w-1 substring must survive winnowing in both docs (fast=$fast)")
+      assert((fps(1L) intersect fps(3L)).isEmpty && (fps(2L) intersect fps(3L)).isEmpty,
+        s"disjoint-alphabet docs must share no fingerprints (fast=$fast)")
+    }
     val fps = DedupOps.winnowFingerprints(docs)
       .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    assert((fps(1L) intersect fps(2L)).nonEmpty,
-      "shared >= k+w-1 substring must survive winnowing in both docs")
-    assert((fps(1L) intersect fps(3L)).isEmpty && (fps(2L) intersect fps(3L)).isEmpty,
-      "disjoint-alphabet docs must share no fingerprints")
     // density: selection keeps a fraction of grams, never all of them
     val n1 = docs.filter($"doc_id" === 1L).select(length(trim($"text"))).as[Int].head() - 4
     assert(fps(1L).size < n1, s"winnowing selected every gram (${fps(1L).size}/$n1)")
