@@ -328,6 +328,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(fps(1L).size < n1, s"winnowing selected every gram (${fps(1L).size}/$n1)")
   }
 
+  test("WinnowSig: interpreted eval matches the codegen'd path") {
+    // the expression has two implementations (nullSafeEval for the
+    // interpreted fallback, doGenCode for whole-stage codegen); constant
+    // folding exercises eval, the DataFrame run exercises codegen — a
+    // divergence would make results depend on which path the planner
+    // picks
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.VectorFunctions.register(spark)
+    for (text <- Seq("abcdefghij klm nopq", "abc", "ab", "")) {
+      val viaEval = graft.functions.WinnowSig(
+          Literal(UTF8String.fromString(text),
+            org.apache.spark.sql.types.StringType), 5, 4)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      val viaDf = Seq(Tuple1(text)).toDF("t")
+        .select(graft.functions.VectorFunctions.winnowSig(col("t"), 5, 4).as("s"))
+        .as[Seq[Long]].head()
+      assert(viaEval == viaDf, s"eval/codegen divergence on '$text': $viaEval vs $viaDf")
+    }
+  }
+
   test("winnowing edge cases: short docs and the pair knob") {
     // a doc with fewer than w hashes winnows one whole-run window (its
     // single min); docs under k chars are absent
