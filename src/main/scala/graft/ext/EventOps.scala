@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Event-stream analytics over the `events` fixture — the classic
+  * web/product-analytics operators the reference's dbt models stop short
+  * of (reference `traffic_daily_agg.sql` aggregates raw events by day;
+  * sessionization, as-of attribution, funnels, and retention are the
+  * next four questions every analytics team asks of the same table).
+  *
+  * Scale design: every operator is one hash shuffle on the entity key
+  * (user) followed by per-key ordered windows or partial-aggregable
+  * rollups — no range joins, no self-join blowups, no driver loops. The
+  * known caveat for all per-user ordered windows is entity skew: one
+  * pathological user's events land in one task. At 100 TB that is
+  * handled upstream (bot filtering caps per-user event counts — see
+  * CorpusOps.capPerKey); salting is not applicable to ordered
+  * carry-forward semantics.
+  */
+object EventOps {
+
+  private def us(c: Column): Column = unix_micros(c)
+
+  /** Assign a session index to every event: a new session starts when
+    * the gap since the user's previous event exceeds `gapMinutes` (the
+    * GA-style 30-minute idle timeout). Events are ordered by (ts, id) —
+    * the id tiebreak makes the assignment total and deterministic.
+    * Emits the input columns plus `session_idx` (1-based per user).
+    *
+    * One shuffle on the user key; both windows share the same
+    * partitioning+ordering, so Catalyst plans a single sort.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val brk = when(prev.isNull ||
+      us(col(tsCol)) - us(prev) > gapMinutes * 60L * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("session_idx",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .drop("__brk")
+  }
+
+  /** Session-level rollup of [[sessionize]]: bounds, size, and purchase
+    * count per (user, session). All-integer output (epoch µs, counts),
+    * so the DuckDB mirror is exact — no timestamp-rendering or
+    * double-accumulation portability risk.
+    */
+  def sessionSummary(events: DataFrame, gapMinutes: Int,
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     idCol: String = "event_id",
+                     typeCol: String = "event_type"): DataFrame =
+    sessionize(events, gapMinutes, userCol, tsCol, idCol)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(us(col(tsCol))).as("session_start_us"),
+        max(us(col(tsCol))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col(typeCol) === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+
+  /** Backward as-of join: for each left row, the single right row with
+    * the greatest `tsCol` at-or-before the left row's `tsCol` on the same
+    * `keyCol` (point-in-time correctness — the join a feature pipeline
+    * needs to avoid lookahead leakage). Among right rows tied on ts the
+    * greatest `tieCol` wins, which makes the result total and
+    * deterministic without pre-deduplicating the right side.
+    *
+    * Implementation is the union-tag carry-forward, not a range join:
+    * both sides are tagged and interleaved into ONE per-key ordered
+    * stream (right rows sort before left at equal ts, so "at-or-before"
+    * is inclusive), and `last(_, ignoreNulls)` carries the latest right
+    * payload forward. One shuffle on the key, rows-frame window state is
+    * O(1) per row — no |left|×|right-per-key| candidate explosion, which
+    * is what sinks a naive `t1.ts <= t2.ts` theta-join at scale.
+    *
+    * `rightCols` are carried from the right side and must be disjoint
+    * from the left schema; unmatched left rows get nulls.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String, tieCol: String,
+               rightCols: Seq[String]): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one carried column")
+    val overlap = rightCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"rightCols collide with left schema: $overlap")
+
+    val lrow = struct(left.columns.map(col): _*)
+    val rv = struct(rightCols.map(col): _*)
+    val lrowType = left.select(lrow.as("x")).schema("x").dataType
+    val rvType = right.select(rv.as("x")).schema("x").dataType
+
+    val tagged = left.select(col(keyCol), col(tsCol), col(tieCol).as("__tie"),
+        lit(1).as("__side"), lrow.as("__lrow"), lit(null).cast(rvType).as("__rv"))
+      .unionByName(right.select(col(keyCol), col(tsCol), col(tieCol).as("__tie"),
+        lit(0).as("__side"), lit(null).cast(lrowType).as("__lrow"), rv.as("__rv")))
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__lrow.$c").as(c)) ++
+        rightCols.map(c => col(s"__carried.$c").as(c)): _*)
+  }
+
+  /** Ordered conversion funnel with a per-step conversion window: stage
+    * k counts users who performed `stages(k)` strictly after their stage
+    * k-1 time and within `windowMicros` of it (first qualifying event
+    * becomes the user's stage-k time). Emits (stage_idx, stage, users).
+    *
+    * Each step is a join of the event scan against the previous stage's
+    * per-user times — stage frames shrink monotonically and are at most
+    * user-count-sized (unbounded in general, so no forced broadcast:
+    * AQE picks a broadcast join when a frame is measured small). Each
+    * frame is persisted so stage k reads stage k-1's result instead of
+    * recomputing the whole chain — K stages = K passes over the
+    * type-pruned event scan, the honest trade for strict sequential
+    * semantics without a per-user event-list collect.
+    */
+  def funnelCounts(events: DataFrame, stages: Seq[String], windowMicros: Long,
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(us(col(tsCol))).as("__t"))
+    val stageFrames = stages.tail.scanLeft(first.persist()) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .select(col(userCol), us(col(tsCol)).as("__et"))
+        .join(prev.select(col(userCol), col("__t").as("__pt")), userCol)
+        .filter(col("__et") > col("__pt") && col("__et") - col("__pt") <= windowMicros)
+        .groupBy(col(userCol)).agg(min(col("__et")).as("__t"))
+        .persist()
+    }
+    stageFrames.zip(stages).zipWithIndex.map { case ((frame, stage), i) =>
+      frame.agg(count(lit(1)).as("users"))
+        .select(lit(i).as("stage_idx"), lit(stage).as("stage"), col("users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly retention cohorts: users grouped by first-activity date,
+    * counted distinct in each 7-day offset bucket they return in.
+    * Emits (cohort_date, week_offset, users). The cohort frame is an
+    * aggregate of the same scan hash-partitioned on the user key, so the
+    * join reuses that exchange rather than reshuffling it; no broadcast
+    * hint — distinct-user counts are unbounded at corpus scale, and AQE
+    * downgrades to broadcast when the measured frame is small.
+    */
+  def retentionCohorts(events: DataFrame,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val cohorts = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    events.select(col(userCol), to_date(col(tsCol)).as("__d"))
+      .join(cohorts, userCol)
+      .groupBy(col("cohort_date"),
+        floor(datediff(col("__d"), col("cohort_date")) / 7).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("users"))
+  }
+}

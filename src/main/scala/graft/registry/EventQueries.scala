@@ -1,0 +1,113 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.EventOps
+import graft.runtime.Sources
+
+/** [EXT] Event-analytics query registrations (ext/EventOps): session
+  * rollups, as-of attribution, conversion funnel, retention cohorts —
+  * each with a DuckDB oracle. Outputs are integer-only (epoch µs,
+  * counts, offsets) plus one DATE column, so the hash compare never
+  * rides on timestamp rendering or double accumulation.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sessionGapMinutes = 30
+  private val funnelStages = Seq("signup", "view", "click", "purchase")
+  private val funnelWindowUs = 24L * 3600L * 1000000L // 24h conversion window
+
+  val queries: Map[String, Q] = Map(
+    // GA-style 30-minute-idle sessions rolled up per (user, session)
+    "q_ext_sessionize" -> ((s, dir) =>
+      EventOps.sessionSummary(Sources(s, dir).events, sessionGapMinutes)),
+    // last-click attribution: each purchase joined as-of to the user's
+    // most recent at-or-before click. Unmatched → -1 sentinels (not
+    // NULL) so both engines emit non-null BIGINTs. No right-side dedup:
+    // asOfJoin's (ts, tie) ordering already picks the max event_id among
+    // ts-tied clicks, which the oracle mirrors with a QUALIFY dedup.
+    "q_ext_asof_attrib" -> ((s, dir) => {
+      val ev = Sources(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_event_id"),
+          unix_micros(col("ts")).as("click_us"))
+      EventOps.asOfJoin(purchases, clicks, "user_id", "ts", "event_id",
+          Seq("click_event_id", "click_us"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(unix_micros(col("ts")) - col("click_us"), lit(-1L)).as("lag_us"))
+    }),
+    // signup → view → click → purchase, each step within 24h of the
+    // previous (150 → 39 → 16 → 5 users at sf0.01)
+    "q_ext_funnel" -> ((s, dir) =>
+      EventOps.funnelCounts(Sources(s, dir).events, funnelStages, funnelWindowUs)),
+    // weekly retention by first-activity cohort
+    "q_ext_retention" -> ((s, dir) =>
+      EventOps.retentionCohorts(Sources(s, dir).events)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ext_sessionize" ->
+      ("""WITH g AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT user_id, ts, event_type,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM g
+         |)
+         |SELECT user_id, session_idx,
+         |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+         |  CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+         |FROM s GROUP BY 1, 2""".stripMargin),
+    "q_ext_asof_attrib" ->
+      ("""WITH c AS (
+         |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+         |), p AS (
+         |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT p.event_id, p.user_id,
+         |  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+         |  CAST(COALESCE(c.event_id, -1) AS BIGINT) AS click_event_id,
+         |  CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS lag_us
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+    "q_ext_funnel" ->
+      ("""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e JOIN s0 USING (user_id)
+         |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s0.t
+         |    AND epoch_us(e.ts) - s0.t <= 86400000000 GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+         |    AND epoch_us(e.ts) - s1.t <= 86400000000 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+         |    AND epoch_us(e.ts) - s2.t <= 86400000000 GROUP BY 1)
+         |SELECT 0 AS stage_idx, 'signup' AS stage, CAST((SELECT count(*) FROM s0) AS BIGINT) AS users
+         |UNION ALL SELECT 1, 'view', CAST((SELECT count(*) FROM s1) AS BIGINT)
+         |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+         |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin),
+    "q_ext_retention" ->
+      ("""WITH c AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1
+         |)
+         |SELECT c.cohort_date,
+         |  CAST(date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+         |FROM events e JOIN c USING (user_id)
+         |GROUP BY 1, 2""".stripMargin),
+  )
+}

@@ -190,4 +190,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"PQ refine sort-merges the corpus:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"refine join not broadcast:\n$p")
   }
+
+  test("as-of join: union carry-forward — no join operator, one shuffle") {
+    val p = plan("q_ext_asof_attrib")
+    // the whole point of the union-tag shape: point-in-time matching
+    // WITHOUT a range join — a regression to any join operator means the
+    // |left|×|right-per-key| candidate explosion is back
+    assert(!p.contains("Join"), s"as-of regressed to a join operator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash shuffle (user key):\n$p")
+  }
+
+  test("sessionize: both windows share one user-key sort; rollup partial-aggs") {
+    val p = plan("q_ext_sessionize")
+    // lag() and the running sum() use identical partitioning+ordering —
+    // a second Sort means the windows stopped sharing their exchange
+    assert("\\bSort \\[".r.findAllIn(p).size == 1,
+      s"session windows no longer share one sort:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"session rollup lost map-side partial aggregation:\n$p")
+    assert(!p.contains("props") && !p.contains("value"),
+      s"scan reads columns the sessionizer never uses:\n$p")
+  }
 }

@@ -1,0 +1,103 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, String)*): DataFrame =
+    rows.toDF("user_id", "__ts", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts")
+
+  test("sessionize: 30-min idle gap splits, id tiebreak orders, per-user isolation") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:10:00", 2L, "click"),     // 10 min gap → same session
+      (1L, "2024-01-01 00:50:00", 3L, "view"),      // 40 min gap → new session
+      (1L, "2024-01-01 01:00:00", 4L, "purchase"),
+      (2L, "2024-01-01 00:45:00", 5L, "view"))      // other user unaffected
+    val got = EventOps.sessionize(e, 30)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize: gap exactly at the threshold stays in-session") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:30:00", 2L, "view"),      // == 30 min: not > → same
+      (1L, "2024-01-01 01:00:00.000001", 3L, "view")) // 30 min + 1µs → new
+    val got = EventOps.sessionize(e, 30)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sessionSummary: hand-computed bounds and counts") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:10:00", 2L, "purchase"),
+      (1L, "2024-01-01 00:50:00", 3L, "purchase"))
+    val got = EventOps.sessionSummary(e, 30)
+      .select("user_id", "session_idx", "session_start_us", "session_end_us",
+        "n_events", "n_purchases")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    assert(got == Set(
+      (1L, 1L, base, base + 600000000L, 2L, 1L),
+      (1L, 2L, base + 3000000000L, base + 3000000000L, 1L, 1L)))
+  }
+
+  test("asOfJoin: at-or-before match, equal-ts inclusive, max-id tiebreak, null miss") {
+    val left = ev(
+      (1L, "2024-01-01 00:00:02", 100L, "p"),  // → right id 10 (ts 1)
+      (1L, "2024-01-01 00:00:05", 101L, "p"),  // → right id 13 (equal ts inclusive)
+      (1L, "2024-01-01 00:00:04", 102L, "p"),  // → right id 12 (ts-tie → max id)
+      (1L, "2024-01-01 00:00:00", 103L, "p"),  // → no match
+      (2L, "2024-01-01 00:00:09", 104L, "p"))  // other key: no key-1 leakage
+    val right = ev(
+      (1L, "2024-01-01 00:00:01", 10L, "c"),
+      (1L, "2024-01-01 00:00:03", 11L, "c"),
+      (1L, "2024-01-01 00:00:03", 12L, "c"),   // ts-tied pair: 12 must win
+      (1L, "2024-01-01 00:00:05", 13L, "c"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("matched_id"))
+    val got = EventOps.asOfJoin(left, right, "user_id", "ts", "event_id",
+        Seq("matched_id"))
+      .select("event_id", "matched_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(100L -> Some(10L), 101L -> Some(13L), 102L -> Some(12L),
+      103L -> None, 104L -> None))
+  }
+
+  test("funnelCounts: conversion window, strict ordering, missing-head exclusion") {
+    val e = ev(
+      // user 1 completes A→B→C inside the 100 s window at each step
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-01 00:00:50", 2L, "B"),
+      (1L, "2024-01-01 00:02:10", 3L, "C"),   // 80 s after B
+      // user 2: B arrives 200 s after A → outside window, stops at A
+      (2L, "2024-01-01 00:00:00", 4L, "A"),
+      (2L, "2024-01-01 00:03:20", 5L, "B"),
+      // user 3: B with no A at all → counted nowhere
+      (3L, "2024-01-01 00:00:00", 6L, "B"),
+      // user 4: B simultaneous with A → not strictly after, stops at A
+      (4L, "2024-01-01 00:00:00", 7L, "A"),
+      (4L, "2024-01-01 00:00:00", 8L, "B"))
+    val got = EventOps.funnelCounts(e, Seq("A", "B", "C"), 100L * 1000000L)
+      .select("stage_idx", "stage", "users")
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((0, "A", 3L), (1, "B", 1L), (2, "C", 1L)))
+  }
+
+  test("retentionCohorts: first-activity cohort, 7-day offset buckets") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-09 10:00:00", 2L, "view"),  // day 8 → week_offset 1
+      (1L, "2024-01-07 10:00:00", 3L, "view"),  // day 6 → still offset 0
+      (2L, "2024-01-01 23:00:00", 4L, "view"))
+    val got = EventOps.retentionCohorts(e)
+      .select(col("cohort_date").cast("string"), col("week_offset"), col("users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L)))
+  }
+}
