@@ -143,6 +143,37 @@ object EventOps {
     }.reduce(_.unionByName(_))
   }
 
+  /** Dense (user × day) activity matrix with zero-fill — the dbt_utils
+    * `date_spine` pattern: a calendar spine spanning the table's date
+    * range cross-joined with the user dimension, left-joined to the
+    * actual daily rollup, absent cells coalesced to 0. Downstream
+    * time-series ops (moving averages, churn flags) need the explicit
+    * zeros; the raw table omits silent days.
+    *
+    * Scale: the spine side IS the output (|users|·|days| rows — the
+    * caller asked for the dense matrix, there is no smaller form). The
+    * day frame is calendar-bounded by construction → broadcast; the
+    * daily rollup partial-aggregates before its shuffle; no driver-side
+    * date loop (the spine is `sequence()` + `explode`, computed on
+    * executors from a 1-row bound aggregate).
+    */
+  def dailyActivitySpine(events: DataFrame,
+                         userCol: String = "user_id", tsCol: String = "ts",
+                         typeCol: String = "event_type"): DataFrame = {
+    val days = events.agg(min(to_date(col(tsCol))).as("d0"),
+        max(to_date(col(tsCol))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = events.groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__ne"),
+        sum(when(col(typeCol) === "purchase", 1L).otherwise(0L)).as("__np"))
+    events.select(col(userCol)).distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq(userCol, "day"), "left")
+      .select(col(userCol), col("day"),
+        coalesce(col("__ne"), lit(0L)).as("n_events"),
+        coalesce(col("__np"), lit(0L)).as("n_purchases"))
+  }
+
   /** Weekly retention cohorts: users grouped by first-activity date,
     * counted distinct in each 7-day offset bucket they return in.
     * Emits (cohort_date, week_offset, users). The cohort frame is an

@@ -52,4 +52,21 @@ object Joins {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** LEFT SEMI on an arbitrary condition — SQL EXISTS. Emits left columns
+    * only, never duplicates a left row however many right rows match
+    * (which is why this is not a join-then-distinct: the semi probe stops
+    * at first match and the right side's fan-out never materializes).
+    */
+  def semiOn(left: DataFrame, right: DataFrame, cond: Column,
+             smallRight: Boolean = true): DataFrame =
+    left.join(maybeBroadcast(right, smallRight), cond, "left_semi")
+
+  /** LEFT ANTI on an arbitrary condition — SQL NOT EXISTS (equality
+    * predicates only here; null-aware NOT IN semantics are deliberately
+    * not offered — see the ingest oracle's NOT EXISTS contract).
+    */
+  def antiOn(left: DataFrame, right: DataFrame, cond: Column,
+             smallRight: Boolean = true): DataFrame =
+    left.join(maybeBroadcast(right, smallRight), cond, "left_anti")
 }

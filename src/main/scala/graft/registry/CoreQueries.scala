@@ -194,7 +194,52 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"))
   }
 
+  // ---- J4/J5: semi and anti join (EXISTS / NOT EXISTS) ---------------------
+  // Both against the urgent-order subset so each direction has a non-empty,
+  // non-total result (1297 / 203 customers at sf0.01).
+  private val j4Semi: Q = (s, dir) => {
+    val c = src(s, dir).customer
+    val urgent = src(s, dir).orders.filter(col("o_orderpriority") === "1-URGENT")
+    Joins.semiOn(c, urgent, c("c_custkey") === urgent("o_custkey"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  private val j5Anti: Q = (s, dir) => {
+    val c = src(s, dir).customer
+    val urgent = src(s, dir).orders.filter(col("o_orderpriority") === "1-URGENT")
+    Joins.antiOn(c, urgent, c("c_custkey") === urgent("o_custkey"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  // ---- W3: ranking-function battery ----------------------------------------
+  // Two windows over one partition key: (date, key) — a total order — for
+  // the positional functions, date-only for the peer-group functions
+  // (rank over a total order degenerates to row_number, so peers must be
+  // real). The (date, key) sort satisfies the date-only ordering as a
+  // prefix, so both windows share one exchange+sort. cume_dist and
+  // percent_rank are single correctly-rounded IEEE divisions of integers
+  // — bit-portable, unlike accumulated doubles.
+  private val w3Battery: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wPeer = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    src(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(wOrd).cast("long").as("rn"),
+      ntile(4).over(wOrd).cast("long").as("quartile"),
+      coalesce(lag(col("o_orderkey"), 1).over(wOrd), lit(-1L)).as("prev_order"),
+      coalesce(lead(col("o_orderkey"), 1).over(wOrd), lit(-1L)).as("next_order"),
+      rank().over(wPeer).cast("long").as("rnk"),
+      dense_rank().over(wPeer).cast("long").as("drnk"),
+      cume_dist().over(wPeer).as("cd"),
+      percent_rank().over(wPeer).as("pr"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_j4_semi"         -> j4Semi,
+    "q_j5_anti"         -> j5Anti,
+    "q_w3_battery"      -> w3Battery,
     "q_a1_dual_count_approx" -> a1Approx,
     "q_j_salted_skew"   -> jSaltedSkew,
     "q_s1_scan_project" -> s1Scan,
@@ -225,6 +270,27 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_j4_semi" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer c " +
+       "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+       "AND o.o_orderpriority = '1-URGENT')"),
+    "q_j5_anti" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer c " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+       "AND o.o_orderpriority = '1-URGENT')"),
+    "q_w3_battery" ->
+      ("""SELECT o_orderkey, o_custkey,
+         |  CAST(row_number() OVER wo AS BIGINT) AS rn,
+         |  CAST(ntile(4) OVER wo AS BIGINT) AS quartile,
+         |  CAST(COALESCE(lag(o_orderkey) OVER wo, -1) AS BIGINT) AS prev_order,
+         |  CAST(COALESCE(lead(o_orderkey) OVER wo, -1) AS BIGINT) AS next_order,
+         |  CAST(rank() OVER wp AS BIGINT) AS rnk,
+         |  CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+         |  cume_dist() OVER wp AS cd,
+         |  percent_rank() OVER wp AS pr
+         |FROM orders
+         |WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         |       wp AS (PARTITION BY o_custkey ORDER BY o_orderdate)""".stripMargin),
     "q_a1_dual_count_approx" ->
       ("SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS total_visits, " +
        "TRUE AS within_bound FROM events GROUP BY 1, 2"),

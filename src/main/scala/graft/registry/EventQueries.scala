@@ -50,6 +50,9 @@ object EventQueries {
     // weekly retention by first-activity cohort
     "q_ext_retention" -> ((s, dir) =>
       EventOps.retentionCohorts(Sources(s, dir).events)),
+    // dense user×day matrix with zero-fill (494 silent cells at sf0.01)
+    "q_ext_date_spine" -> ((s, dir) =>
+      EventOps.dailyActivitySpine(Sources(s, dir).events)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -109,5 +112,22 @@ object EventQueries {
          |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
          |FROM events e JOIN c USING (user_id)
          |GROUP BY 1, 2""".stripMargin),
+    "q_ext_date_spine" ->
+      ("""WITH b AS (
+         |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+         |), days AS (
+         |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+         |), u AS (
+         |  SELECT DISTINCT user_id FROM events
+         |), daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS ne,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT u.user_id, days.day,
+         |  CAST(COALESCE(d.ne, 0) AS BIGINT) AS n_events,
+         |  CAST(COALESCE(d.np, 0) AS BIGINT) AS n_purchases
+         |FROM u CROSS JOIN days
+         |LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day""".stripMargin),
   )
 }

@@ -89,6 +89,19 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Set((0, "A", 3L), (1, "B", 1L), (2, "C", 1L)))
   }
 
+  test("dailyActivitySpine: silent days zero-filled across the full range") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase"),
+      (1L, "2024-01-03 10:00:00", 2L, "view"),   // user 1 silent on the 2nd
+      (2L, "2024-01-02 10:00:00", 3L, "view"))   // user 2 silent on 1st and 3rd
+    val got = EventOps.dailyActivitySpine(e)
+      .select(col("user_id"), col("day").cast("string"), col("n_events"), col("n_purchases"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 1L, 1L), (1L, "2024-01-02", 0L, 0L), (1L, "2024-01-03", 1L, 0L),
+      (2L, "2024-01-01", 0L, 0L), (2L, "2024-01-02", 1L, 0L), (2L, "2024-01-03", 0L, 0L)))
+  }
+
   test("retentionCohorts: first-activity cohort, 7-day offset buckets") {
     val e = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),
