@@ -260,6 +260,35 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming sessionization: the continuous form of
+    * [[graft.ext.EventOps.sessionSummary]] via `session_window` — Spark
+    * merges per-key event windows that overlap within `gapMinutes`, ACROSS
+    * micro-batches, and finalizes a session once the watermark passes its
+    * close (append mode), so state is bounded by OPEN sessions only, not
+    * history. Emits the batch rollup's columns minus `session_idx` (a
+    * stream cannot number a user's sessions 1..k without total history;
+    * the (start, end) pair is the session identity here).
+    *
+    * Boundary convention: `session_window` merges on gap < threshold
+    * (half-open event windows), the batch op on gap <= threshold — the
+    * two differ ONLY for an event landing exactly `gapMinutes` after its
+    * predecessor, measure-zero at µs resolution (the fixtures contain no
+    * such tie; SessionStreamSpec pins fixture equivalence).
+    */
+  def sessionRollup(events: DataFrame, gapMinutes: Int, delay: String = "1 hour",
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), s"$gapMinutes minutes"), col(userCol))
+      .agg(
+        min(unix_micros(col(tsCol))).as("session_start_us"),
+        max(unix_micros(col(tsCol))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col(typeCol) === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .select(col(userCol), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("n_purchases"))
 }
 
 /** One attribution-relevant event (typed for the stateful path). */

@@ -33,6 +33,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionRollup merges a session across micro-batches, splits past the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val q = StreamingOps.sessionRollup(events, 30, delay = "1 minute").writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L, 1L, "view"),
+        (ts("2024-01-01 10:10:00"), 1L, 2L, "purchase"))
+      q.processAllAvailable()
+      // batch 2 EXTENDS the open session (10:20 is within 30 min of 10:10),
+      // then starts a second one at 12:00
+      in.addData((ts("2024-01-01 10:20:00"), 1L, 3L, "view"),
+        (ts("2024-01-01 12:00:00"), 1L, 4L, "view"))
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark so every session closes
+      in.addData((ts("2030-01-01 00:00:00"), -999L, 99L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").filter(col("user_id") =!= -999L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val base = 1704103200000000L // 2024-01-01 10:00:00 UTC µs
+      assert(got == Set(
+        (1L, base, base + 1200000000L, 3L, 1L),
+        (1L, base + 7200000000L, base + 7200000000L, 1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("sessionRollup over the fixture equals the batch sessionSummary") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.runtime.Sources(spark, "/root/testdata/sf0.001").events
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+    val rows = fixture.as[(java.sql.Timestamp, Long, Long, String)].collect()
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val q = StreamingOps.sessionRollup(events, 30, delay = "1 minute").writeStream
+      .format("memory").queryName("sess_fix_out").outputMode("append").start()
+    try {
+      in.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData((ts("2030-01-01 00:00:00"), -999L, -1L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_fix_out").filter(col("user_id") =!= -999L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.ext.EventOps.sessionSummary(fixture, 30)
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("n_purchases"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch diverge: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("upsertSink materializes micro-batches identically to the batch rerun") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_streamsink_").toString
