@@ -174,6 +174,57 @@ object EventOps {
         coalesce(col("__np"), lit(0L)).as("n_purchases"))
   }
 
+  /** Per-key forward fill (LOCF — last observation carried forward):
+    * `filled` is the most recent non-null `valueCol` at-or-before each
+    * row in `orderCol` order within its partition, `default` before the
+    * first observation. The standard densify step after a spine join:
+    * nulls mark missing observations, LOCF rolls the last real one
+    * forward. One window over the partition keys — same single-shuffle
+    * shape as [[sessionize]].
+    */
+  def forwardFill(df: DataFrame, partCols: Seq[String], orderCol: String,
+                  valueCol: String, default: Column): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("filled",
+      coalesce(last(col(valueCol), ignoreNulls = true).over(w), default))
+  }
+
+  /** Keyless interval-containment join: each point row pairs with every
+    * interval containing its timestamp (`startCol <= ts <= endCol`).
+    * Written as a BETWEEN theta-join this is a nested-loop/cartesian at
+    * any scale; here both sides key on fixed-width time buckets — the
+    * point by its bucket, the interval EXPLODED over the buckets it
+    * spans — so the planner runs a plain equi-join (shuffle or
+    * broadcast) and the residual BETWEEN only filters within-bucket
+    * candidates. Each qualifying pair emerges exactly once (a point has
+    * exactly one bucket). `intervalCols` are carried from the interval
+    * side and must be disjoint from the point schema.
+    *
+    * Sizing: intervals replicate ceil(span/bucketWidth)+1 ways — pick
+    * `bucketWidthUs` near the typical span so replication stays O(1).
+    * A burst bucket (many points + many intervals in one window) is the
+    * skew-join case AQE splits; the residual filter still bounds output
+    * to true containments.
+    */
+  def intervalJoin(points: DataFrame, ptTsCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   intervalCols: Seq[String], bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, s"bucketWidthUs must be positive: $bucketWidthUs")
+    val overlap = (intervalCols :+ startCol :+ endCol).toSet.intersect(points.columns.toSet)
+    require(overlap.isEmpty, s"interval columns collide with point schema: $overlap")
+    val p = points.withColumn("__b", floor(us(col(ptTsCol)) / bucketWidthUs))
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .select((intervalCols :+ startCol :+ endCol).map(col): _*)
+      .withColumn("__b", explode(sequence(
+        floor(us(col(startCol)) / bucketWidthUs),
+        floor(us(col(endCol)) / bucketWidthUs))))
+    p.join(iv, "__b")
+      .filter(col(ptTsCol) >= col(startCol) && col(ptTsCol) <= col(endCol))
+      .drop("__b", startCol, endCol)
+  }
+
   /** Weekly retention cohorts: users grouped by first-activity date,
     * counted distinct in each 7-day offset bucket they return in.
     * Emits (cohort_date, week_offset, users). The cohort frame is an

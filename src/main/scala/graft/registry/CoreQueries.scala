@@ -236,7 +236,26 @@ object CoreQueries {
       percent_rank().over(wPeer).as("pr"))
   }
 
+  // ---- A6: ROLLUP with grouping indicator ----------------------------------
+  // Subtotal lattice over the region-segment rollup; rolled-up cells are
+  // disambiguated by grouping_id (bit order: first rollup column most
+  // significant, same as GROUPING(r)*2+GROUPING(seg)), and the NULL
+  // grouping placeholders are coalesced to 'ALL' so the compare never
+  // rides on engine null-sort/render conventions.
+  private val a6Rollup: Q = (s, dir) => {
+    val src0 = src(s, dir)
+    src0.customer
+      .join(broadcast(src0.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(src0.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("c_mktsegment"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("customers"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("gid"), col("customers"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_a6_rollup"       -> a6Rollup,
     "q_j4_semi"         -> j4Semi,
     "q_j5_anti"         -> j5Anti,
     "q_w3_battery"      -> w3Battery,
@@ -270,6 +289,15 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_a6_rollup" ->
+      ("""SELECT COALESCE(r.r_name, 'ALL') AS region,
+         |  COALESCE(c.c_mktsegment, 'ALL') AS segment,
+         |  CAST(GROUPING(r.r_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+         |  count(*) AS customers
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY ROLLUP (r.r_name, c.c_mktsegment)""".stripMargin),
     "q_j4_semi" ->
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer c " +
        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +

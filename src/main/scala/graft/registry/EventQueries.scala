@@ -53,6 +53,28 @@ object EventQueries {
     // dense user×day matrix with zero-fill (494 silent cells at sf0.01)
     "q_ext_date_spine" -> ((s, dir) =>
       EventOps.dailyActivitySpine(Sources(s, dir).events)),
+    // LOCF densify over the spine: silent days carry the last active
+    // day's count forward; -1 before a user's first activity
+    "q_ext_locf" -> ((s, dir) => {
+      val spine = EventOps.dailyActivitySpine(Sources(s, dir).events)
+        .withColumn("__v", when(col("n_events") > 0, col("n_events")))
+      EventOps.forwardFill(spine, Seq("user_id"), "day", "__v", lit(-1L))
+        .select(col("user_id"), col("day"), col("filled"))
+    }),
+    // keyless containment join: platform-wide events inside each user's
+    // first-72h window, counted per window. Day buckets ≈ span/3 →
+    // each interval replicates 4-5 ways; residual BETWEEN filters
+    // within-bucket candidates.
+    "q_ext_interval_join" -> ((s, dir) => {
+      val ev = Sources(s, dir).events
+      val iv = ev.groupBy(col("user_id").as("iv_user"))
+        .agg(min(col("ts")).as("iv_start"))
+        .withColumn("iv_end", col("iv_start") + expr("INTERVAL 72 HOURS"))
+      EventOps.intervalJoin(ev.select("event_id", "ts"), "ts",
+          iv, "iv_start", "iv_end", Seq("iv_user"), 86400000000L)
+        .groupBy(col("iv_user"))
+        .agg(count(lit(1)).as("n_ctx_events"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -129,5 +151,30 @@ object EventQueries {
          |  CAST(COALESCE(d.np, 0) AS BIGINT) AS n_purchases
          |FROM u CROSS JOIN days
          |LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day""".stripMargin),
+    "q_ext_locf" ->
+      ("""WITH b AS (
+         |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+         |), days AS (
+         |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+         |), u AS (
+         |  SELECT DISTINCT user_id FROM events
+         |), daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS ne
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT u.user_id, days.day,
+         |  CAST(COALESCE(last_value(d.ne IGNORE NULLS) OVER
+         |    (PARTITION BY u.user_id ORDER BY days.day
+         |     ROWS UNBOUNDED PRECEDING), -1) AS BIGINT) AS filled
+         |FROM u CROSS JOIN days
+         |LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day""".stripMargin),
+    "q_ext_interval_join" ->
+      ("""WITH iv AS (
+         |  SELECT user_id AS iv_user, min(ts) AS s, min(ts) + INTERVAL 72 HOUR AS e
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT iv.iv_user, count(*) AS n_ctx_events
+         |FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts <= iv.e
+         |GROUP BY 1""".stripMargin),
   )
 }

@@ -201,6 +201,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one hash shuffle (user key):\n$p")
   }
 
+  test("interval join: bucketed equi-join — never nested-loop or cartesian") {
+    val p = plan("q_ext_interval_join")
+    // a BETWEEN theta-join plans as BroadcastNestedLoopJoin (or worse);
+    // the bucket key must turn it into a plain equi-join with the
+    // containment as a residual within-bucket filter
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join regressed to a scan-by-scan candidate sweep:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on the bucket key found:\n$p")
+  }
+
   test("sessionize: both windows share one user-key sort; rollup partial-aggs") {
     val p = plan("q_ext_sessionize")
     // lag() and the running sum() use identical partitioning+ordering —

@@ -102,6 +102,45 @@ class EventOpsSpec extends SparkSpec {
       (2L, "2024-01-01", 0L, 0L), (2L, "2024-01-02", 1L, 0L), (2L, "2024-01-03", 0L, 0L)))
   }
 
+  test("forwardFill: carries last observation, default before the first") {
+    val df = Seq(
+      (1L, 1, Some(10L)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(7L)),
+      (2L, 1, None), (2L, 2, Some(5L)))
+      .toDF("k", "ord", "v")
+    val got = EventOps.forwardFill(df, Seq("k"), "ord", "v", lit(-1L))
+      .select("k", "ord", "filled").as[(Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1, 10L), (1L, 2, 10L), (1L, 3, 10L), (1L, 4, 7L),
+      (2L, 1, -1L), (2L, 2, 5L)))
+  }
+
+  test("intervalJoin: inclusive bounds, multi-bucket spans, exactly-once pairs") {
+    val points = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "p"),   // == interval A start
+      (1L, "2024-01-02 12:00:00", 2L, "p"),   // strictly inside A (bucket 2)
+      (1L, "2024-01-03 00:00:00", 3L, "p"),   // == interval A end
+      (1L, "2024-01-03 00:00:01", 4L, "p"),   // 1s past A's end → only B
+      (9L, "2023-12-30 00:00:00", 5L, "p"))   // before everything
+      .select("event_id", "ts")
+    val iv = Seq(
+      ("A", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),  // spans 3 day-buckets
+      ("B", "2024-01-02 00:00:00", "2024-01-04 00:00:00"))
+      .toDF("iv_id", "__s", "__e")
+      .select(col("iv_id"), to_timestamp(col("__s")).as("s"), to_timestamp(col("__e")).as("e"))
+    val got = EventOps.intervalJoin(points, "ts", iv, "s", "e",
+        Seq("iv_id"), 86400000000L)
+      .groupBy("event_id").agg(sort_array(collect_list(col("iv_id"))).as("ids"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == Map(1L -> Seq("A"), 2L -> Seq("A", "B"), 3L -> Seq("A", "B"),
+      4L -> Seq("B")))
+    // exactly-once: no event pairs with the same interval twice even though
+    // interval A spans three of the event's candidate buckets
+    val dup = EventOps.intervalJoin(points, "ts", iv, "s", "e",
+        Seq("iv_id"), 86400000000L)
+      .groupBy("event_id", "iv_id").count().filter(col("count") > 1).count()
+    assert(dup == 0L)
+  }
+
   test("retentionCohorts: first-activity cohort, 7-day offset buckets") {
     val e = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),
