@@ -3,7 +3,7 @@ package graft.registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Joins
-import graft.runtime.{Bucketing, Sources}
+import graft.runtime.{Bucketing, Clustering, Sources}
 
 /** Broad relational coverage over the TPC-H-shaped fixtures
   * (lineitem/orders/customer/nation/region, FIXTURES.md §B): the
@@ -73,7 +73,46 @@ object RelationalQueries {
     (Bucketing.read(s, li), Bucketing.read(s, ord))
   }
 
+  // Range-clustered events copy per (session, sf dir) — the data-skipping
+  // seam (runtime/Clustering): written once, time-ordered 8 ways, so the
+  // range scan below reads ~1/8 of the row groups. Same holder discipline
+  // as BucketedHolder.
+  private final class ClusteredHolder(s: SparkSession, dir: String) {
+    lazy val path: String = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
+      val out = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"clu_events_$tag").toString
+      Clustering.writeClustered(
+        Sources(s, dir).events.select("event_id", "ts", "user_id", "event_type"),
+        out, 8, Seq("ts"))
+      out
+    }
+  }
+  private val clustered =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), ClusteredHolder]()
+  private def clusteredEvents(s: SparkSession, dir: String): DataFrame = {
+    val holder = clustered.synchronized {
+      clustered.keys.filter(_._1.sparkContext.isStopped).toList.foreach(clustered.remove)
+      clustered.getOrElseUpdate((s, dir), new ClusteredHolder(s, dir))
+    }
+    Clustering.read(s, holder.path)
+  }
+
   val queries: Map[String, Q] = Map(
+    // time-range scan THROUGH the clustered layout: the ts predicate is
+    // evaluated against row-group min/max stats before decode, so only
+    // the files whose range overlaps the 3-day window are read
+    // (ClusteringSpec measures the skip; the oracle only cares that the
+    // layout is semantics-preserving)
+    "q_rel_clustered_scan" -> ((s, dir) =>
+      clusteredEvents(s, dir)
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-13 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("uniq"))),
     // TPC-H Q1-style pricing summary: the widest scan + densest agg
     "q_rel_pricing_summary" -> ((s, dir) =>
       Sources(s, dir).lineitem
@@ -139,6 +178,12 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rel_clustered_scan" ->
+      ("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS uniq
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+         |GROUP BY 1""".stripMargin),
     "q_rel_bucketed_join" ->
       ("""SELECT o_orderpriority,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -57,6 +57,15 @@ object Sources {
   def bootstrap(spark: SparkSession): SparkSession = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    // Write timestamps as INT64 micros, not the legacy INT96 default:
+    // INT96 carries no usable min/max statistics and no predicate
+    // pushdown, which silently disables row-group skipping on every
+    // time-clustered table the engine writes (measured in
+    // ClusteringSpec). Micros is also what the fixture data and DuckDB
+    // round-trip losslessly.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    if (!spark.conf.getOption(tsKey).contains("TIMESTAMP_MICROS"))
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     spark
   }
 }
