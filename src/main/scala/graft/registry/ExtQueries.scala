@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -607,6 +607,14 @@ object ExtQueries {
           idCol = "vec_id", dropCol = "vec_b")
         .select(col("vec_id"), col("label"))
     }),
+    // Misra-Gries heavy hitters: MG candidates re-counted exactly and
+    // integer-thresholded — equals the exhaustive group-by answer by the
+    // no-false-negative guarantee (30 of ~1000s of tokens at sf0.01)
+    "q_ext_heavy_hitters" -> ((s, dir) =>
+      SketchOps.heavyHitters(
+        Sources(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("t")),
+        col("t"), 64)),
     "q_ext_json_extract" -> ((s, dir) =>
       Sources(s, dir).events
         .select(col("event_id"),
@@ -1255,6 +1263,11 @@ object ExtQueries {
          |       list_cosine_similarity(a.v, b.v) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin),
+    "q_ext_heavy_hitters" ->
+      (s"""WITH toks AS (SELECT unnest($toksSql) AS t FROM documents),
+         |n AS (SELECT count(*) AS n FROM toks)
+         |SELECT t, count(*) AS c FROM toks, n
+         |GROUP BY t, n.n HAVING count(*) * 65 > n.n""".stripMargin),
     "q_ext_json_extract" ->
       ("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin),
