@@ -190,6 +190,36 @@ object EventOps {
       coalesce(last(col(valueCol), ignoreNulls = true).over(w), default))
   }
 
+  /** Per-key linear interpolation between observations — LOCF's other
+    * half: a missing cell takes the straight line between the nearest
+    * observation before and after it (by `posCol` distance); before the
+    * first / after the last observation it takes the nearest one. Two
+    * mirrored windows (carry-back + carry-forward) over one partition
+    * key — Catalyst plans one exchange with two sorts. Emits `interp`
+    * (double). The arithmetic per cell is a handful of individually
+    * correctly-rounded IEEE ops on exact inputs, so it is bit-portable —
+    * no accumulated float state.
+    */
+  def interpolateLinear(df: DataFrame, partCols: Seq[String], posCol: String,
+                        valueCol: String): DataFrame = {
+    val back = Window.partitionBy(partCols.map(col): _*).orderBy(col(posCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(partCols.map(col): _*).orderBy(col(posCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsPos = when(col(valueCol).isNotNull, col(posCol))
+    val pv = last(col(valueCol), ignoreNulls = true).over(back)
+    val pp = last(obsPos, ignoreNulls = true).over(back)
+    val nv = first(col(valueCol), ignoreNulls = true).over(fwd)
+    val np = first(obsPos, ignoreNulls = true).over(fwd)
+    df.withColumn("interp",
+      when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+        .when(pv.isNull, nv.cast("double"))
+        .when(nv.isNull, pv.cast("double"))
+        .otherwise(pv.cast("double") +
+          (nv.cast("double") - pv.cast("double")) *
+            ((col(posCol) - pp).cast("double") / (np - pp).cast("double"))))
+  }
+
   /** Keyless interval-containment join: each point row pairs with every
     * interval containing its timestamp (`startCol <= ts <= endCol`).
     * Written as a BETWEEN theta-join this is a nested-loop/cartesian at

@@ -61,6 +61,16 @@ object EventQueries {
       EventOps.forwardFill(spine, Seq("user_id"), "day", "__v", lit(-1L))
         .select(col("user_id"), col("day"), col("filled"))
     }),
+    // linear interpolation across silent days (LOCF's other half):
+    // missing cells take the straight line between surrounding
+    // observations, nearest-edge outside them
+    "q_ext_interpolate" -> ((s, dir) => {
+      val spine = EventOps.dailyActivitySpine(Sources(s, dir).events)
+        .withColumn("__v", when(col("n_events") > 0, col("n_events")))
+        .withColumn("__pos", datediff(col("day"), to_date(lit("1970-01-01"))))
+      EventOps.interpolateLinear(spine, Seq("user_id"), "__pos", "__v")
+        .select(col("user_id"), col("day"), col("interp"))
+    }),
     // keyless containment join: platform-wide events inside each user's
     // first-72h window, counted per window. Day buckets ≈ span/3 →
     // each interval replicates 4-5 ways; residual BETWEEN filters
@@ -168,6 +178,39 @@ object EventQueries {
          |     ROWS UNBOUNDED PRECEDING), -1) AS BIGINT) AS filled
          |FROM u CROSS JOIN days
          |LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day""".stripMargin),
+    "q_ext_interpolate" ->
+      ("""WITH b AS (
+         |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+         |), days AS (
+         |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+         |), u AS (
+         |  SELECT DISTINCT user_id FROM events
+         |), daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS ne
+         |  FROM events GROUP BY 1, 2
+         |), sp AS (
+         |  SELECT u.user_id, days.day, d.ne,
+         |    date_diff('day', DATE '1970-01-01', days.day) AS pos
+         |  FROM u CROSS JOIN days
+         |  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day
+         |), win AS (
+         |  SELECT *,
+         |    last_value(ne IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN ne IS NOT NULL THEN pos END IGNORE NULLS) OVER wb AS pp,
+         |    first_value(ne IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN ne IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+         |  FROM sp
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY pos ROWS UNBOUNDED PRECEDING),
+         |         wf AS (PARTITION BY user_id ORDER BY pos
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT user_id, day,
+         |  CASE WHEN ne IS NOT NULL THEN CAST(ne AS DOUBLE)
+         |       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+         |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+         |       ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+         |         (CAST(pos - pp AS DOUBLE) / CAST(np - pp AS DOUBLE)) END AS interp
+         |FROM win""".stripMargin),
     "q_ext_interval_join" ->
       ("""WITH iv AS (
          |  SELECT user_id AS iv_user, min(ts) AS s, min(ts) + INTERVAL 72 HOUR AS e

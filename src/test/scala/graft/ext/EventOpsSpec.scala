@@ -114,6 +114,19 @@ class EventOpsSpec extends SparkSpec {
       (2L, 1, -1L), (2L, 2, 5L)))
   }
 
+  test("interpolateLinear: straight line between observations, nearest at edges") {
+    val df = Seq(
+      (1L, 0, Some(10L)), (1L, 1, None), (1L, 2, None), (1L, 3, Some(4L)),
+      (1L, 4, None),                       // trailing → carries 4
+      (2L, 0, None), (2L, 1, Some(5L)))    // leading → carries 5
+      .toDF("k", "pos", "v")
+    val got = EventOps.interpolateLinear(df, Seq("k"), "pos", "v")
+      .select("k", "pos", "interp").as[(Long, Int, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 10.0), (1L, 1, 8.0), (1L, 2, 6.0), (1L, 3, 4.0), (1L, 4, 4.0),
+      (2L, 0, 5.0), (2L, 1, 5.0)))
+  }
+
   test("intervalJoin: inclusive bounds, multi-bucket spans, exactly-once pairs") {
     val points = ev(
       (1L, "2024-01-01 00:00:00", 1L, "p"),   // == interval A start
