@@ -1,7 +1,7 @@
 package graft.runtime
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Range-clustered table layout (the data-skipping seam): at write time,
   * `repartitionByRange` sends each row to the file owning its key range
@@ -37,4 +37,59 @@ object Clustering {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Spread the low 16 bits of `v` into the even bit positions (the
+    * classic 4-step mask-shift morton expansion), as pure Column long
+    * arithmetic — codegen-friendly, no UDF.
+    */
+  private def spreadBits(v: Column): Column = {
+    val s1 = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Two-dimensional Z-order (morton) layout: each sort column is
+    * normalized to a 16-bit bucket over its observed [min, max] and the
+    * bucket bits are interleaved, so file/row-group ranges of the morton
+    * code cover axis-aligned RECTANGLES of the (x, y) domain. A range
+    * predicate on EITHER column then overlaps only the files whose
+    * rectangle intersects it — the property single-column clustering
+    * lacks (its non-lead column is scattered across every file, so stats
+    * never exclude anything; measured both ways in ClusteringSpec).
+    *
+    * Column min/max come from one 2-row-ish aggregate collected on the
+    * driver (two scalars per column — bounded by construction). Bucket
+    * arithmetic divides BEFORE multiplying (step = ceil(range/2^16)), so
+    * epoch-µs magnitudes cannot overflow a long.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    xCol: Column, yCol: Column): Unit = {
+    val Array(row) = df.agg(
+      min(xCol.cast("long")).as("x0"), max(xCol.cast("long")).as("x1"),
+      min(yCol.cast("long")).as("y0"), max(yCol.cast("long")).as("y1")).collect()
+    // Both dimensions must occupy the SAME bit width or interleaving is
+    // pointless: a narrow domain (150 user ids) left at its natural 8
+    // bits under a 16-bit timestamp makes every high morton bit a
+    // timestamp bit and the layout degenerates to single-dim time order
+    // (caught by ClusteringSpec's user-predicate gate). Small ranges
+    // scale UP (multiply first — product ≤ range·65535 < 2^53, exact in
+    // the double division), large ranges scale DOWN (divide first, no
+    // overflow at epoch-µs magnitudes).
+    def bucket(c: Column, lo: Long, hi: Long): Column = {
+      val range = math.max(1L, hi - lo)
+      val v = c.cast("long") - lit(lo)
+      if (range <= (1L << 31))
+        floor(v * lit(65535L) / lit(range)).cast("long")
+      else
+        floor(v / lit(range / 65536L + 1L)).cast("long")
+    }
+    val morton = spreadBits(bucket(xCol, row.getLong(0), row.getLong(1)))
+      .bitwiseOR(shiftleft(spreadBits(bucket(yCol, row.getLong(2), row.getLong(3))), 1))
+    df.withColumn("__z", morton)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

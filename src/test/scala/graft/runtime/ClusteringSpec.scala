@@ -23,6 +23,37 @@ class ClusteringSpec extends SparkSpec {
     (scanned, matched)
   }
 
+  test("z-order skips on BOTH dimensions; single-dim clustering only on its lead") {
+    val ev = Sources(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type")
+    val total = ev.count()
+    val base = java.nio.file.Files.createTempDirectory("graft_z_").toString
+    Clustering.writeClustered(ev, s"$base/ts_only", 8, Seq("ts"))
+    Clustering.writeZOrdered(ev, s"$base/z", 8, col("user_id"), col("ts"))
+
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
+    }
+    val tsPred = col("ts") >= lit(lo) && col("ts") < lit(hi)
+    // sf0.001 has users 0..14 — the predicate must be narrow IN THAT
+    // domain (a quarter of it) for file rectangles to fall outside it
+    val userPred = col("user_id") < 4
+
+    // ts-clustered layout: skips on ts, but user_id is scattered through
+    // every file, so a user predicate can exclude nothing
+    assert(scanned(s"$base/ts_only", tsPred) * 2 < total)
+    assert(scanned(s"$base/ts_only", userPred) == total,
+      "ts-clustered layout unexpectedly skipped on the non-lead column")
+    // z-ordered layout: each file covers a (user, ts) rectangle — both
+    // predicates exclude the files whose rectangle misses them
+    val zTs = scanned(s"$base/z", tsPred)
+    val zUser = scanned(s"$base/z", userPred)
+    assert(zTs * 4 < total * 3, s"z-order failed to skip on ts: $zTs of $total")
+    assert(zUser * 4 < total * 3, s"z-order failed to skip on user_id: $zUser of $total")
+  }
+
   test("range clustering skips row groups; scatter layout decodes everything") {
     val ev = Sources(spark, "/root/testdata/sf0.001").events
       .select("event_id", "ts", "user_id", "event_type")
