@@ -261,6 +261,85 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming funnel progress — sequential pattern matching per user
+    * with HONEST out-of-order handling: an event may only advance the
+    * user's stage machine once the watermark guarantees nothing earlier
+    * can still arrive. Each trigger buffers its events in state; events
+    * at-or-below the current watermark are drained in event-time order
+    * through the machine (stage k+1 requires its event strictly after
+    * the stage-k time and within `windowMicros` of it — exactly
+    * [[graft.ext.EventOps.funnelCounts]]'s contract); later events stay
+    * buffered. An event-time timeout set to the newest buffered event
+    * guarantees a final drain even if the user never appears again.
+    *
+    * `delay` is the allowed-lateness contract, enforced by the runtime
+    * BEFORE this operator: an event arriving more than `delay` behind
+    * the stream's max event time is dropped by the watermark, exactly
+    * as in every other stateful path here — choose `delay` at least the
+    * maximum expected disorder, because within it ordering is fully
+    * repaired and beyond it events never reach the machine
+    * (StreamingSpec pins batch-equivalence under whole-stream shuffling
+    * with a delay spanning the disorder).
+    *
+    * Emits one row per stage ADVANCE (append semantics — an advance,
+    * once emitted, can never be retracted because only watermark-mature
+    * events drive it). State per user is the stage machine plus only
+    * the not-yet-mature buffer — bounded by the user's events inside
+    * the watermark delay, not history.
+    */
+  def funnelProgress(events: Dataset[FunnelEvent], stages: Seq[String],
+                     windowMicros: Long,
+                     delay: String = "10 seconds"): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val session = events.sparkSession
+    import session.implicits._
+
+    def drain(key: Long, st: FunnelState, wmMicros: Long):
+        (FunnelState, List[FunnelAdvance]) = {
+      val (mature, pending) = st.buffer.partition(_._1 <= wmMicros)
+      var stage = st.stage
+      var stageTs = st.stageTs
+      val out = scala.collection.mutable.ListBuffer[FunnelAdvance]()
+      mature.sortBy(identity).foreach { case (ts, tpe) =>
+        if (stage < 0) {
+          if (tpe == stages.head) {
+            stage = 0; stageTs = ts
+            out += FunnelAdvance(key, 0, stages.head, ts)
+          }
+        } else if (stage + 1 < stages.length && tpe == stages(stage + 1) &&
+            ts > stageTs && ts - stageTs <= windowMicros) {
+          stage += 1; stageTs = ts
+          out += FunnelAdvance(key, stage, stages(stage), ts)
+        }
+      }
+      (FunnelState(pending, stage, stageTs), out.toList)
+    }
+
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val prior = state.getOption.getOrElse(FunnelState(Nil, -1, 0L))
+          val buffered = prior.copy(
+            buffer = prior.buffer ++ it.map(e => (unixMicrosOf(e.ts), e.eventType)))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (next, out) = drain(key, buffered, wm)
+          state.update(next)
+          // a timer at the newest buffered event fires once the watermark
+          // passes it, draining stragglers without another arrival
+          next.buffer.map(_._1).maxOption.foreach { newest =>
+            state.setTimeoutTimestamp(newest / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
+
+  private def unixMicrosOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
   /** Streaming sessionization: the continuous form of
     * [[graft.ext.EventOps.sessionSummary]] via `session_window` — Spark
     * merges per-key event windows that overlap within `gapMinutes`, ACROSS
@@ -294,3 +373,12 @@ object StreamingOps {
 /** One attribution-relevant event (typed for the stateful path). */
 case class TouchEvent(domainUserid: String, eventId: String, paidRank: Int,
                       tstampMicros: Long, mktCampaign: String)
+
+/** One funnel-relevant event (typed for the stateful funnel path). */
+case class FunnelEvent(userId: Long, ts: java.sql.Timestamp, eventType: String)
+
+/** Stage machine + not-yet-watermark-mature buffer for one user. */
+case class FunnelState(buffer: List[(Long, String)], stage: Int, stageTs: Long)
+
+/** One emitted stage advancement. */
+case class FunnelAdvance(userId: Long, stageIdx: Int, stage: String, tsMicros: Long)

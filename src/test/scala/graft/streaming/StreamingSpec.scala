@@ -88,6 +88,81 @@ class StreamingSpec extends SparkSpec {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("funnelProgress: out-of-order arrival, watermark-gated advances, timer drain") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    // 10-min allowed lateness: the cross-batch disorder below is 50 s,
+    // so every event stays inside the watermark and ordering is repaired
+    val q = StreamingOps.funnelProgress(in.toDS(), Seq("A", "B", "C"),
+        100L * 1000000L, delay = "10 minutes").writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // user 1's B arrives BEFORE its A (out of order across batches);
+      // user 2's B is outside the 100 s window
+      in.addData(FunnelEvent(1L, ts("2024-01-01 00:00:50"), "B"),
+        FunnelEvent(2L, ts("2024-01-01 00:00:00"), "A"))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(1L, ts("2024-01-01 00:00:00"), "A"),
+        FunnelEvent(1L, ts("2024-01-01 00:02:10"), "C"),
+        FunnelEvent(2L, ts("2024-01-01 00:03:20"), "B"))
+      q.processAllAvailable()
+      // sentinel advances the watermark past every buffered event so the
+      // event-time timers drain the stage machines
+      in.addData(FunnelEvent(-999L, ts("2024-01-01 01:00:00"), "A"))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(-999L, ts("2024-01-01 02:00:00"), "A"))
+      q.processAllAvailable()
+
+      val got = spark.table("funnel_out").filter(col("userId") =!= -999L)
+        .as[FunnelAdvance].collect()
+        .groupBy(_.userId).view.mapValues(_.map(a => (a.stageIdx, a.stage)).toSet).toMap
+      // user 1: A@0 then B@50 chain despite reversed arrival; C@130 is
+      // 80 s after B → inside the window
+      assert(got(1L) == Set((0, "A"), (1, "B"), (2, "C")))
+      // user 2: B 200 s after A → never advances past stage 0
+      assert(got(2L) == Set((0, "A")))
+    } finally q.stop()
+  }
+
+  test("funnelProgress over the fixture equals the batch funnelCounts") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("signup", "view", "click", "purchase")
+    val windowUs = 24L * 3600L * 1000000L
+    val fixture = graft.runtime.Sources(spark, "/root/testdata/sf0.001").events
+    val rows = fixture.select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .map { case (u, t, e) => FunnelEvent(u, t, e) }
+    // deliver in a scrambled order, split across two micro-batches
+    val scrambled = new scala.util.Random(13).shuffle(rows.toSeq)
+    val (b1, b2) = scrambled.splitAt(scrambled.length / 2)
+
+    val in = MemoryStream[FunnelEvent]
+    // the shuffle scatters a month of events arbitrarily across two
+    // batches — the allowed lateness must span that whole disorder
+    val q = StreamingOps.funnelProgress(in.toDS(), stages, windowUs,
+        delay = "45 days").writeStream
+      .format("memory").queryName("funnel_fix_out").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(FunnelEvent(-999L, ts("2030-01-01 00:00:00"), "signup"))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(-999L, ts("2030-01-02 00:00:00"), "signup"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // stream advances → per-stage user counts must equal the batch funnel
+    val streamedCounts = spark.table("funnel_fix_out")
+      .filter(col("userId") =!= -999L)
+      .groupBy("stageIdx").agg(countDistinct("userId").as("users"))
+      .as[(Int, Long)].collect().toMap
+    val batchCounts = graft.ext.EventOps.funnelCounts(fixture, stages, windowUs)
+      .select("stage_idx", "users").as[(Int, Long)].collect()
+      .filter(_._2 > 0).toMap
+    assert(streamedCounts == batchCounts,
+      s"stream $streamedCounts vs batch $batchCounts")
+  }
+
   test("upsertSink materializes micro-batches identically to the batch rerun") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_streamsink_").toString
