@@ -254,7 +254,41 @@ object CoreQueries {
         col("gid"), col("customers"))
   }
 
+  // ---- J6: FULL OUTER join ------------------------------------------------
+  // Daily event counts vs daily order counts: the fixture date domains
+  // are almost disjoint (events 2024, orders 1995-2001), so BOTH
+  // unmatched directions carry real rows (30 left-only, 2399 right-only
+  // at sf0.01). The USING-style join coalesces the key; counts coalesce
+  // to 0 so the output is non-null end to end.
+  private val j6FullOuter: Q = (s, dir) => {
+    val e = src(s, dir).events
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_events"))
+    val o = src(s, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("d")).agg(count(lit(1)).as("n_orders"))
+    e.join(o, Seq("d"), "full_outer")
+      .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  // ---- A7: INTERSECT / EXCEPT set operators --------------------------------
+  // High-value clickers vs high-value purchasers (value > 99 keeps the
+  // sets partial: 104 intersect / 27 except at sf0.01), tagged and
+  // unioned into one frame. Spark's intersect/except are set-distinct
+  // by contract, mirrored exactly by SQL INTERSECT/EXCEPT.
+  private val a7SetOps: Q = (s, dir) => {
+    val ev = src(s, dir).events
+    def hi(t: String) = ev
+      .filter(col("event_type") === t && col("value") > 99)
+      .select("user_id").distinct()
+    val clicks = hi("click")
+    val purchases = hi("purchase")
+    clicks.intersect(purchases).withColumn("op", lit("intersect"))
+      .unionByName(clicks.except(purchases).withColumn("op", lit("except")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_j6_full_outer"   -> j6FullOuter,
+    "q_a7_setops"       -> a7SetOps,
     "q_a6_rollup"       -> a6Rollup,
     "q_j4_semi"         -> j4Semi,
     "q_j5_anti"         -> j5Anti,
@@ -289,6 +323,25 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_j6_full_outer" ->
+      ("""WITH e AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+         |  FROM events GROUP BY 1),
+         |o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT COALESCE(e.d, o.d) AS d,
+         |  CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+         |  CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+         |FROM e FULL OUTER JOIN o ON e.d = o.d""".stripMargin),
+    "q_a7_setops" ->
+      ("""WITH c AS (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'click' AND value > 99),
+         |p AS (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase' AND value > 99)
+         |SELECT user_id, 'intersect' AS op
+         |FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+         |UNION ALL
+         |SELECT user_id, 'except' AS op
+         |FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)""".stripMargin),
     "q_a6_rollup" ->
       ("""SELECT COALESCE(r.r_name, 'ALL') AS region,
          |  COALESCE(c.c_mktsegment, 'ALL') AS segment,
