@@ -63,6 +63,17 @@ object IngestOps {
       .option("header", "true").option("mode", "PERMISSIVE")
       .option("escape", "\"").csv(path)
 
+  /** ORC variant — the columnar interchange format Hive-era pipelines
+    * export. Schema is still declared (a drop whose writer reordered or
+    * widened columns resolves BY NAME against the contract instead of
+    * silently shifting positions); unlike the line formats there is no
+    * corrupt-row mode — ORC stripes are checksummed, a torn file fails
+    * loudly, which is the right behavior for a binary format.
+    */
+  def readDocumentsOrc(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.schema(DocumentsSchema).orc(path)
+
   /** (doc_id, toks, sig) MinHash signature frame over a document frame —
     * the persistable LSH index of a corpus. This is what the streaming
     * ingest sink materializes as its `<model>__sigs` side-table

@@ -23,6 +23,18 @@ object EventQueries {
     // GA-style 30-minute-idle sessions rolled up per (user, session)
     "q_ext_sessionize" -> ((s, dir) =>
       EventOps.sessionSummary(Sources(s, dir).events, sessionGapMinutes)),
+    // Spark's BUILT-IN session_window cross-gated against a DuckDB
+    // mirror of its exact merge rule (gap < threshold — strict, unlike
+    // sessionize's <=; the oracle CTE uses >= as the break test)
+    "q_ext_session_window" -> ((s, dir) =>
+      Sources(s, dir).events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+          max(unix_micros(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+        .select("user_id", "session_start_us", "session_end_us",
+          "n_events", "n_purchases")),
     // last-click attribution: each purchase joined as-of to the user's
     // most recent at-or-before click. Unmatched → -1 sentinels (not
     // NULL) so both engines emit non-null BIGINTs. No right-side dedup:
@@ -107,6 +119,25 @@ object EventQueries {
          |  count(*) AS n_events,
          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
          |FROM s GROUP BY 1, 2""".stripMargin),
+    "q_ext_session_window" ->
+      ("""WITH g AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT user_id, ts, event_type,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM g
+         |)
+         |SELECT user_id,
+         |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+         |  CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+         |FROM s GROUP BY user_id, session_idx""".stripMargin),
     "q_ext_asof_attrib" ->
       ("""WITH c AS (
          |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'

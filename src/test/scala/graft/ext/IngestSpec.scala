@@ -105,6 +105,16 @@ class IngestSpec extends SparkSpec {
           j.filter(col("doc_id").isNotNull))
         .select("doc_id").as[Long].collect().toSet
       assert(got == Set(1L, 2L))
+
+      // ORC: round-trips, and a writer that REORDERED columns still
+      // resolves by name against the declared contract
+      Seq(("en", 1L, "alpha beta", 10L, "web"))
+        .toDF("lang", "doc_id", "text", "n_chars", "source")
+        .write.orc(s"$dir/docs_orc")
+      val o = IngestOps.readDocumentsOrc(spark, s"$dir/docs_orc")
+      assert(o.schema == IngestOps.DocumentsSchema)
+      assert(o.as[(Long, String, String, String, Long)].collect().toSet ==
+        Set((1L, "alpha beta", "en", "web", 10L)))
     } finally graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(dir))
   }
 
