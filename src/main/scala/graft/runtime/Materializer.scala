@@ -238,39 +238,68 @@ final class Materializer(spark: SparkSession, baseDir: String) {
             .unionByName(fresh)
             .select(fresh.columns.map(col).toIndexedSeq: _*)
       }
-      // unique per invocation: even a writer that somehow bypasses the
-      // locks (a crashed run's successor) can never clobber in-flight bytes
-      val newName = model + "__v_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val newDir = s"$baseDir/$newName"
-      try {
-        result.write.mode(SaveMode.Overwrite).parquet(newDir)
-        lockFor(model).synchronized {
-          val prev = currentVersion(model)
-          // GC everything this commit supersedes BEFORE the pointer flip:
-          // versions that are neither published nor new (crash orphans +
-          // the table of two commits ago), stale pointer temps, and —
-          // once a pointer already exists — the ≥2-generations-old
-          // legacy dirs. The version `prev` names is deliberately KEPT:
-          // it is what uncoordinated readers may still be scanning.
-          versionDirs(model)
-            .filterNot(n => prev.contains(n) || n == newName)
-            .foreach(n => deleteRecursive(Paths.get(baseDir, n)))
-          Option(new java.io.File(baseDir).list()).toSeq.flatten
-            .filter(_.startsWith(model + ".current__tmp_"))
-            .foreach(n => Files.deleteIfExists(Paths.get(baseDir, n)))
-          if (prev.isDefined) {
-            deleteRecursive(Paths.get(legacyPath(model)))
-            deleteRecursive(Paths.get(legacyPath(model) + "__old"))
-          }
-          publishPointer(model, newName)
-        }
-      } catch {
-        // a failed write must not orphan its version dir
-        case e: Throwable => deleteRecursive(Paths.get(newDir)); throw e
-      }
-      spark.read.parquet(outPath(model))
+      commitVersion(model, result)
     } }
+
+  /** Write `result` as a fresh version dir and flip the pointer to it —
+    * the single commit seam every table-rewriting operation shares.
+    * Must be called holding the model's writer mutex + file lock.
+    */
+  private def commitVersion(model: String,
+                            result: DataFrame): DataFrame = {
+    // unique per invocation: even a writer that somehow bypasses the
+    // locks (a crashed run's successor) can never clobber in-flight bytes
+    val newName = model + "__v_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val newDir = s"$baseDir/$newName"
+    try {
+      result.write.mode(SaveMode.Overwrite).parquet(newDir)
+      lockFor(model).synchronized {
+        val prev = currentVersion(model)
+        // GC everything this commit supersedes BEFORE the pointer flip:
+        // versions that are neither published nor new (crash orphans +
+        // the table of two commits ago), stale pointer temps, and —
+        // once a pointer already exists — the ≥2-generations-old
+        // legacy dirs. The version `prev` names is deliberately KEPT:
+        // it is what uncoordinated readers may still be scanning.
+        versionDirs(model)
+          .filterNot(n => prev.contains(n) || n == newName)
+          .foreach(n => deleteRecursive(Paths.get(baseDir, n)))
+        Option(new java.io.File(baseDir).list()).toSeq.flatten
+          .filter(_.startsWith(model + ".current__tmp_"))
+          .foreach(n => Files.deleteIfExists(Paths.get(baseDir, n)))
+        if (prev.isDefined) {
+          deleteRecursive(Paths.get(legacyPath(model)))
+          deleteRecursive(Paths.get(legacyPath(model) + "__old"))
+        }
+        publishPointer(model, newName)
+      }
+    } catch {
+      // a failed write must not orphan its version dir
+      case e: Throwable => deleteRecursive(Paths.get(newDir)); throw e
+    }
+    spark.read.parquet(outPath(model))
+  }
+
+  /** Small-file compaction: rewrite the model's CURRENT rows into
+    * `targetFiles` files through the same version-dir + pointer-flip
+    * commit as any materialize. The streaming sinks append one upsert
+    * per micro-batch, so a long-running ingest accumulates
+    * one-fragment-per-trigger tables — the operational small-files
+    * problem; periodic compaction restores scan efficiency without
+    * changing a row. `coalesce` (not repartition) keeps the rewrite
+    * narrow — a read + write, no shuffle. Readers are never blocked:
+    * they resolve through the pointer, and the superseded version obeys
+    * the usual keep-one-generation GC. No-op if the model doesn't exist.
+    */
+  def compact(model: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    writerLockFor(model).synchronized { withFileLock(model) {
+      readPrior(model).foreach { cur =>
+        commitVersion(model, cur.coalesce(targetFiles))
+      }
+    } }
+  }
 
   /** Scale-path variant: dynamic partition overwrite on a date column
     * instead of the whole-table anti-join rewrite. Valid when the model's
