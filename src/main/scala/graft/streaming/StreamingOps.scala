@@ -119,14 +119,24 @@ object StreamingOps {
     * itself — unbounded corpus, restart-safe, at the cost of a corpus
     * scan per micro-batch (amortized by the Bloom route).
     */
+  /** `compactEvery` > 0 runs [[Materializer.compact]] after every Nth
+    * micro-batch (the "optimize every N commits" maintenance cadence):
+    * per-trigger appends fragment the table, and without periodic
+    * compaction a long-running ingest's corpus scan degrades file by
+    * file. Keyed on batchId, so a restart replaying a batch repeats at
+    * most one compaction — idempotent like the append itself.
+    */
   def corpusIngestSink(docs: DataFrame, mat: Materializer,
-                       model: String): DataStreamWriter[Row] =
+                       model: String, compactEvery: Long = 0L,
+                       compactTargetFiles: Int = 8): DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         mat.materialize(model, "doc_id") {
           case None        => graft.ext.DedupOps.dedupExact(batch)
           case Some(prior) => graft.ext.IngestOps.appendDedupExact(prior, batch)
         }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          mat.compact(model, compactTargetFiles)
         ()
     }
 

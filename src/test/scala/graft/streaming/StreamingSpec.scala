@@ -549,6 +549,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus ingest sink with compactEvery keeps the table at target file count") {
+    implicit val sqlCtx = spark.sqlContext
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("ingest_compact").toString)
+    def partFiles: Int = new java.io.File(mat.outPath("cc"))
+      .listFiles().count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    def corpus: Set[Long] = mat.readPrior("cc")
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestSink(
+      in.toDF().toDF("doc_id", "text").repartition(4), mat, "cc",
+      compactEvery = 1L, compactTargetFiles = 1).start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      q.processAllAvailable()
+      in.addData((4L, "delta"), (5L, "epsilon"))
+      q.processAllAvailable()
+      in.addData((6L, "zeta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 3L, 4L, 5L, 6L), corpus.toString)
+      assert(partFiles == 1,
+        s"compaction cadence failed to bound fragmentation: $partFiles files")
+    } finally q.stop()
+  }
+
   test("near-dup corpus ingest sink: cross-batch near-duplicates absorbed by the table") {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
