@@ -286,7 +286,22 @@ object CoreQueries {
       .unionByName(clicks.except(purchases).withColumn("op", lit("except")))
   }
 
+  // CUBE adds the column-marginal cells ROLLUP omits (segment totals
+  // across all regions): 25 + 5 + 5 + 1 = 36 rows
+  private val a6Cube: Q = (s, dir) => {
+    val src0 = src(s, dir)
+    src0.customer
+      .join(broadcast(src0.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(src0.region), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("customers"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("gid"), col("customers"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_a6_cube"         -> a6Cube,
     "q_j6_full_outer"   -> j6FullOuter,
     "q_a7_setops"       -> a7SetOps,
     "q_a6_rollup"       -> a6Rollup,
@@ -323,6 +338,15 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_a6_cube" ->
+      ("""SELECT COALESCE(r.r_name, 'ALL') AS region,
+         |  COALESCE(c.c_mktsegment, 'ALL') AS segment,
+         |  CAST(GROUPING(r.r_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+         |  count(*) AS customers
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY CUBE (r.r_name, c.c_mktsegment)""".stripMargin),
     "q_j6_full_outer" ->
       ("""WITH e AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
          |  FROM events GROUP BY 1),

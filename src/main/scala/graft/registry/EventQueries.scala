@@ -73,6 +73,14 @@ object EventQueries {
       EventOps.forwardFill(spine, Seq("user_id"), "day", "__v", lit(-1L))
         .select(col("user_id"), col("day"), col("filled"))
     }),
+    // sliding 7-day windows advancing daily (overlapping — each event
+    // lands in exactly 7 windows); epoch-aligned UTC window starts
+    "q_ext_sliding_window" -> ((s, dir) =>
+      Sources(s, dir).events
+        .groupBy(window(col("ts"), "7 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("uniq"))
+        .select(to_date(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("uniq"))),
     // linear interpolation across silent days (LOCF's other half):
     // missing cells take the straight line between surrounding
     // observations, nearest-edge outside them
@@ -209,6 +217,13 @@ object EventQueries {
          |     ROWS UNBOUNDED PRECEDING), -1) AS BIGINT) AS filled
          |FROM u CROSS JOIN days
          |LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day""".stripMargin),
+    "q_ext_sliding_window" ->
+      ("""WITH offs AS (SELECT unnest(range(0, 7)) AS o),
+         |ev AS (SELECT CAST(ts AS DATE) AS d, event_type, user_id FROM events)
+         |SELECT CAST(ev.d - CAST(offs.o AS INTEGER) AS DATE) AS win_start, event_type,
+         |  count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS uniq
+         |FROM ev CROSS JOIN offs
+         |GROUP BY 1, 2""".stripMargin),
     "q_ext_interpolate" ->
       ("""WITH b AS (
          |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
