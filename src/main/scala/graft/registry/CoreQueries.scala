@@ -3,7 +3,7 @@ package graft.registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.runtime.Sources
+import graft.runtime.{Snapshots, Sources}
 
 /** Per-operator query registry for SURVEY §2's relational inventory,
   * phrased over the driver fixtures (FIXTURES.md §C mapping). Every entry
@@ -300,7 +300,35 @@ object CoreQueries {
         col("gid"), col("customers"))
   }
 
+  // ---- S5: SCD2 snapshot (the third dbt materialization) -------------------
+  // Two pinned snapshot runs over "each user's latest event type": state
+  // at the Jan-15 cut stamped 2024-02-01, full state stamped 2024-03-01.
+  // Users whose latest type changed carry a closed + an open row; open
+  // rows render valid_to as the 9999-12-31 sentinel so both engines emit
+  // non-null DATEs.
+  private val s5SnapshotScd2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = src(s, dir).events
+    def latest(f: DataFrame => DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      f(ev).withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("user_id", "event_type")
+    }
+    val s1 = latest(_.filter(to_date(col("ts")) <= lit(java.sql.Date.valueOf("2024-01-15"))))
+    val s2 = latest(identity)
+    val run1 = Snapshots.step(None, s1, "user_id", Seq("event_type"),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val run2 = Snapshots.step(Some(run1), s2, "user_id", Seq("event_type"),
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    run2.select(col("user_id"), col("event_type"),
+      to_date(col(Snapshots.ValidFrom)).as("valid_from"),
+      coalesce(to_date(col(Snapshots.ValidTo)),
+        lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_s5_snapshot_scd2" -> s5SnapshotScd2,
     "q_a6_cube"         -> a6Cube,
     "q_j6_full_outer"   -> j6FullOuter,
     "q_a7_setops"       -> a7SetOps,
@@ -338,6 +366,26 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_s5_snapshot_scd2" ->
+      ("""WITH s1 AS (
+         |  SELECT user_id, event_type FROM events
+         |  WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |), s2 AS (
+         |  SELECT user_id, event_type FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |)
+         |SELECT s1.user_id, s1.event_type,
+         |  DATE '2024-02-01' AS valid_from,
+         |  CASE WHEN s2.event_type != s1.event_type THEN DATE '2024-03-01'
+         |       ELSE DATE '9999-12-31' END AS valid_to
+         |FROM s1 JOIN s2 USING (user_id)
+         |UNION ALL
+         |SELECT s2.user_id, s2.event_type,
+         |  DATE '2024-03-01' AS valid_from,
+         |  DATE '9999-12-31' AS valid_to
+         |FROM s2 LEFT JOIN s1 USING (user_id)
+         |WHERE s1.user_id IS NULL OR s1.event_type != s2.event_type""".stripMargin),
     "q_a6_cube" ->
       ("""SELECT COALESCE(r.r_name, 'ALL') AS region,
          |  COALESCE(c.c_mktsegment, 'ALL') AS segment,

@@ -1,0 +1,62 @@
+package graft.runtime
+
+import graft.SparkSpec
+import graft.ops.Keys
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val t1 = ts("2024-02-01 00:00:00")
+  private val t2 = ts("2024-03-01 00:00:00")
+
+  private type Row4 = (Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Row4] =
+    df.select(col("k"), col("v"), col("valid_from"), col("valid_to"))
+      .as[Row4].collect().toSet
+
+  test("step: first run opens every key; second run closes/keeps/inserts correctly") {
+    val run1 = Snapshots.step(None,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k", Seq("v"), t1)
+    assert(rows(run1) == Set((1L, "a", t1, None), (2L, "b", t1, None), (3L, "c", t1, None)))
+
+    // key 1 unchanged; key 2 changed b→B; key 3 absent (stays open);
+    // key 4 brand new
+    val run2 = Snapshots.step(Some(run1),
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v"), "k", Seq("v"), t2)
+    assert(rows(run2) == Set(
+      (1L, "a", t1, None),          // untouched open row
+      (2L, "b", t1, Some(t2)),      // closed at the change
+      (2L, "B", t2, None),          // new open version
+      (3L, "c", t1, None),          // absent from current → stays open
+      (4L, "d", t2, None)))         // insert
+    // (key, valid_from) is a unique id — the property the Materializer
+    // upsert composition rests on
+    assert(run2.groupBy("k", "valid_from").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("a third run only ever touches open rows; closed history is immutable") {
+    val run1 = Snapshots.step(None, Seq((1L, "a")).toDF("k", "v"), "k", Seq("v"), t1)
+    val run2 = Snapshots.step(Some(run1), Seq((1L, "b")).toDF("k", "v"), "k", Seq("v"), t2)
+    val t3 = ts("2024-04-01 00:00:00")
+    val run3 = Snapshots.step(Some(run2), Seq((1L, "c")).toDF("k", "v"), "k", Seq("v"), t3)
+    assert(rows(run3) == Set(
+      (1L, "a", t1, Some(t2)), (1L, "b", t2, Some(t3)), (1L, "c", t3, None)))
+  }
+
+  test("snapshot steps compose with the Materializer through a (key, valid_from) id") {
+    val mat = new Materializer(spark,
+      java.nio.file.Files.createTempDirectory("graft_snap_").toString)
+    def withId(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("id", Keys.surrogateKey(col("k"), col("valid_from")))
+    mat.materialize("snap", "id")(_ =>
+      withId(Snapshots.step(None, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k", Seq("v"), t1)))
+    val out = mat.materialize("snap", "id") { prior =>
+      withId(Snapshots.step(prior.map(_.drop("id")),
+        Seq((1L, "a"), (2L, "B")).toDF("k", "v"), "k", Seq("v"), t2))
+    }
+    assert(rows(out) == Set(
+      (1L, "a", t1, None), (2L, "b", t1, Some(t2)), (2L, "B", t2, None)))
+  }
+}
