@@ -327,7 +327,25 @@ object CoreQueries {
         lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"))
   }
 
+  // ---- DQ: the dbt schema-test battery -------------------------------------
+  // Four passing checks over real fixture invariants plus one REAL
+  // failure (documents.lang carries es/fr/zh beyond the declared set) —
+  // the summary frame must report both zeros and the true count.
+  private val dqChecks: Q = (s, dir) => {
+    val src0 = src(s, dir)
+    Checks.summary(Seq(
+      "events_id_unique" -> Checks.unique(src0.events, Seq("event_id")),
+      "events_user_not_null" -> Checks.notNull(src0.events, "user_id"),
+      "events_type_accepted" -> Checks.acceptedValues(src0.events, "event_type",
+        Seq("view", "click", "purchase", "signup", "error")),
+      "lineitem_order_fk" -> Checks.relationships(
+        src0.lineitem, "l_orderkey", src0.orders, "o_orderkey"),
+      "documents_lang_accepted" -> Checks.acceptedValues(src0.documents, "lang",
+        Seq("en", "de"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dq_checks"       -> dqChecks,
     "q_s5_snapshot_scd2" -> s5SnapshotScd2,
     "q_a6_cube"         -> a6Cube,
     "q_j6_full_outer"   -> j6FullOuter,
@@ -366,6 +384,21 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_dq_checks" ->
+      ("""SELECT 'events_id_unique' AS check, CAST((SELECT count(*) FROM (
+         |  SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS violations
+         |UNION ALL SELECT 'events_user_not_null',
+         |  (SELECT count(*) FROM events WHERE user_id IS NULL)
+         |UNION ALL SELECT 'events_type_accepted',
+         |  (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+         |   AND event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error'))
+         |UNION ALL SELECT 'lineitem_order_fk',
+         |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+         |   ON l.l_orderkey = o.o_orderkey
+         |   WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+         |UNION ALL SELECT 'documents_lang_accepted',
+         |  (SELECT count(*) FROM documents WHERE lang IS NOT NULL
+         |   AND lang NOT IN ('en', 'de'))""".stripMargin),
     "q_s5_snapshot_scd2" ->
       ("""WITH s1 AS (
          |  SELECT user_id, event_type FROM events
