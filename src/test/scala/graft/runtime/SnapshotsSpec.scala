@@ -45,6 +45,42 @@ class SnapshotsSpec extends SparkSpec {
       (1L, "a", t1, Some(t2)), (1L, "b", t2, Some(t3)), (1L, "c", t3, None)))
   }
 
+  test("property: random run sequences keep every key's timeline contiguous") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val stateGen = Gen.mapOf(Gen.zip(Gen.choose(1L, 5L), Gen.oneOf("a", "b", "c")))
+    val runsGen = Gen.listOfN(4, stateGen)
+    val stamps = (1 to 4).map(i => ts(s"2024-0$i-01 00:00:00"))
+    (0 until 6).flatMap(i => runsGen(Gen.Parameters.default, Seed(77L + i)))
+      .foreach { runs =>
+        val hist = runs.zip(stamps).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          case (prior, (state, t)) =>
+            if (state.isEmpty) prior
+            else Some(Snapshots.step(prior, state.toSeq.toDF("k", "v"), "k", Seq("v"), t))
+        }
+        hist.foreach { h =>
+          val byKey = rows(h).toSeq.groupBy(_._1)
+          byKey.foreach { case (k, versions) =>
+            val sorted = versions.sortBy(_._3.getTime)
+            // exactly one open row, and it is the LAST version
+            assert(sorted.count(_._4.isEmpty) == 1, s"key $k: $sorted")
+            assert(sorted.last._4.isEmpty, s"key $k open row not last: $sorted")
+            // contiguous: each closed row's valid_to is the next valid_from
+            sorted.sliding(2).foreach {
+              case Seq(a, b) =>
+                assert(a._4.contains(b._3), s"key $k timeline gap: $sorted")
+              case _ =>
+            }
+            // consecutive versions always differ (a close implies a change)
+            sorted.sliding(2).foreach {
+              case Seq(a, b) => assert(a._2 != b._2, s"key $k no-op close: $sorted")
+              case _ =>
+            }
+          }
+        }
+      }
+  }
+
   test("snapshot steps compose with the Materializer through a (key, valid_from) id") {
     val mat = new Materializer(spark,
       java.nio.file.Files.createTempDirectory("graft_snap_").toString)
