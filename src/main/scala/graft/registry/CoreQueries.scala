@@ -344,7 +344,34 @@ object CoreQueries {
         Seq("en", "de"))))
   }
 
+  // ---- U3/U4: native wide pivot + unpivot (melt) ---------------------------
+  // U1/U2 cover the union-based LONG pivot the reference writes by hand;
+  // these exercise Spark's native wide pivot (explicit value list — an
+  // unlisted list adds a driver-side distinct pass and makes the output
+  // schema data-dependent) and its inverse unpivot, round-tripping
+  // per-day type counts.
+  // na.fill(0): Spark renders an EMPTY pivot cell as NULL where a SQL
+  // FILTER count renders 0 — every (day, type) cell happens to be
+  // populated at sf0.01, but the zero-fill removes the dependence on
+  // that fixture accident
+  private def wideCounts(s: SparkSession, dir: String): DataFrame =
+    src(s, dir).events
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val u3PivotWide: Q = (s, dir) => wideCounts(s, dir)
+
+  private val u4Unpivot: Q = (s, dir) =>
+    wideCounts(s, dir).unpivot(
+      Array(col("event_date")),
+      Array(col("view"), col("click"), col("purchase"), col("signup"), col("error")),
+      "event_type", "n")
+
   val queries: Map[String, Q] = Map(
+    "q_u3_pivot_wide"   -> u3PivotWide,
+    "q_u4_unpivot"      -> u4Unpivot,
     "q_dq_checks"       -> dqChecks,
     "q_s5_snapshot_scd2" -> s5SnapshotScd2,
     "q_a6_cube"         -> a6Cube,
@@ -384,6 +411,26 @@ object CoreQueries {
     "SELECT event_date, event_type, 'unique' AS col_1, unique_visitors AS traffic FROM a"
 
   val oracle: Map[String, String] = Map(
+    "q_u3_pivot_wide" ->
+      ("""SELECT CAST(ts AS DATE) AS event_date,
+         |  count(*) FILTER (WHERE event_type = 'view') AS view,
+         |  count(*) FILTER (WHERE event_type = 'click') AS click,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |  count(*) FILTER (WHERE event_type = 'error') AS error
+         |FROM events GROUP BY 1""".stripMargin),
+    "q_u4_unpivot" ->
+      ("""WITH w AS (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    count(*) FILTER (WHERE event_type = 'view') AS view,
+         |    count(*) FILTER (WHERE event_type = 'click') AS click,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |    count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |    count(*) FILTER (WHERE event_type = 'error') AS error
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT event_date, event_type, n
+         |FROM w UNPIVOT (n FOR event_type IN (view, click, purchase, signup, error))""".stripMargin),
     "q_dq_checks" ->
       ("""SELECT 'events_id_unique' AS check, CAST((SELECT count(*) FROM (
          |  SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS violations
