@@ -350,6 +350,41 @@ object StreamingOps {
   private def unixMicrosOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
 
+  /** Stream-STREAM windowed attribution join: every (purchase, click)
+    * pair for the same user with the click inside `[purchase.ts −
+    * lookback, purchase.ts]` — two live streams joined on key + an
+    * event-time range, the Structured Streaming feature the rest of the
+    * matrix (stream-static enrich, stateful aggs, session windows,
+    * state machines) doesn't exercise. The time-range condition is what
+    * BOUNDS the join state: each side holds only rows the other side's
+    * watermark could still match (purchases expire after `delay`,
+    * clicks after `delay` + lookback — Spark derives both from the
+    * range predicate), so state is ∝ rate · window, never history.
+    * Inner-join rows emit as soon as both inputs arrive; late rows past
+    * `delay` are dropped by the usual allowed-lateness contract.
+    *
+    * `purchases` must carry (user_id, event_id, ts); `clicks`
+    * (user_id, event_id, ts). Emits (purchase_id, click_id, user_id,
+    * lag_us ≥ 0).
+    */
+  def attributionPairsStream(purchases: DataFrame, clicks: DataFrame,
+                             lookbackMinutes: Int,
+                             delay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      .withWatermark("ts", delay)
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") <= col("ts") &&
+          col("c_ts") >= col("ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** Streaming sessionization: the continuous form of
     * [[graft.ext.EventOps.sessionSummary]] via `session_window` — Spark
     * merges per-key event windows that overlap within `gapMinutes`, ACROSS

@@ -88,6 +88,46 @@ class StreamingSpec extends SparkSpec {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("stream-stream attribution join over the fixture equals the batch pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.runtime.Sources(spark, "/root/testdata/sf0.001").events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def side(t: String): Array[(Long, java.sql.Timestamp, Long)] =
+      ev.filter(col("event_type") === t)
+        .select("user_id", "ts", "event_id")
+        .as[(Long, java.sql.Timestamp, Long)].collect()
+
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def df(in: MemoryStream[(Long, java.sql.Timestamp, Long)]) =
+      in.toDF().toDF("user_id", "ts", "event_id")
+    // 45-day lateness spans the whole fixture month: no row is dropped,
+    // so the inner join must produce the complete pair set
+    val q = StreamingOps.attributionPairsStream(df(pIn), df(cIn),
+        lookbackMinutes = 60, delay = "45 days").writeStream
+      .format("memory").queryName("attrib_out").outputMode("append").start()
+    try {
+      // clicks arrive in two batches AFTER the purchases they match
+      pIn.addData(side("purchase").toIndexedSeq: _*)
+      q.processAllAvailable()
+      val (c1, c2) = side("click").splitAt(side("click").length / 2)
+      cIn.addData(c1.toIndexedSeq: _*); q.processAllAvailable()
+      cIn.addData(c2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("attrib_out")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"), col("event_id").as("pid"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"), col("event_id").as("cid"))
+    val batch = purchases.join(clicks, "user_id")
+      .filter(col("cus") <= col("pus") && col("cus") >= col("pus") - 3600000000L)
+      .select("pid", "cid").as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("funnelProgress: out-of-order arrival, watermark-gated advances, timer drain") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[FunnelEvent]
