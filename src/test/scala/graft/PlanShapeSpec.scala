@@ -212,6 +212,29 @@ class PlanShapeSpec extends SparkSpec {
       s"no equi-join on the bucket key found:\n$p")
   }
 
+  test("heavy hitters: sketch partials merge map-side, candidates broadcast") {
+    val p = plan("q_ext_heavy_hitters")
+    // the whole point of a mergeable sketch: a partial MG per partition,
+    // merged at the final ObjectHashAggregate — losing the partial means
+    // every raw token rides the shuffle
+    assert(p.contains("partial_misragries"),
+      s"MG sketch lost its map-side partial:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate re-count join not broadcast (candidates are <= k rows):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token scan shuffled for the candidate join:\n$p")
+  }
+
+  test("date spine: calendar side broadcasts; daily rollup partial-aggs") {
+    val p = plan("q_ext_date_spine")
+    // the user x days cross join must ride the broadcast calendar frame
+    // (bounded by construction), never a real cartesian shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spine cross join regressed to a cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily rollup lost map-side partial aggregation:\n$p")
+  }
+
   test("sessionize: both windows share one user-key sort; rollup partial-aggs") {
     val p = plan("q_ext_sessionize")
     // lag() and the running sum() use identical partitioning+ordering —
