@@ -23,6 +23,31 @@ object EventQueries {
     // GA-style 30-minute-idle sessions rolled up per (user, session)
     "q_ext_sessionize" -> ((s, dir) =>
       EventOps.sessionSummary(Sources(s, dir).events, sessionGapMinutes)),
+    // the same sessionization on the SQL surface: Spark SQL's WINDOW
+    // clause + window CTE pipeline, textually near the DuckDB oracle
+    "q_ext_sessionize_sql" -> ((s, dir) => {
+      Sources(s, dir).events.createOrReplaceTempView("events_sess_sql")
+      s.sql("""
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+          FROM events_sess_sql
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT user_id, ts, event_type,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM g
+        )
+        SELECT user_id, session_idx,
+          min(unix_micros(ts)) AS session_start_us,
+          max(unix_micros(ts)) AS session_end_us,
+          count(1) AS n_events,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        FROM sessioned GROUP BY user_id, session_idx""")
+    }),
     // Spark's BUILT-IN session_window cross-gated against a DuckDB
     // mirror of its exact merge rule (gap < threshold — strict, unlike
     // sessionize's <=; the oracle CTE uses >= as the break test)
@@ -109,6 +134,25 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_ext_sessionize" ->
+      ("""WITH g AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT user_id, ts, event_type,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM g
+         |)
+         |SELECT user_id, session_idx,
+         |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+         |  CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+         |FROM s GROUP BY 1, 2""".stripMargin),
+    "q_ext_sessionize_sql" ->
       ("""WITH g AS (
          |  SELECT user_id, ts, event_id, event_type,
          |    CASE WHEN lag(ts) OVER w IS NULL

@@ -369,7 +369,8 @@ object StreamingOps {
     */
   def attributionPairsStream(purchases: DataFrame, clicks: DataFrame,
                              lookbackMinutes: Int,
-                             delay: String = "10 minutes"): DataFrame = {
+                             delay: String = "10 minutes",
+                             joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
       .withWatermark("ts", delay)
@@ -377,10 +378,15 @@ object StreamingOps {
       .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", delay)
+    // left_outer: an unmatched purchase emits its null-click row only
+    // once BOTH watermarks prove no future click can still match — the
+    // runtime's state-expiry semantics, which is exactly when "this
+    // purchase had no attributable click" becomes a fact
     p.join(c,
         col("user_id") === col("c_user_id") &&
           col("c_ts") <= col("ts") &&
-          col("c_ts") >= col("ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+          col("c_ts") >= col("ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"),
+        joinType)
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }

@@ -128,6 +128,38 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("outer stream-stream join: unmatched purchase emits nulls after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def df(in: MemoryStream[(Long, java.sql.Timestamp, Long)]) =
+      in.toDF().toDF("user_id", "ts", "event_id")
+    val q = StreamingOps.attributionPairsStream(df(pIn), df(cIn),
+        lookbackMinutes = 60, delay = "1 minute", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer_out")
+      .outputMode("append").start()
+    try {
+      // user 1's purchase has a click inside the hour; user 2's has none
+      pIn.addData((1L, ts("2024-01-01 10:00:00"), 101L),
+        (2L, ts("2024-01-01 10:00:00"), 102L))
+      cIn.addData((1L, ts("2024-01-01 09:30:00"), 201L))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the join window so the runtime
+      // can prove purchase 102 will never match and emit its null row
+      pIn.addData((-999L, ts("2024-01-02 00:00:00"), 998L))
+      cIn.addData((-999L, ts("2024-01-02 00:00:00"), 999L))
+      q.processAllAvailable()
+      pIn.addData((-999L, ts("2024-01-03 00:00:00"), 996L))
+      cIn.addData((-999L, ts("2024-01-03 00:00:00"), 997L))
+      q.processAllAvailable()
+
+      val got = spark.table("attrib_outer_out").filter(col("user_id") > 0)
+        .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((101L, Some(201L))), s"matched pair missing: $got")
+      assert(got.contains((102L, None)), s"expired unmatched purchase missing: $got")
+    } finally q.stop()
+  }
+
   test("funnelProgress: out-of-order arrival, watermark-gated advances, timer drain") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[FunnelEvent]
