@@ -600,6 +600,37 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Edit-distance near-dup pairs via length-band blocking: documents
+    * block on (lang, n_chars div blockChars); candidate pairs form ONLY
+    * within a block (an equi-join, never a theta/cartesian), then each
+    * candidate is verified with Spark's THRESHOLD Levenshtein kernel —
+    * `levenshtein(a, b, maxDist)` early-exits the DP band at O(len·k)
+    * and returns -1 past the bound, so a blatantly-different pair costs
+    * k band cells, not len² — the verify stage a blocking dedup needs at
+    * corpus scale (candidate count is Σ|block|², bounded by the blocking
+    * key's selectivity; per-pair cost bounded by the threshold).
+    *
+    * Recall contract (documented, spec-pinned): a true near-dup pair
+    * whose lengths straddle a block boundary is MISSED — single-key
+    * blocking trades that edge for the equi-join shape. The repo's other
+    * dedup families (MinHash/SimHash/winnow/Jaccard) are length-band
+    * agnostic and cover the straddle; this op is the cheap high-precision
+    * verifier, not the recall path.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, blockChars: Int = 32,
+                        textCol: String = "text", langCol: String = "lang",
+                        idCol: String = "doc_id"): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"), col(langCol).as("__lang"),
+        floor(length(col(textCol)) / blockChars).as("__blk"))
+    d.as("a").join(d.as("b"),
+        col("a.__lang") === col("b.__lang") && col("a.__blk") === col("b.__blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.__t"), col("b.__t"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") =!= -1L)
+  }
+
   /** Near-dup pairs with hamming(sig_a, sig_b) ≤ maxDist (≤ 3): any such
     * pair shares at least one of four 16-bit chunks (pigeonhole), so
     * candidates come from 4 equality joins, then exact hamming verify.

@@ -38,4 +38,29 @@ object Aggs {
                       rsd: Double = 0.01): DataFrame =
     df.groupBy(keys: _*)
       .agg(count(lit(1)).as(totalName), approx_count_distinct(distinctOn, rsd).as(uniqueName))
+
+  /** [EXT] Persistable distinct-count sketch table (Datasketches HLL via
+    * Spark's `hll_sketch_agg`): one binary sketch per fine-grain key
+    * group. Unlike `approx_count_distinct` — whose HLL++ state exists
+    * only inside a single aggregation — these sketches are VALUES: write
+    * the frame out daily and any later rollup unions the stored bytes
+    * instead of re-scanning raw events. That is the 100 TB pattern for
+    * distinct counts over sliding horizons: the raw table is read once
+    * per partition ever, and a year-over-any-dimension unique-user query
+    * touches ~365 sketch rows per group, not the event log.
+    */
+  def sketchTable(df: DataFrame, keys: Seq[Column], distinctOn: Column,
+                  sketchName: String = "sketch", lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*).agg(hll_sketch_agg(distinctOn, lgK).as(sketchName))
+
+  /** Roll a sketch table up to coarser keys: union the stored sketches
+    * (`hll_union_agg`) and estimate. Mergeable by construction — partials
+    * combine associatively, so the plan is one partial-aggregable shuffle
+    * over sketch rows regardless of raw-event cardinality.
+    */
+  def sketchRollup(sketches: DataFrame, keys: Seq[Column], sketchCol: Column,
+                   estimateName: String = "approx_uniques"): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(sketchCol, lit(false)))
+        .as(estimateName))
 }

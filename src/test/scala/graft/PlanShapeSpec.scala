@@ -235,6 +235,29 @@ class PlanShapeSpec extends SparkSpec {
       s"daily rollup lost map-side partial aggregation:\n$p")
   }
 
+  test("edit-distance pairs: blocked equi-join — never cartesian or nested-loop") {
+    val p = plan("q_ext_edit_distance")
+    // the blocking key must carry the join; the doc_id < and the
+    // threshold levenshtein are residual filters on an equi-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocked pair join regressed to a pair blowup:\n$p")
+    assert(!p.contains("source") && !p.contains("n_chars"),
+      s"scan reads columns the blocker never uses:\n$p")
+  }
+
+  test("sketch rollup: HLL partials merge map-side on both levels") {
+    val p = plan("q_a9_sketch_rollup")
+    // both the daily sketch build and the union rollup must show partial
+    // (ObjectHashAggregate) stages — a sketch that only aggregates final
+    // would ship raw user ids through the shuffle
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"daily sketch stage lost map-side partials:\n$p")
+    assert(p.contains("partial_hll_union_agg"),
+      s"rollup union stage lost map-side partials:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"exact-vs-estimate gate join should broadcast (5 rows each):\n$p")
+  }
+
   test("sessionize: both windows share one user-key sort; rollup partial-aggs") {
     val p = plan("q_ext_sessionize")
     // lag() and the running sum() use identical partitioning+ordering —

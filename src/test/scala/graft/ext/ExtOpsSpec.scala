@@ -502,6 +502,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh", 6L -> "und"), got.toString)
   }
 
+  test("edit-distance pairs: planted near-dup found; threshold, lang block, and straddle contracts hold") {
+    val docs = Seq(
+      (1L, "a" * 100, "en"),         // base, block 3
+      (2L, "a" * 97 + "bbb", "en"),  // dist 3, same block → FOUND
+      (3L, "z" * 100, "en"),         // same block, dist 100 > maxDist → threshold kernel returns -1
+      (4L, "a" * 100, "de"),         // identical text, other lang → blocked apart by design
+      (5L, "b" * 31, "en"),          // block 0 …
+      (6L, "b" * 33, "en")           // … block 1: a TRUE near-dup (dist 2) straddling the
+                                     // band boundary — missed, the documented recall trade
+    ).toDF("doc_id", "text", "lang")
+    val got = DedupOps.editDistancePairs(docs, maxDist = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L)), got.toString)
+  }
+
   test("text features on edge inputs") {
     val rows = Seq((1L, "word"), (2L, "  a  the  "), (3L, "hi, there! (ok)")).toDF("doc_id", "text")
     val got = rows.select(col("doc_id"),

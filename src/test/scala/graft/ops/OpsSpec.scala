@@ -143,4 +143,26 @@ class SaltedJoinSpec extends SparkSpec {
       .select("k", "v", "name").as[(String, Int, Option[String])].collect().toSet
     assert(out == Set(("a", 1, Some("x")), ("zz", 2, None)))
   }
+
+  test("sketchTable partials survive a parquet round-trip and union to the exact distinct") {
+    import org.apache.spark.sql.functions._
+    // the property that makes the sketch a VALUE: write daily partials,
+    // read them back, roll up — per-key user sets overlap across days,
+    // so a correct union must NOT double-count (sum of per-day distincts
+    // would be 6; the true per-type distinct is 4 and 3)
+    val ev = Seq(
+      ("d1", "view", 1L), ("d1", "view", 2L), ("d2", "view", 2L),
+      ("d2", "view", 3L), ("d3", "view", 4L),
+      ("d1", "click", 1L), ("d2", "click", 1L), ("d3", "click", 5L),
+      ("d3", "click", 6L)
+    ).toDF("day", "etype", "uid")
+    val dir = java.nio.file.Files.createTempDirectory("sketch_tbl").toString
+    graft.ops.Aggs.sketchTable(ev, Seq(col("day"), col("etype")), col("uid"))
+      .write.mode("overwrite").parquet(dir)
+    val rolled = graft.ops.Aggs.sketchRollup(
+        spark.read.parquet(dir), Seq(col("etype")), col("sketch"))
+      .as[(String, Long)].collect().toMap
+    // HLL at lgK=12 is exact at this cardinality
+    assert(rolled == Map("view" -> 4L, "click" -> 3L), rolled.toString)
+  }
 }
