@@ -3,7 +3,7 @@ package graft.registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.runtime.{Snapshots, Sources}
+import graft.runtime.{ChangeFeed, Snapshots, Sources}
 
 /** Per-operator query registry for SURVEY §2's relational inventory,
   * phrased over the driver fixtures (FIXTURES.md §C mapping). Every entry
@@ -383,6 +383,23 @@ object CoreQueries {
         lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"))
   }
 
+  // ---- S6: key-level change feed (CDC between table states) ----------------
+  // Two sliding-window states of a per-(user, type) activity rollup,
+  // diffed by key: the overlap days make updates, window-entering keys
+  // inserts, window-leaving keys deletes (594/11/6 at sf0.01) — all
+  // three change classes exercised through ChangeFeed's full-outer
+  // hash-diff, mirrored by a literal FULL JOIN + CASE in DuckDB.
+  private val s6ChangeFeed: Q = (s, dir) => {
+    val ev = src(s, dir).events
+    def state(from: String, to: String) = ev
+      .filter(to_date(col("ts")).between(
+        lit(java.sql.Date.valueOf(from)), lit(java.sql.Date.valueOf(to))))
+      .groupBy(concat(col("user_id"), lit("|"), col("event_type")).as("id"))
+      .agg(count(lit(1)).as("n"))
+    ChangeFeed.diff(state("2024-01-01", "2024-01-10"),
+      state("2024-01-08", "2024-01-17"), "id")
+  }
+
   // ---- DQ: the dbt schema-test battery -------------------------------------
   // Four passing checks over real fixture invariants plus one REAL
   // failure (documents.lang carries es/fr/zh beyond the declared set) —
@@ -437,6 +454,7 @@ object CoreQueries {
     "q_j4_semi"         -> j4Semi,
     "q_j5_anti"         -> j5Anti,
     "q_w3_battery"      -> w3Battery,
+    "q_s6_change_feed"  -> s6ChangeFeed,
     "q_w4_range_frame"  -> w4RangeFrame,
     "q_a8_grouping_sets" -> a8GroupingSets,
     "q_a9_sketch_rollup" -> a9SketchRollup,
@@ -586,6 +604,26 @@ object CoreQueries {
     "q_a1_dual_count_approx" ->
       ("SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS total_visits, " +
        "TRUE AS within_bound FROM events GROUP BY 1, 2"),
+    "q_s6_change_feed" ->
+      ("""WITH s1 AS (
+         |  SELECT user_id || '|' || event_type AS id, count(*) AS n
+         |  FROM events
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-10'
+         |  GROUP BY 1
+         |), s2 AS (
+         |  SELECT user_id || '|' || event_type AS id, count(*) AS n
+         |  FROM events
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'
+         |  GROUP BY 1
+         |), d AS (
+         |  SELECT COALESCE(s2.id, s1.id) AS id,
+         |    CASE WHEN s1.id IS NULL OR s2.id IS NOT NULL THEN s2.n ELSE s1.n END AS n,
+         |    CASE WHEN s1.id IS NULL THEN 'insert'
+         |         WHEN s2.id IS NULL THEN 'delete'
+         |         WHEN s1.n != s2.n THEN 'update' END AS _change_type
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id
+         |)
+         |SELECT * FROM d WHERE _change_type IS NOT NULL""".stripMargin),
     "q_w4_range_frame" ->
       ("""SELECT event_id, user_id,
          |  count(*) OVER w AS n_7d,

@@ -31,11 +31,19 @@ import java.nio.file.{Files, Paths}
   * the pointer. A crash at any point leaves either the old pointer
   * naming an intact dir (the new dir is an orphan the next commit GCs)
   * or the new pointer naming the new dir — never a dangling pointer.
-  * The superseded version therefore survives exactly one materialize
+  * The superseded version therefore survives at least one materialize
   * cycle: an uncoordinated cross-process reader that resolved it keeps
   * a full cycle to finish its scan (vs the sub-ms rename window
   * before); in-process readers pin tables with [[withSwapLock]] and
   * race nothing. Readers never GC.
+  *
+  * TIME TRAVEL: each commit also appends to a `<model>.versions` log
+  * (seq → version dir, atomically rewritten in the commit window), and
+  * the `keepVersions` knob widens GC's retention window past the
+  * default 2, making [[history]]/[[readVersion]]/[[changesBetween]]
+  * the single-table analog of Iceberg snapshot reads + a CDC change
+  * feed: any retained commit is readable, and the key-level diff
+  * between two commits is one full-outer join ([[ChangeFeed]]).
   *
   * LEGACY layout (a fixed `<model>` live dir, pre-manifest): still
   * readable — resolution falls back to it when no pointer exists, and
@@ -65,7 +73,10 @@ import java.nio.file.{Files, Paths}
   * writer mutex → file lock → swap monitor. The anti-join form shuffles
   * both sides by `id` once, which AQE sizes.
   */
-final class Materializer(spark: SparkSession, baseDir: String) {
+final class Materializer(spark: SparkSession, baseDir: String,
+                         keepVersions: Int = 2) {
+  require(keepVersions >= 2,
+    s"keepVersions must be >= 2 (new + the version readers may still scan): $keepVersions")
 
   /** Directory of the model's CURRENT table: the manifest-resolved
     * version dir, or the legacy fixed dir when no pointer exists. Safe
@@ -92,6 +103,64 @@ final class Materializer(spark: SparkSession, baseDir: String) {
   private def versionDirs(model: String): Seq[String] =
     Option(new java.io.File(baseDir).list()).toSeq.flatten
       .filter(_.startsWith(model + "__v_"))
+
+  // ── version log: the commit history behind time travel ──────────────
+  // `<model>.versions` holds one "<seq> <dirName>" line per commit,
+  // ascending; rewritten (temp + atomic rename) inside the swap monitor
+  // at each commit, so it always lists exactly the RETAINED versions.
+  // A reader in another process sees the old or the new log, never a
+  // torn one. Seq numbers are monotone across rewrites (next = max + 1).
+  private def logPath(model: String): java.nio.file.Path =
+    Paths.get(baseDir, model + ".versions")
+
+  private def readLog(model: String): Seq[(Long, String)] = {
+    val p = logPath(model)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readString(p).linesIterator.flatMap { line =>
+      line.split(" ", 2) match {
+        case Array(s, d) if s.forall(_.isDigit) && d.nonEmpty => Some((s.toLong, d))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
+  private def writeLog(model: String, entries: Seq[(Long, String)]): Unit = {
+    val tmp = Paths.get(baseDir,
+      model + ".versions__tmp_" + java.util.UUID.randomUUID().toString)
+    Files.writeString(tmp, entries.map { case (s, d) => s"$s $d" }.mkString("", "\n", "\n"))
+    Files.move(tmp, logPath(model),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Committed versions still readable on disk, ascending by sequence
+    * number. The retention window is `keepVersions` (constructor knob,
+    * default 2 = the classic keep-one-generation contract); models
+    * committed before the version log existed surface their history from
+    * the first post-upgrade commit.
+    */
+  def history(model: String): Seq[(Long, String)] =
+    readLog(model).filter { case (_, d) => Files.exists(Paths.get(baseDir, d, "_SUCCESS")) }
+
+  /** Time travel: the model's table as of commit `seq` (from
+    * [[history]]). Throws if that version was never committed or has
+    * aged out of the retention window.
+    */
+  def readVersion(model: String, seq: Long): DataFrame =
+    history(model).find(_._1 == seq) match {
+      case Some((_, d)) => spark.read.parquet(s"$baseDir/$d")
+      case None => throw new IllegalArgumentException(
+        s"version $seq of $model is not retained (have: " +
+          s"${history(model).map(_._1).mkString(",")}; keepVersions=$keepVersions)")
+    }
+
+  /** Key-level change feed between two retained commits — see
+    * [[ChangeFeed.diff]] for the contract (insert/update rows carry the
+    * post-image, delete rows the pre-image).
+    */
+  def changesBetween(model: String, fromSeq: Long, toSeq: Long,
+                     uniqueKey: String): DataFrame =
+    ChangeFeed.diff(readVersion(model, fromSeq), readVersion(model, toSeq), uniqueKey)
 
   /** Atomically replace the manifest pointer (write temp + rename —
     * readers see the old or the new content, never a partial file).
@@ -256,22 +325,30 @@ final class Materializer(spark: SparkSession, baseDir: String) {
       result.write.mode(SaveMode.Overwrite).parquet(newDir)
       lockFor(model).synchronized {
         val prev = currentVersion(model)
+        val log = readLog(model)
+        val newSeq = (log.map(_._1) :+ 0L).max + 1
         // GC everything this commit supersedes BEFORE the pointer flip:
-        // versions that are neither published nor new (crash orphans +
-        // the table of two commits ago), stale pointer temps, and —
-        // once a pointer already exists — the ≥2-generations-old
-        // legacy dirs. The version `prev` names is deliberately KEPT:
-        // it is what uncoordinated readers may still be scanning.
+        // version dirs outside the retention window (crash orphans +
+        // aged-out history), stale pointer/log temps, and — once a
+        // pointer already exists — the ≥2-generations-old legacy dirs.
+        // The retention window is the newest keepVersions-1 LOGGED
+        // versions plus the new dir; `prev` is kept regardless (it is
+        // what uncoordinated readers may still be scanning — normally
+        // it IS the newest logged version, so this is a no-op).
+        val keep = log.sortBy(-_._1).take(keepVersions - 1).map(_._2).toSet ++
+          prev + newName
         versionDirs(model)
-          .filterNot(n => prev.contains(n) || n == newName)
+          .filterNot(keep)
           .foreach(n => deleteRecursive(Paths.get(baseDir, n)))
         Option(new java.io.File(baseDir).list()).toSeq.flatten
-          .filter(_.startsWith(model + ".current__tmp_"))
+          .filter(n => n.startsWith(model + ".current__tmp_") ||
+            n.startsWith(model + ".versions__tmp_"))
           .foreach(n => Files.deleteIfExists(Paths.get(baseDir, n)))
         if (prev.isDefined) {
           deleteRecursive(Paths.get(legacyPath(model)))
           deleteRecursive(Paths.get(legacyPath(model) + "__old"))
         }
+        writeLog(model, log.filter { case (_, d) => keep(d) } :+ ((newSeq, newName)))
         publishPointer(model, newName)
       }
     } catch {
