@@ -383,6 +383,32 @@ object CoreQueries {
         lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"))
   }
 
+  // ---- S5b: timestamp-strategy snapshot (dbt's other change detector) ------
+  // Same two pinned states as S5 but change detection by the record's
+  // OWN updated_at advancing (no payload compare): every user whose
+  // latest event moved past the Jan-15 cut closes + re-opens — even
+  // when the latest event TYPE is unchanged, the rows check-strategy
+  // would keep. Validity stamps come from the data (event ts as µs),
+  // open rows render valid_to as -1 so both engines emit non-null
+  // BIGINTs.
+  private val s5bSnapshotTs: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = src(s, dir).events
+    def latest(f: DataFrame => DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      f(ev).withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("user_id", "event_type", "ts")
+    }
+    val s1 = latest(_.filter(to_date(col("ts")) <= lit(java.sql.Date.valueOf("2024-01-15"))))
+    val s2 = latest(identity)
+    val run1 = Snapshots.stepByTimestamp(None, s1, "user_id", "ts")
+    val run2 = Snapshots.stepByTimestamp(Some(run1), s2, "user_id", "ts")
+    run2.select(col("user_id"), col("event_type"),
+      unix_micros(col(Snapshots.ValidFrom)).as("valid_from_us"),
+      coalesce(unix_micros(col(Snapshots.ValidTo)), lit(-1L)).as("valid_to_us"))
+  }
+
   // ---- S6: key-level change feed (CDC between table states) ----------------
   // Two sliding-window states of a per-(user, type) activity rollup,
   // diffed by key: the overlap days make updates, window-entering keys
@@ -454,6 +480,7 @@ object CoreQueries {
     "q_j4_semi"         -> j4Semi,
     "q_j5_anti"         -> j5Anti,
     "q_w3_battery"      -> w3Battery,
+    "q_s5b_snapshot_ts" -> s5bSnapshotTs,
     "q_s6_change_feed"  -> s6ChangeFeed,
     "q_w4_range_frame"  -> w4RangeFrame,
     "q_a8_grouping_sets" -> a8GroupingSets,
@@ -604,6 +631,24 @@ object CoreQueries {
     "q_a1_dual_count_approx" ->
       ("SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS total_visits, " +
        "TRUE AS within_bound FROM events GROUP BY 1, 2"),
+    "q_s5b_snapshot_ts" ->
+      ("""WITH s1 AS (
+         |  SELECT user_id, event_type, ts FROM events
+         |  WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |), s2 AS (
+         |  SELECT user_id, event_type, ts FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |)
+         |SELECT s1.user_id, s1.event_type,
+         |  epoch_us(s1.ts) AS valid_from_us,
+         |  CASE WHEN s2.ts > s1.ts THEN epoch_us(s2.ts) ELSE -1 END AS valid_to_us
+         |FROM s1 JOIN s2 USING (user_id)
+         |UNION ALL
+         |SELECT s2.user_id, s2.event_type, epoch_us(s2.ts) AS valid_from_us,
+         |  -1 AS valid_to_us
+         |FROM s2 LEFT JOIN s1 USING (user_id)
+         |WHERE s1.user_id IS NULL OR s2.ts > s1.ts""".stripMargin),
     "q_s6_change_feed" ->
       ("""WITH s1 AS (
          |  SELECT user_id || '|' || event_type AS id, count(*) AS n

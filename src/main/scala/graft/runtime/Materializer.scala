@@ -310,6 +310,27 @@ final class Materializer(spark: SparkSession, baseDir: String,
       commitVersion(model, result)
     } }
 
+  /** dbt's `incremental` WITHOUT a unique_key — the append strategy:
+    * the fresh batch unions onto the prior with no key matching at all
+    * (an event-log model, where every batch row is a new fact). Same
+    * serialization + commit seam as [[materialize]]; the only difference
+    * is the merge: prior ∪ fresh, no anti-join, so the rewrite never
+    * shuffles — at scale the per-run cost is a read + append-style write
+    * rather than a keyed merge.
+    */
+  def materializeAppend(model: String)
+                       (build: Option[DataFrame] => DataFrame): DataFrame =
+    writerLockFor(model).synchronized { withFileLock(model) {
+      val prior = readPrior(model)
+      val fresh = build(prior)
+      val result = prior match {
+        case None => fresh
+        case Some(old) =>
+          old.select(fresh.columns.map(col).toIndexedSeq: _*).unionByName(fresh)
+      }
+      commitVersion(model, result)
+    } }
+
   /** Write `result` as a fresh version dir and flip the pointer to it —
     * the single commit seam every table-rewriting operation shares.
     * Must be called holding the model's writer mutex + file lock.

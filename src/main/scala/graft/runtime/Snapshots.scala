@@ -49,6 +49,46 @@ object Snapshots {
     * schema = current's columns + (valid_from, valid_to) timestamps,
     * open rows having NULL valid_to.
     */
+  /** dbt's `timestamp` snapshot strategy: a key changed iff its
+    * `updatedAt` column ADVANCED past the open row's — no payload
+    * compare at all, so a re-emitted record with a newer stamp and an
+    * identical payload still closes + re-opens (the documented contrast
+    * with [[step]]'s `check` strategy, spec-pinned). Validity comes from
+    * the DATA, not the run: `valid_from` = the record's own updatedAt,
+    * and a closing row's `valid_to` = the superseding record's
+    * updatedAt — reruns are reproducible with no caller-supplied stamp.
+    * Records whose stamp did NOT advance (equal or older) are ignored,
+    * dbt's late-arrival rule. Same two-hash-join + union merge shape as
+    * [[step]].
+    */
+  def stepByTimestamp(prior: Option[DataFrame], current: DataFrame, key: String,
+                      updatedAt: String): DataFrame = {
+    val cur = current
+      .withColumn(ValidFrom, col(updatedAt).cast("timestamp"))
+      .withColumn(ValidTo, lit(null).cast("timestamp"))
+    prior match {
+      case None => cur
+      case Some(hist) =>
+        val closed = hist.filter(col(ValidTo).isNotNull)
+        val open = hist.filter(col(ValidTo).isNull)
+        val curKeyed = cur.select(col(key).as("__ck"),
+          col(updatedAt).cast("timestamp").as("__cu"))
+        val openNext = open
+          .join(curKeyed, col(key) === col("__ck"), "left")
+          .withColumn(ValidTo,
+            when(col("__cu") > col(updatedAt).cast("timestamp"), col("__cu"))
+              .otherwise(col(ValidTo)))
+          .drop("__ck", "__cu")
+        val openKeyed = open.select(col(key).as("__ok"),
+          col(updatedAt).cast("timestamp").as("__ou"))
+        val freshOpen = cur
+          .join(openKeyed, col(key) === col("__ok"), "left")
+          .filter(col("__ou").isNull || col(updatedAt).cast("timestamp") > col("__ou"))
+          .drop("__ok", "__ou")
+        closed.unionByName(openNext).unionByName(freshOpen)
+    }
+  }
+
   def step(prior: Option[DataFrame], current: DataFrame, key: String,
            checkCols: Seq[String], runTs: java.sql.Timestamp): DataFrame = {
     require(checkCols.nonEmpty, "snapshot needs at least one check column")

@@ -325,6 +325,21 @@ class MaterializerSpec extends SparkSpec {
     assert(!mat.exists("nope"))
   }
 
+  test("append strategy: batches accumulate with no key matching; duplicates survive") {
+    val mat = new Materializer(spark, freshDir())
+    mat.materializeAppend("log")(_ => Seq(("e1", 1), ("e2", 2)).toDF("id", "v"))
+    // same ids again: append must NOT dedup or replace
+    mat.materializeAppend("log")(_ => Seq(("e1", 10), ("e3", 3)).toDF("id", "v"))
+    val out = mat.readPrior("log").get.as[(String, Int)].collect().toSeq
+    assert(out.sorted == Seq(("e1", 1), ("e1", 10), ("e2", 2), ("e3", 3)),
+      out.toString)
+    // the prior is still offered to the build fn for watermarking
+    val seen = mat.materializeAppend("log")(p => {
+      assert(p.get.count() == 4); Seq(("e4", 4)).toDF("id", "v")
+    })
+    assert(seen.count() == 5)
+  }
+
   test("time travel: every retained commit is readable; aged-out versions throw") {
     val mat = new Materializer(spark, freshDir(), keepVersions = 3)
     def run(rows: (String, Int)*): Unit =

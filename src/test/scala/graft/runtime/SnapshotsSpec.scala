@@ -45,6 +45,39 @@ class SnapshotsSpec extends SparkSpec {
       (1L, "a", t1, Some(t2)), (1L, "b", t2, Some(t3)), (1L, "c", t3, None)))
   }
 
+  test("timestamp strategy: advance closes, equal/older keeps, insert opens — payload ignored") {
+    val u1 = ts("2024-01-01 00:00:00"); val u2 = ts("2024-01-20 00:00:00")
+    def rowsTs(df: org.apache.spark.sql.DataFrame): Set[Row4] =
+      df.select(col("k"), col("v"), col("valid_from"), col("valid_to"))
+        .as[Row4].collect().toSet
+    val run1 = Snapshots.stepByTimestamp(None,
+      Seq((1L, "a", u1), (2L, "b", u1), (3L, "c", u1)).toDF("k", "v", "u"), "k", "u")
+    assert(rowsTs(run1) == Set((1L, "a", u1, None), (2L, "b", u1, None), (3L, "c", u1, None)))
+    // key 1: SAME payload, newer stamp → closes + re-opens (check
+    // strategy would keep — the strategies' defining divergence);
+    // key 2: changed payload but EQUAL stamp → late-arrival rule ignores;
+    // key 3: absent → stays open; key 4: insert
+    val run2 = Snapshots.stepByTimestamp(Some(run1),
+      Seq((1L, "a", u2), (2L, "CHANGED", u1), (4L, "d", u2)).toDF("k", "v", "u"), "k", "u")
+    assert(rowsTs(run2) == Set(
+      (1L, "a", u1, Some(u2)), (1L, "a", u2, None),
+      (2L, "b", u1, None),
+      (3L, "c", u1, None),
+      (4L, "d", u2, None)), rowsTs(run2).toString)
+    // valid stamps all came from the data — no run timestamp anywhere
+  }
+
+  test("timestamp strategy: three runs build a contiguous per-key timeline") {
+    val u = (1 to 3).map(i => ts(s"2024-0$i-01 00:00:00"))
+    def one(p: Option[org.apache.spark.sql.DataFrame], v: String, t: java.sql.Timestamp) =
+      Snapshots.stepByTimestamp(p, Seq((1L, v, t)).toDF("k", "v", "u"), "k", "u")
+    val run3 = one(Some(one(Some(one(None, "a", u(0))), "b", u(1))), "c", u(2))
+    val got = run3.select(col("k"), col("v"), col("valid_from"), col("valid_to"))
+      .as[Row4].collect().toSet
+    assert(got == Set(
+      (1L, "a", u(0), Some(u(1))), (1L, "b", u(1), Some(u(2))), (1L, "c", u(2), None)))
+  }
+
   test("property: random run sequences keep every key's timeline contiguous") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
