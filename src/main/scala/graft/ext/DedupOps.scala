@@ -623,11 +623,27 @@ object DedupOps {
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"), col(langCol).as("__lang"),
         floor(length(col(textCol)) / blockChars).as("__blk"))
-    d.as("a").join(d.as("b"),
+    // PERF, two measured fixes (44 s → ~1 s at sf0.1):
+    //  1. Catalyst pushes the dist filter INTO the join condition, so the
+    //     verify kernel runs inside the join stage — whose parallelism is
+    //     the (tiny, single-file) doc scan's, not the Σ|block|² pair
+    //     fan-out's. An EXPLICIT-numPartitions repartition of the probe
+    //     side (exempt from AQE coalescing — AQE sizes stages by bytes
+    //     and would collapse this compute-dense stage to one task)
+    //     spreads the verify across the session's shuffle parallelism.
+    //  2. The built-in thresholded levenshtein re-steps UTF-8 bytes
+    //     inside the DP (~1.2 ms per ~300-char pair, band no faster than
+    //     full); the codegen'd LevKernel band over a decoded codepoint
+    //     array is ~40× cheaper with identical semantics (parity
+    //     spec-gated incl. non-ASCII).
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    d.repartition(n, col("doc_id")).as("a").join(d.as("b"),
         col("a.__lang") === col("b.__lang") && col("a.__blk") === col("b.__blk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.__t"), col("b.__t"), maxDist).cast("long").as("dist"))
+        graft.functions.VectorFunctions.levBand(col("a.__t"), col("b.__t"), maxDist)
+          .cast("long").as("dist"))
       .filter(col("dist") =!= -1L)
   }
 

@@ -350,6 +350,37 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("LevenshteinBand: parity with the built-in thresholded levenshtein, eval and codegen") {
+    // the kernel is the single source for both paths (LevKernel), but the
+    // band/early-exit logic itself must match the built-in's contract:
+    // exact distance when <= t, -1 past it — over CODEPOINTS, so the
+    // supplementary-plane and multi-byte cases are in the battery
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abcde", "aéü中😀")
+    val cases = Seq(("", ""), ("", "abc"), ("kitten", "sitting"), ("flaw", "lawn")) ++
+      (1 to 60).map { _ =>
+        val al = alphabets(rnd.nextInt(alphabets.size))
+        def s(n: Int) = Seq.fill(n)(al(rnd.nextInt(al.length))).mkString
+        (s(rnd.nextInt(40)), s(rnd.nextInt(40)))
+      }
+    for (t <- Seq(0, 1, 3, 10, 100); (a, b) <- cases) {
+      val expected = Seq((a, b)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"), t)).as[Int].head()
+      val viaDf = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.VectorFunctions.levBand(col("a"), col("b"), t))
+        .as[Int].head()
+      val viaEval = graft.functions.LevenshteinBand(
+        Literal(UTF8String.fromString(a), org.apache.spark.sql.types.StringType),
+        Literal(UTF8String.fromString(b), org.apache.spark.sql.types.StringType),
+        t).eval(null)
+      assert(viaDf == expected, s"codegen lev_band('$a','$b',$t) = $viaDf, built-in $expected")
+      assert(viaEval == expected, s"eval lev_band('$a','$b',$t) = $viaEval, built-in $expected")
+    }
+  }
+
   test("winnowing edge cases: short docs and the pair knob") {
     // a doc with fewer than w hashes winnows one whole-run window (its
     // single min); docs under k chars are absent
