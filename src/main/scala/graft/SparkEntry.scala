@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.registry.{CoreQueries, EventQueries, ExtQueries, ModelQueries, RelationalQueries, SqlQueries}
+import graft.registry.{CoreQueries, EventQueries, ExtQueries, ModelQueries, RelationalQueries, SqlQueries, SubqueryQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries/oracles live in graft.registry.*; this object only aggregates.
@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ModelQueries.queries ++ ExtQueries.queries ++
-      RelationalQueries.queries ++ SqlQueries.queries ++ EventQueries.queries
+      RelationalQueries.queries ++ SqlQueries.queries ++ EventQueries.queries ++
+      SubqueryQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ ModelQueries.oracle ++ ExtQueries.oracle ++
-      RelationalQueries.oracle ++ SqlQueries.oracle ++ EventQueries.oracle
+      RelationalQueries.oracle ++ SqlQueries.oracle ++ EventQueries.oracle ++
+      SubqueryQueries.oracle
 }

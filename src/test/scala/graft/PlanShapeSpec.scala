@@ -258,6 +258,36 @@ class PlanShapeSpec extends SparkSpec {
       s"exact-vs-estimate gate join should broadcast (5 rows each):\n$p")
   }
 
+  test("subqueries decorrelate: EXISTS/NOT EXISTS become semi/anti joins, never per-row plans") {
+    // a correlated subquery that survives to execution re-runs its inner
+    // plan per outer row — the 100 TB failure mode Catalyst's
+    // RewritePredicateSubquery exists to prevent; these gates pin the
+    // rewrite happening at all
+    val ex = plan("q_sub_exists")
+    assert(ex.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$ex")
+    val nex = plan("q_sub_not_exists")
+    assert(nex.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$nex")
+    // NOT IN must keep three-valued-logic semantics via the null-aware
+    // anti join form, not a plain anti join
+    val nin = plan("q_sub_not_in")
+    assert(nin.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$nin")
+  }
+
+  test("correlated scalar subquery decorrelates to one per-key aggregate, joined back") {
+    val p = plan("q_sub_scalar_corr")
+    // the inner avg must run ONCE as a grouped aggregate over lineitem
+    // (partial+final over l_partkey), then join — not re-scan per row
+    assert(p.contains("partial_avg"), s"inner avg not a grouped partial aggregate:\n$p")
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      s"scalar subquery survived to the physical plan (per-row re-eval):\n$p")
+  }
+
+  test("lateral top-k per region: decorrelated window/limit, never a nested-loop re-scan") {
+    val p = plan("q_sub_lateral")
+    assert(!p.contains("CartesianProduct"),
+      s"lateral regressed to a cartesian re-scan:\n$p")
+  }
+
   test("sessionize: both windows share one user-key sort; rollup partial-aggs") {
     val p = plan("q_ext_sessionize")
     // lag() and the running sum() use identical partitioning+ordering —

@@ -9,21 +9,65 @@ import org.apache.spark.sql.functions._
   */
 object ScratchMain {
   def main(args: Array[String]): Unit = {
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.runtime.Sources.bootstrap(spark)
-    def time[T](tag: String)(f: => T): T = {
-      val t0 = System.nanoTime; val r = f
-      println(s"TIMED $tag: ${(System.nanoTime - t0) / 1e9}s"); r
+    val src = graft.runtime.Sources(spark, sf)
+    src.orders.createOrReplaceTempView("orders")
+    src.lineitem.createOrReplaceTempView("lineitem")
+    src.customer.createOrReplaceTempView("customer")
+    src.part.createOrReplaceTempView("part")
+    src.nation.createOrReplaceTempView("nation")
+    src.region.createOrReplaceTempView("region")
+
+    val qs = Map(
+      "exists" -> """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""",
+      "not_exists" -> """
+        SELECT c_mktsegment, count(*) AS customer_count
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""",
+      "not_in" -> """
+        SELECT p_brand, count(*) AS part_count
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        GROUP BY p_brand""",
+      "scalar_corr" -> """
+        SELECT p_brand,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+          count(*) AS line_count
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+        GROUP BY p_brand""",
+      "scalar_uncorr" -> """
+        SELECT o_orderstatus, count(*) AS big_orders
+        FROM orders
+        WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus""",
+      "lateral" -> """
+        SELECT r_name, n_name, customer_count
+        FROM region, LATERAL (
+          SELECT n_name, count(c_custkey) AS customer_count
+          FROM nation JOIN customer ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r_regionkey
+          GROUP BY n_name
+          ORDER BY customer_count DESC, n_name
+          LIMIT 2) t""")
+    for ((name, q) <- qs.toSeq.sortBy(_._1)) {
+      try {
+        val df = spark.sql(q)
+        println(s"SCRATCH $name rows=${df.count()}")
+      } catch { case e: Throwable =>
+        println(s"SCRATCH $name ERROR: ${e.getMessage.linesIterator.take(3).mkString(" | ")}")
+      }
     }
-    val docs = graft.runtime.Sources(spark, sf).documents
-    val q = graft.ext.DedupOps.editDistancePairs(docs, maxDist = 60)
-    q.explain("formatted")
-    time("editDistancePairs-1")(q.write.format("noop").mode("overwrite").save())
-    time("editDistancePairs-2")(q.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
