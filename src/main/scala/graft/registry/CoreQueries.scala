@@ -468,7 +468,53 @@ object CoreQueries {
       Array(col("view"), col("click"), col("purchase"), col("signup"), col("error")),
       "event_type", "n")
 
+  // ---- A10/A11: statistical aggregates + ordered-set string agg ----------
+  // Cross-engine float discipline for the moment battery: l_quantity is
+  // integer-valued, so every raw power sum both engines accumulate is an
+  // exact integer in double (< 2^53) regardless of partitioning; the
+  // remaining per-group divisions/ratios are correctly rounded from
+  // near-identical accumulations — both engines land within ~1e-12
+  // relative, far inside the comparator's 1e-9. Definitional deltas are
+  // mirrored in the ORACLE, not here: DuckDB's skewness/kurtosis are
+  // sample-bias-corrected (G1/G2) while Spark's are population (g1/g2),
+  // so the oracle uses kurtosis_pop and converts skewness by
+  // (n-2)/sqrt(n(n-1)).
+  private val a10Stats: Q = (s, dir) =>
+    src(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        stddev_pop(col("l_quantity")).as("sdp_qty"),
+        var_pop(col("l_quantity")).as("varp_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qp"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("covp_qp"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope_pq"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("icept_pq"),
+        skewness(col("l_quantity")).as("skew_qty"),
+        kurtosis(col("l_quantity")).as("kurt_qty"),
+        median(col("l_quantity")).as("median_qty"))
+
+  // listagg is the ORDERED-SET aggregate (WITHIN GROUP) — the ordering
+  // clause only exists on the SQL surface, so the query runs through
+  // spark.sql; the ORDER BY carries a total order (c_name is unique), so
+  // the concatenation is deterministic on both engines. The %-sample
+  // keeps cells short; the count gate pins group membership separately
+  // from the concatenation.
+  private val a11Listagg: Q = (s, dir) => {
+    src(s, dir).customer.createOrReplaceTempView("customer_listagg")
+    s.sql("""
+      SELECT c_mktsegment,
+        listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+        count(*) AS n
+      FROM customer_listagg WHERE c_custkey % 50 = 0
+      GROUP BY c_mktsegment""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_a10_stats"       -> a10Stats,
+    "q_a11_listagg"     -> a11Listagg,
     "q_u3_pivot_wide"   -> u3PivotWide,
     "q_u4_unpivot"      -> u4Unpivot,
     "q_dq_checks"       -> dqChecks,
@@ -688,6 +734,29 @@ object CoreQueries {
     "q_a9_sketch_rollup" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_uniques, " +
        "TRUE AS within_bound FROM events GROUP BY 1"),
+    // population-moment mirrors: kurtosis_pop directly; skewness converted
+    // from DuckDB's sample G1 to Spark's population g1 by (n-2)/sqrt(n(n-1))
+    "q_a10_stats" ->
+      ("""SELECT l_returnflag,
+         |  stddev_samp(l_quantity) AS sd_qty,
+         |  var_samp(l_quantity) AS var_qty,
+         |  stddev_pop(l_quantity) AS sdp_qty,
+         |  var_pop(l_quantity) AS varp_qty,
+         |  corr(l_quantity, l_extendedprice) AS corr_qp,
+         |  covar_samp(l_quantity, l_extendedprice) AS cov_qp,
+         |  covar_pop(l_quantity, l_extendedprice) AS covp_qp,
+         |  regr_slope(l_extendedprice, l_quantity) AS slope_pq,
+         |  regr_intercept(l_extendedprice, l_quantity) AS icept_pq,
+         |  skewness(l_quantity) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) AS skew_qty,
+         |  kurtosis_pop(l_quantity) AS kurt_qty,
+         |  quantile_cont(l_quantity, 0.5) AS median_qty
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    "q_a11_listagg" ->
+      ("""SELECT c_mktsegment,
+         |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+         |  count(*) AS n
+         |FROM customer WHERE c_custkey % 50 = 0
+         |GROUP BY c_mktsegment""".stripMargin),
     "q_j_salted_skew" ->
       ("WITH e AS (SELECT event_id, CASE WHEN event_id % 4 = 0 THEN 0 " +
        "ELSE event_id % 25 END AS k FROM events) " +

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.runtime.Sources
 
 /** Subquery surface battery: EXISTS / NOT EXISTS / NOT IN / correlated
-  * scalar / uncorrelated scalar / correlated LATERAL, each run through
-  * `spark.sql` so the gate covers the PARSED subquery forms, not
-  * hand-rewritten joins. Catalyst's decorrelation is the point: every
+  * scalar / uncorrelated scalar / correlated LATERAL / WITH RECURSIVE,
+  * each run through `spark.sql` so the gate covers the PARSED subquery
+  * forms, not hand-rewritten joins. Catalyst's decorrelation is the point: every
   * correlated form must plan as a join (semi/anti/aggregate-join) — a
   * per-row re-evaluation would be a 100 TB disaster — and PlanShapeSpec
   * pins those shapes.
@@ -101,6 +101,23 @@ object SubqueryQueries {
         WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
         GROUP BY o_orderstatus""")
     }),
+    // WITH RECURSIVE (Spark 4 native): per-doc ancestor walk up the
+    // doc_id halving tree (node → node div 2 until the root), rolled up
+    // to docs per depth — an iterative fixpoint the planner executes as
+    // repeated UNION ALL steps, depth ≈ log2(max id) ≈ 14 well under the
+    // recursion limit. Both engines run the LITERAL same recursion; DIV
+    // vs // is the only dialect delta (both floor on positive ids).
+    "q_sub_recursive_cte" -> ((s, dir) => {
+      Sources(s, dir).documents.createOrReplaceTempView("documents_rec")
+      s.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT doc_id, doc_id AS node, 0 AS steps FROM documents_rec
+          UNION ALL
+          SELECT doc_id, node DIV 2 AS node, steps + 1 FROM walk WHERE node > 1
+        )
+        SELECT steps AS depth, count(*) AS n_docs
+        FROM walk WHERE node = 1 GROUP BY steps""")
+    }),
     // correlated LATERAL derived table with ORDER BY + LIMIT: top-2
     // nations by customer count per region — the "top-k per outer row"
     // idiom in its declarative form (ties broken by name, deterministic)
@@ -149,6 +166,14 @@ object SubqueryQueries {
          |FROM orders
          |WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
          |GROUP BY o_orderstatus""".stripMargin),
+    "q_sub_recursive_cte" ->
+      ("""WITH RECURSIVE walk AS (
+         |  SELECT doc_id, doc_id AS node, 0 AS steps FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, node // 2 AS node, steps + 1 FROM walk WHERE node > 1
+         |)
+         |SELECT steps AS depth, count(*) AS n_docs
+         |FROM walk WHERE node = 1 GROUP BY steps""".stripMargin),
     "q_sub_lateral" ->
       ("""SELECT r_name, n_name, customer_count
          |FROM region, LATERAL (

@@ -23,7 +23,37 @@ object ScratchMain {
     src.nation.createOrReplaceTempView("nation")
     src.region.createOrReplaceTempView("region")
 
+    src.documents.createOrReplaceTempView("documents")
     val qs = Map(
+      "rec_tree_depth" -> """
+        WITH RECURSIVE walk AS (
+          SELECT doc_id, doc_id AS node, 0 AS steps FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(node / 2 AS BIGINT) AS node, steps + 1 FROM walk WHERE node > 1
+        )
+        SELECT steps AS depth, count(*) AS n_docs
+        FROM walk WHERE node = 1 GROUP BY 1""",
+      "stats_battery" -> """
+        SELECT l_returnflag,
+          stddev_samp(l_quantity) AS sd_qty,
+          var_samp(l_quantity) AS var_qty,
+          stddev_pop(l_quantity) AS sdp_qty,
+          var_pop(l_quantity) AS varp_qty,
+          corr(l_quantity, l_extendedprice) AS corr_qp,
+          covar_samp(l_quantity, l_extendedprice) AS cov_qp,
+          covar_pop(l_quantity, l_extendedprice) AS covp_qp,
+          regr_slope(l_extendedprice, l_quantity) AS slope_pq,
+          regr_intercept(l_extendedprice, l_quantity) AS icept_pq,
+          skewness(l_quantity) AS skew_qty,
+          kurtosis(l_quantity) AS kurt_qty,
+          percentile(l_quantity, 0.5) AS median_qty
+        FROM lineitem GROUP BY l_returnflag""",
+      "listagg" -> """
+        SELECT c_mktsegment,
+          listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+          count(*) AS n
+        FROM customer WHERE c_custkey % 50 = 0
+        GROUP BY c_mktsegment""",
       "exists" -> """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
