@@ -512,7 +512,73 @@ object CoreQueries {
       GROUP BY c_mktsegment""")
   }
 
+  // ---- F12-F14 + J7: collections HOFs, null semantics, datetime, <=> ------
+  // Collection higher-order functions (transform/filter/aggregate +
+  // slice/sort/distinct) over the whitespace token array. HOF lambdas are
+  // interpreted per element (the VecDot lesson) — fine for a correctness
+  // battery over ~100-token docs; hot paths use codegen'd expressions.
+  private val f12Collections: Q = (s, dir) =>
+    src(s, dir).documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(filter(col("toks"), t => length(t) > 3)).cast("long").as("n_long"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("len_sum"),
+        array_join(slice(transform(col("toks"), t => upper(t)), 1, 3), "-").as("upper3"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        element_at(sort_array(col("toks")), 1).as("first_sorted"))
+
+  // Three-valued-logic battery: NULLIF manufactures NULLs, count skips
+  // them, IS DISTINCT FROM treats NULL as a comparable value, COALESCE
+  // restores a default — the SQL null calculus on one deterministic row.
+  private val f13NullSemantics: Q = (s, dir) =>
+    src(s, dir).orders
+      .select(col("o_orderpriority"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(col("st")).as("n_nonopen"),
+        sum(when(not(col("st") <=> lit("F")), 1).otherwise(0)).cast("long")
+          .as("n_distinct_f"),
+        coalesce(max(col("st")), lit("none")).as("max_st"))
+
+  // Datetime function battery: month truncation, end-of-month, calendar
+  // month arithmetic (both engines clamp to month end), day diffs from an
+  // epoch, quarters — every output a date or exact integer.
+  private val f14Datetime: Q = (s, dir) =>
+    src(s, dir).orders
+      .select(col("o_orderdate").cast("date").as("d"))
+      .groupBy(date_trunc("month", col("d")).cast("date").as("month"))
+      .agg(
+        min(last_day(col("d"))).as("eom"),
+        max(add_months(col("d"), 2)).as("plus2m"),
+        sum(datediff(col("d"), lit(java.sql.Date.valueOf("1992-01-01")))).cast("long")
+          .as("days_since"),
+        max(quarter(col("d"))).cast("long").as("q"),
+        count(lit(1)).as("n"))
+
+  // Null-safe equality join (<=>): the NULL key-group joins ITSELF —
+  // plain equality would drop it. Both sides pre-aggregate to ≤26 rows,
+  // so the semantics gate never rides on join fan-out.
+  private val j7NullSafe: Q = (s, dir) => {
+    val keyed = src(s, dir).events.select(
+      when(col("event_type") === "error", lit(null))
+        .otherwise(col("user_id") % 25).as("k"),
+      col("event_id"))
+    val a = keyed.groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+    val b = keyed.groupBy(col("k").as("kb"))
+      .agg(sum(col("event_id")).cast("long").as("id_sum"))
+    a.join(b, col("k") <=> col("kb")).select("k", "n_a", "id_sum")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_f12_collections" -> f12Collections,
+    "q_f13_null_semantics" -> f13NullSemantics,
+    "q_f14_datetime"    -> f14Datetime,
+    "q_j7_nullsafe"     -> j7NullSafe,
     "q_a10_stats"       -> a10Stats,
     "q_a11_listagg"     -> a11Listagg,
     "q_u3_pivot_wide"   -> u3PivotWide,
@@ -734,6 +800,41 @@ object CoreQueries {
     "q_a9_sketch_rollup" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_uniques, " +
        "TRUE AS within_bound FROM events GROUP BY 1"),
+    "q_f12_collections" ->
+      ("""WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS len_sum,
+         |  array_to_string(list_transform(toks, t -> upper(t))[1:3], '-') AS upper3,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         |  list_sort(toks)[1] AS first_sorted
+         |FROM base""".stripMargin),
+    "q_f13_null_semantics" ->
+      ("""WITH x AS (SELECT o_orderpriority, NULLIF(o_orderstatus, 'O') AS st FROM orders)
+         |SELECT o_orderpriority,
+         |  count(*) AS n_all,
+         |  count(st) AS n_nonopen,
+         |  CAST(sum(CASE WHEN st IS DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_f,
+         |  coalesce(max(st), 'none') AS max_st
+         |FROM x GROUP BY 1""".stripMargin),
+    "q_f14_datetime" ->
+      ("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+         |SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         |  CAST(min(last_day(d)) AS DATE) AS eom,
+         |  CAST(max(d + INTERVAL 2 MONTH) AS DATE) AS plus2m,
+         |  CAST(sum(datediff('day', DATE '1992-01-01', d)) AS BIGINT) AS days_since,
+         |  CAST(max(quarter(d)) AS BIGINT) AS q,
+         |  count(*) AS n
+         |FROM o GROUP BY 1""".stripMargin),
+    "q_j7_nullsafe" ->
+      ("""WITH k AS (SELECT CASE WHEN event_type = 'error' THEN NULL
+         |    ELSE user_id % 25 END AS k, event_id FROM events),
+         |a AS (SELECT k, count(*) AS n_a FROM k GROUP BY 1),
+         |b AS (SELECT k AS kb, CAST(sum(event_id) AS BIGINT) AS id_sum FROM k GROUP BY 1)
+         |SELECT a.k, a.n_a, b.id_sum
+         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb""".stripMargin),
     // population-moment mirrors: kurtosis_pop directly; skewness converted
     // from DuckDB's sample G1 to Spark's population g1 by (n-2)/sqrt(n(n-1))
     "q_a10_stats" ->
