@@ -574,7 +574,55 @@ object CoreQueries {
     a.join(b, col("k") <=> col("kb")).select("k", "n_a", "id_sum")
   }
 
+  // ---- A7b/F15/F16: multiset set ops, try_* error calculus, VARIANT -------
+  // INTERSECT ALL / EXCEPT ALL: bag semantics — min(multiplicities) /
+  // left-minus-right copies — where the distinct forms (q_a7_setops)
+  // collapse duplicates. Output grouped to (op, user, copies) so the gate
+  // pins the multiplicities themselves without multiset row ordering.
+  private val a7bSetOpsAll: Q = (s, dir) => {
+    val ev = src(s, dir).events
+    def hi(t: String) = ev
+      .filter(col("event_type") === t && col("value") > 99)
+      .select("user_id")
+    val clicks = hi("click")
+    val purchases = hi("purchase")
+    clicks.intersectAll(purchases).withColumn("op", lit("intersect_all"))
+      .unionByName(clicks.exceptAll(purchases).withColumn("op", lit("except_all")))
+      .groupBy(col("op"), col("user_id"))
+      .agg(count(lit(1)).as("copies"))
+  }
+
+  // try_* error calculus: division by a manufactured zero yields NULL
+  // (not an error), an unparseable cast yields NULL (counted as 0 by
+  // count), a parseable one participates. div_sum stays DOUBLE — casting
+  // a fraction-carrying sum to BIGINT would put the gate on a truncation
+  // boundary two engines may land either side of.
+  private val f15Try: Q = (s, dir) =>
+    src(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(try_divide(col("o_orderkey"), nullif(col("o_orderkey") % 3, lit(0))))
+          .as("div_sum"),
+        count(expr("try_cast(nullif(o_orderstatus, 'O') AS INT)")).as("bad_casts"),
+        sum(expr("try_cast(substr(CAST(o_orderkey AS STRING), 1, 2) AS BIGINT)"))
+          .cast("long").as("prefix_sum"))
+
+  // Spark 4 VARIANT path: parse_json once into the binary variant form,
+  // typed extraction via variant_get (missing path → NULL) — the
+  // semi-structured surface next to q_ext_json_extract's string-path
+  // get_json_object; the oracle reads the same JSON with DuckDB's
+  // extractors, so the gate pins the VALUES, not the encoding.
+  private val f16Variant: Q = (s, dir) =>
+    src(s, dir).events
+      .select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"),
+        variant_get(parse_json(col("props")), "$.tag", "string").as("tag"))
+      .filter(col("k") > 90)
+
   val queries: Map[String, Q] = Map(
+    "q_a7b_setops_all"  -> a7bSetOpsAll,
+    "q_f15_try"         -> f15Try,
+    "q_f16_variant"     -> f16Variant,
     "q_f12_collections" -> f12Collections,
     "q_f13_null_semantics" -> f13NullSemantics,
     "q_f14_datetime"    -> f14Datetime,
@@ -800,6 +848,25 @@ object CoreQueries {
     "q_a9_sketch_rollup" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_uniques, " +
        "TRUE AS within_bound FROM events GROUP BY 1"),
+    "q_a7b_setops_all" ->
+      ("""WITH c AS (SELECT user_id FROM events WHERE event_type = 'click' AND value > 99),
+         |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 99),
+         |     i AS (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM p),
+         |     e AS (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
+         |SELECT 'intersect_all' AS op, user_id, count(*) AS copies FROM i GROUP BY user_id
+         |UNION ALL
+         |SELECT 'except_all' AS op, user_id, count(*) AS copies FROM e GROUP BY user_id""".stripMargin),
+    "q_f15_try" ->
+      ("""SELECT o_orderpriority,
+         |  sum(o_orderkey / NULLIF(o_orderkey % 3, 0)) AS div_sum,
+         |  count(TRY_CAST(NULLIF(o_orderstatus, 'O') AS INT)) AS bad_casts,
+         |  CAST(sum(TRY_CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 2) AS BIGINT)) AS BIGINT) AS prefix_sum
+         |FROM orders GROUP BY 1""".stripMargin),
+    "q_f16_variant" ->
+      ("""SELECT event_id,
+         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         |  json_extract_string(props, '$.tag') AS tag
+         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90""".stripMargin),
     "q_f12_collections" ->
       ("""WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
          |  FROM documents WHERE text IS NOT NULL)

@@ -24,7 +24,27 @@ object ScratchMain {
     src.region.createOrReplaceTempView("region")
 
     src.documents.createOrReplaceTempView("documents")
+    src.events.createOrReplaceTempView("events")
     val qs = Map(
+      "a7b_setops_all" -> """
+        WITH c AS (SELECT user_id FROM events WHERE event_type = 'click' AND value > 99),
+             p AS (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 99),
+             i AS (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM p),
+             e AS (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
+        SELECT 'intersect_all' AS op, user_id, count(*) AS copies FROM i GROUP BY user_id
+        UNION ALL
+        SELECT 'except_all' AS op, user_id, count(*) AS copies FROM e GROUP BY user_id""",
+      "f16_variant" -> """
+        SELECT event_id,
+          variant_get(parse_json(props), '$.k', 'bigint') AS k,
+          variant_get(parse_json(props), '$.tag', 'string') AS tag
+        FROM events WHERE variant_get(parse_json(props), '$.k', 'bigint') > 90""",
+      "f15_try" -> """
+        SELECT o_orderpriority,
+          sum(try_divide(o_orderkey, nullif(o_orderkey % 3, 0))) AS div_sum,
+          count(try_cast(nullif(o_orderstatus, 'O') AS INT)) AS bad_casts,
+          CAST(sum(try_cast(substr(CAST(o_orderkey AS STRING), 1, 2) AS BIGINT)) AS BIGINT) AS prefix_sum
+        FROM orders GROUP BY o_orderpriority""",
       "rec_tree_depth" -> """
         WITH RECURSIVE walk AS (
           SELECT doc_id, doc_id AS node, 0 AS steps FROM documents
