@@ -468,4 +468,23 @@ class PartitionOverwriteSpec extends graft.SparkSpec {
     val parts = out.listFiles().filter(_.getName.startsWith("d=")).map(_.getName).sorted
     assert(parts.toSeq == Seq("d=2024-01-01", "d=2024-01-02", "d=2024-01-03"))
   }
+
+  test("date filter on the partitioned layout prunes partition DIRECTORIES, not just row groups") {
+    // the 100 TB point of this layout: a watermark re-read must show up
+    // as PartitionFilters on the scan (directories never listed into the
+    // plan), so incremental cost is O(touched dates) at the FILE level
+    val pow = new Materializer(spark, freshDir())
+    pow.materializeByDatePartition("m", "d")(model(inputDf(rows)))
+    val q = spark.read.parquet(pow.outPath("m"))
+      .filter($"d" >= java.sql.Date.valueOf("2024-01-03"))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "d")),
+      s"date predicate did not reach partitionFilters: ${scan.partitionFilters}")
+    // the pruned scan reads exactly the one matching partition's rows
+    assert(q.count() == 1)
+    assert(scan.metadata.get("PartitionFilters").exists(_.nonEmpty),
+      s"scan metadata shows no partition filters: ${scan.metadata}")
+  }
 }
