@@ -507,6 +507,19 @@ object ExtQueries {
       val e = Sources(s, dir).embeddings
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
     }),
+    // retrieval-quality instrument (EvalOps): per-query recall@3 / MRR@3 /
+    // nDCG@3 of the exact top-3 run against a cosine ≥ 0.3 binary
+    // relevance set — queries with more relevant docs than k cannot reach
+    // recall 1, so the row exercises every non-trivial branch of the
+    // metric math; the ground-truth scan is the metric's definition, not
+    // an index cost
+    "q_ext_retrieval_metrics" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 50)
+      graft.ext.EvalOps.retrievalMetrics(
+        SimilarityOps.bruteForceTopK(e, q, k = 3),
+        graft.ext.EvalOps.relevantByCosine(e, q, threshold = 0.3), k = 3)
+    }),
     "q_ext_cosine_pairs" -> ((s, dir) =>
       SimilarityOps.cosinePairs(Sources(s, dir).embeddings, 0.35)),
     "q_ext_knn_lsh" -> ((s, dir) =>
@@ -1257,6 +1270,35 @@ object ExtQueries {
          |FROM docs d JOIN comp c ON d.doc_id = c.node
          |WHERE c.root = d.doc_id""".stripMargin),
     "q_ext_knn_brute" -> knnExactSql,
+    "q_ext_retrieval_metrics" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |         list_cosine_similarity(q.v, c.v) AS sim
+         |  FROM q JOIN e c ON q.vec_id != c.vec_id),
+         |retrieved AS (
+         |  SELECT query_id, corpus_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM scored QUALIFY rank <= 3),
+         |rel AS (SELECT query_id, corpus_id FROM scored WHERE sim >= 0.3),
+         |relcount AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         |hits AS (
+         |  SELECT r.query_id,
+         |    count(x.corpus_id) AS n_hits,
+         |    coalesce(1.0 / min(CASE WHEN x.corpus_id IS NOT NULL THEN r.rank END), 0.0) AS mrr,
+         |    coalesce(sum(CASE WHEN x.corpus_id IS NOT NULL THEN 1.0/log2(r.rank + 1) END), 0.0) AS dcg
+         |  FROM retrieved r LEFT JOIN rel x
+         |    ON r.query_id = x.query_id AND r.corpus_id = x.corpus_id
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT rc.query_id, sum(1.0/log2(s.i + 1)) AS idcg
+         |  FROM relcount rc JOIN range(1, 4) s(i) ON s.i <= least(3, rc.n_rel)
+         |  GROUP BY 1)
+         |SELECT h.query_id, rc.n_rel,
+         |  CAST(h.n_hits AS DOUBLE) / rc.n_rel AS recall_at_k,
+         |  h.mrr, h.dcg / i.idcg AS ndcg
+         |FROM hits h JOIN relcount rc USING (query_id) JOIN idcg i USING (query_id)""".stripMargin),
     "q_ext_knn_ivf" -> knnExactSql,
     "q_ext_knn_ivf_probe" -> knnExactSql,
     // PQ with shortlist = everything re-ranks every candidate exactly —
