@@ -63,4 +63,56 @@ object Aggs {
     sketches.groupBy(keys: _*)
       .agg(hll_sketch_estimate(hll_union_agg(sketchCol, lit(false)))
         .as(estimateName))
+
+  /** [EXT] Bounded top-k buffer: top `k` (ord, id) pairs by ord DESC with
+    * id ASC tie-break, kept sorted. Both reduce and merge preserve the
+    * ≤ k bound, so the map-side partial state is O(k) per key — the
+    * property that makes [[Aggs.topKPerKey]] scale where the window form
+    * cannot: ROW_NUMBER + filter sorts EVERY row of every key group
+    * through the shuffle, while this ships at most k candidates per key
+    * per map partition (the same reason k=1 uses [[Dedup.argmax]]).
+    */
+  final class TopK(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k >= 1, s"k must be positive: $k")
+    private val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (v, id) => (-v, id)
+    }
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], t: (Double, Long)): Seq[(Double, Long)] =
+      // bounded insert: skip without allocation when t can't place
+      if (b.size >= k && ord.lteq(b.last, t)) b
+      else ((b :+ t).sorted(ord)).take(k)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** [EXT] Top-k rows per key WITHOUT a per-group sort: the [[TopK]]
+    * aggregator keeps an O(k) buffer per key, partials merge map-side
+    * (ObjectHashAggregate, plan-gated), and only k candidates per key
+    * per partition cross the shuffle. Output (keys..., id, ord, rank)
+    * with rank 1-based by ord DESC, id ASC on ties — row-identical to
+    * the ROW_NUMBER window form (spec-gated), cheaper whenever group
+    * size ≫ k. NULL ords are dropped (no total order to rank them in);
+    * payload columns beyond the id re-join downstream — top-k ids are
+    * broadcast-sized by construction.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], ordCol: Column,
+                 idCol: Column, k: Int): DataFrame = {
+    val tk = udaf(new TopK(k))
+    df.filter(ordCol.isNotNull)
+      .groupBy(keys: _*)
+      .agg(tk(ordCol.cast("double"), idCol.cast("long")).as("__top"))
+      .select((keys :+ posexplode(col("__top"))): _*)
+      .select((keys ++ Seq(
+        col("col").getField("_2").as("id"),
+        col("col").getField("_1").as("ord"),
+        (col("pos") + 1).cast("long").as("rank"))): _*)
+  }
 }

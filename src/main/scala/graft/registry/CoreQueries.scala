@@ -619,7 +619,22 @@ object CoreQueries {
         variant_get(parse_json(col("props")), "$.tag", "string").as("tag"))
       .filter(col("k") > 90)
 
+  // ---- W5: top-k per key via the bounded-buffer aggregator ----------------
+  // The scale form of the W1/W2 window family for k > 1: per-key O(k)
+  // state, map-side partial merge, only k candidates per key per
+  // partition cross the shuffle (vs ROW_NUMBER sorting every group row).
+  // Output is row-identical to the window form; the oracle IS the window
+  // form, so the equivalence is hash-gated at fixture scale, not just
+  // spec scale. value ties break on event_id; doubles pass through
+  // per-row (bit-deterministic, no accumulation).
+  private val w5TopKAgg: Q = (s, dir) =>
+    Aggs.topKPerKey(src(s, dir).events,
+      Seq(col("user_id")), col("value"), col("event_id"), k = 3)
+      .select(col("user_id"), col("id").as("event_id"),
+        col("ord").as("value"), col("rank"))
+
   val queries: Map[String, Q] = Map(
+    "q_w5_topk_agg"     -> w5TopKAgg,
     "q_a7b_setops_all"  -> a7bSetOpsAll,
     "q_f15_try"         -> f15Try,
     "q_f16_variant"     -> f16Variant,
@@ -848,6 +863,12 @@ object CoreQueries {
     "q_a9_sketch_rollup" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_uniques, " +
        "TRUE AS within_bound FROM events GROUP BY 1"),
+    "q_w5_topk_agg" ->
+      ("""SELECT user_id, event_id, value, rank FROM (
+         |  SELECT user_id, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+         |  FROM events WHERE value IS NOT NULL
+         |) WHERE rank <= 3""".stripMargin),
     "q_a7b_setops_all" ->
       ("""WITH c AS (SELECT user_id FROM events WHERE event_type = 'click' AND value > 99),
          |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 99),

@@ -288,6 +288,16 @@ class PlanShapeSpec extends SparkSpec {
       s"lateral regressed to a cartesian re-scan:\n$p")
   }
 
+  test("topKPerKey: bounded buffers merge map-side, no per-group window sort") {
+    val p = plan("q_w5_topk_agg")
+    // the point of the aggregator form: ObjectHashAggregate partials ship
+    // <= k candidates per key per partition; a Window node would mean the
+    // full per-group sort came back
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk"),
+      s"top-k lost its map-side partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"top-k regressed to the window sort:\n$p")
+  }
+
   test("sessionize: both windows share one user-key sort; rollup partial-aggs") {
     val p = plan("q_ext_sessionize")
     // lag() and the running sum() use identical partitioning+ordering —

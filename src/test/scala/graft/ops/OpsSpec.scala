@@ -166,3 +166,44 @@ class SaltedJoinSpec extends SparkSpec {
     assert(rolled == Map("view" -> 4L, "click" -> 3L), rolled.toString)
   }
 }
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("topKPerKey is row-identical to the ROW_NUMBER window form, ties included") {
+    val rnd = new scala.util.Random(7)
+    // duplicate ord values on purpose: ties must break on id identically
+    val rows = (1 to 500).map(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(20).toDouble, i.toLong))
+    val df = rows.toDF("k", "v", "id")
+    val got = graft.ops.Aggs.topKPerKey(df, Seq(col("k")), col("v"), col("id"), k = 5)
+      .select("k", "id", "ord", "rank")
+      .as[(String, Long, Double, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("k"), col("id"), col("v").as("ord"), col("rank"))
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("TopK buffer stays bounded and ordered through reduce and merge") {
+    val agg = new graft.ops.Aggs.TopK(3)
+    val b = (1 to 10).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i.toDouble, i.toLong)))
+    assert(b == Seq((10.0, 10L), (9.0, 9L), (8.0, 8L)), b.toString)
+    // merge of two full buffers keeps the global top-3; tie (8.0) breaks on lower id
+    val other = Seq((11.0, 20L), (8.0, 2L), (1.0, 30L))
+    assert(agg.merge(b, other) == Seq((11.0, 20L), (10.0, 10L), (9.0, 9L)))
+    assert(agg.merge(Seq((8.0, 2L)), Seq((8.0, 1L))) == Seq((8.0, 1L), (8.0, 2L)))
+  }
+
+  test("NULL ords are dropped, not ranked") {
+    val df = Seq((Some(2.0), 1L), (None, 2L), (Some(1.0), 3L))
+      .toDF("v", "id").withColumn("k", lit("a"))
+    val got = graft.ops.Aggs.topKPerKey(df, Seq(col("k")), col("v"), col("id"), k = 5)
+      .select("id", "rank").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (3L, 2L)), got.toString)
+  }
+}
