@@ -140,6 +140,44 @@ object StreamingOps {
         ()
     }
 
+  /** [[corpusIngestSink]] with a DEAD-LETTER split: each micro-batch is
+    * validated against `checks` (name → predicate that must HOLD; a NULL
+    * predicate result counts as failing, the dbt-test convention) BEFORE
+    * dedup. Rows failing any check land in `<model>__rejects` carrying
+    * the FIRST failing check's name as `reject_reason`; only valid rows
+    * continue into the exact-dedup ingest. Both tables commit through
+    * the Materializer's upsert-by-doc_id, so a replayed micro-batch is
+    * idempotent on BOTH sides: its rejects upsert their own ids, its
+    * valid rows content-dedup against their previous append. The
+    * quarantine is a queryable TABLE, not a log line — ops inspect it,
+    * fix upstream, re-ingest (fixed ids upsert into the corpus), expire
+    * it. Same one-stream-per-model and unique-ids-within-a-batch
+    * contracts as the other ingest sinks.
+    */
+  def corpusIngestQuarantineSink(docs: DataFrame, mat: Materializer, model: String,
+                                 checks: Seq[(String, org.apache.spark.sql.Column)]
+                                ): DataStreamWriter[Row] = {
+    require(checks.nonEmpty, "at least one validity check required")
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val fails = checks.map { case (n, p) => (n, not(coalesce(p, lit(false)))) }
+        val reason = fails.tail
+          .foldLeft(when(fails.head._2, lit(fails.head._1))) {
+            case (acc, (n, f)) => acc.when(f, lit(n))
+          }.otherwise(lit(null).cast("string"))
+        val marked = batch.withColumn("reject_reason", reason)
+        val rejects = marked.filter(col("reject_reason").isNotNull)
+        if (!rejects.isEmpty)
+          mat.materialize(model + "__rejects", "doc_id")(_ => rejects)
+        val valid = marked.filter(col("reject_reason").isNull).drop("reject_reason")
+        mat.materialize(model, "doc_id") {
+          case None        => graft.ext.DedupOps.dedupExact(valid)
+          case Some(prior) => graft.ext.IngestOps.appendDedupExact(prior, valid)
+        }
+        ()
+    }
+  }
+
   /** [[corpusIngestSink]] with NEAR-dup awareness: each micro-batch
     * additionally drops rows whose verified near-duplicate already
     * lives in the materialized corpus. Same table-is-the-state

@@ -621,6 +621,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quarantine ingest sink: invalid rows dead-letter with a reason, valid rows dedup; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("ingest_quar").toString)
+    def corpus: Set[Long] = mat.readPrior("qc")
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def rejects: Map[Long, String] = mat.readPrior("qc__rejects")
+      .map(_.select("doc_id", "reject_reason").as[(Long, String)].collect().toMap)
+      .getOrElse(Map.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestQuarantineSink(
+      in.toDF().toDF("doc_id", "text"), mat, "qc", Seq(
+        // order matters: a null text fails text_not_null FIRST even
+        // though the length predicate is also (null →) failing
+        "text_not_null" -> org.apache.spark.sql.functions.col("text").isNotNull,
+        "text_min_len" ->
+          (org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")) >= 5))).start()
+    try {
+      in.addData((1L, "alpha beta"), (2L, null: String), (3L, "abc"), (4L, "gamma delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 4L), corpus.toString)
+      assert(rejects == Map(2L -> "text_not_null", 3L -> "text_min_len"), rejects.toString)
+      // replayed batch (at-least-once): both tables idempotent
+      in.addData((1L, "alpha beta"), (2L, null: String), (3L, "abc"), (4L, "gamma delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 4L), corpus.toString)
+      assert(rejects == Map(2L -> "text_not_null", 3L -> "text_min_len"), rejects.toString)
+      // a FIXED doc re-ingests: id 3 now valid upserts into the corpus
+      // (and stays in rejects until expired — the documented contract)
+      in.addData((3L, "abc now long enough"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 3L, 4L), corpus.toString)
+    } finally q.stop()
+  }
+
   test("corpus ingest sink with compactEvery keeps the table at target file count") {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
