@@ -90,6 +90,38 @@ object StreamingOps {
     runningBest(events)(_.domainUserid)(touchPriority)
   }
 
+  /** One live leaderboard row: key's current rank-`rank` entry. */
+  case class RankedRow(key: String, id: Long, ord: Double, rank: Long)
+
+  /** Streaming top-k leaderboard: per-key running top-k under (ord DESC,
+    * id ASC) — the continuous form of [[graft.ops.Aggs.topKPerKey]],
+    * folding each micro-batch into the SAME bounded O(k) buffer the
+    * batch aggregator merges (one code path, so stream ≡ batch is a
+    * property of construction, and spec-gated anyway). Each trigger
+    * emits the touched keys' current FULL top-k (update semantics):
+    * upsert downstream on (key, rank) — ranks only ever fill in or
+    * improve — and the table is the live leaderboard. State per key is
+    * k pairs, independent of history length.
+    */
+  def topKLeaderboard(rows: Dataset[(String, Double, Long)], k: Int): Dataset[RankedRow] = {
+    val session = rows.sparkSession
+    import session.implicits._
+    val agg = new graft.ops.Aggs.TopK(k)
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Double, Long)], RankedRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Double, Long)],
+         state: GroupState[Seq[(Double, Long)]]) =>
+          val incoming = it.foldLeft(agg.zero)((b, r) => agg.reduce(b, (r._2, r._3)))
+          val merged = agg.merge(state.getOption.getOrElse(agg.zero), incoming)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            RankedRow(key, id, v, i + 1L)
+          }
+      }
+  }
+
   /** Sink glue: every micro-batch runs the batch upsert-by-key path, so
     * a streaming model materializes exactly like its batch rerun.
     */

@@ -551,6 +551,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKLeaderboard: upserted table equals the batch aggregator after all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("lb_stream").toString)
+    val in = MemoryStream[(String, Double, Long)]
+    val ranked = StreamingOps.topKLeaderboard(in.toDS(), k = 2).toDF()
+      .withColumn("row_id", concat_ws("#", col("key"), col("rank")))
+    val q = StreamingOps.upsertSink(ranked, mat, "lb", "row_id").start()
+    try {
+      in.addData(("a", 5.0, 1L), ("a", 3.0, 2L))
+      q.processAllAvailable()
+      in.addData(("a", 4.0, 3L), ("b", 7.0, 10L))
+      q.processAllAvailable()
+      in.addData(("b", 7.0, 11L))   // tie on ord: lower id outranks
+      q.processAllAvailable()
+      val table = mat.readPrior("lb").get
+        .select("key", "id", "ord", "rank")
+        .as[(String, Long, Double, Long)].collect().toSet
+      val all = Seq(("a", 5.0, 1L), ("a", 3.0, 2L), ("a", 4.0, 3L),
+        ("b", 7.0, 10L), ("b", 7.0, 11L)).toDF("key", "v", "vid")
+      val batch = graft.ops.Aggs.topKPerKey(all, Seq(col("key")), col("v"), col("vid"), k = 2)
+        .select("key", "id", "ord", "rank")
+        .as[(String, Long, Double, Long)].collect().toSet
+      assert(table == batch, s"stream $table != batch $batch")
+      assert(table == Set(("a", 1L, 5.0, 1L), ("a", 3L, 4.0, 2L),
+        ("b", 10L, 7.0, 1L), ("b", 11L, 7.0, 2L)), table.toString)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicates across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
