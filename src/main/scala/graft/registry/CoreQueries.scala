@@ -633,7 +633,41 @@ object CoreQueries {
       .select(col("user_id"), col("id").as("event_id"),
         col("ord").as("value"), col("rank"))
 
+  // ---- A12/U5: FILTER + multi-DISTINCT aggregates, SQL-surface PIVOT ------
+  // Three surfaces in one row: the FILTER (WHERE) aggregate modifier,
+  // MULTIPLE distinct aggregates over different columns (planned through
+  // an Expand — each input row fans out once per distinct group, the
+  // operator multi-distinct requires), and GROUP BY ALL inference.
+  private val a12FilterDistinct: Q = (s, dir) => {
+    src(s, dir).lineitem.createOrReplaceTempView("lineitem_a12")
+    s.sql("""
+      SELECT l_returnflag,
+        count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dq,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem_a12 GROUP BY ALL""")
+  }
+
+  // The SQL PIVOT clause next to the DataFrame pivot (q_u3): values
+  // aliased so both engines emit identical column names; empty cells
+  // coalesced to 0 because Spark's pivot leaves a no-rows cell NULL
+  // where DuckDB's count yields 0.
+  private val u5PivotSql: Q = (s, dir) => {
+    src(s, dir).events.createOrReplaceTempView("events_u5")
+    s.sql("""
+      SELECT d, coalesce(view, 0) AS view, coalesce(click, 0) AS click,
+        coalesce(purchase, 0) AS purchase, coalesce(signup, 0) AS signup,
+        coalesce(error, 0) AS error
+      FROM (SELECT CAST(ts AS DATE) AS d, event_type FROM events_u5)
+      PIVOT (count(*) FOR event_type IN
+        ('view' AS view, 'click' AS click, 'purchase' AS purchase,
+         'signup' AS signup, 'error' AS error))""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_a12_filter_distinct" -> a12FilterDistinct,
+    "q_u5_pivot_sql"    -> u5PivotSql,
     "q_w5_topk_agg"     -> w5TopKAgg,
     "q_a7b_setops_all"  -> a7bSetOpsAll,
     "q_f15_try"         -> f15Try,
@@ -863,6 +897,18 @@ object CoreQueries {
     "q_a9_sketch_rollup" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_uniques, " +
        "TRUE AS within_bound FROM events GROUP BY 1"),
+    "q_a12_filter_distinct" ->
+      ("""SELECT l_returnflag,
+         |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+         |  CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dq,
+         |  count(DISTINCT l_partkey) AS n_parts,
+         |  count(DISTINCT l_suppkey) AS n_supps
+         |FROM lineitem GROUP BY ALL""".stripMargin),
+    "q_u5_pivot_sql" ->
+      ("""PIVOT (SELECT CAST(ts AS DATE) AS d, event_type FROM events)
+         |ON event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+         |USING count(*)
+         |GROUP BY d""".stripMargin),
     "q_w5_topk_agg" ->
       ("""SELECT user_id, event_id, value, rank FROM (
          |  SELECT user_id, event_id, value,

@@ -288,6 +288,14 @@ class PlanShapeSpec extends SparkSpec {
       s"lateral regressed to a cartesian re-scan:\n$p")
   }
 
+  test("multi-distinct aggregates plan through one Expand, partial-aggregated") {
+    val p = plan("q_a12_filter_distinct")
+    // three distinct columns → Expand fans each row once per distinct
+    // group; losing it would mean N separate scans or a wrong plan
+    assert(p.contains("Expand"), s"multi-distinct lost its Expand:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials under the distinct expand:\n$p")
+  }
+
   test("topKPerKey: bounded buffers merge map-side, no per-group window sort") {
     val p = plan("q_w5_topk_agg")
     // the point of the aggregator form: ObjectHashAggregate partials ship

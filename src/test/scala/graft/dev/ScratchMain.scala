@@ -21,9 +21,27 @@ object ScratchMain {
       val t0 = System.nanoTime; val r = f
       println(s"TIMED $tag: ${(System.nanoTime - t0) / 1e9}s"); r
     }
-    val q = graft.runtime.Sources(spark, sf).documents.groupBy(col("lang")).count()
-    q.explain("formatted")
-    time("scratch")(q.write.format("noop").mode("overwrite").save())
+    val src = graft.runtime.Sources(spark, sf)
+    src.lineitem.createOrReplaceTempView("lineitem")
+    src.events.createOrReplaceTempView("events")
+    val q1 = spark.sql("""
+      SELECT l_returnflag,
+        count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dq,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY ALL""")
+    println("SCRATCH q1 rows=" + q1.count()); q1.show(2)
+    val q2 = spark.sql("""
+      SELECT d, coalesce(view, 0) AS view, coalesce(click, 0) AS click,
+        coalesce(purchase, 0) AS purchase, coalesce(signup, 0) AS signup,
+        coalesce(error, 0) AS error
+      FROM (SELECT CAST(ts AS DATE) AS d, event_type FROM events)
+      PIVOT (count(*) FOR event_type IN
+        ('view' AS view, 'click' AS click, 'purchase' AS purchase,
+         'signup' AS signup, 'error' AS error))""")
+    println("SCRATCH q2 rows=" + q2.count()); q2.show(2)
+    time("scratch")(q1.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
