@@ -154,6 +154,20 @@ final class Materializer(spark: SparkSession, baseDir: String,
           s"${history(model).map(_._1).mkString(",")}; keepVersions=$keepVersions)")
     }
 
+  /** Roll the model back to retained commit `seq`: the old version's
+    * rows re-commit as a NEW version through the standard seam, so
+    * history stays linear (the rollback is itself a commit, Iceberg's
+    * rollback-as-new-snapshot convention), every GC/retention/pointer
+    * invariant holds unchanged, and a later rollback-of-the-rollback is
+    * just another commit. Costs one table rewrite — the same price as
+    * any materialize on this layout. Throws (before any write) if `seq`
+    * is not retained.
+    */
+  def rollback(model: String, seq: Long): DataFrame =
+    writerLockFor(model).synchronized { withFileLock(model) {
+      commitVersion(model, readVersion(model, seq))
+    } }
+
   /** Key-level change feed between two retained commits — see
     * [[ChangeFeed.diff]] for the contract (insert/update rows carry the
     * post-image, delete rows the pre-image).

@@ -360,6 +360,30 @@ class MaterializerSpec extends SparkSpec {
     assert(mat.readPrior("t").get.count() == 3)
   }
 
+  test("rollback republishes a retained commit as a NEW commit; history stays linear") {
+    val mat = new Materializer(spark, freshDir(), keepVersions = 3)
+    def run(rows: (String, Int)*): Unit =
+      { mat.materialize("t", "id")(_ => rows.toDF("id", "v")); () }
+    run("k1" -> 1)
+    run("k1" -> 99, "k2" -> 2)   // the bad deploy
+    val rolled = mat.rollback("t", 1).as[(String, Int)].collect().toSet
+    assert(rolled == Set("k1" -> 1), rolled.toString)
+    // current table resolves to the rolled-back rows; history gained a
+    // commit instead of rewriting the past
+    assert(mat.readPrior("t").get.as[(String, Int)].collect().toSet == Set("k1" -> 1))
+    assert(mat.history("t").map(_._1) == Seq(1L, 2L, 3L), mat.history("t").toString)
+    // the change feed across the rollback is the inverse of the bad edit
+    val feed = mat.changesBetween("t", 2, 3, "id")
+      .select("id", "_change_type").as[(String, String)].collect().toSet
+    assert(feed == Set(("k1", "update"), ("k2", "delete")), feed.toString)
+    // rolling back to a version that never existed throws before writing
+    intercept[IllegalArgumentException](mat.rollback("t", 99))
+    // the next regular materialize continues on top of the rollback
+    run("k3" -> 3)
+    assert(mat.readPrior("t").get.as[(String, Int)].collect().toSet ==
+      Set("k1" -> 1, "k3" -> 3))
+  }
+
   test("default retention still prunes to two version dirs on disk") {
     val dir = freshDir()
     val mat = new Materializer(spark, dir)
