@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.runtime.{Materializer, ModelDag, Sources}
+
+/** Library front door — what a reference (dbt) user calls after
+  * switching: one object that builds a correctly-configured session and
+  * runs the warehouse build.
+  *
+  * {{{
+  * val spark = Graft.session()                  // confs + extensions wired
+  * Graft.run(spark, sourceDir, warehouseDir)    // = `dbt run` (DataFrame surface)
+  * Graft.run(spark, sourceDir, warehouseDir, sql = true)   // SQL surface
+  * }}}
+  *
+  * Everything the facade touches is the same seam the gated queries use
+  * (Sources / Materializer / ModelDag), so the front door cannot drift
+  * from the verified paths.
+  */
+object Graft {
+
+  /** A session wired the way the engine expects: AQE on (skew joins and
+    * runtime coalescing are part of the scale design), the engine's
+    * native functions + optimizer rule injected, and — off `local[*]`
+    * defaults — shuffle parallelism set to the machine's cores rather
+    * than the stock 200 (on a cluster, pass the executor-core total).
+    * Respects an existing session's context when one is already running
+    * (getOrCreate semantics).
+    */
+  def session(master: String = "local[*]",
+              shufflePartitions: Option[Int] = None): SparkSession = {
+    val parallelism = shufflePartitions
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val s = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", parallelism)
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    Sources.bootstrap(s)
+    s
+  }
+
+  /** The reference user's `dbt run`: materialize all three models in
+    * dependency order into `warehouseDir` (incremental on re-run — the
+    * Materializer reads each model's prior table for the watermark
+    * seam). `sql = true` drives the run through the SQL surface
+    * instead of the DataFrame builders; both are row-identical
+    * (ModelDagSpec).
+    */
+  def run(spark: SparkSession, sourceDir: String, warehouseDir: String,
+          sql: Boolean = false): Map[String, DataFrame] = {
+    Sources.bootstrap(spark)
+    val dag = new ModelDag(Sources(spark, sourceDir),
+      new Materializer(spark, warehouseDir))
+    if (sql) dag.runSql() else dag.run()
+  }
+}
