@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, DriftOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -506,6 +506,14 @@ object ExtQueries {
     "q_ext_knn_brute" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
+    }),
+    // drift instrument (DriftOps): the even/odd doc halves stand in for
+    // two crawl snapshots; per-lang doc/length movement, vocab Jaccard,
+    // token entropies, and JS divergence — all ratios of exact counts
+    "q_ext_corpus_drift" -> ((s, dir) => {
+      val d = Sources(s, dir).documents
+      DriftOps.corpusDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
     }),
     // retrieval-quality instrument (EvalOps): per-query recall@3 / MRR@3 /
     // nDCG@3 of the exact top-3 run against a cosine ≥ 0.3 binary
@@ -1270,6 +1278,37 @@ object ExtQueries {
          |FROM docs d JOIN comp c ON d.doc_id = c.node
          |WHERE c.root = d.doc_id""".stripMargin),
     "q_ext_knn_brute" -> knnExactSql,
+    "q_ext_corpus_drift" ->
+      (s"""WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+         |b AS (SELECT * FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+         |ta AS (SELECT lang, t, count(*) AS c FROM a, unnest($toksSql) u(t) GROUP BY 1, 2),
+         |tb AS (SELECT lang, t, count(*) AS c FROM b, unnest($toksSql) u(t) GROUP BY 1, 2),
+         |tot AS (SELECT coalesce(ta.lang, tb.lang) AS lang, coalesce(ta.t, tb.t) AS t,
+         |               coalesce(ta.c, 0) AS ca, coalesce(tb.c, 0) AS cb
+         |        FROM ta FULL JOIN tb ON ta.lang = tb.lang AND ta.t = tb.t),
+         |sums AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb,
+         |                sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS n_both,
+         |                count(*) AS n_union
+         |         FROM tot GROUP BY 1),
+         |ent AS (
+         |  SELECT t.lang,
+         |    -sum(CASE WHEN t.ca > 0 THEN (t.ca / s.na) * log2(t.ca / s.na) ELSE 0 END) AS entropy_a,
+         |    -sum(CASE WHEN t.cb > 0 THEN (t.cb / s.nb) * log2(t.cb / s.nb) ELSE 0 END) AS entropy_b,
+         |    sum(CASE WHEN t.ca > 0 THEN 0.5 * (t.ca / s.na) * log2((t.ca / s.na) / (0.5 * t.ca / s.na + 0.5 * t.cb / s.nb)) ELSE 0 END)
+         |      + sum(CASE WHEN t.cb > 0 THEN 0.5 * (t.cb / s.nb) * log2((t.cb / s.nb) / (0.5 * t.ca / s.na + 0.5 * t.cb / s.nb)) ELSE 0 END) AS js_divergence
+         |  FROM tot t JOIN sums s USING (lang) GROUP BY 1),
+         |docs AS (
+         |  SELECT lang,
+         |    CAST(count(*) FILTER (WHERE half = 'a') AS BIGINT) AS docs_a,
+         |    CAST(count(*) FILTER (WHERE half = 'b') AS BIGINT) AS docs_b,
+         |    avg(CASE WHEN half = 'a' THEN length(text) END) AS mean_len_a,
+         |    avg(CASE WHEN half = 'b' THEN length(text) END) AS mean_len_b
+         |  FROM (SELECT lang, text, 'a' AS half FROM a UNION ALL SELECT lang, text, 'b' FROM b)
+         |  GROUP BY 1)
+         |SELECT d.lang, d.docs_a, d.docs_b, d.mean_len_a, d.mean_len_b,
+         |  CAST(s.n_both AS DOUBLE) / s.n_union AS vocab_jaccard,
+         |  e.entropy_a, e.entropy_b, e.js_divergence
+         |FROM docs d JOIN sums s USING (lang) JOIN ent e USING (lang)""".stripMargin),
     "q_ext_retrieval_metrics" ->
       ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT * FROM e WHERE vec_id < 50),
