@@ -172,6 +172,30 @@ object StreamingOps {
         ()
     }
 
+  /** [[corpusIngestSink]] over a [[graft.runtime.FragmentedTable]]: the
+    * same Bloom-routed exact-dedup bridge, but each trigger WRITES only
+    * its surviving batch as a new fragment (O(batch)) instead of paying
+    * the Materializer's whole-table parquet rewrite — the cost profile a
+    * high-frequency ingest of a large corpus needs, trading bounded read
+    * amplification that the `compactEvery` cadence folds away. Replay
+    * stays idempotent (a redelivered batch's rows dedup against their
+    * own previous fragment and the empty survivor set writes nothing).
+    */
+  def corpusIngestFragmentedSink(docs: DataFrame,
+                                 frag: graft.runtime.FragmentedTable,
+                                 compactEvery: Long = 0L): DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val survivors = frag.read() match {
+          case None        => graft.ext.DedupOps.dedupExact(batch)
+          case Some(prior) => graft.ext.IngestOps.appendDedupExact(prior, batch)
+        }
+        if (!survivors.isEmpty) frag.upsert(survivors)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          frag.compact()
+        ()
+    }
+
   /** [[corpusIngestSink]] with a DEAD-LETTER split: each micro-batch is
     * validated against `checks` (name → predicate that must HOLD; a NULL
     * predicate result counts as failing, the dbt-test convention) BEFORE

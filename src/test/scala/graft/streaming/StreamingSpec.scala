@@ -651,6 +651,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fragmented ingest sink: O(batch) fragments, cross-batch dedup, replay writes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_frag").toString
+    val frag = new graft.runtime.FragmentedTable(spark, dir, "fc", "doc_id")
+    def corpus: Set[Long] = frag.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestFragmentedSink(
+      in.toDF().toDF("doc_id", "text"), frag).start()
+    try {
+      in.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA   beta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      assert(frag.fragmentCount() == 1)
+      in.addData((4L, "alpha beta"), (5L, "delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 5L), corpus.toString)
+      assert(frag.fragmentCount() == 2, "second trigger must add exactly one fragment")
+      // redelivered batch: every row dedups against its own previous
+      // append → empty survivor set → NO new fragment
+      in.addData((4L, "alpha beta"), (5L, "delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 5L), corpus.toString)
+      assert(frag.fragmentCount() == 2, "replay must not write a fragment")
+    } finally q.stop()
+  }
+
   test("quarantine ingest sink: invalid rows dead-letter with a reason, valid rows dedup; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
