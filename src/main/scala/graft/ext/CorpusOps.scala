@@ -56,6 +56,25 @@ object CorpusOps {
     docs.filter(substring(md5(col(textCol)), 1, 2) <= cutExpr)
   }
 
+  /** Quality-WEIGHTED deterministic sampling: keep a doc iff its
+    * content-hash fraction (first 4 md5 hex chars / 65536 — uniform on a
+    * 16-bit lattice, no RNG) is below its per-doc `weight` — so a
+    * weight-0.9 doc survives with probability ~0.9 and a weight-0.1 doc
+    * ~0.1, reproducible across runs and engines. The quality-weighted
+    * mixing step between scoring and training that the flat
+    * ([[stratifiedHashSample]]) and quota ([[capPerKey]]) samplers can't
+    * express. Weights are compared as IEEE doubles: identical expression
+    * shape on both engines means identical bits, and the 16-bit hash
+    * lattice makes an exact tie measure-zero-in-practice (absent by
+    * assertion on the fixture). Empty/NULL text is dropped (no content
+    * to hash).
+    */
+  def weightedHashSample(docs: DataFrame, weight: Column,
+                         textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0 &&
+      (conv(substring(md5(col(textCol)), 1, 4), 16, 10).cast("double") / 65536.0)
+        < weight)
+
   /** Leakage-safe train/val/test split: assign by near-dup CLUSTER, not
     * by document. Splitting docs independently leaks — a near-duplicate
     * pair straddling train/test hands the model its own eval answers —

@@ -166,6 +166,13 @@ object ExtQueries {
       CorpusOps.stratifiedHashSample(Sources(s, dir).documents,
         Map("en" -> "28", "de" -> "7f", "fr" -> "ff", "es" -> "3f", "zh" -> "0f"))
         .select("doc_id", "lang")),
+    // quality-weighted sampling: survival probability = the composite
+    // quality score, realized by a deterministic 16-bit content-hash
+    // lattice — both engines compute the identical IEEE score and hash
+    // fraction, so the kept set is exact
+    "q_ext_sample_weighted" -> ((s, dir) =>
+      CorpusOps.weightedHashSample(Sources(s, dir).documents,
+        TextOps.qualityScore(col("text"))).select("doc_id", "lang")),
     // per-key quota: keep the 20 longest docs per language (integer
     // order + unique tiebreak — floats at a quota boundary are the
     // cross-engine hazard, see CorpusOps.capPerKey)
@@ -920,6 +927,16 @@ object ExtQueries {
          |corpus AS (SELECT doc_id, unnest(grams) AS t FROM sh WHERE doc_id % 97 != 0)
          |SELECT doc_id, count(*) AS shared_kgrams
          |FROM corpus WHERE t IN (SELECT t FROM bench) GROUP BY 1""".stripMargin),
+    "q_ext_sample_weighted" ->
+      (s"""SELECT doc_id, lang FROM documents
+         |WHERE text IS NOT NULL AND length(text) > 0
+         |  AND CAST((4096 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+         |          + 256 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+         |          + 16 * (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)
+         |          + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) AS DOUBLE) / 65536.0
+         |    < (0.5 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0)
+         |       + 0.3 * (CASE WHEN $stopRatioSql BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+         |       + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / length(text)))""".stripMargin),
     "q_ext_sample_stratified" ->
       ("""SELECT doc_id, lang FROM documents
          |WHERE substr(md5(text), 1, 2) <= CASE lang
