@@ -16,21 +16,26 @@ class FragmentedTableSpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     // 6 batches of upserts over a 12-key space: overlapping keys update,
     // fresh keys insert — both stores must agree after every batch
-    for (b <- 1 to 6) {
+    var expectedFrags = 0
+    for (b <- 1 to 10) {
       val keys = rnd.shuffle((0 until 12).toList).take(1 + rnd.nextInt(5))
       val rows = keys.map(k => (s"k$k", b * 100 + k))
-      val batch = rows.toDF("id", "v")
-      frag.upsert(batch)
+      frag.upsert(rows.toDF("id", "v"))
+      expectedFrags += 1
       mat.materialize("t", "id")(_ => rows.toDF("id", "v"))
+      // compaction interleaves at random points: content must be
+      // invariant across the fold, and upserts continue on top of it
+      if (rnd.nextInt(3) == 0) { frag.compact(); expectedFrags = 1 }
       val got = frag.read().get.as[(String, Int)].collect().toSet
       val expected = mat.readPrior("t").get.as[(String, Int)].collect().toSet
       assert(got == expected, s"batch $b: $got != $expected")
+      assert(frag.fragmentCount() == expectedFrags,
+        s"batch $b: ${frag.fragmentCount()} fragments, expected $expectedFrags")
     }
-    assert(frag.fragmentCount() == 6)
-    // write cost stayed O(batch): each fragment dir holds ONLY its batch
-    // (the newest fragment is small even though the table has grown)
+    // write cost stayed O(batch): live fragment dirs match the manifest
+    // (no superseded dirs accumulate past a compaction)
     val frags = new java.io.File(dir).list().filter(_.startsWith("t__frag_"))
-    assert(frags.length == 6, frags.mkString(","))
+    assert(frags.length == frag.fragmentCount(), frags.mkString(","))
   }
 
   test("compaction folds to one fragment, preserves content, and GCs orphans") {
