@@ -288,6 +288,26 @@ class PlanShapeSpec extends SparkSpec {
       s"lateral regressed to a cartesian re-scan:\n$p")
   }
 
+  test("corpus drift: three-column scans, vocabulary join partial-aggregated") {
+    val p = plan("q_ext_corpus_drift")
+    // the instrument reads (doc_id for the halves split, lang, text) and
+    // nothing else; token counting partial-aggregates before any shuffle
+    assert(!p.contains("embedding") && !p.contains("source") && !p.contains("n_chars"),
+      s"drift scan reads columns the metrics never use:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"token counting lost map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"vocabulary join regressed to a cross product:\n$p")
+  }
+
+  test("weighted sample: filter-only plan, no shuffle, no extra columns") {
+    val p = plan("q_ext_sample_weighted")
+    assert(!"Exchange".r.findAllIn(p).exists(_ => true),
+      s"a pure per-row filter should not shuffle:\n$p")
+    assert(!p.contains("embedding") && !p.contains("n_chars"),
+      s"scan reads columns the sampler never uses:\n$p")
+  }
+
   test("multi-distinct aggregates plan through one Expand, partial-aggregated") {
     val p = plan("q_a12_filter_distinct")
     // three distinct columns → Expand fans each row once per distinct
