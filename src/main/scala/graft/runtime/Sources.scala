@@ -66,6 +66,16 @@ object Sources {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     if (!spark.conf.getOption(tsKey).contains("TIMESTAMP_MICROS"))
       spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // Fixture timestamps are parquet µs with isAdjustedToUTC=false (a
+    // pyarrow naive-timestamp write); Spark 4's default NTZ inference
+    // maps them to TIMESTAMP_NTZ, a type the engine's epoch arithmetic
+    // (unix_micros, long casts) rejects. The session runs UTC, so the
+    // naive wall clock IS the instant: read them as ordinary TIMESTAMP,
+    // matching how DuckDB's oracle (naive TIMESTAMP) reads the same
+    // files — both engines then agree on every derived value.
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if (!spark.conf.getOption(ntzKey).contains("false"))
+      spark.conf.set(ntzKey, "false")
     spark
   }
 }
