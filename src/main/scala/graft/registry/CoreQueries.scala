@@ -3,7 +3,7 @@ package graft.registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.runtime.{ChangeFeed, Snapshots, Sources}
+import graft.runtime.{ChangeFeed, Freshness, Snapshots, Sources}
 
 /** Per-operator query registry for SURVEY §2's relational inventory,
   * phrased over the driver fixtures (FIXTURES.md §C mapping). Every entry
@@ -443,6 +443,26 @@ object CoreQueries {
         Seq("en", "de"))))
   }
 
+  // ---- source freshness (dbt `source freshness`) ---------------------------
+  // Three sources against one pinned asOf, thresholds chosen so every
+  // status branch appears: events is ~1 day old (warn at 12 h, pass at
+  // 3 d), orders' newest o_orderdate is decades stale (error at 30 d).
+  private val srcFreshness: Q = (s, dir) => {
+    val src0 = src(s, dir)
+    val asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    Freshness.summary(Seq(
+      Freshness.check(src0.events, "ts", "events_12h", asOf,
+        12L * 3600, 7L * 86400),
+      Freshness.check(src0.events, "ts", "events_3d", asOf,
+        3L * 86400, 7L * 86400),
+      Freshness.check(src0.orders, "o_orderdate", "orders_30d", asOf,
+        86400L, 30L * 86400)))
+      // registry convention: never emit raw timestamps (tz-awareness
+      // differs across engines) — epoch seconds instead
+      .select(col("src"), col("max_loaded_at").cast("long").as("max_loaded_epoch"),
+        col("age_s"), col("status"))
+  }
+
   // ---- U3/U4: native wide pivot + unpivot (melt) ---------------------------
   // U1/U2 cover the union-based LONG pivot the reference writes by hand;
   // these exercise Spark's native wide pivot (explicit value list — an
@@ -681,6 +701,7 @@ object CoreQueries {
     "q_u3_pivot_wide"   -> u3PivotWide,
     "q_u4_unpivot"      -> u4Unpivot,
     "q_dq_checks"       -> dqChecks,
+    "q_src_freshness"   -> srcFreshness,
     "q_s5_snapshot_scd2" -> s5SnapshotScd2,
     "q_a6_cube"         -> a6Cube,
     "q_j6_full_outer"   -> j6FullOuter,
@@ -744,6 +765,25 @@ object CoreQueries {
          |)
          |SELECT event_date, event_type, n
          |FROM w UNPIVOT (n FOR event_type IN (view, click, purchase, signup, error))""".stripMargin),
+    "q_src_freshness" ->
+      ("""WITH f AS (
+         |  SELECT 'events_12h' AS src, max(ts) AS max_loaded_at,
+         |    43200 AS warn_s, 604800 AS err_s FROM events
+         |  UNION ALL SELECT 'events_3d', max(ts), 259200, 604800 FROM events
+         |  UNION ALL SELECT 'orders_30d', CAST(max(o_orderdate) AS TIMESTAMP),
+         |    86400, 2592000 FROM orders
+         |), a AS (
+         |  SELECT src, max_loaded_at, warn_s, err_s,
+         |    CAST(floor(epoch(TIMESTAMP '2024-02-01 00:00:00')) AS BIGINT)
+         |      - CAST(floor(epoch(max_loaded_at)) AS BIGINT) AS age_s
+         |  FROM f
+         |)
+         |SELECT src,
+         |  CAST(floor(epoch(max_loaded_at)) AS BIGINT) AS max_loaded_epoch,
+         |  age_s,
+         |  CASE WHEN max_loaded_at IS NULL OR age_s > err_s THEN 'error'
+         |       WHEN age_s > warn_s THEN 'warn' ELSE 'pass' END AS status
+         |FROM a""".stripMargin),
     "q_dq_checks" ->
       ("""SELECT 'events_id_unique' AS check, CAST((SELECT count(*) FROM (
          |  SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS violations

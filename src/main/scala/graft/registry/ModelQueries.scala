@@ -126,6 +126,46 @@ object ModelQueries {
         build
       }
     }),
+    // dbt 1.9's MICROBATCH incremental strategy through the production
+    // per-window delete+append writer: phase 1 backfills Jan 1-14 from an
+    // early source snapshot MISSING the "late" facts (event_id % 7 = 0
+    // inside the Jan 13-14 windows — deterministic, no arrival-time
+    // column needed); phase 2 advances to the source's max day with
+    // lookback 1, so its rebuild horizon starts at Jan 13 (hw − 1) and
+    // re-reads the now-complete source, absorbing exactly the late rows.
+    // The final table must equal the one-shot full rollup — the oracle is
+    // the plain GROUP BY over ALL events, which only holds if the
+    // window-sliced rebuilds compose losslessly.
+    "q_incr_microbatch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      cleanupHook
+      val wdir = java.nio.file.Files.createTempDirectory("graft_incr_")
+      tmpDirs.synchronized {
+        tmpDirs.remove("microbatch_daily").foreach(deleteRecursive)
+        tmpDirs("microbatch_daily") = wdir
+      }
+      val mat = new Materializer(s, wdir.toString)
+      val ev = Sources(s, dir).events.withColumn("event_date", to_date(col("ts")))
+      def win(src: DataFrame)(lo: java.time.LocalDate, hi: java.time.LocalDate): DataFrame =
+        src.filter(col("event_date") >= lit(java.sql.Date.valueOf(lo)) &&
+                   col("event_date") < lit(java.sql.Date.valueOf(hi)))
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+               countDistinct(col("user_id")).as("n_users"))
+      val begin = java.time.LocalDate.parse("2024-01-01")
+      val cut = java.time.LocalDate.parse("2024-01-14")
+      val asOf = ev.agg(max(col("event_date"))).head.getDate(0).toLocalDate
+      val late = col("event_id") % 7 === 0 &&
+        col("event_date").between(
+          lit(java.sql.Date.valueOf("2024-01-13")),
+          lit(java.sql.Date.valueOf("2024-01-14")))
+      mat.materializeMicrobatch("microbatch_daily", "event_date", begin, cut)(
+        win(ev.filter(!late)))
+      mat.materializeMicrobatch("microbatch_daily", "event_date", begin, asOf,
+        lookback = 1)(win(ev))
+        // the partitioned read puts the partition column last — pin order
+        .select("event_date", "event_type", "n_events", "n_users")
+    }),
   )
 
   // ---- fixture → reference-shape derivation (mirror of RefShapes) ---------
@@ -402,6 +442,11 @@ object ModelQueries {
     "SELECT id, date, type, page_urlpath, traffic, company_id, company_domain FROM "
 
   val oracle: Map[String, String] = Map(
+    // the microbatch run must converge to the one-shot full rollup
+    "q_incr_microbatch" ->
+      ("""SELECT CAST(ts AS DATE) AS event_date, event_type,
+         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2""".stripMargin),
     "q_model_pages" ->
       s"WITH $eventsRefCte,\n${pagesCtes("", "")}\n$pagesSelect final",
     "q_model_pages_incr" ->

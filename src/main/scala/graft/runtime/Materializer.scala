@@ -297,8 +297,13 @@ final class Materializer(spark: SparkSession, baseDir: String,
 
   /** Run one model incrementally. `build` receives the prior output (None
     * on first run) and returns the fresh batch, keyed by `uniqueKey`.
+    * `onSchemaChange` is dbt's schema-drift knob ([[SchemaEvolution]]);
+    * the default matches dbt's (`ignore`: batch-added columns are not
+    * written, a batch-removed column errors) — and is indistinguishable
+    * from the historical behavior while schemas agree.
     */
-  def materialize(model: String, uniqueKey: String)
+  def materialize(model: String, uniqueKey: String,
+                  onSchemaChange: SchemaChange = SchemaChange.Ignore)
                  (build: Option[DataFrame] => DataFrame): DataFrame =
     // SERIALIZED per model for the WHOLE run on the WRITER mutex (in-JVM)
     // + OS file lock (cross-process) — dbt's own contract: a model never
@@ -315,13 +320,26 @@ final class Materializer(spark: SparkSession, baseDir: String,
       val result = prior match {
         case None => fresh
         case Some(old) =>
+          val (oldA, freshA) = SchemaEvolution.align(old, fresh, onSchemaChange)
           // NB: a using-join puts the key column first — re-select in the
-          // fresh batch's column order so the output schema is run-stable.
-          old.join(fresh.select(uniqueKey).distinct(), Seq(uniqueKey), "left_anti")
-            .unionByName(fresh)
-            .select(fresh.columns.map(col).toIndexedSeq: _*)
+          // aligned target column order so the output schema is run-stable.
+          oldA.join(freshA.select(uniqueKey).distinct(), Seq(uniqueKey), "left_anti")
+            .unionByName(freshA)
+            .select(freshA.columns.map(col).toIndexedSeq: _*)
       }
       commitVersion(model, result)
+    } }
+
+  /** dbt's `table` materialization: every run is a full refresh (CTAS)
+    * — the prior output is never read, rows it had and the fresh build
+    * lacks are GONE. Same serialization + versioned-commit seam as
+    * [[materialize]]; this is the whole-table rewrite whose cost the
+    * incremental strategies exist to avoid, correct whenever the model
+    * is cheap or non-additive.
+    */
+  def materializeTable(model: String)(build: => DataFrame): DataFrame =
+    writerLockFor(model).synchronized { withFileLock(model) {
+      commitVersion(model, build)
     } }
 
   /** dbt's `incremental` WITHOUT a unique_key — the append strategy:
@@ -437,6 +455,92 @@ final class Materializer(spark: SparkSession, baseDir: String,
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    spark.read.parquet(legacyPath(model))
+  }
+
+  /** dbt 1.9's MICROBATCH incremental strategy: the model is built one
+    * event-time window (a daily batch) at a time, and each rebuilt
+    * window's rows REPLACE that window's date partition in the target —
+    * never a keyed merge. A run processes the current batch plus
+    * `lookback` preceding batches (late-arriving facts inside the
+    * lookback horizon are absorbed by rebuilding their whole window from
+    * source), and a first run backfills every window from `begin`.
+    * `asOf` — the current batch day — is CALLER-supplied, like the
+    * Snapshots run stamp: runs are reproducible, oracles pinnable, and
+    * historical reruns possible, with no wall clock in the engine.
+    *
+    * `buildWindow(lo, hi)` builds the model for event dates in
+    * [lo, hi) — the model filters its INPUTS to the window (dbt injects
+    * exactly this filter into each `ref`/`source` read), which at scale
+    * is partition pruning on the source scan, so per-run cost is
+    * ∝ (lookback+1) windows, never the table. The framework additionally
+    * CLAMPS the output to the window, so one batch can never leak rows
+    * into a partition another batch owns.
+    *
+    * Delta from dbt, on purpose: dbt executes one INSERT per batch; this
+    * fuses a run's windows into ONE delete+append job (each window's
+    * content still derives only from its own `buildWindow` call, and
+    * Spark schedules the fused scan once instead of (lookback+1) times).
+    * [[rebuildMicrobatchWindow]] is the per-batch surface for targeted
+    * backfills and failed-batch retries. Like
+    * [[materializeByDatePartition]] this keeps the fixed-dir layout
+    * (partitions rewrite in place, which whole-dir versioning cannot
+    * express): the delete+append window is not crash-atomic — a crash
+    * mid-run loses only windows the retry rebuilds, the same trade
+    * partition-overwrite tables make everywhere. Unlike dynamic
+    * partition overwrite, the explicit per-window delete gives dbt's
+    * true insert_overwrite semantics: a window that rebuilds to ZERO
+    * rows ends up empty, not stale.
+    */
+  def materializeMicrobatch(model: String, eventDateCol: String,
+                            begin: java.time.LocalDate,
+                            asOf: java.time.LocalDate,
+                            lookback: Int = 1)
+      (buildWindow: (java.time.LocalDate, java.time.LocalDate) => DataFrame): DataFrame = {
+    require(!asOf.isBefore(begin), s"asOf $asOf precedes begin $begin")
+    require(lookback >= 0, s"lookback must be non-negative: $lookback")
+    writerLockFor(model).synchronized { withFileLock(model) {
+      val start = readPrior(model) match {
+        case None => begin
+        case Some(t) =>
+          Option(t.agg(max(col(eventDateCol))).head.getDate(0)) match {
+            case None => begin // table exists but is empty: full backfill
+            case Some(hw) =>
+              val lb = hw.toLocalDate.minusDays(lookback.toLong)
+              if (lb.isBefore(begin)) begin else lb
+          }
+      }
+      val days = Iterator.iterate(start)(_.plusDays(1))
+        .takeWhile(!_.isAfter(asOf)).toSeq
+      writeWindows(model, eventDateCol, days)(buildWindow)
+    } }
+  }
+
+  /** Rebuild exactly one microbatch window — dbt's per-batch retry /
+    * targeted-backfill surface (`dbt retry`, `--event-time-start`).
+    * Same delete+append seam as a [[materializeMicrobatch]] run.
+    */
+  def rebuildMicrobatchWindow(model: String, eventDateCol: String,
+                              day: java.time.LocalDate)
+      (buildWindow: (java.time.LocalDate, java.time.LocalDate) => DataFrame): DataFrame =
+    writerLockFor(model).synchronized { withFileLock(model) {
+      writeWindows(model, eventDateCol, Seq(day))(buildWindow)
+    } }
+
+  private def writeWindows(model: String, eventDateCol: String,
+                           days: Seq[java.time.LocalDate])
+      (buildWindow: (java.time.LocalDate, java.time.LocalDate) => DataFrame): DataFrame = {
+    val frames = days.map { d =>
+      val (lo, hi) = (java.sql.Date.valueOf(d), java.sql.Date.valueOf(d.plusDays(1)))
+      buildWindow(d, d.plusDays(1))
+        .filter(col(eventDateCol) >= lit(lo) && col(eventDateCol) < lit(hi))
+    }
+    val batch = frames.reduce(_ unionByName _)
+    days.foreach { d =>
+      deleteRecursive(Paths.get(legacyPath(model), s"$eventDateCol=$d"))
+    }
+    batch.write.mode(SaveMode.Append)
+      .partitionBy(eventDateCol).parquet(legacyPath(model))
     spark.read.parquet(legacyPath(model))
   }
 
