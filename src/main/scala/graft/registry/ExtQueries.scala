@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, DriftOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, TextOps}
+import graft.ext.{CorpusOps, DedupOps, DriftOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, SqIndex, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -96,6 +96,8 @@ object ExtQueries {
     (s, dir, p) => PqIndex.train(Sources(s, dir).embeddings).save(p))
   private val ivfPqIndexCache = new IndexDirCache("graft_ivfpqidx_",
     (s, dir, p) => IvfPqIndex.train(Sources(s, dir).embeddings).save(p))
+  private val sqIndexCache = new IndexDirCache("graft_sqidx_",
+    (s, dir, p) => SqIndex.train(Sources(s, dir).embeddings).save(p))
 
   private def ivfIndex(s: SparkSession, dir: String): IvfIndex =
     IvfIndex.load(s, ivfIndexCache.pathFor(s, dir))
@@ -103,6 +105,8 @@ object ExtQueries {
     PqIndex.load(s, pqIndexCache.pathFor(s, dir))
   private def ivfPqIndex(s: SparkSession, dir: String): IvfPqIndex =
     IvfPqIndex.load(s, ivfPqIndexCache.pathFor(s, dir))
+  private def sqIndex(s: SparkSession, dir: String): SqIndex =
+    SqIndex.load(s, sqIndexCache.pathFor(s, dir))
 
   // Cold-path temp dirs: one per q_ext_knn_ivf CALL (the query times the
   // full train+save+load lifecycle), APPEND-ONLY and reclaimed at JVM
@@ -510,6 +514,14 @@ object ExtQueries {
         ivfPqIndex(s, dir).topKRefined(q, e, k = 3, nprobe = 4, shortlist = 32),
         Seq("query_id", "corpus_id"))
     }),
+    "q_ext_recall_knn_sq" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 20)
+      RecallOps.setRecall("sq8_refine_k3_shortlist32",
+        SimilarityOps.bruteForceTopK(e, q, k = 3),
+        sqIndex(s, dir).topKRefined(q, e, k = 3, shortlist = 32),
+        Seq("query_id", "corpus_id"))
+    }),
     "q_ext_knn_brute" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
@@ -591,6 +603,26 @@ object ExtQueries {
       val e = Sources(s, dir).embeddings
       pqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
         k = 3, shortlist = 64)
+    }),
+    // Scalar quantization (SqIndex): the first rung of the quantized-ANN
+    // ladder — 8× compression from per-dimension 8-bit codes, error
+    // bounded by half a quantization step per dim (SqIndexSpec), so ADC
+    // rankings barely move where PQ's codebook residual scrambles them.
+    //  - exactmode: unbounded shortlist ⇒ the exact re-rank sees every
+    //    candidate and must hash-match the brute-force oracle;
+    //  - q_ext_knn_sq is the production shape: 32-of-N dequantized
+    //    shortlist from the code scan, exact re-rank of |Q|·32 rows.
+    //    No oracle (approximate by design); recall floors in SqIndexSpec
+    //    and the measured datapoint in q_ext_recall_knn_sq.
+    "q_ext_knn_sq_exactmode" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      sqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
+        k = 3, shortlist = Int.MaxValue)
+    }),
+    "q_ext_knn_sq" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      sqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
+        k = 3, shortlist = 32)
     }),
     // IVF-PQ (the full composition a 100 TB ANN runs: probe pruning ×
     // residual code compression):
@@ -1363,6 +1395,7 @@ object ExtQueries {
     // IVF-PQ at nprobe = nlist + unbounded refine: every cell probed,
     // every candidate exactly re-ranked — same oracle
     "q_ext_knn_ivfpq_exactmode" -> knnExactSql,
+    "q_ext_knn_sq_exactmode" -> knnExactSql,
     "q_ext_cosine_pairs" ->
       ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
