@@ -431,6 +431,42 @@ final class Materializer(spark: SparkSession, baseDir: String,
     } }
   }
 
+  /** Key-level deletion through the standard versioned commit — the
+    * GDPR / right-to-be-forgotten maintenance op a long-lived corpus
+    * table needs: rows matching `predicate` are REMOVED from the
+    * current version; nothing else changes. Because it is an ordinary
+    * commit, the whole observability surface composes for free:
+    * [[changesBetween]] reports each removed row as a `delete` carrying
+    * its pre-image, [[readVersion]] still serves retained PRE-deletion
+    * commits (true erasure of history = let retention age them out, or
+    * set `keepVersions` to the minimum), and readers mid-scan on the
+    * superseded version finish undisturbed. Cost is one filtered
+    * rewrite — O(table) like any upsert; on a date-partitioned model
+    * prefer rebuilding the affected windows via the microbatch surface.
+    * No-op commit is avoided: deleting zero rows returns the current
+    * table unchanged (no new version).
+    */
+  def deleteWhere(model: String, predicate: org.apache.spark.sql.Column): DataFrame =
+    writerLockFor(model).synchronized { withFileLock(model) {
+      val cur = readPrior(model).getOrElse(
+        throw new IllegalStateException(s"deleteWhere: no table $model"))
+      if (cur.filter(predicate).isEmpty) cur
+      else commitVersion(model, cur.filter(!predicate))
+    } }
+
+  /** Distributed-key-set form of [[deleteWhere]]: remove every row whose
+    * `keyCol` appears in `keys` (anti-join — the key set can be another
+    * table, e.g. an erasure-request feed, without driver collection).
+    */
+  def deleteKeys(model: String, keyCol: String, keys: DataFrame): DataFrame =
+    writerLockFor(model).synchronized { withFileLock(model) {
+      val cur = readPrior(model).getOrElse(
+        throw new IllegalStateException(s"deleteKeys: no table $model"))
+      val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+      if (cur.join(k, Seq(keyCol), "left_semi").isEmpty) cur
+      else commitVersion(model, cur.join(k, Seq(keyCol), "left_anti"))
+    } }
+
   /** Scale-path variant: dynamic partition overwrite on a date column
     * instead of the whole-table anti-join rewrite. Valid when the model's
     * `unique_key` is date-functional (true for traffic_daily_agg — id

@@ -31,9 +31,11 @@ class StreamingDagSpec extends SparkSpec {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawStream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
     val streamEvents = RefShapes.eventsRef(
-      spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else rawStream)
 
     val mat = new Materializer(spark,
       java.nio.file.Files.createTempDirectory("graft_dag_out_").toString)

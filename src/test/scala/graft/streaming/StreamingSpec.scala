@@ -414,9 +414,10 @@ class StreamingSpec extends SparkSpec {
     val expectedRows = expected.collect().map(_.toSeq.map(String.valueOf)).toSet
     assert(expectedRows.size > 50, s"fixture slice too small: ${expectedRows.size}")
 
-    // the same parquet through the streaming file source: raw schema (ts
-    // is a nanos LONG under the Sources bootstrap), same conversion, same
-    // RefShapes mapping — pure per-row exprs lift onto the stream as-is
+    // the same parquet through the streaming file source: raw schema,
+    // Sources.table's ts normalization (nanos-LONG fixtures convert,
+    // native-timestamp fixtures pass through), same RefShapes mapping —
+    // pure per-row exprs lift onto the stream as-is
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory: expose the fixture file through
     // a temp dir symlink (read-only — nothing is written to the fixture)
@@ -426,7 +427,9 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val rawStream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
     val streamEvents = RefShapes.eventsRef(
-      rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else rawStream)
     val mat = new Materializer(spark,
       java.nio.file.Files.createTempDirectory("graft_dailyfix_").toString)
     val q = DailyTrafficModel.stream(streamEvents, spends, mat,
