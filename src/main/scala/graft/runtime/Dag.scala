@@ -51,10 +51,18 @@ object Dag {
 
   /** One model: `build(refs, prior)` gets every declared dep's frame by
     * name plus — for Incremental nodes on a rerun — the prior table.
+    * `contract` is dbt's enforced model contract ([[Contract]]): the
+    * build output must match it or the node's run fails; dbt permits
+    * contracts on table/incremental/view but not ephemeral (an inlined
+    * CTE has no schema object to contract), and so does this runner.
     */
   final case class Node(
       name: String, mat: Mat, deps: Seq[String],
-      build: (Map[String, DataFrame], Option[DataFrame]) => DataFrame)
+      build: (Map[String, DataFrame], Option[DataFrame]) => DataFrame,
+      contract: Option[Seq[Contract.Col]] = None) {
+    require(contract.isEmpty || mat != Mat.Ephemeral,
+      s"model $name: ephemeral models cannot be contracted (dbt's rule)")
+  }
 
   /** Declaration-order-stable topological sort; throws on unknown deps
     * and cycles, naming them.
@@ -94,11 +102,14 @@ final class Dag(mat: Materializer, nodes: Seq[Dag.Node]) {
     val frames = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
     ordered.foreach { n =>
       val refs = n.deps.map(d => d -> frames(d)).toMap
+      def gated(df: DataFrame): DataFrame =
+        n.contract.fold(df)(c => Contract.enforce(df, c))
       val frame = n.mat match {
-        case Mat.Table => mat.materializeTable(n.name)(n.build(refs, None))
+        case Mat.Table => mat.materializeTable(n.name)(gated(n.build(refs, None)))
         case Mat.Incremental(key, osc) =>
-          mat.materialize(n.name, key, osc)(prior => n.build(refs, prior))
-        case Mat.View | Mat.Ephemeral => n.build(refs, None)
+          mat.materialize(n.name, key, osc)(prior => gated(n.build(refs, prior)))
+        case Mat.View => gated(n.build(refs, None))
+        case Mat.Ephemeral => n.build(refs, None)
       }
       frames(n.name) = frame
     }

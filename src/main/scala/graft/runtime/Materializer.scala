@@ -301,9 +301,21 @@ final class Materializer(spark: SparkSession, baseDir: String,
     * the default matches dbt's (`ignore`: batch-added columns are not
     * written, a batch-removed column errors) — and is indistinguishable
     * from the historical behavior while schemas agree.
+    *
+    * `incrementalPredicates` is dbt's merge-scan bound of the same name:
+    * when set, ONLY prior rows matching every predicate participate in
+    * the key match — rows outside the window bypass the anti-join
+    * entirely (no shuffle for them; on a MERGE-capable store they would
+    * not be touched at all). The standard use is a recency window
+    * (`col("d") >= cutoff`) on a table whose old keys never recur. The
+    * trade is dbt's own, documented there too: if a fresh batch DOES
+    * carry a key whose prior row sits outside the window, that key
+    * duplicates — the caller's promise is that it cannot happen.
+    * Predicates that evaluate NULL count as outside the window.
     */
   def materialize(model: String, uniqueKey: String,
-                  onSchemaChange: SchemaChange = SchemaChange.Ignore)
+                  onSchemaChange: SchemaChange = SchemaChange.Ignore,
+                  incrementalPredicates: Seq[org.apache.spark.sql.Column] = Nil)
                  (build: Option[DataFrame] => DataFrame): DataFrame =
     // SERIALIZED per model for the WHOLE run on the WRITER mutex (in-JVM)
     // + OS file lock (cross-process) — dbt's own contract: a model never
@@ -321,10 +333,19 @@ final class Materializer(spark: SparkSession, baseDir: String,
         case None => fresh
         case Some(old) =>
           val (oldA, freshA) = SchemaEvolution.align(old, fresh, onSchemaChange)
+          val keys = freshA.select(uniqueKey).distinct()
           // NB: a using-join puts the key column first — re-select in the
           // aligned target column order so the output schema is run-stable.
-          oldA.join(freshA.select(uniqueKey).distinct(), Seq(uniqueKey), "left_anti")
-            .unionByName(freshA)
+          val merged = incrementalPredicates match {
+            case Nil => oldA.join(keys, Seq(uniqueKey), "left_anti")
+            case ps =>
+              val p = ps.reduce(_ && _)
+              // exact complement split: in-window = p IS TRUE joins,
+              // everything else (false OR null) passes through join-free
+              oldA.filter(not(coalesce(p, lit(false))))
+                .unionByName(oldA.filter(p).join(keys, Seq(uniqueKey), "left_anti"))
+          }
+          merged.unionByName(freshA)
             .select(freshA.columns.map(col).toIndexedSeq: _*)
       }
       commitVersion(model, result)

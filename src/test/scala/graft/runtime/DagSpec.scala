@@ -99,6 +99,28 @@ class DagSpec extends SparkSpec {
     assert(e3.getMessage.contains("duplicate"))
   }
 
+  test("contracted node: conforming build materializes in contract order; breach fails the run") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val m = new Materializer(spark, freshDir())
+    val contract = Seq(Contract.Col("k", StringType, notNull = true),
+      Contract.Col("v", IntegerType))
+    val ok = new Dag(m, Seq(
+      Node("c", Mat.Table, Nil, (_, _) => srcFrame(Seq(("a", 1))).select($"v", $"k"),
+        contract = Some(contract)))).run()
+    assert(ok("c").columns.toSeq == Seq("k", "v"))
+    intercept[IllegalArgumentException] {
+      new Dag(m, Seq(
+        Node("c2", Mat.Table, Nil,
+          (_, _) => srcFrame(Seq(("a", 1))).withColumnRenamed("v", "rogue"),
+          contract = Some(contract)))).run()
+    }
+    // dbt's rule: ephemerals cannot be contracted
+    intercept[IllegalArgumentException] {
+      Node("e", Mat.Ephemeral, Nil, (_, _) => srcFrame(Nil),
+        contract = Some(contract))
+    }
+  }
+
   test("topological order is deterministic and declaration-stable") {
     val names = Seq(
       Node("c", Mat.View, Seq("a"), (r, _) => r("a")),
