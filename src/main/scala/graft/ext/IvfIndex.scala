@@ -60,8 +60,9 @@ final class IvfIndex private (
       .select("query_id", "corpus_id", "sim", "rank")
   }
 
-  /** Persist (cid-partitioned corpus + centroid table); reopen with
-    * [[IvfIndex.load]].
+  /** Persist (cid-partitioned corpus + centroid table + maintenance
+    * meta); reopen with [[IvfIndex.load]], extend with
+    * [[IvfIndex.append]].
     */
   def save(path: String): Unit = {
     val spark = index.sparkSession
@@ -69,6 +70,15 @@ final class IvfIndex private (
     import spark.implicits._
     centroids.toSeq.toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // maintenance meta: training-time corpus size and mean best-cell
+    // similarity — the baseline [[IvfIndex.append]] measures drift
+    // against (one extra corpus pass, paid once at save)
+    val m = index.agg(count(lit(1)).as("n"),
+        avg(array_max(cellScores(col("cv"), centroids)).getField("sim")).as("ms"))
+      .collect().head
+    Seq((m.getLong(0), m.getLong(0), 0L, m.getDouble(1)))
+      .toDF("train_rows", "total_rows", "appended_rows", "train_mean_sim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** The probe join's physical plan (diagnostics/spec seam). */

@@ -38,4 +38,31 @@ object RecallOps {
           .otherwise(col("found_pairs").cast("double") / col("exact_pairs"))
           .as("recall"))
   }
+
+  /** ORACLE-GATED form of [[setRecall]]: (metric, recall_floor,
+    * meets_floor) — the registered recall rows' correctness shape. A
+    * raw measured recall is a hash-non-portable double (DuckDB cannot
+    * recompute MinHash/SimHash/ANN internals), so the DRIVER-compared
+    * frame carries the pinned floor and the boolean verdict instead;
+    * the constant-true oracle then flips a whole CORRECTNESS row —
+    * not just a spec — the moment a recall collapses. `expectExactPairs`
+    * additionally pins the ground-truth set size where it is structural
+    * (|queries|·k for the ANN rows); otherwise the gate requires a
+    * non-empty exact set, so an exact-side regression (no pairs found
+    * to measure against) fails rather than vacuously passing.
+    * Measured raw numbers stay spec-pinned (RecallSpec) at fixture SF.
+    */
+  def recallGate(metric: String, exact: DataFrame, found: DataFrame,
+                 cols: Seq[String], floor: Double,
+                 expectExactPairs: Option[Long] = None): DataFrame = {
+    val base = expectExactPairs match {
+      case Some(n) => col("exact_pairs") === n
+      case None    => col("exact_pairs") > 0
+    }
+    setRecall(metric, exact, found, cols)
+      .select(col("metric"),
+        lit(floor).as("recall_floor"),
+        (base && col("found_pairs") <= col("exact_pairs") &&
+          col("recall") >= floor).as("meets_floor"))
+  }
 }

@@ -99,13 +99,15 @@ object ExtQueries {
   private val sqIndexCache = new IndexDirCache("graft_sqidx_",
     (s, dir, p) => SqIndex.train(Sources(s, dir).embeddings).save(p))
 
-  private def ivfIndex(s: SparkSession, dir: String): IvfIndex =
+  // package-visible: RecallSpec measures raw recall on the same
+  // persisted indexes the gate rows probe
+  private[graft] def ivfIndex(s: SparkSession, dir: String): IvfIndex =
     IvfIndex.load(s, ivfIndexCache.pathFor(s, dir))
-  private def pqIndex(s: SparkSession, dir: String): PqIndex =
+  private[graft] def pqIndex(s: SparkSession, dir: String): PqIndex =
     PqIndex.load(s, pqIndexCache.pathFor(s, dir))
-  private def ivfPqIndex(s: SparkSession, dir: String): IvfPqIndex =
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String): IvfPqIndex =
     IvfPqIndex.load(s, ivfPqIndexCache.pathFor(s, dir))
-  private def sqIndex(s: SparkSession, dir: String): SqIndex =
+  private[graft] def sqIndex(s: SparkSession, dir: String): SqIndex =
     SqIndex.load(s, sqIndexCache.pathFor(s, dir))
 
   // Cold-path temp dirs: one per q_ext_knn_ivf CALL (the query times the
@@ -455,20 +457,26 @@ object ExtQueries {
       DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
     "q_ext_simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashNearDupPairs(docsSub(s, dir), maxDist = 3)),
-    // Measured-recall rows (RecallOps): the number the three approximate
-    // no-oracle contracts promise, registered so it is bench-visible in
-    // every verify dump; floors pinned in RecallSpec. no_oracle (the
-    // hash internals are non-portable) but deterministic per fixture.
+    // Measured-recall rows (RecallOps.recallGate): ORACLE-GATED —
+    // (metric, recall_floor, meets_floor) against a constant-true DuckDB
+    // oracle, so a recall collapse flips a CORRECTNESS row, not just a
+    // spec. The floors here are COLLAPSE detectors pinned with margin
+    // below the sf0.01 gate scale's measured values; the tighter
+    // measured floors stay in RecallSpec at fixture SF (raw recall is a
+    // hash-non-portable double, so it rides the spec, not the hash
+    // compare).
     "q_ext_recall_minhash" -> ((s, dir) =>
-      RecallOps.setRecall("minhash_lsh_j0.9_32x8",
+      RecallOps.recallGate("minhash_lsh_j0.9_32x8",
         DedupOps.jaccardPairs(docsSub(s, dir), 0.9),
         DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9),
-        Seq("doc_a", "doc_b"))),
+        Seq("doc_a", "doc_b"), floor = 0.9)),
     "q_ext_recall_simhash" -> ((s, dir) =>
-      RecallOps.setRecall("simhash_h3_4x16",
+      RecallOps.recallGate("simhash_h3_4x16",
         DedupOps.simHashNearDupPairsExhaustive(docsSub(s, dir), maxDist = 3),
         DedupOps.simHashNearDupPairs(docsSub(s, dir), maxDist = 3),
-        Seq("doc_a", "doc_b"))),
+        // the 4×16-chunk pigeonhole at maxDist<=3 is a mathematical
+        // GUARANTEE, not an operating point: the floor is exactly 1.0
+        Seq("doc_a", "doc_b"), floor = 1.0)),
     // sign-LSH cosine: recall over the WHOLE ≥0.35 band is dominated by
     // near-threshold pairs the 4×8 operating point intentionally trades
     // away (P(catch) ≈ 1-(1-p⁸)⁴, p = 1-θ/π — low at sim 0.35, → 1 as
@@ -480,11 +488,13 @@ object ExtQueries {
     "q_ext_recall_knn_lsh" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       val found = SimilarityOps.lshCosinePairs(e, 0.35)
-      RecallOps.setRecall("sign_lsh_cos0.35_4x8",
-          SimilarityOps.cosinePairs(e, 0.35), found, Seq("vec_a", "vec_b"))
-        .unionByName(RecallOps.setRecall("sign_lsh_cos0.35_4x8_band0.45",
+      RecallOps.recallGate("sign_lsh_cos0.35_4x8",
+          SimilarityOps.cosinePairs(e, 0.35), found, Seq("vec_a", "vec_b"),
+          floor = 0.02)
+        .unionByName(RecallOps.recallGate("sign_lsh_cos0.35_4x8_band0.45",
           SimilarityOps.cosinePairs(e, 0.45),
-          found.filter(col("sim") >= 0.45), Seq("vec_a", "vec_b")))
+          found.filter(col("sim") >= 0.45), Seq("vec_a", "vec_b"),
+          floor = 0.0))
     }),
     // ANN recall@3 for the three production probe shapes, measured
     // against the brute-force top-k on the same queries — the number
@@ -493,34 +503,38 @@ object ExtQueries {
     "q_ext_recall_knn_ivf_probe" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       val q = e.filter(col("vec_id") < 20)
-      RecallOps.setRecall("ivf_k3_probe4of16",
+      RecallOps.recallGate("ivf_k3_probe4of16",
         SimilarityOps.bruteForceTopK(e, q, k = 3),
         ivfIndex(s, dir).topK(q, k = 3, nprobe = 4),
-        Seq("query_id", "corpus_id"))
+        Seq("query_id", "corpus_id"), floor = 0.25,
+        expectExactPairs = Some(60L))
     }),
     "q_ext_recall_knn_pq" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       val q = e.filter(col("vec_id") < 20)
-      RecallOps.setRecall("pq_refine_k3_shortlist64",
+      RecallOps.recallGate("pq_refine_k3_shortlist64",
         SimilarityOps.bruteForceTopK(e, q, k = 3),
         pqIndex(s, dir).topKRefined(q, e, k = 3, shortlist = 64),
-        Seq("query_id", "corpus_id"))
+        Seq("query_id", "corpus_id"), floor = 0.4,
+        expectExactPairs = Some(60L))
     }),
     "q_ext_recall_knn_ivfpq" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       val q = e.filter(col("vec_id") < 20)
-      RecallOps.setRecall("ivfpq_k3_probe4of16_shortlist32",
+      RecallOps.recallGate("ivfpq_k3_probe4of16_shortlist32",
         SimilarityOps.bruteForceTopK(e, q, k = 3),
         ivfPqIndex(s, dir).topKRefined(q, e, k = 3, nprobe = 4, shortlist = 32),
-        Seq("query_id", "corpus_id"))
+        Seq("query_id", "corpus_id"), floor = 0.2,
+        expectExactPairs = Some(60L))
     }),
     "q_ext_recall_knn_sq" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       val q = e.filter(col("vec_id") < 20)
-      RecallOps.setRecall("sq8_refine_k3_shortlist32",
+      RecallOps.recallGate("sq8_refine_k3_shortlist32",
         SimilarityOps.bruteForceTopK(e, q, k = 3),
         sqIndex(s, dir).topKRefined(q, e, k = 3, shortlist = 32),
-        Seq("query_id", "corpus_id"))
+        Seq("query_id", "corpus_id"), floor = 0.8,
+        expectExactPairs = Some(60L))
     }),
     "q_ext_knn_brute" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
@@ -1547,9 +1561,31 @@ object ExtQueries {
     // q_ext_minhash_neardup / q_ext_simhash_neardup / q_ext_knn_lsh:
     // intentionally no oracle (non-portable hash internals); see
     // ExtOpsSpec property tests against the exact counterparts, plus the
-    // REGISTERED measured-recall rows (q_ext_recall_*) whose floors
-    // RecallSpec pins.
+    // REGISTERED measured-recall rows (q_ext_recall_*) below.
     // q_ext_knn_ivf_probe_approx: no oracle (approximate at nprobe=4 by
     // design); recall spec-gated in ExtOpsSpec on the persisted index.
+    //
+    // recall-gate rows: CONSTANT-TRUE oracles. The Spark side measures
+    // recall against the exact counterpart and reports (metric,
+    // recall_floor, meets_floor); DuckDB pins what the row must say when
+    // the operating point is healthy. A recall collapse (or an exact-side
+    // regression emptying the ground truth) flips meets_floor and the
+    // hash compare fails — the driver-level gate VERDICT r7 asked for.
+    "q_ext_recall_minhash" ->
+      "SELECT 'minhash_lsh_j0.9_32x8' AS metric, CAST(0.9 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
+    "q_ext_recall_simhash" ->
+      "SELECT 'simhash_h3_4x16' AS metric, CAST(1.0 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
+    "q_ext_recall_knn_lsh" ->
+      """SELECT 'sign_lsh_cos0.35_4x8' AS metric, CAST(0.02 AS DOUBLE) AS recall_floor, TRUE AS meets_floor
+        |UNION ALL
+        |SELECT 'sign_lsh_cos0.35_4x8_band0.45', CAST(0.0 AS DOUBLE), TRUE""".stripMargin,
+    "q_ext_recall_knn_ivf_probe" ->
+      "SELECT 'ivf_k3_probe4of16' AS metric, CAST(0.25 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
+    "q_ext_recall_knn_pq" ->
+      "SELECT 'pq_refine_k3_shortlist64' AS metric, CAST(0.4 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
+    "q_ext_recall_knn_ivfpq" ->
+      "SELECT 'ivfpq_k3_probe4of16_shortlist32' AS metric, CAST(0.2 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
+    "q_ext_recall_knn_sq" ->
+      "SELECT 'sq8_refine_k3_shortlist32' AS metric, CAST(0.8 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
   )
 }

@@ -48,6 +48,9 @@ object Freshness {
   /** Fold per-source checks into one snapshot frame — the CI-gate shape,
     * like `Checks.summary`.
     */
-  def summary(checks: Seq[DataFrame]): DataFrame =
+  def summary(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty,
+      "Freshness.summary: no checks supplied — pass at least one Freshness.check frame")
     checks.reduce(_ unionByName _)
+  }
 }

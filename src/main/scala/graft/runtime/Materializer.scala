@@ -471,8 +471,12 @@ final class Materializer(spark: SparkSession, baseDir: String,
     writerLockFor(model).synchronized { withFileLock(model) {
       val cur = readPrior(model).getOrElse(
         throw new IllegalStateException(s"deleteWhere: no table $model"))
+      // retain via NOT(coalesce(pred, false)), not !pred: a NULL-valued
+      // predicate (e.g. equality on a null column) marks a row as
+      // UNAFFECTED — SQL DELETE semantics, and the same treatment the
+      // no-op guard and incrementalPredicates already give NULL rows.
       if (cur.filter(predicate).isEmpty) cur
-      else commitVersion(model, cur.filter(!predicate))
+      else commitVersion(model, cur.filter(not(coalesce(predicate, lit(false)))))
     } }
 
   /** Distributed-key-set form of [[deleteWhere]]: remove every row whose
@@ -569,7 +573,12 @@ final class Materializer(spark: SparkSession, baseDir: String,
       }
       val days = Iterator.iterate(start)(_.plusDays(1))
         .takeWhile(!_.isAfter(asOf)).toSeq
-      writeWindows(model, eventDateCol, days)(buildWindow)
+      // historical rerun earlier than (high-watermark − lookback): no
+      // window to rebuild. Return the table unchanged rather than let
+      // writeWindows crash on an empty reduce — the targeted surface
+      // for true historical rebuilds is rebuildMicrobatchWindow.
+      if (days.isEmpty) spark.read.parquet(legacyPath(model))
+      else writeWindows(model, eventDateCol, days)(buildWindow)
     } }
   }
 

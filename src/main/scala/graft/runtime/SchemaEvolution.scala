@@ -65,8 +65,12 @@ object SchemaEvolution {
         val removed = pSet -- fSet
         require(removed.isEmpty,
           s"on_schema_change=ignore: batch is missing table column(s) ${removed.mkString(", ")}")
-        // added batch columns are silently not written
-        (prior, fresh.select(pCols.map(col): _*))
+        // added batch columns are silently not written. Shared columns
+        // whose TYPE drifted are cast back to the table's type — the
+        // documented contract is "the table schema never changes", and
+        // without the cast the downstream unionByName would silently
+        // coerce the materialized schema to a widened common type.
+        (prior, fresh.select(pCols.map(n => col(n).cast(typeOf(prior, n)).as(n)): _*))
       case SchemaChange.AppendNewColumns =>
         val target = pCols ++ fCols.filterNot(pSet)
         (project(prior, pSet, fresh, target), project(fresh, fSet, prior, target))

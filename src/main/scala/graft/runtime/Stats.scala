@@ -23,21 +23,37 @@ import org.apache.spark.sql.SparkSession
   */
 object Stats {
 
+  /** Database holding the analyzed catalog tables. Qualified two-part
+    * names are immune to temp-view shadowing: a session temp view named
+    * `lineitem` hijacks the bare name `lineitem` for every later
+    * single-part lookup, but can never capture `graft_stats.lineitem`.
+    */
+  val Database = "graft_stats"
+
   /** Register each `name` as an external parquet table over
-    * `dir/name.parquet` and compute table + all-column statistics.
-    * Idempotent (re-registering refreshes the stats). Returns the
-    * analyzed row counts by table, read back from the catalog — the
-    * caller's evidence the stats actually landed.
+    * `dir/name.parquet` in [[Database]] and compute table + all-column
+    * statistics. Idempotent (re-registering refreshes the stats).
+    * Returns the analyzed row counts keyed by QUALIFIED table name,
+    * read back from the catalog — the caller's evidence the stats
+    * actually landed.
     */
   def registerAndAnalyze(spark: SparkSession, dir: String,
                          tables: Seq[String]): Map[String, BigInt] = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
     tables.map { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir/$t.parquet'")
-      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
-      val rc = spark.table(t).queryExecution.optimizedPlan.stats.rowCount
-        .getOrElse(sys.error(s"ANALYZE left no rowCount for $t"))
-      t -> rc
+      val qt = s"$Database.$t"
+      spark.sql(s"DROP TABLE IF EXISTS $qt")
+      spark.sql(s"CREATE TABLE $qt USING parquet LOCATION '$dir/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE $qt COMPUTE STATISTICS FOR ALL COLUMNS")
+      // read the row count from the CATALOG metadata, not a plan: plan
+      // stats only surface rowCount when CBO is on, and a plan lookup by
+      // bare name is hijackable by session temp views anyway
+      val rc = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(Database)))
+        .stats.flatMap(_.rowCount)
+        .getOrElse(sys.error(s"ANALYZE left no rowCount for $qt"))
+      qt -> rc
     }.toMap
   }
 

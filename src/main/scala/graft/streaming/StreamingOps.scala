@@ -196,6 +196,45 @@ object StreamingOps {
         ()
     }
 
+  /** [[corpusIngestQuarantineSink]] over [[graft.runtime.FragmentedTable]]s:
+    * the same validate → dead-letter → exact-dedup split, but BOTH the
+    * corpus and the `__rejects` quarantine commit as O(batch) fragments
+    * instead of whole-table rewrites. Replay stays idempotent on both
+    * sides: a redelivered batch's rejects upsert their own doc_ids into
+    * their previous fragment's keys (last-writer-wins, identical rows),
+    * and its valid rows content-dedup to an empty survivor set that
+    * writes nothing. `compactEvery` folds read amplification on the
+    * usual cadence.
+    */
+  def corpusIngestQuarantineFragmentedSink(docs: DataFrame,
+                                           frag: graft.runtime.FragmentedTable,
+                                           rejectsFrag: graft.runtime.FragmentedTable,
+                                           checks: Seq[(String, org.apache.spark.sql.Column)],
+                                           compactEvery: Long = 0L): DataStreamWriter[Row] = {
+    require(checks.nonEmpty, "at least one validity check required")
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val fails = checks.map { case (n, p) => (n, not(coalesce(p, lit(false)))) }
+        val reason = fails.tail
+          .foldLeft(when(fails.head._2, lit(fails.head._1))) {
+            case (acc, (n, f)) => acc.when(f, lit(n))
+          }.otherwise(lit(null).cast("string"))
+        val marked = batch.withColumn("reject_reason", reason)
+        val rejects = marked.filter(col("reject_reason").isNotNull)
+        if (!rejects.isEmpty) rejectsFrag.upsert(rejects)
+        val valid = marked.filter(col("reject_reason").isNull).drop("reject_reason")
+        val survivors = frag.read() match {
+          case None        => graft.ext.DedupOps.dedupExact(valid)
+          case Some(prior) => graft.ext.IngestOps.appendDedupExact(prior, valid)
+        }
+        if (!survivors.isEmpty) frag.upsert(survivors)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          frag.compact(); rejectsFrag.compact()
+        }
+        ()
+    }
+  }
+
   /** [[corpusIngestSink]] with a DEAD-LETTER split: each micro-batch is
     * validated against `checks` (name → predicate that must HOLD; a NULL
     * predicate result counts as failing, the dbt-test convention) BEFORE
@@ -309,6 +348,63 @@ object StreamingOps {
         ()
     }
 
+  /** [[corpusIngestNearDupSink]] over [[graft.runtime.FragmentedTable]]s:
+    * identical repair → check+append protocol and `__sigs` side-table
+    * contract, but BOTH tables commit as O(batch) fragments — per-trigger
+    * WRITE is the surviving batch (corpus) plus the newly-signed rows
+    * (side-table), never a table rewrite. The repair anti-join still
+    * READS the merged corpus and side-table ids (the LSM read-
+    * amplification trade `compactEvery` bounds), but signature COMPUTE
+    * stays ∝ unsigned rows — normally exactly the previous trigger's
+    * survivors. Same one-stream-per-model, pinned-`hotShingles`, and
+    * append-only-ids contracts as the Materializer-backed sink.
+    */
+  def corpusIngestNearDupFragmentedSink(docs: DataFrame,
+                                        frag: graft.runtime.FragmentedTable,
+                                        sigsFrag: graft.runtime.FragmentedTable,
+                                        threshold: Double,
+                                        numHashes: Int = 32, bands: Int = 8,
+                                        shingleK: Int = 1,
+                                        hotShingles: Seq[String] = Nil,
+                                        compactEvery: Long = 0L): DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        // 1. REPAIR: sign corpus rows missing from the side-table (the
+        // previous trigger's append, the whole corpus on migration, or
+        // the crash gap) — self-healing, so the two fragment tables need
+        // no cross-table atomic commit. Tombstone signature-less docs so
+        // the id-keyed anti-join converges (see corpusIngestNearDupSink).
+        frag.read().foreach { corpus =>
+          val unsigned = sigsFrag.read() match {
+            case None     => corpus
+            case Some(ps) =>
+              corpus.join(ps.select("doc_id"), Seq("doc_id"), "left_anti")
+          }
+          if (!unsigned.isEmpty) {
+            val signed = graft.ext.IngestOps.minHashSigsOf(unsigned, numHashes,
+              shingleK, hotShingles = hotShingles)
+            val tomb = unsigned.select(col("doc_id"))
+              .join(signed.select("doc_id"), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"),
+                array().cast("array<string>").as("toks"),
+                array().cast("array<bigint>").as("sig"))
+            sigsFrag.upsert(signed.unionByName(tomb))
+          }
+        }
+        // 2. CHECK+APPEND against the (now complete) side-table; the
+        // survivors' own signatures land at the next trigger's repair.
+        val exS = sigsFrag.read().getOrElse(
+          graft.ext.IngestOps.minHashSigsOf(batch.limit(0), numHashes,
+            shingleK, hotShingles = hotShingles))
+        val survivors = graft.ext.IngestOps.appendDedupNearDupIndexed(exS, batch,
+          threshold, numHashes, bands, shingleK, hotShingles = hotShingles)
+        if (!survivors.isEmpty) frag.upsert(survivors)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          frag.compact(); sigsFrag.compact()
+        }
+        ()
+    }
+
   /** EMBEDDING-modality continuous ingest: the [[corpusIngestSink]]
     * bridge for vector corpora — each micro-batch drops vectors whose
     * cosine similarity to the materialized corpus reaches `threshold`
@@ -333,6 +429,32 @@ object StreamingOps {
           case Some(prior) =>
             graft.ext.IngestOps.appendDedupEmbeddings(prior, batch, threshold)
         }
+        ()
+    }
+
+  /** [[corpusIngestEmbedSink]] over a [[graft.runtime.FragmentedTable]]:
+    * the same exact cosine screen (batch broadcasts into the merged
+    * corpus read — no corpus shuffle), but each trigger writes only its
+    * surviving vectors as a new fragment. Replay idempotency is the
+    * table's: a redelivered vector is a cosine-1.0 duplicate of its own
+    * previous fragment and survives nothing.
+    */
+  def corpusIngestEmbedFragmentedSink(vecs: DataFrame,
+                                      frag: graft.runtime.FragmentedTable,
+                                      threshold: Double,
+                                      compactEvery: Long = 0L): DataStreamWriter[Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val survivors = frag.read() match {
+          case None => graft.ext.DedupOps.removeNearDups(batch,
+            graft.ext.SimilarityOps.cosinePairs(batch, threshold),
+            idCol = "vec_id", dropCol = "vec_b")
+          case Some(prior) =>
+            graft.ext.IngestOps.appendDedupEmbeddings(prior, batch, threshold)
+        }
+        if (!survivors.isEmpty) frag.upsert(survivors)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          frag.compact()
         ()
     }
 

@@ -33,6 +33,17 @@ class DeletionSpec extends SparkSpec {
     assert(dels == Set("u3", "u4"))
   }
 
+  test("NULL-valued predicate rows are retained, not silently deleted") {
+    // SQL DELETE: a predicate that evaluates to NULL does not match —
+    // the row must SURVIVE. Naive filter(!pred) drops it (NULL negates
+    // to NULL, which filter discards).
+    val mat = new Materializer(spark, freshDir())
+    mat.materialize("t", "id")(_ =>
+      Seq(("u1", Some(10)), ("u2", None), ("u3", Some(30))).toDF("id", "v"))
+    val out = mat.deleteWhere("t", $"v" === 30)
+    assert(out.select("id").as[String].collect().toSet == Set("u1", "u2"))
+  }
+
   test("deleting zero rows is a no-op: no new version committed") {
     val mat = new Materializer(spark, freshDir())
     seed(mat)

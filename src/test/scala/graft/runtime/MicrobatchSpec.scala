@@ -111,6 +111,21 @@ class MicrobatchSpec extends SparkSpec {
     assert(t.count() == fullBuild(src).size)
   }
 
+  test("asOf earlier than (high-watermark - lookback) is a no-op, not a crash") {
+    val mat = new Materializer(spark, freshDir())
+    val src = srcDf(baseRows)
+    mat.materializeMicrobatch("m", "event_date", begin,
+      LocalDate.parse("2024-01-05"))(model(src))
+    val before = tableSet(spark.read.parquet(mat.outPath("m")))
+    var built = Vector.empty[LocalDate]
+    // hw Jan 5, lookback 1 → start Jan 4; asOf Jan 2 yields ZERO windows
+    val t = mat.materializeMicrobatch("m", "event_date", begin,
+      LocalDate.parse("2024-01-02"), lookback = 1) { (lo, hi) =>
+        built :+= lo; model(src)(lo, hi)
+      }
+    assert(built.isEmpty && tableSet(t) == before)
+  }
+
   test("advancing asOf processes only the new + lookback windows") {
     val mat = new Materializer(spark, freshDir())
     var built = Vector.empty[LocalDate]

@@ -23,6 +23,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(f.as[(String, Long)].collect().toSet == Set(("k2", 20L), ("k3", 3L)))
   }
 
+  test("ignore: type-drifted shared column is cast back to the table's type") {
+    // batch carries `a` as int — the table holds long. Without the cast
+    // the downstream unionByName widens the MATERIALIZED schema, which
+    // violates "the table schema never changes".
+    val drifted = Seq(("k2", 20), ("k3", 3)).toDF("id", "a") // a: int
+    val (p, f) = SchemaEvolution.align(v1, drifted, SchemaChange.Ignore)
+    assert(f.schema("a").dataType == p.schema("a").dataType)
+    assert(f.as[(String, Long)].collect().toSet == Set(("k2", 20L), ("k3", 3L)))
+  }
+
   test("ignore: batch-removed column errors (the insert cannot supply it)") {
     intercept[IllegalArgumentException] {
       SchemaEvolution.align(v1, v2Removed, SchemaChange.Ignore)

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.runtime.FragmentedTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The stateful ingest sinks over FragmentedTable: identical dedup /
+  * quarantine / side-table semantics to their Materializer-backed
+  * counterparts (StreamingSpec), with the O(batch) write profile
+  * gated directly — each trigger adds at most one corpus fragment
+  * whose ROWS are the batch's survivors, never a corpus rewrite.
+  */
+class FragmentedSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-fsink").toString
+
+  /** Row count of the newest fragment dir of `table` under `dir` —
+    * the per-trigger write the O(batch) gate bounds.
+    */
+  private def newestFragmentRows(dir: String, table: String): Long = {
+    val frags = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${table}__frag_"))
+    assert(frags.nonEmpty, s"no fragments for $table in $dir")
+    spark.read.parquet(frags.maxBy(_.lastModified()).getPath).count()
+  }
+
+  test("near-dup fragmented sink: sink semantics ≡ Materializer sink; writes ∝ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "nd", "doc_id")
+    val sigs = new FragmentedTable(spark, dir, "nd__sigs", "doc_id")
+    def corpus: Set[Long] = frag.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def sigIds: Set[Long] = sigs.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestNearDupFragmentedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigs, threshold = 0.8).start()
+    try {
+      // batch 1 incl. an empty-text doc (tombstone path)
+      in.addData((1L, "a b c d e f g h i j"), (2L, "x y z w v u t s r q"), (9L, ""))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 9L), corpus.toString)
+      assert(frag.fragmentCount() == 1)
+      // batch 2: 11 near-dups MATERIALIZED doc 1 via the side-table; 12 novel
+      in.addData((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 9L, 12L), corpus.toString)
+      assert(sigIds == Set(1L, 2L, 9L),
+        s"side-table lags one trigger, tombstoning the empty doc: $sigIds")
+      // O(batch) gate: trigger 2 wrote ONE fragment holding ONLY the
+      // survivor (doc 12) — a corpus rewrite would be 4 rows
+      assert(frag.fragmentCount() == 2, "one fragment per appending trigger")
+      assert(newestFragmentRows(dir, "nd") == 1L,
+        "fragment must hold the batch survivors, not the corpus")
+      // replay: absorbed, NO new corpus fragment; repair signs doc 12
+      in.addData((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 9L, 12L), corpus.toString)
+      assert(frag.fragmentCount() == 2, "replay must not write a corpus fragment")
+      assert(sigIds == Set(1L, 2L, 9L, 12L), sigIds.toString)
+    } finally q.stop()
+  }
+
+  test("near-dup fragmented sink: compaction cadence folds both tables to one fragment") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "ndc", "doc_id")
+    val sigs = new FragmentedTable(spark, dir, "ndc__sigs", "doc_id")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestNearDupFragmentedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigs, threshold = 0.8,
+      compactEvery = 2L).start()
+    try {
+      in.addData((1L, "a b c d e"), (2L, "f g h i j"))
+      q.processAllAvailable()
+      in.addData((3L, "k l m n o"))
+      q.processAllAvailable() // batchId 1 → compacts
+      in.addData((4L, "p q r s t"))
+      q.processAllAvailable()
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L, 3L, 4L))
+      assert(frag.fragmentCount() == 2, // 1 compacted + 1 post-compaction
+        s"compaction failed to bound fragments: ${frag.fragmentCount()}")
+      assert(sigs.fragmentCount() <= 2)
+    } finally q.stop()
+  }
+
+  test("embed fragmented sink: cosine absorption ≡ Materializer sink; replay writes nothing") {
+    import graft.ext.VectorFixtures.synthVec
+    def jig(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (v, d) => if (d == 0) v + eps else v }
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "vecs", "vec_id")
+    def corpus: Set[Long] = frag.read()
+      .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.corpusIngestEmbedFragmentedSink(
+      in.toDF().toDF("vec_id", "embedding"), frag, threshold = 0.99).start()
+    try {
+      in.addData((1L, synthVec(1)), (2L, synthVec(2)), (3L, jig(synthVec(1), 0.01f)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      assert(frag.fragmentCount() == 2)
+      assert(newestFragmentRows(dir, "vecs") == 1L,
+        "fragment must hold the surviving vector only")
+      in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      assert(frag.fragmentCount() == 2, "replay must not write a fragment")
+    } finally q.stop()
+  }
+
+  test("quarantine fragmented sink: dead-letter + dedup ≡ Materializer sink; both O(batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "qc", "doc_id")
+    val rej = new FragmentedTable(spark, dir, "qc__rejects", "doc_id")
+    def corpus: Set[Long] = frag.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def rejects: Map[Long, String] = rej.read()
+      .map(_.select("doc_id", "reject_reason").as[(Long, String)].collect().toMap)
+      .getOrElse(Map.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestQuarantineFragmentedSink(
+      in.toDF().toDF("doc_id", "text"), frag, rej, Seq(
+        "text_not_null" -> col("text").isNotNull,
+        "text_min_len" -> (length(col("text")) >= 5))).start()
+    try {
+      in.addData((1L, "alpha beta"), (2L, null: String), (3L, "abc"), (4L, "gamma delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 4L), corpus.toString)
+      assert(rejects == Map(2L -> "text_not_null", 3L -> "text_min_len"), rejects.toString)
+      // replay: corpus absorbed (no new fragment), rejects last-writer-win
+      // on their own ids (one new fragment, identical merged view)
+      in.addData((1L, "alpha beta"), (2L, null: String), (3L, "abc"), (4L, "gamma delta"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 4L), corpus.toString)
+      assert(rejects == Map(2L -> "text_not_null", 3L -> "text_min_len"), rejects.toString)
+      assert(frag.fragmentCount() == 1, "replayed valid rows must not write a fragment")
+      // a FIXED doc re-ingests: id 3 valid now, upserts into the corpus
+      in.addData((3L, "abc now long enough"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 3L, 4L), corpus.toString)
+      assert(newestFragmentRows(dir, "qc") == 1L)
+    } finally q.stop()
+  }
+}
