@@ -143,6 +143,59 @@ object SqIndex {
         encodeExpr(col("v"), vmin, step).as("code")), vmin, vmax)
   }
 
+  /** Maintenance report from [[append]]. SQ8's drift signal is direct:
+    * a value outside the trained per-dimension [min, max] CLAMPS to
+    * code 0/255, where quantization error stops being bounded by half a
+    * step — so the fraction of clamped values in the appended batch
+    * measures exactly how much the trained ranges have stopped
+    * describing the data. In-distribution batches clamp ~nothing
+    * (training min/max covered the corpus); a drifted batch clamps
+    * proportionally to its mass outside the box.
+    */
+  final case class AppendReport(appended: Long, clampedFraction: Double,
+      retrainRecommended: Boolean)
+
+  /** Incrementally extend a PERSISTED index: encode `batch` with the
+    * EXISTING per-dimension ranges (map-only, O(batch) — min/max are
+    * never recomputed, the code table never rewrites) and append the
+    * codes. When `retrainRecommended` fires (clamped-value fraction
+    * above `maxClampedFraction`), schedule [[SqIndex.train]]+[[save]];
+    * training is one exact min/max aggregate, so retrains are cheap —
+    * the threshold is about WRITE amplification (re-encoding the
+    * corpus), not training cost. Ids are assumed unique across
+    * index ∪ batch; single-writer per index dir.
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+             batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxClampedFraction: Double = 0.01): AppendReport = {
+    val idx = load(spark, path)
+    val lo = typedLit(idx.vmin.toSeq)
+    val hi = typedLit(idx.vmax.toSeq)
+    val c = SimilarityOps.normalized(batch, idCol, vecCol)
+      .select(col("id").as("corpus_id"), col("v"))
+    c.cache()
+    try {
+      // clamped = value strictly outside the trained box (a zero-width
+      // dimension encodes 0 by contract and is not drift)
+      val m = c.agg(
+          count(lit(1)).as("n"),
+          avg(aggregate(zip_with(col("v"), sequence(lit(0), lit(idx.dims - 1)),
+              (x, d) => when(x < element_at(lo, d + lit(1)) ||
+                x > element_at(hi, d + lit(1)), 1).otherwise(0)),
+            lit(0), (acc, b) => acc + b).cast("double") / idx.dims).as("cf"))
+        .collect().head
+      val appended = m.getLong(0)
+      val clamped = if (m.isNullAt(1)) 0.0 else m.getDouble(1)
+      if (appended > 0L)
+        c.select(col("corpus_id"),
+            encodeExpr(col("v"), idx.vmin, idx.step).as("code"))
+          .write.mode("append").parquet(s"$path/codes")
+      AppendReport(appended, clamped,
+        retrainRecommended = appended > 0L && clamped > maxClampedFraction)
+    } finally c.unpersist()
+  }
+
   /** Reopen a persisted index: params are driver-collected (dims rows),
     * the code table is the parquet scan — no re-encode.
     */

@@ -1,0 +1,121 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.runtime.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental ANN index maintenance (IvfIndex.append / SqIndex.append):
+  * appended vectors become probe-visible WITHOUT a retrain, post-append
+  * recall stays within ε of a fresh full retrain, and the drift signals
+  * (appended mass / falling best-cell cosine for IVF, clamped-value
+  * fraction for SQ8) recommend retrains exactly when they should.
+  */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Sources(spark, dir).embeddings
+  private def queries = emb.filter(col("vec_id") < 20)
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-idx-maint").toString
+
+  private def recallVsBrute(found: DataFrame): Double =
+    RecallOps.setRecall("m", SimilarityOps.bruteForceTopK(emb, queries, k = 3),
+        found, Seq("query_id", "corpus_id"))
+      .select("recall").as[Double].collect().head
+
+  test("IVF append: new vectors probe-visible; recall within ε of a fresh retrain") {
+    val base = emb.filter(col("vec_id") >= 100 || col("vec_id") < 20)
+    val late = emb.filter(col("vec_id") >= 20 && col("vec_id") < 100)
+    val path = freshDir()
+    IvfIndex.train(base, nlist = 16).save(path)
+    val report = IvfIndex.append(spark, path, late)
+    assert(report.appended == late.count())
+    assert(report.totalRows == emb.count())
+    // in-distribution batch, minority mass: no retrain needed
+    assert(!report.retrainRecommended, report.toString)
+    val appended = IvfIndex.load(spark, path)
+      .topK(queries, k = 3, nprobe = 16) // nprobe = nlist: isolate ASSIGNMENT
+    val fresh = IvfIndex.train(emb, nlist = 16)
+      .topK(queries, k = 3, nprobe = 16)
+    // full probe over all cells is exact regardless of assignment, so
+    // both recalls are 1.0 — the appended rows are fully probe-visible
+    val (ra, rf) = (recallVsBrute(appended), recallVsBrute(fresh))
+    assert(math.abs(ra - rf) <= 0.05, s"append recall $ra vs fresh $rf")
+    assert(ra == 1.0, s"nprobe=nlist probe must be exact, got $ra")
+    // and at the production operating point the two index layouts agree
+    // within ε on the same queries
+    val raP = recallVsBrute(IvfIndex.load(spark, path).topK(queries, 3, nprobe = 4))
+    val rfP = recallVsBrute(IvfIndex.train(emb, nlist = 16).topK(queries, 3, nprobe = 4))
+    assert(math.abs(raP - rfP) <= 0.25, s"probe-point recall drifted: $raP vs $rfP")
+  }
+
+  test("IVF append drift: majority-appended mass recommends a retrain") {
+    val path = freshDir()
+    IvfIndex.train(emb.filter(col("vec_id") < 150), nlist = 8).save(path)
+    val r = IvfIndex.append(spark, path, emb.filter(col("vec_id") >= 150))
+    assert(r.appendedFraction > 0.5, r.toString)
+    assert(r.retrainRecommended, s"appended majority must trigger retrain: $r")
+  }
+
+  test("IVF append drift: off-manifold batch (falling best-cell cosine) recommends a retrain") {
+    // clustered corpus: centroids hug 4 tight clusters (train mean
+    // best-cosine ≈ 1), so the signal separates cleanly — a held-out
+    // SAME-cluster batch stays near the baseline, an off-manifold
+    // (uniform) batch falls several tenths below it
+    val all = VectorFixtures.clusteredRows.toDF("vec_id", "embedding")
+    val path = freshDir()
+    IvfIndex.train(all.filter(col("vec_id") < 160), nlist = 8).save(path)
+    val inDist = IvfIndex.append(spark, path,
+      all.filter(col("vec_id") >= 160 && col("vec_id") < 180))
+    info(s"in-dist: $inDist")
+    assert(!inDist.retrainRecommended,
+      s"held-out same-cluster batch must not trip the drift gate: $inDist")
+    val offManifold = (0 until 20)
+      .map(i => (200000L + i, VectorFixtures.synthVec(50000 + i)))
+      .toDF("vec_id", "embedding")
+    val r = IvfIndex.append(spark, path, offManifold)
+    info(s"off-manifold: $r")
+    assert(r.batchMeanSim < r.trainMeanSim - 0.15,
+      s"uniform batch must score far from the cluster centroids: $r")
+    assert(r.retrainRecommended, r.toString)
+  }
+
+  test("SQ8 append: new codes probe-visible; refined recall within ε of a fresh retrain") {
+    val base = emb.filter(col("vec_id") >= 100 || col("vec_id") < 20)
+    val late = emb.filter(col("vec_id") >= 20 && col("vec_id") < 100)
+    val path = freshDir()
+    SqIndex.train(base).save(path)
+    val report = SqIndex.append(spark, path, late)
+    assert(report.appended == late.count())
+    // the late half is drawn from the same distribution the ranges were
+    // trained on: (almost) nothing clamps, no retrain
+    assert(!report.retrainRecommended, report.toString)
+    val ra = recallVsBrute(
+      SqIndex.load(spark, path).topKRefined(queries, emb, k = 3, shortlist = 32))
+    val rf = recallVsBrute(
+      SqIndex.train(emb).topKRefined(queries, emb, k = 3, shortlist = 32))
+    assert(math.abs(ra - rf) <= 0.05, s"append recall $ra vs fresh $rf")
+  }
+
+  test("SQ8 append drift: out-of-range values clamp and recommend a retrain") {
+    val path = freshDir()
+    SqIndex.train(emb).save(path)
+    // one-hot vectors: a single coordinate at 1.0, far outside the
+    // near-uniform corpus's trained per-dimension ranges
+    val oneHot = (0 until 8).map { d =>
+      (100000L + d, (0 until 64).map(i => if (i == d) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val r = SqIndex.append(spark, path, oneHot)
+    assert(r.clampedFraction > 0.01,
+      s"one-hot batch must clamp its hot dimension: $r")
+    assert(r.retrainRecommended, r.toString)
+    // the clamped codes are still present (degraded, not lost)
+    val ids = SqIndex.load(spark, path).codeTable
+      .select("corpus_id").as[Long].collect().toSet
+    assert((100000L until 100008L).forall(ids))
+  }
+}
