@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Dev-side sf1 synthesizer for the robustness sweep (VERDICT r7 ask #6).
+
+The driver generates fixtures up to sf0.1 only; this scales the sf0.1
+documents/embeddings 10x into an sf1-equivalent under /tmp for the
+pair/ANN/span family sweep. Scaling preserves the workload's shape
+instead of exploding it:
+
+- documents: each replica r appends a replica-unique token to every
+  doc's text, so near-dup/exact-dup structure exists WITHIN each
+  replica (pairs ~= 10x sf0.1's count) but never across replicas
+  (a naive 10x copy would square the pair count and measure a
+  different operator).
+- embeddings: each replica adds a small deterministic per-replica
+  jitter and renormalizes - same geometry, no exact cross-replica
+  twins.
+- all other tables are hard-linked unchanged (the sweep families read
+  only documents/embeddings; Sources just needs the files present).
+
+Usage: python3 dev/make_sf1.py [outdir]   (default /tmp/sf1)
+"""
+import sys, os, shutil
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+REPLICAS = 10
+
+os.makedirs(OUT, exist_ok=True)
+
+# documents: replica-tag the text, remap ids
+docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+stride = int(docs["doc_id"].max()) + 1
+parts = []
+for r in range(REPLICAS):
+    d = docs.copy()
+    d["doc_id"] = d["doc_id"] + r * stride
+    if r > 0:
+        d["text"] = d["text"].map(
+            lambda t, r=r: (t + f" zrepl{r}tok") if isinstance(t, str) else t)
+    parts.append(d)
+import pandas as pd
+alld = pd.concat(parts, ignore_index=True)
+pq.write_table(pa.Table.from_pandas(alld, preserve_index=False),
+               f"{OUT}/documents.parquet")
+print(f"documents: {len(docs)} -> {len(alld)} rows")
+
+# embeddings: deterministic per-replica jitter, renormalize
+emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+vstride = int(emb["vec_id"].max()) + 1
+vecs = np.stack(emb["embedding"].map(np.asarray))
+dims = vecs.shape[1]
+parts = []
+for r in range(REPLICAS):
+    e = emb.copy()
+    e["vec_id"] = e["vec_id"] + r * vstride
+    if r > 0:
+        rng = np.random.default_rng(1234 + r)  # deterministic per replica
+        v = vecs + 0.02 * rng.standard_normal(vecs.shape).astype(np.float32)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        e["embedding"] = [row.astype(np.float32) for row in v]
+    parts.append(e)
+alle = pd.concat(parts, ignore_index=True)
+pq.write_table(pa.Table.from_pandas(alle, preserve_index=False),
+               f"{OUT}/embeddings.parquet")
+print(f"embeddings: {len(emb)} -> {len(alle)} rows")
+
+# everything else: hard-link unchanged
+for f in os.listdir(SRC):
+    if f in ("documents.parquet", "embeddings.parquet"):
+        continue
+    dst = os.path.join(OUT, f)
+    if os.path.exists(dst):
+        os.remove(dst)
+    try:
+        os.link(os.path.join(SRC, f), dst)
+    except OSError:
+        shutil.copy(os.path.join(SRC, f), dst)
+print(f"done -> {OUT}")
