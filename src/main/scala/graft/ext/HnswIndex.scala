@@ -1,0 +1,331 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] HNSW — the graph rung of the ANN ladder (Malkov & Yashunin
+  * 2016, TPAMI 2020), next to the quantized rungs ([[IvfIndex]],
+  * [[PqIndex]], [[IvfPqIndex]], [[SqIndex]]) and the hash rung
+  * (sign-LSH). Where IVF prunes by PARTITIONING space and PQ shrinks by
+  * QUANTIZING vectors, HNSW navigates: a layered small-world graph
+  * whose greedy descent reaches a query's neighborhood in
+  * O(log N) hops, then a beam search (ef) sweeps that neighborhood —
+  * the quality/latency knob at QUERY time, no retrain.
+  *
+  * SHARD-AND-MERGE distribution — the Spark-native shape (and the
+  * standard serving architecture: per-shard graphs, fan-out search,
+  * top-k merge). A global HNSW is a pointer-chasing structure a
+  * shuffle-based engine cannot traverse; per-SHARD graphs restore
+  * partition-local sequential construction — mapPartitions builds each
+  * shard's graph independently, queries BROADCAST and search every
+  * shard map-side (no corpus shuffle, same discipline as the other
+  * indexes' probe joins), and a per-query window merges the per-shard
+  * beams. Recall composes: each shard holds a random 1/S of the
+  * corpus, every shard is searched, so shard recall ≈ single-graph
+  * recall at the same ef over N/S points. Scale story at 100 TB:
+  * shards = executors, each graph sized to executor memory
+  * (N/S · (dims·8 + M·levels·8) bytes), build is one pass, search is
+  * embarrassingly parallel per (query, shard).
+  *
+  * DETERMINISM: layer assignment is the standard geometric draw but
+  * from xxhash-derived uniforms (no RNG), shard assignment is
+  * hash(id) % S, and per-shard insertion order is id order — the same
+  * corpus always builds the same graphs.
+  *
+  * Both tables persist as parquet ([[save]]/[[HnswIndex.load]]):
+  * `nodes` = (shard, corpus_id, v, level), `edges` = (shard, level,
+  * src, dst) — adjacency as ROWS, the engine-native encoding (a graph
+  * table, not a binary blob), partitioned by shard so each search task
+  * reads exactly its shard's slice.
+  */
+final class HnswIndex private (
+    @transient private val nodes: DataFrame,
+    @transient private val edges: DataFrame,
+    val m: Int, val nShards: Int) {
+
+  /** Top-k neighbors per query row: broadcast the (small) query set,
+    * beam-search every shard graph in place with beam width `ef`,
+    * merge with the usual per-query rank window. `ef` ≥ k; raising it
+    * buys recall at O(ef · M · log N) distance evals per (query,
+    * shard). Queries whose id appears in the corpus skip themselves
+    * (parity with the other indexes' probe contract).
+    */
+  def topK(queries: DataFrame, k: Int, ef: Int = 64,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(ef >= k, s"ef $ef must be >= k $k")
+    val spark = nodes.sparkSession
+    val q: Array[(Long, Array[Double])] =
+      SimilarityOps.normalized(queries, idCol, vecCol)
+        .select(col("id").cast("long"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(q.length <= HnswIndex.maxBroadcastQueries,
+      s"query set ${q.length} exceeds the bounded broadcast " +
+        s"(${HnswIndex.maxBroadcastQueries}); chunk the queries")
+    val bq = spark.sparkContext.broadcast(q)
+    val efB = ef
+    val kB = k
+    import spark.implicits._
+    // cogroup BY SHARD (not by partition: hash collisions can co-locate
+    // two shards, and a greedy walk cannot cross disjoint components —
+    // each shard's graph must be searched as its own unit)
+    val nodesRdd = nodes.select(col("shard"), col("corpus_id").cast("long"),
+        col("v"), col("level"))
+      .as[(Int, Long, Seq[Double], Int)].rdd
+      .map { case (s, id, v, l) => (s, (id, v, l)) }
+    val edgesRdd = edges.select(col("shard"), col("level"),
+        col("src").cast("long"), col("dst").cast("long"))
+      .as[(Int, Int, Long, Long)].rdd
+      .map { case (s, l, a, b) => (s, (l, a, b)) }
+    val cand = nodesRdd.cogroup(edgesRdd, nShards).flatMap {
+      case (_, (nIt, eIt)) =>
+        val ns = nIt.toArray
+        if (ns.isEmpty) Iterator.empty
+        else {
+          val vecs = ns.map { case (id, v, _) => id -> v.toArray }.toMap
+          val adj = new scala.collection.mutable.HashMap[(Long, Int), scala.collection.mutable.ArrayBuffer[Long]]()
+          eIt.foreach { case (lvl, src, dst) =>
+            adj.getOrElseUpdate((src, lvl), new scala.collection.mutable.ArrayBuffer[Long]()) += dst
+          }
+          val entry = ns.maxBy { case (id, _, l) => (l, -id) }
+          val maxLevel = entry._3
+          def dot(a: Array[Double], b: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += a(i) * b(i); i += 1 }
+            s
+          }
+          bq.value.iterator.flatMap { case (qid, qv) =>
+            // greedy descent to level 1
+            var ep = entry._1
+            var epSim = dot(qv, vecs(ep))
+            var lvl = maxLevel
+            while (lvl >= 1) {
+              var improved = true
+              while (improved) {
+                improved = false
+                adj.getOrElse((ep, lvl), Nil).foreach { nb =>
+                  val s = dot(qv, vecs(nb))
+                  if (s > epSim) { ep = nb; epSim = s; improved = true }
+                }
+              }
+              lvl -= 1
+            }
+            // beam search at level 0 (ef-bounded best-first)
+            val visited = new scala.collection.mutable.HashSet[Long]()
+            // frontier: max-sim first; result: min-sim first (bounded to ef)
+            val frontier = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(_._1))
+            val result = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(-_._1))
+            visited += ep
+            frontier.enqueue((epSim, ep))
+            result.enqueue((epSim, ep))
+            while (frontier.nonEmpty) {
+              val (cs, c) = frontier.dequeue()
+              if (cs < result.head._1 && result.size >= efB) frontier.clear()
+              else adj.getOrElse((c, 0), Nil).foreach { nb =>
+                if (!visited(nb)) {
+                  visited += nb
+                  val s = dot(qv, vecs(nb))
+                  if (result.size < efB || s > result.head._1) {
+                    frontier.enqueue((s, nb))
+                    result.enqueue((s, nb))
+                    if (result.size > efB) result.dequeue()
+                  }
+                }
+              }
+            }
+            result.iterator.filter(_._2 != qid).map { case (s, id) => (qid, id, s) }
+          }
+        }
+    }.toDF("query_id", "corpus_id", "sim")
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
+      .filter(col("rank") <= kB)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /** Persist both graph tables, shard-partitioned; reopen with
+    * [[HnswIndex.load]].
+    */
+  def save(path: String): Unit = {
+    nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
+    edges.write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    Seq((m, nShards)).toDF("m", "n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Graph degree stats per level — diagnostics/spec seam (degree must
+    * respect the M / 2M caps the construction prunes to).
+    */
+  private[ext] def degreeStats(): DataFrame =
+    edges.groupBy("level", "src").count()
+      .groupBy("level").agg(max("count").as("max_degree"),
+        avg("count").as("avg_degree"))
+}
+
+object HnswIndex {
+
+  /** Query broadcast bound, [[PqIndex.maxBroadcastShortlist]]'s
+    * discipline: fan-out search replicates the query set to every
+    * shard task, so it must stay small by construction.
+    */
+  val maxBroadcastQueries = 65536
+
+  /** Deterministic geometric layer for node `id`: the standard
+    * floor(-ln(U) · mL) draw with U derived from xxhash64(id) — no RNG,
+    * same corpus → same layers. mL = 1/ln(M) (the paper's default).
+    */
+  private def levelOf(id: Long, m: Int, maxLevel: Int): Int = {
+    // splitmix-style scramble → uniform in (0,1]
+    var z = id + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+    val l = (-math.log(u) / math.log(m.toDouble)).toInt
+    math.min(l, maxLevel)
+  }
+
+  /** Build per-shard graphs in one mapPartitions pass. `nShards` tasks
+    * each insert their hash-assigned slice sequentially (id order) with
+    * the standard construction: greedy descent to the node's top level,
+    * efConstruction beam per level, top-M neighbor selection,
+    * bidirectional links pruned to M (2M at level 0).
+    */
+  def train(corpus: DataFrame, m: Int = 8, efConstruction: Int = 64,
+            nShards: Int = 4,
+            idCol: String = "vec_id", vecCol: String = "embedding"): HnswIndex = {
+    require(m >= 2 && efConstruction >= m && nShards >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = SimilarityOps.normalized(corpus, idCol, vecCol)
+      .select((pmod(xxhash64(col("id").cast("string")), lit(nShards)))
+        .cast("int").as("shard"), col("id").cast("long").as("corpus_id"), col("v"))
+      .as[(Int, Long, Seq[Double])]
+      .rdd.map { case (s, id, v) => (s, (id, v)) }
+      .groupByKey(nShards) // one graph build per SHARD, whole slice in memory
+    val maxLevel = 8
+    val mB = m; val efcB = efConstruction
+    val built = c.flatMap { case (shard, slice) =>
+      // id order: deterministic insertion → deterministic graph
+      val rows = slice.toArray.sortBy(_._1).map { case (id, v) => (shard, id, v) }
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val n = rows.length
+        val ids = rows.map(_._2)
+        val vecs = rows.map(_._3.toArray)
+        val lvls = ids.map(levelOf(_, mB, maxLevel))
+        val idx = ids.zipWithIndex.toMap
+        // adjacency: per (node index, level) neighbor index buffer
+        val adj = Array.fill(n)(
+          new scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]())
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        var entry = -1
+        for (ni <- 0 until n) {
+          val v = vecs(ni)
+          val nodeLvl = lvls(ni)
+          if (entry < 0) entry = ni
+          else {
+            var ep = entry
+            var epSim = dot(v, vecs(ep))
+            // greedy descent through levels above the node's top
+            var lvl = lvls(entry)
+            while (lvl > nodeLvl) {
+              var improved = true
+              while (improved) {
+                improved = false
+                adj(ep).getOrElse(lvl, Nil).foreach { nb =>
+                  val s = dot(v, vecs(nb))
+                  if (s > epSim) { ep = nb; epSim = s; improved = true }
+                }
+              }
+              lvl -= 1
+            }
+            // per-level beam + link
+            var l = math.min(nodeLvl, lvls(entry))
+            while (l >= 0) {
+              // efConstruction beam at level l from ep
+              val visited = new scala.collection.mutable.HashSet[Int]()
+              val frontier = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(Ordering.by(_._1))
+              val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(Ordering.by(-_._1))
+              visited += ep
+              frontier.enqueue((epSim, ep))
+              res.enqueue((epSim, ep))
+              while (frontier.nonEmpty) {
+                val (cs, cI) = frontier.dequeue()
+                if (cs < res.head._1 && res.size >= efcB) frontier.clear()
+                else adj(cI).getOrElse(l, Nil).foreach { nb =>
+                  if (!visited(nb)) {
+                    visited += nb
+                    val s = dot(v, vecs(nb))
+                    if (res.size < efcB || s > res.head._1) {
+                      frontier.enqueue((s, nb))
+                      res.enqueue((s, nb))
+                      if (res.size > efcB) res.dequeue()
+                    }
+                  }
+                }
+              }
+              val cap = if (l == 0) 2 * mB else mB
+              val neighbors = res.toArray.sortBy(-_._1).take(mB).map(_._2)
+              adj(ni).getOrElseUpdate(l, new scala.collection.mutable.ArrayBuffer[Int]()) ++= neighbors
+              neighbors.foreach { nb =>
+                val buf = adj(nb).getOrElseUpdate(l, new scala.collection.mutable.ArrayBuffer[Int]())
+                buf += ni
+                if (buf.size > cap) {
+                  // prune to the cap by similarity to the OWNER node
+                  val pruned = buf.toArray.distinct
+                    .map(x => (dot(vecs(nb), vecs(x)), x))
+                    .sortBy(-_._1).take(cap).map(_._2)
+                  buf.clear(); buf ++= pruned
+                }
+              }
+              // next level starts from the best of this beam
+              val best = neighbors.headOption.getOrElse(ep)
+              ep = best; epSim = dot(v, vecs(best))
+              l -= 1
+            }
+            if (nodeLvl > lvls(entry)) entry = ni
+          }
+        }
+        val nodeOut = (0 until n).iterator.map { ni =>
+          (shard, ids(ni), vecs(ni).toSeq, lvls(ni), -1, -1L, -1L)
+        }
+        val edgeOut = (0 until n).iterator.flatMap { ni =>
+          adj(ni).iterator.flatMap { case (lvl, nbs) =>
+            nbs.distinct.iterator.map(nb => (shard, -1L, Seq.empty[Double], -1, lvl, ids(ni), ids(nb)))
+          }
+        }
+        nodeOut ++ edgeOut
+      }
+    }.toDF("shard", "node_id", "v", "level", "edge_level", "src", "dst")
+    built.cache()
+    val nodes = built.filter(col("edge_level") === -1)
+      .select(col("shard"), col("node_id").as("corpus_id"), col("v"), col("level"))
+    val edges = built.filter(col("edge_level") =!= -1)
+      .select(col("shard"), col("edge_level").as("level"), col("src"), col("dst"))
+    new HnswIndex(nodes, edges, m, nShards)
+  }
+
+  /** Reopen a persisted index: both graph tables come back as
+    * shard-partitioned parquet scans.
+    */
+  def load(spark: SparkSession, path: String): HnswIndex = {
+    graft.functions.VectorFunctions.register(spark)
+    val p = spark.read.parquet(s"$path/params").collect().head
+    new HnswIndex(
+      spark.read.parquet(s"$path/nodes")
+        .select(col("shard").cast("int").as("shard"), col("corpus_id"),
+          col("v"), col("level")),
+      spark.read.parquet(s"$path/edges")
+        .select(col("shard").cast("int").as("shard"), col("level"),
+          col("src"), col("dst")),
+      p.getInt(0), p.getInt(1))
+  }
+}

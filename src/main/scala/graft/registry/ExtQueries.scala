@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, DriftOps, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, SqIndex, TextOps}
+import graft.ext.{CorpusOps, DedupOps, DriftOps, HnswIndex, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, SqIndex, TextOps}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -98,6 +98,9 @@ object ExtQueries {
     (s, dir, p) => IvfPqIndex.train(Sources(s, dir).embeddings).save(p))
   private val sqIndexCache = new IndexDirCache("graft_sqidx_",
     (s, dir, p) => SqIndex.train(Sources(s, dir).embeddings).save(p))
+  private val hnswIndexCache = new IndexDirCache("graft_hnswidx_",
+    (s, dir, p) => HnswIndex.train(Sources(s, dir).embeddings, m = 8,
+      efConstruction = 64, nShards = 4).save(p))
 
   // package-visible: RecallSpec measures raw recall on the same
   // persisted indexes the gate rows probe
@@ -109,6 +112,8 @@ object ExtQueries {
     IvfPqIndex.load(s, ivfPqIndexCache.pathFor(s, dir))
   private[graft] def sqIndex(s: SparkSession, dir: String): SqIndex =
     SqIndex.load(s, sqIndexCache.pathFor(s, dir))
+  private[graft] def hnswIndex(s: SparkSession, dir: String): HnswIndex =
+    HnswIndex.load(s, hnswIndexCache.pathFor(s, dir))
 
   // Cold-path temp dirs: one per q_ext_knn_ivf CALL (the query times the
   // full train+save+load lifecycle), APPEND-ONLY and reclaimed at JVM
@@ -539,6 +544,22 @@ object ExtQueries {
     "q_ext_knn_brute" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
+    }),
+    // HNSW graph rung (shard-and-merge, HnswIndex): production probe —
+    // no oracle (graph navigation is approximate by contract, like the
+    // IVF nprobe row); its measured-recall gate is the oracle row below
+    "q_ext_knn_hnsw" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      hnswIndex(s, dir).topK(e.filter(col("vec_id") < 20), k = 3, ef = 64)
+    }),
+    "q_ext_recall_knn_hnsw" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 20)
+      RecallOps.recallGate("hnsw_k3_ef64_4shard",
+        SimilarityOps.bruteForceTopK(e, q, k = 3),
+        hnswIndex(s, dir).topK(q, k = 3, ef = 64),
+        Seq("query_id", "corpus_id"), floor = 0.5,
+        expectExactPairs = Some(60L))
     }),
     // drift instrument (DriftOps): the even/odd doc halves stand in for
     // two crawl snapshots; per-lang doc/length movement, vocab Jaccard,
@@ -1587,5 +1608,7 @@ object ExtQueries {
       "SELECT 'ivfpq_k3_probe4of16_shortlist32' AS metric, CAST(0.2 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
     "q_ext_recall_knn_sq" ->
       "SELECT 'sq8_refine_k3_shortlist32' AS metric, CAST(0.8 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
+    "q_ext_recall_knn_hnsw" ->
+      "SELECT 'hnsw_k3_ef64_4shard' AS metric, CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
   )
 }

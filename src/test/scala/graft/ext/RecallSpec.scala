@@ -92,7 +92,8 @@ class RecallSpec extends SparkSpec {
   test("every registered recall-gate row answers meets_floor=true on the fixture") {
     for (name <- Seq("q_ext_recall_minhash", "q_ext_recall_simhash",
         "q_ext_recall_knn_lsh", "q_ext_recall_knn_ivf_probe",
-        "q_ext_recall_knn_pq", "q_ext_recall_knn_ivfpq", "q_ext_recall_knn_sq")) {
+        "q_ext_recall_knn_pq", "q_ext_recall_knn_ivfpq", "q_ext_recall_knn_sq",
+        "q_ext_recall_knn_hnsw")) {
       val rows = graft.SparkEntry.queries(name)(spark, dir)
         .select("metric", "meets_floor").as[(String, Boolean)].collect()
       assert(rows.nonEmpty && rows.forall(_._2),
