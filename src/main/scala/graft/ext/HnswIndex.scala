@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.runtime.Fs
 
 /** [EXT] HNSW — the graph rung of the ANN ladder (Malkov & Yashunin
   * 2016, TPAMI 2020), next to the quantized rungs ([[IvfIndex]],
@@ -311,6 +312,72 @@ object HnswIndex {
     val edges = built.filter(col("edge_level") =!= -1)
       .select(col("shard"), col("edge_level").as("level"), col("src"), col("dst"))
     new HnswIndex(nodes, edges, m, nShards)
+  }
+
+  /** Maintenance report from [[append]]: segment growth is HNSW's drift
+    * axis — graph insertion MUTATES existing adjacency, so an append
+    * cannot extend the persisted graphs in place; it lands as a new
+    * SEGMENT of shards instead (the Lucene-HNSW recipe, and the LSM
+    * trade the FragmentedTable makes for tables: O(batch) writes, search
+    * fans out over segments until [[compact]] folds them). `totalShards`
+    * is the fan-out the next search pays; `compactRecommended` fires
+    * when it passes `maxShards`.
+    */
+  final case class AppendReport(appended: Long, segmentShards: Int,
+      totalShards: Int, compactRecommended: Boolean)
+
+  /** Incrementally extend a PERSISTED index: build a fresh segment
+    * graph over `batch` (O(batch·log batch), corpus untouched) and
+    * append it as `segmentShards` new shard ids. Search needs no mode
+    * switch — the fan-out-and-merge already treats every shard as its
+    * own graph. Edges land before nodes, so a reader that lists
+    * mid-append sees either the whole segment or none of it (a shard
+    * with edges but no nodes is skipped). Single-writer per index dir.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+             efConstruction: Int = 64, segmentShards: Int = 1,
+             maxShards: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding"): AppendReport = {
+    val p = spark.read.parquet(s"$path/params").collect().head
+    val (m, curShards) = (p.getInt(0), p.getInt(1))
+    val n = batch.count()
+    if (n == 0L)
+      return AppendReport(0L, 0, curShards, curShards > maxShards)
+    val seg = train(batch, m, efConstruction, segmentShards, idCol, vecCol)
+    val offset = lit(curShards)
+    // edges FIRST (see scaladoc), then nodes, then the params flip
+    seg.edges.withColumn("shard", col("shard") + offset)
+      .write.mode("append").partitionBy("shard").parquet(s"$path/edges")
+    seg.nodes.withColumn("shard", col("shard") + offset)
+      .write.mode("append").partitionBy("shard").parquet(s"$path/nodes")
+    val total = curShards + segmentShards
+    import spark.implicits._
+    Seq((m, total)).toDF("m", "n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    AppendReport(n, segmentShards, total, total > maxShards)
+  }
+
+  /** Fold accumulated segments back into `nShards` base graphs — the
+    * scheduled compaction [[append]]'s report asks for. One full
+    * rebuild from the persisted node vectors (graphs cannot merge
+    * in place), staged to a temp dir and swapped in; search fan-out
+    * drops back to `nShards`.
+    */
+  def compact(spark: SparkSession, path: String,
+              efConstruction: Int = 64, nShards: Int = 4): Unit = {
+    import java.nio.file.{Files, Paths}
+    val cur = load(spark, path)
+    val corpus = cur.nodes.select(col("corpus_id"), col("v"))
+    val idx = train(corpus, cur.m, efConstruction, nShards,
+      idCol = "corpus_id", vecCol = "v")
+    val tmp = path + "__compact_tmp"
+    Fs.deleteRecursive(Paths.get(tmp))
+    idx.save(tmp) // fully lands before the swap below
+    Seq("nodes", "edges", "params").foreach { t =>
+      Fs.deleteRecursive(Paths.get(path, t))
+      Files.move(Paths.get(tmp, t), Paths.get(path, t))
+    }
+    Fs.deleteRecursive(Paths.get(tmp))
   }
 
   /** Reopen a persisted index: both graph tables come back as

@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
 final class IvfPqIndex private (
     @transient private val codes: DataFrame,
     val centroids: Array[(Int, Seq[Double])],
-    val codebooks: Array[Array[Array[Double]]]) {
+    val codebooks: Array[Array[Array[Double]]],
+    val trainMeanQErr: Double) {
 
   /** Number of coarse cells. */
   def nlist: Int = centroids.length
@@ -110,6 +111,10 @@ final class IvfPqIndex private (
       book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toSeq.toDF("subspace", "cidx", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // maintenance meta: training-sample mean RESIDUAL quantization
+    // error — IvfPqIndex.append's drift baseline
+    Seq(trainMeanQErr).toDF("train_mean_qerr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** The code table (cid, corpus_id, code) — diagnostics/spec seam. */
@@ -139,7 +144,54 @@ object IvfPqIndex {
     new IvfPqIndex(
       resid.select(col("cid"), col("corpus_id"),
         PqIndex.encodeExpr(col("r"), books).as("code")),
-      ivf.centroids, books)
+      ivf.centroids, books, PqIndex.sampleMeanQErr(sample, books))
+  }
+
+  /** Maintenance report from [[append]]: residual quantization error of
+    * the appended batch vs the training baseline, plus the coarse-cell
+    * cosine drop [[IvfIndex.append]] also watches — IVF-PQ drifts when
+    * EITHER quantizer stops describing the data.
+    */
+  final case class AppendReport(appended: Long, batchMeanQErr: Double,
+      trainMeanQErr: Double, batchMeanCellSim: Double,
+      retrainRecommended: Boolean)
+
+  /** Incrementally extend a PERSISTED index: assign `batch` to the
+    * existing cells, PQ-encode each vector's residual with the existing
+    * codebooks (all map-only, O(batch)), append to the cid-partitioned
+    * code table. `retrainRecommended` fires when the batch's mean
+    * residual quantization error exceeds `maxQErrGrowth` x the training
+    * baseline. Ids unique across index ∪ batch; single-writer per
+    * index dir.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxQErrGrowth: Double = 1.5): AppendReport = {
+    val idx = load(spark, path)
+    val centroidLit = typedLit(idx.centroids.sortBy(_._1).map(_._2))
+    val assigned = SimilarityOps.normalized(batch, idCol, vecCol)
+      .withColumn("__best", array_max(IvfIndex.cellScores(col("v"), idx.centroids)))
+      .select(col("__best").getField("cid").as("cid"),
+        col("id").as("corpus_id"),
+        col("__best").getField("sim").as("__csim"),
+        zip_with(col("v"), element_at(centroidLit, col("__best").getField("cid") + 1),
+          (a, b) => a - b).as("r"))
+    assigned.cache()
+    try {
+      val m = assigned.agg(count(lit(1)).as("n"),
+          avg(PqIndex.qErrExpr(col("r"), idx.codebooks)).as("qe"),
+          avg(col("__csim")).as("cs"))
+        .collect().head
+      val appended = m.getLong(0)
+      val qe = if (m.isNullAt(1)) 0.0 else m.getDouble(1)
+      val cs = if (m.isNullAt(2)) 0.0 else m.getDouble(2)
+      if (appended > 0L)
+        assigned.select(col("cid"), col("corpus_id"),
+            PqIndex.encodeExpr(col("r"), idx.codebooks).as("code"))
+          .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+      AppendReport(appended, qe, idx.trainMeanQErr, cs,
+        retrainRecommended = appended > 0L && qe > idx.trainMeanQErr * maxQErrGrowth)
+    } finally assigned.unpersist()
   }
 
   /** Reopen a persisted index. */
@@ -158,6 +210,9 @@ object IvfPqIndex {
       .map(_._2.sortBy(_._2).map(_._3.toArray))
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("code"))
-    new IvfPqIndex(codes, centroids, books)
+    val baseline =
+      try spark.read.parquet(s"$path/meta").collect().head.getDouble(0)
+      catch { case _: Exception => Double.NaN }
+    new IvfPqIndex(codes, centroids, books, baseline)
   }
 }

@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   */
 final class PqIndex private (
     @transient private val codes: DataFrame,
-    val codebooks: Array[Array[Array[Double]]]) {
+    val codebooks: Array[Array[Array[Double]]],
+    val trainMeanQErr: Double) {
 
   /** Subspace count (code bytes per vector). */
   def m: Int = codebooks.length
@@ -119,6 +120,11 @@ final class PqIndex private (
       book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toSeq.toDF("subspace", "cidx", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // maintenance meta: the training-SAMPLE mean quantization error —
+    // the drift baseline PqIndex.append measures against (driver
+    // arithmetic over the already-collected sample; no extra job)
+    Seq(trainMeanQErr).toDF("train_mean_qerr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 }
 
@@ -196,6 +202,63 @@ object PqIndex {
     }: _*)
   }
 
+  /** Per-row total quantization error Σ_j min_c ‖v_j − c‖², from the
+    * same biased sims [[subCode]] ranks on: min‖v_j − c‖² =
+    * ‖v_j‖² − 2·max_c(dot − ½‖c‖²). The drift signal [[append]]
+    * watches — codebooks that stop describing the data quantize it
+    * with visibly more energy.
+    */
+  private[ext] def qErrExpr(vCol: Column,
+                            books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books(0)(0).length
+    books.indices.map { j =>
+      val sub = slice(vCol, j * dsub + 1, dsub)
+      val bestBiased = array_max(array(books(j).zipWithIndex.map { case (c, i) =>
+        val bias = c.map(x => x * x).sum / 2
+        struct((SimilarityOps.dotFast(sub, typedLit(c.toSeq)) - lit(bias)).as("sim"),
+          lit(i).as("idx"))
+      }: _*)).getField("sim")
+      SimilarityOps.dotFast(sub, sub) - lit(2.0) * bestBiased
+    }.reduce(_ + _)
+  }
+
+  /** Maintenance report from [[append]]: quantization error of the
+    * appended batch vs the training-time baseline the save stamped.
+    */
+  final case class AppendReport(appended: Long, batchMeanQErr: Double,
+      trainMeanQErr: Double, retrainRecommended: Boolean)
+
+  /** Incrementally extend a PERSISTED index: encode `batch` with the
+    * EXISTING codebooks (map-only, O(batch) — the corpus is never
+    * re-encoded) and append the codes. `retrainRecommended` fires when
+    * the batch's mean quantization error exceeds `maxQErrGrowth` × the
+    * training baseline — the codebooks were fit to a distribution the
+    * new data has left. Ids unique across index ∪ batch; single-writer
+    * per index dir.
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+             batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxQErrGrowth: Double = 1.5): AppendReport = {
+    val idx = load(spark, path)
+    val c = SimilarityOps.normalized(batch, idCol, vecCol)
+    c.cache()
+    try {
+      val m = c.agg(count(lit(1)).as("n"),
+          avg(qErrExpr(col("v"), idx.codebooks)).as("qe"))
+        .collect().head
+      val appended = m.getLong(0)
+      val qe = if (m.isNullAt(1)) 0.0 else m.getDouble(1)
+      if (appended > 0L)
+        c.select(col("id").as("corpus_id"),
+            encodeExpr(col("v"), idx.codebooks).as("code"))
+          .write.mode("append").parquet(s"$path/codes")
+      val base = idx.trainMeanQErr
+      AppendReport(appended, qe, base,
+        retrainRecommended = appended > 0L && qe > base * maxQErrGrowth)
+    } finally c.unpersist()
+  }
+
   /** The ADC score column: Σ_j dot(qv_j, book_j[code_j]) for a query
     * vector column against a code column.
     */
@@ -230,7 +293,27 @@ object PqIndex {
     val codebooks = lloydBooks(sample, m, ksub, lloydIters)
     new PqIndex(
       c.select(col("id").as("corpus_id"),
-        encodeExpr(col("v"), codebooks).as("code")), codebooks)
+        encodeExpr(col("v"), codebooks).as("code")), codebooks,
+      sampleMeanQErr(sample, codebooks))
+  }
+
+  /** Mean Σ_j min_c ‖v_j − c‖² over a driver-side sample — the
+    * train-time drift baseline (sequential arithmetic, deterministic).
+    */
+  private[ext] def sampleMeanQErr(sample: Array[Array[Double]],
+                                  books: Array[Array[Array[Double]]]): Double = {
+    val dsub = books(0)(0).length
+    val per = sample.map { v =>
+      books.indices.map { j =>
+        val sub = v.slice(j * dsub, (j + 1) * dsub)
+        books(j).map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub.length) { val t = sub(i) - c(i); d += t * t; i += 1 }
+          d
+        }.min
+      }.sum
+    }
+    if (per.isEmpty) 0.0 else per.sum / per.length
   }
 
   /** Reopen a persisted index: codebooks are driver-collected (m·ksub
@@ -244,6 +327,11 @@ object PqIndex {
         r.getSeq[Double](r.fieldIndex("centroid"))))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toArray))
-    new PqIndex(spark.read.parquet(s"$path/codes"), books)
+    // meta is absent on pre-maintenance saves: NaN disables the drift
+    // comparison (append still works; retrain never fires on NaN)
+    val baseline =
+      try spark.read.parquet(s"$path/meta").collect().head.getDouble(0)
+      catch { case _: Exception => Double.NaN }
+    new PqIndex(spark.read.parquet(s"$path/codes"), books, baseline)
   }
 }

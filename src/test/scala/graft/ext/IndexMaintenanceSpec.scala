@@ -101,6 +101,78 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(math.abs(ra - rf) <= 0.05, s"append recall $ra vs fresh $rf")
   }
 
+  test("PQ append: codebook-reuse encode; refined recall within ε of a fresh retrain") {
+    val base = emb.filter(col("vec_id") >= 100 || col("vec_id") < 20)
+    val late = emb.filter(col("vec_id") >= 20 && col("vec_id") < 100)
+    val path = freshDir()
+    PqIndex.train(base).save(path)
+    val r = PqIndex.append(spark, path, late)
+    assert(r.appended == late.count())
+    // same distribution → error near the training baseline, no retrain
+    assert(!r.retrainRecommended, r.toString)
+    assert(r.batchMeanQErr <= r.trainMeanQErr * 1.5, r.toString)
+    val ra = recallVsBrute(
+      PqIndex.load(spark, path).topKRefined(queries, emb, k = 3, shortlist = 64))
+    val rf = recallVsBrute(
+      PqIndex.train(emb).topKRefined(queries, emb, k = 3, shortlist = 64))
+    assert(math.abs(ra - rf) <= 0.15, s"append recall $ra vs fresh $rf")
+  }
+
+  test("PQ append drift: off-manifold batch inflates quantization error and recommends retrain") {
+    val all = VectorFixtures.clusteredRows.toDF("vec_id", "embedding")
+    val path = freshDir()
+    PqIndex.train(all).save(path)
+    // uniform batch against cluster-fit codebooks: residual energy jumps
+    val offManifold = (0 until 20)
+      .map(i => (200000L + i, VectorFixtures.synthVec(60000 + i)))
+      .toDF("vec_id", "embedding")
+    val r = PqIndex.append(spark, path, offManifold)
+    info(r.toString)
+    assert(r.batchMeanQErr > r.trainMeanQErr * 1.5, r.toString)
+    assert(r.retrainRecommended, r.toString)
+  }
+
+  test("IVF-PQ append: residual encode into existing cells; recall within ε of fresh") {
+    val base = emb.filter(col("vec_id") >= 100 || col("vec_id") < 20)
+    val late = emb.filter(col("vec_id") >= 20 && col("vec_id") < 100)
+    val path = freshDir()
+    IvfPqIndex.train(base).save(path)
+    val r = IvfPqIndex.append(spark, path, late)
+    assert(r.appended == late.count() && !r.retrainRecommended, r.toString)
+    val ra = recallVsBrute(IvfPqIndex.load(spark, path)
+      .topKRefined(queries, emb, k = 3, nprobe = 16, shortlist = 64))
+    val rf = recallVsBrute(IvfPqIndex.train(emb)
+      .topKRefined(queries, emb, k = 3, nprobe = 16, shortlist = 64))
+    assert(math.abs(ra - rf) <= 0.15, s"append recall $ra vs fresh $rf")
+  }
+
+  test("HNSW append: new segment is searchable; compaction folds fan-out back") {
+    val base = emb.filter(col("vec_id") >= 100 || col("vec_id") < 20)
+    val late = emb.filter(col("vec_id") >= 20 && col("vec_id") < 100)
+    val path = freshDir()
+    HnswIndex.train(base, m = 8, nShards = 4).save(path)
+    val r = HnswIndex.append(spark, path, late, segmentShards = 1, maxShards = 6)
+    assert(r.appended == late.count() && r.totalShards == 5 && !r.compactRecommended,
+      r.toString)
+    val ra = recallVsBrute(
+      HnswIndex.load(spark, path).topK(queries, k = 3, ef = 64))
+    val rf = recallVsBrute(
+      HnswIndex.train(emb, m = 8, nShards = 4).topK(queries, k = 3, ef = 64))
+    assert(math.abs(ra - rf) <= 0.1, s"append recall $ra vs fresh $rf")
+    // two more appends pass maxShards → compaction recommended; compact
+    // folds back to the base shard count with recall preserved
+    HnswIndex.append(spark, path, emb.filter(col("vec_id") === 0)
+      .select(($"vec_id" + 300000).as("vec_id"), $"embedding"), maxShards = 6)
+    val r3 = HnswIndex.append(spark, path, emb.filter(col("vec_id") === 1)
+      .select(($"vec_id" + 300001).as("vec_id"), $"embedding"), maxShards = 6)
+    assert(r3.totalShards == 7 && r3.compactRecommended, r3.toString)
+    HnswIndex.compact(spark, path, nShards = 4)
+    val after = HnswIndex.load(spark, path)
+    assert(after.nShards == 4)
+    val rc = recallVsBrute(after.topK(queries, k = 3, ef = 64))
+    assert(math.abs(rc - rf) <= 0.1, s"post-compact recall $rc vs fresh $rf")
+  }
+
   test("SQ8 append drift: out-of-range values clamp and recommend a retrain") {
     val path = freshDir()
     SqIndex.train(emb).save(path)
