@@ -458,6 +458,71 @@ object StreamingOps {
         ()
     }
 
+  /** The INDEXED scale path of [[corpusIngestEmbedFragmentedSink]] — the
+    * "swap the exact screen for an index probe when batches grow large"
+    * trade, wired end-to-end: the near-dup check runs as an SQ8 ADC
+    * scan over the persisted CODE table (8 bytes/dim, no corpus vector
+    * reads) with an exact refine of only |batch|·shortlist candidates,
+    * survivors append O(batch) to BOTH the fragment corpus and the code
+    * index ([[graft.ext.SqIndex.append]]), and when the append report's
+    * clamp-fraction drift trips, the sink retrains the index from the
+    * merged corpus in place — the full maintenance loop, inside the
+    * trigger. First batch bootstraps the index from its own survivors.
+    *
+    * Honesty: the screen is approximate — a true near-dup whose ADC
+    * shortlist misses it survives ingestion (recall gated in
+    * SqIndexSpec; raise `shortlist` to buy it back). Replay stays
+    * idempotent: a redelivered vector refines against its own previous
+    * append at cosine 1.0 and is absorbed. Same single-writer topology
+    * as every ingest sink; `indexPath` is owned by this sink.
+    */
+  def corpusIngestEmbedIndexedSink(vecs: DataFrame,
+                                   frag: graft.runtime.FragmentedTable,
+                                   indexPath: String,
+                                   threshold: Double,
+                                   shortlist: Int = 32,
+                                   compactEvery: Long = 0L): DataStreamWriter[Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // within-batch exact screen first (batches are small by contract)
+        val batchDeduped = graft.ext.DedupOps.removeNearDups(batch,
+          graft.ext.SimilarityOps.cosinePairs(batch, threshold),
+          idCol = "vec_id", dropCol = "vec_b")
+        val survivors = frag.read() match {
+          case None => batchDeduped
+          case Some(corpus) =>
+            // id-level replay absorption FIRST: the refined probe's
+            // self-exclusion (query_id =!= corpus_id) means a replayed
+            // vector cannot match its own previous append by content —
+            // an id already in the corpus IS its previous append
+            val fresh = batchDeduped.join(
+              corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            val idx = graft.ext.SqIndex.load(spark, indexPath)
+            val hits = idx.topKRefined(fresh, corpus, k = 1,
+                shortlist = shortlist)
+              .filter(col("sim") >= threshold)
+              .select(col("query_id").as("vec_id")).distinct()
+            fresh.join(broadcast(hits), Seq("vec_id"), "left_anti")
+        }
+        if (!survivors.isEmpty) {
+          frag.upsert(survivors)
+          if (!new java.io.File(s"$indexPath/codes").exists())
+            graft.ext.SqIndex.train(survivors).save(indexPath)
+          else {
+            val report = graft.ext.SqIndex.append(spark, indexPath, survivors)
+            // drift: the trained ranges stopped covering the stream —
+            // retrain from the merged corpus (one exact min/max pass)
+            if (report.retrainRecommended)
+              frag.read().foreach(c =>
+                graft.ext.SqIndex.train(c).save(indexPath))
+          }
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          frag.compact()
+        ()
+    }
+
   /** Streaming exact dedup — the ingest front door: emit each content
     * fingerprint's FIRST-SEEN row, drop every later duplicate, across
     * micro-batch boundaries (state holds one entry per distinct

@@ -118,6 +118,55 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexed embed sink: SQ8-screened ingest, index appends O(batch), drift retrains in place") {
+    import graft.ext.VectorFixtures.synthVec
+    def jig(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (v, d) => if (d == 0) v + eps else v }
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "ivecs", "vec_id")
+    val idxPath = s"$dir/ivecs_sq"
+    def corpus: Set[Long] = frag.read()
+      .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def indexRows: Long =
+      graft.ext.SqIndex.load(spark, idxPath).codeTable.count()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.corpusIngestEmbedIndexedSink(
+      in.toDF().toDF("vec_id", "embedding"), frag, idxPath,
+      threshold = 0.99).start()
+    try {
+      // batch 1 bootstraps the index from its own survivors (3 jiggles 1)
+      in.addData((1L, synthVec(1)), (2L, synthVec(2)), (3L, jig(synthVec(1), 0.01f)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      assert(indexRows == 2L)
+      // batch 2: 11 near-dups MATERIALIZED vec 1 — caught by the CODE
+      // scan + refine, never a corpus-wide vector pass; 12 novel
+      in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      assert(indexRows == 3L, "index must append exactly the survivors")
+      // replay: absorbed at the ID level; index does NOT grow
+      in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      assert(indexRows == 3L, "replay must not grow the code table")
+      // drifted batch: one-hot vectors outside the trained ranges clamp
+      // -> the sink retrains the index from the merged corpus in place
+      in.addData((21L, (0 until 64).map(i => if (i == 0) 1.0f else 0.0f)),
+        (22L, (0 until 64).map(i => if (i == 1) 1.0f else 0.0f)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L, 21L, 22L), corpus.toString)
+      assert(indexRows == 5L)
+      // post-retrain ranges cover the whole merged corpus: a vector
+      // drawn from it clamps nothing
+      val r = graft.ext.SqIndex.append(spark, idxPath,
+        Seq((99L, synthVec(2))).toDF("vec_id", "embedding"))
+      assert(r.clampedFraction == 0.0 && !r.retrainRecommended,
+        s"retrain must have widened the ranges: $r")
+    } finally q.stop()
+  }
+
   test("quarantine fragmented sink: dead-letter + dedup ≡ Materializer sink; both O(batch)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
