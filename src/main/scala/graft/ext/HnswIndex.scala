@@ -43,7 +43,10 @@ import graft.runtime.Fs
 final class HnswIndex private (
     @transient private val nodes: DataFrame,
     @transient private val edges: DataFrame,
-    val m: Int, val nShards: Int) {
+    val m: Int, val nShards: Int,
+    // the cached build frame nodes/edges derive from (train only):
+    // released by save() so maintenance loops don't pin storage memory
+    @transient private val backing: Option[DataFrame] = None) {
 
   /** Top-k neighbors per query row: broadcast the (small) query set,
     * beam-search every shard graph in place with beam width `ef`,
@@ -155,6 +158,10 @@ final class HnswIndex private (
     import spark.implicits._
     Seq((m, nShards)).toDF("m", "n_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    // both tables are on disk: release the cached build frame (reopen
+    // with load() for further queries — a train/save/discard maintenance
+    // loop must not pin one cached graph per iteration for the JVM life)
+    backing.foreach(_.unpersist(blocking = false))
   }
 
   /** Graph degree stats per level — diagnostics/spec seam (degree must
@@ -311,7 +318,7 @@ object HnswIndex {
       .select(col("shard"), col("node_id").as("corpus_id"), col("v"), col("level"))
     val edges = built.filter(col("edge_level") =!= -1)
       .select(col("shard"), col("edge_level").as("level"), col("src"), col("dst"))
-    new HnswIndex(nodes, edges, m, nShards)
+    new HnswIndex(nodes, edges, m, nShards, backing = Some(built))
   }
 
   /** Maintenance report from [[append]]: segment growth is HNSW's drift
@@ -352,8 +359,18 @@ object HnswIndex {
       .write.mode("append").partitionBy("shard").parquet(s"$path/nodes")
     val total = curShards + segmentShards
     import spark.implicits._
+    // params flip via sibling-dir swap, not in-place overwrite (whose
+    // delete-then-write window would crash a concurrent load): write
+    // the new params fully, then swap; load() falls back to
+    // `params__new` if it catches the gap between delete and move.
+    // A reader that still resolves the OLD params only under-reports
+    // n_shards, which is benign — cogroup searches every shard key
+    // regardless of its partition count.
     Seq((m, total)).toDF("m", "n_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params__new")
+    Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/params"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/params__new"),
+      java.nio.file.Paths.get(s"$path/params"))
     AppendReport(n, segmentShards, total, total > maxShards)
   }
 
@@ -373,10 +390,17 @@ object HnswIndex {
     val tmp = path + "__compact_tmp"
     Fs.deleteRecursive(Paths.get(tmp))
     idx.save(tmp) // fully lands before the swap below
+    // two-rename swap per table (live -> __old, tmp -> live), then GC
+    // the backups: a crash between the renames leaves `<t>__old`
+    // complete, which load() resolves as the fallback — the index is
+    // never unreadable mid-compact
     Seq("nodes", "edges", "params").foreach { t =>
-      Fs.deleteRecursive(Paths.get(path, t))
+      Fs.deleteRecursive(Paths.get(path, t + "__old"))
+      Files.move(Paths.get(path, t), Paths.get(path, t + "__old"))
       Files.move(Paths.get(tmp, t), Paths.get(path, t))
     }
+    Seq("nodes", "edges", "params").foreach(t =>
+      Fs.deleteRecursive(Paths.get(path, t + "__old")))
     Fs.deleteRecursive(Paths.get(tmp))
   }
 
@@ -385,12 +409,20 @@ object HnswIndex {
     */
   def load(spark: SparkSession, path: String): HnswIndex = {
     graft.functions.VectorFunctions.register(spark)
-    val p = spark.read.parquet(s"$path/params").collect().head
+    // fallback chain per table: live -> `__old` (a crashed compact's
+    // backup) -> `__new` (a crashed append's params flip) — the index
+    // stays readable through every maintenance crash window
+    def resolve(t: String): String =
+      Seq(t, t + "__old", t + "__new")
+        .map(n => s"$path/$n")
+        .find(d => new java.io.File(d).exists())
+        .getOrElse(s"$path/$t")
+    val p = spark.read.parquet(resolve("params")).collect().head
     new HnswIndex(
-      spark.read.parquet(s"$path/nodes")
+      spark.read.parquet(resolve("nodes"))
         .select(col("shard").cast("int").as("shard"), col("corpus_id"),
           col("v"), col("level")),
-      spark.read.parquet(s"$path/edges")
+      spark.read.parquet(resolve("edges"))
         .select(col("shard").cast("int").as("shard"), col("level"),
           col("src"), col("dst")),
       p.getInt(0), p.getInt(1))

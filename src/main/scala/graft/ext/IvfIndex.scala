@@ -213,6 +213,19 @@ object IvfIndex {
              maxAppendedFraction: Double = 0.5,
              maxSimDrop: Double = 0.15): AppendReport = {
     val idx = load(spark, path)
+    // self-heal a pre-maintenance save (no meta dir): stamp a baseline
+    // from the CURRENT cell table — one pass, same arithmetic as save —
+    // so old indexes append instead of crashing
+    if (!new java.io.File(s"$path/meta").exists()) {
+      import spark.implicits._
+      val m = idx.assignments.agg(count(lit(1)).as("n"),
+          avg(array_max(cellScores(col("cv"), idx.centroids)).getField("sim")).as("ms"))
+        .collect().head
+      Seq((m.getLong(0), m.getLong(0), 0L,
+          if (m.isNullAt(1)) 0.0 else m.getDouble(1)))
+        .toDF("train_rows", "total_rows", "appended_rows", "train_mean_sim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
     val scored = SimilarityOps.normalized(batch, idCol, vecCol)
       .withColumn("__best", array_max(cellScores(col("v"), idx.centroids)))
       .select(col("__best").getField("cid").as("cid"),

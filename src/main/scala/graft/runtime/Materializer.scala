@@ -667,13 +667,16 @@ final class Materializer(spark: SparkSession, baseDir: String,
     * lists partitions whose ABSENCE from staging means "rebuilt to zero
     * rows": they are dropped from the new version (empty means empty —
     * insert_overwrite, not dynamic overwrite). A pre-manifest table's
-    * real partition dirs migrate into windata by rename on the first
-    * windowed commit.
+    * real partition dirs migrate into windata on the first windowed
+    * commit by rename + a symlink left IN PLACE, so the legacy table
+    * stays complete through a crash before publish (the retry carries
+    * the links forward; [[gcWindowData]] counts legacy links as live
+    * references for exactly that window).
     */
   private def commitWindowedVersion(model: String, dateCol: String,
                                     staging: java.nio.file.Path,
                                     clearAbsent: Seq[String]): Unit = {
-    import java.nio.file.{Files, LinkOption}
+    import java.nio.file.Files
     val windata = windataDir(model)
     Files.createDirectories(windata)
     val newName = model + "__v_" +
@@ -698,16 +701,28 @@ final class Materializer(spark: SparkSession, baseDir: String,
       val priorDir = currentVersion(model).map(v => Paths.get(baseDir, v))
         .orElse(Some(Paths.get(legacyPath(model))).filter(Files.exists(_)))
       priorDir.foreach { pd =>
-        Option(pd.toFile.list()).toSeq.flatten
+        val entries = Option(pd.toFile.list()).toSeq.flatten
+        // a prior KEYED commit has root data files, not date= dirs —
+        // carrying nothing forward would silently shrink the table to
+        // this run's windows, so refuse loudly instead
+        require(!entries.exists(_.startsWith("part-")),
+          s"model '$model' was last committed as a plain keyed table; " +
+            "windowed (microbatch/date-partition) commits cannot carry its " +
+            "rows forward — rebuild it fully or use a different model name")
+        entries
           .filter(n => n.startsWith(dateCol + "=") &&
             !written.contains(n) && !clearAbsent.contains(n))
           .foreach { part =>
             val entry = pd.resolve(part)
             val real =
               if (Files.isSymbolicLink(entry)) entry.toRealPath()
-              else { // pre-manifest real dir: migrate by rename, once
+              else {
+                // pre-manifest real dir: migrate by rename, leaving a
+                // symlink in its place — the legacy table stays whole
+                // if this commit crashes before publish
                 val r = windata.resolve(s"${part}__v${nextSeq(part)}")
                 Files.move(entry, r)
+                Files.createSymbolicLink(entry, r.toAbsolutePath)
                 r
               }
             Files.createSymbolicLink(newDir.resolve(part), real.toAbsolutePath)
@@ -726,27 +741,31 @@ final class Materializer(spark: SparkSession, baseDir: String,
   }
 
   /** Mark-and-sweep for `<model>__windata`: a real window dir is live
-    * while ANY on-disk version dir's symlink (or the legacy dir — which
-    * never links, but may coexist pre-migration) references it. Runs
-    * inside the swap monitor at each commit, AFTER superseded version
-    * dirs were deleted — so windata retention follows version retention
-    * exactly. No-op for models without windowed commits.
+    * while ANY on-disk version dir's symlink — or a migration link left
+    * in the legacy dir — references it. References compare by windata
+    * entry NAME (every link this class creates targets this model's
+    * windata, and names are unique there): comparing full paths would
+    * mis-match whenever the warehouse is reached through a symlinked
+    * component (toRealPath-resolved targets vs the logical listing
+    * path) and delete live data. Runs inside the swap monitor at each
+    * commit, AFTER superseded version dirs were deleted — so windata
+    * retention follows version retention exactly. No-op for models
+    * without windowed commits.
     */
   private def gcWindowData(model: String): Unit = {
     import java.nio.file.Files
     val windata = windataDir(model)
     if (!Files.isDirectory(windata)) return
-    val referenced: Set[java.nio.file.Path] =
-      versionDirs(model).flatMap { v =>
-        val vd = Paths.get(baseDir, v)
-        Option(vd.toFile.list()).toSeq.flatten.map(vd.resolve)
-          .filter(Files.isSymbolicLink(_))
-          .map(p => Files.readSymbolicLink(p).normalize())
-      }.toSet
+    val referrers = versionDirs(model).map(Paths.get(baseDir, _)) :+
+      Paths.get(legacyPath(model))
+    val referenced: Set[String] = referrers.flatMap { vd =>
+      Option(vd.toFile.list()).toSeq.flatten.map(vd.resolve)
+        .filter(Files.isSymbolicLink(_))
+        .map(p => Files.readSymbolicLink(p).getFileName.toString)
+    }.toSet
     Option(windata.toFile.list()).toSeq.flatten
-      .map(windata.resolve(_).toAbsolutePath.normalize())
       .filterNot(referenced)
-      .foreach(Fs.deleteRecursive)
+      .foreach(n => Fs.deleteRecursive(windata.resolve(n)))
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit = Fs.deleteRecursive(p)

@@ -70,6 +70,18 @@ object SchemaEvolution {
         // documented contract is "the table schema never changes", and
         // without the cast the downstream unionByName would silently
         // coerce the materialized schema to a widened common type.
+        // Only LOSSLESS drifts qualify (Catalyst's up-cast rule): a
+        // lossy cast would null un-castable values row by row — silent
+        // corruption — so it errors like the removed-column case.
+        val lossy = pCols.filter { n =>
+          val (pt, ft) = (typeOf(prior, n), typeOf(fresh, n))
+          pt != ft &&
+            !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(ft, pt)
+        }
+        require(lossy.isEmpty,
+          s"on_schema_change=ignore: batch column(s) ${lossy.mkString(", ")} " +
+            "drifted to a type that cannot cast losslessly back to the " +
+            "table's; fix upstream or use sync_all_columns")
         (prior, fresh.select(pCols.map(n => col(n).cast(typeOf(prior, n)).as(n)): _*))
       case SchemaChange.AppendNewColumns =>
         val target = pCols ++ fCols.filterNot(pSet)

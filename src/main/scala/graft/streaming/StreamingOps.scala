@@ -498,6 +498,23 @@ object StreamingOps {
             // an id already in the corpus IS its previous append
             val fresh = batchDeduped.join(
               corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            // REPAIR: the corpus may be ahead of the index (crash after
+            // frag.upsert, before the index append/save — replays are
+            // id-absorbed above, so the gap would never close on its
+            // own). Same self-healing discipline as the near-dup sink's
+            // __sigs side-table: missing index → rebuild from the
+            // corpus; lagging index → append exactly the unindexed rows
+            // (id-only anti-join; encode cost ∝ the gap)
+            if (!new java.io.File(s"$indexPath/codes").exists())
+              graft.ext.SqIndex.train(corpus).save(indexPath)
+            else {
+              val unindexed = corpus.join(
+                graft.ext.SqIndex.load(spark, indexPath).codeTable
+                  .select(col("corpus_id").as("vec_id")),
+                Seq("vec_id"), "left_anti")
+              if (!unindexed.isEmpty)
+                graft.ext.SqIndex.append(spark, indexPath, unindexed)
+            }
             val idx = graft.ext.SqIndex.load(spark, indexPath)
             val hits = idx.topKRefined(fresh, corpus, k = 1,
                 shortlist = shortlist)

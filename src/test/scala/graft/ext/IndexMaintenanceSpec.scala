@@ -53,6 +53,31 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(math.abs(raP - rfP) <= 0.25, s"probe-point recall drifted: $raP vs $rfP")
   }
 
+  test("IVF append self-heals a pre-maintenance save (missing meta)") {
+    val path = freshDir()
+    IvfIndex.train(emb.filter(col("vec_id") < 200), nlist = 8).save(path)
+    graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/meta"))
+    val r = IvfIndex.append(spark, path, emb.filter(col("vec_id") >= 480))
+    assert(r.appended == 20 && !r.retrainRecommended, r.toString)
+    assert(new java.io.File(s"$path/meta").exists(), "self-heal must stamp meta")
+  }
+
+  test("HNSW survives a crashed compact (backup fallback) and a crashed params flip") {
+    val path = freshDir()
+    HnswIndex.train(emb.filter(col("vec_id") < 100), m = 6, nShards = 2).save(path)
+    val before = HnswIndex.load(spark, path)
+      .topK(queries, 3, ef = 32).count()
+    // simulate a crash BETWEEN the two compact renames: live table gone,
+    // backup present — load must resolve the backup
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(s"$path/nodes"), Paths.get(s"$path/nodes__old"))
+    assert(HnswIndex.load(spark, path).topK(queries, 3, ef = 32).count() == before)
+    Files.move(Paths.get(s"$path/nodes__old"), Paths.get(s"$path/nodes"))
+    // simulate a crash between an append's params delete and move
+    Files.move(Paths.get(s"$path/params"), Paths.get(s"$path/params__new"))
+    assert(HnswIndex.load(spark, path).topK(queries, 3, ef = 32).count() == before)
+  }
+
   test("IVF append drift: majority-appended mass recommends a retrain") {
     val path = freshDir()
     IvfIndex.train(emb.filter(col("vec_id") < 150), nlist = 8).save(path)

@@ -33,6 +33,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(f.as[(String, Long)].collect().toSet == Set(("k2", 20L), ("k3", 3L)))
   }
 
+  test("ignore: LOSSY type drift errors instead of silently nulling values") {
+    // string batch values cannot cast losslessly back to the table's
+    // long — a plain cast would write a=null row by row
+    val drifted = Seq(("k2", "abc"), ("k3", "3")).toDF("id", "a")
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.align(v1, drifted, SchemaChange.Ignore)
+    }
+    assert(e.getMessage.contains("losslessly"), e.getMessage)
+  }
+
   test("ignore: batch-removed column errors (the insert cannot supply it)") {
     intercept[IllegalArgumentException] {
       SchemaEvolution.align(v1, v2Removed, SchemaChange.Ignore)

@@ -122,6 +122,55 @@ class WindowCommitSpec extends SparkSpec {
     assert(reads > 0, "reader never completed a pass")
   }
 
+  test("warehouse reached through a SYMLINKED path: windata GC never deletes live windows") {
+    // gc references compare by windata entry NAME: full-path comparison
+    // mis-matches toRealPath-resolved link targets against the logical
+    // listing path whenever baseDir itself sits behind a symlink, and
+    // deleted the just-published version's untouched windows
+    val real = freshDir()
+    val alias = Paths.get(real + "_alias")
+    Files.createSymbolicLink(alias, Paths.get(real))
+    val mat = new Materializer(spark, alias.toString)
+    mat.materializeMicrobatch("m", "event_date", begin, days.last)(window(1, 4))
+    mat.rebuildMicrobatchWindow("m", "event_date", days(1))(window(2, 5))
+    mat.rebuildMicrobatchWindow("m", "event_date", days(1))(window(3, 6))
+    // untouched days 1 and 3 must still read after two GC-running commits
+    val t = spark.read.parquet(mat.outPath("m"))
+    assert(t.groupBy().count().as[Long].collect().head == 4 + 4 + 6)
+    assert(t.select($"event_date".cast("string")).distinct().as[String]
+      .collect().toSet == days.map(_.toString).toSet)
+  }
+
+  test("pre-manifest fixed-dir table migrates losslessly; legacy dir stays whole via links") {
+    val dir = freshDir()
+    // hand-build the LEGACY layout: partitioned parquet + _SUCCESS at
+    // the fixed model dir, no pointer
+    val legacy = Paths.get(dir, "m")
+    (days.flatMap(d => (0 until 4).map(i => (java.sql.Date.valueOf(d), i, 1))))
+      .toDF("event_date", "i", "gen")
+      .write.partitionBy("event_date").parquet(legacy.toString)
+    val mat = new Materializer(spark, dir)
+    // first windowed commit rebuilds ONE day; the untouched days migrate
+    val t = mat.rebuildMicrobatchWindow("m", "event_date", days(1))(window(2, 5))
+    assert(t.count() == 4 + 5 + 4)
+    // migration left symlinks in the legacy dir, so a crash BEFORE the
+    // publish would have left the legacy table complete
+    days.filter(_ != days(1)).foreach { d =>
+      val e = legacy.resolve(s"event_date=$d")
+      assert(Files.isSymbolicLink(e), s"$e must be a migration link")
+      assert(Files.exists(e.toRealPath()), "link target must be intact")
+    }
+  }
+
+  test("windowed commit over a prior KEYED table refuses loudly instead of dropping rows") {
+    val mat = new Materializer(spark, freshDir())
+    mat.materialize("m", "id")(_ => Seq(("k1", 1), ("k2", 2)).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      mat.rebuildMicrobatchWindow("m", "event_date", days(0))(window(1, 3))
+    }
+    assert(e.getMessage.contains("plain keyed table"), e.getMessage)
+  }
+
   test("crash before publish leaves only orphans; the next commit GCs them") {
     val mat = new Materializer(spark, freshDir())
     mat.materializeMicrobatch("m", "event_date", begin, days.last)(window(1, 4))

@@ -167,6 +167,39 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexed embed sink: corpus-ahead-of-index crash states self-heal") {
+    import graft.ext.VectorFixtures.synthVec
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "rvecs", "vec_id")
+    val idxPath = s"$dir/rvecs_sq"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.corpusIngestEmbedIndexedSink(
+      in.toDF().toDF("vec_id", "embedding"), frag, idxPath,
+      threshold = 0.99).start()
+    try {
+      in.addData((1L, synthVec(1)), (2L, synthVec(2)))
+      q.processAllAvailable()
+      // crash simulation A: corpus gained a row the index never saw
+      // (died after frag.upsert, before the index append)
+      frag.upsert(Seq((7L, synthVec(7))).toDF("vec_id", "embedding"))
+      // crash simulation B at its extreme: the whole index save was lost
+      graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(idxPath))
+      in.addData((12L, synthVec(50)))
+      q.processAllAvailable()
+      // repair rebuilt the index over the FULL corpus + the new survivor
+      val idxIds = graft.ext.SqIndex.load(spark, idxPath).codeTable
+        .select("corpus_id").as[Long].collect().toSet
+      assert(idxIds == Set(1L, 2L, 7L, 12L), idxIds.toString)
+      // and the healed index actually screens: a near-dup of the
+      // once-unindexed vector 7 is now absorbed
+      in.addData((17L, synthVec(7)))
+      q.processAllAvailable()
+      val corpus = frag.read().get.select("vec_id").as[Long].collect().toSet
+      assert(corpus == Set(1L, 2L, 7L, 12L), corpus.toString)
+    } finally q.stop()
+  }
+
   test("quarantine fragmented sink: dead-letter + dedup ≡ Materializer sink; both O(batch)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
