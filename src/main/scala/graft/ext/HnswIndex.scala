@@ -48,28 +48,52 @@ final class HnswIndex private (
     // released by save() so maintenance loops don't pin storage memory
     @transient private val backing: Option[DataFrame] = None) {
 
-  /** Top-k neighbors per query row: broadcast the (small) query set,
+  /** Top-k neighbors per query row: broadcast the query set,
     * beam-search every shard graph in place with beam width `ef`,
     * merge with the usual per-query rank window. `ef` ≥ k; raising it
     * buys recall at O(ef · M · log N) distance evals per (query,
     * shard). Queries whose id appears in the corpus skip themselves
     * (parity with the other indexes' probe contract).
+    *
+    * Query sets larger than [[HnswIndex.maxBroadcastQueries]] are
+    * chunked automatically: each chunk is its own bounded broadcast +
+    * fan-out search, unioned before the single rank window, so no one
+    * broadcast exceeds the cap. Each chunk re-scans the (shard-
+    * partitioned) graph parquet — the right trade for a disk-backed
+    * serving index; corpus-vs-corpus joins at frame scale belong to
+    * SemDeDup/IVF, not the graph rung.
     */
   def topK(queries: DataFrame, k: Int, ef: Int = 64,
-           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           chunkSize: Int = HnswIndex.maxBroadcastQueries): DataFrame = {
     require(ef >= k, s"ef $ef must be >= k $k")
+    require(chunkSize >= 1 && chunkSize <= HnswIndex.maxBroadcastQueries,
+      s"chunkSize $chunkSize outside [1, ${HnswIndex.maxBroadcastQueries}]")
     val spark = nodes.sparkSession
+    import spark.implicits._
     val q: Array[(Long, Array[Double])] =
       SimilarityOps.normalized(queries, idCol, vecCol)
         .select(col("id").cast("long"), col("v"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(q.length <= HnswIndex.maxBroadcastQueries,
-      s"query set ${q.length} exceeds the bounded broadcast " +
-        s"(${HnswIndex.maxBroadcastQueries}); chunk the queries")
+    val chunks = q.grouped(chunkSize).toSeq
+    val cand =
+      if (chunks.isEmpty) Seq.empty[(Long, Long, Double)].toDF("query_id", "corpus_id", "sim")
+      else chunks.map(c => searchChunk(c, ef)).reduce(_ union _)
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /** One bounded-broadcast fan-out search: every shard graph is
+    * beam-searched map-side against this chunk of queries; rows are
+    * the raw per-shard beams (merged by [[topK]]'s rank window).
+    */
+  private def searchChunk(q: Array[(Long, Array[Double])], ef: Int): DataFrame = {
+    val spark = nodes.sparkSession
     val bq = spark.sparkContext.broadcast(q)
     val efB = ef
-    val kB = k
     import spark.implicits._
     // cogroup BY SHARD (not by partition: hash collisions can co-locate
     // two shards, and a greedy walk cannot cross disjoint components —
@@ -82,7 +106,7 @@ final class HnswIndex private (
         col("src").cast("long"), col("dst").cast("long"))
       .as[(Int, Int, Long, Long)].rdd
       .map { case (s, l, a, b) => (s, (l, a, b)) }
-    val cand = nodesRdd.cogroup(edgesRdd, nShards).flatMap {
+    nodesRdd.cogroup(edgesRdd, nShards).flatMap {
       case (_, (nIt, eIt)) =>
         val ns = nIt.toArray
         if (ns.isEmpty) Iterator.empty
@@ -108,9 +132,15 @@ final class HnswIndex private (
               var improved = true
               while (improved) {
                 improved = false
+                // vecs.get: skip dangling edges (a concurrent reader can
+                // see a multi-file node append partially; compact's crash
+                // window can pair new nodes with old edges) — degrade to
+                // the reachable subgraph instead of throwing
                 adj.getOrElse((ep, lvl), Nil).foreach { nb =>
-                  val s = dot(qv, vecs(nb))
-                  if (s > epSim) { ep = nb; epSim = s; improved = true }
+                  vecs.get(nb).foreach { nv =>
+                    val s = dot(qv, nv)
+                    if (s > epSim) { ep = nb; epSim = s; improved = true }
+                  }
                 }
               }
               lvl -= 1
@@ -129,11 +159,13 @@ final class HnswIndex private (
               else adj.getOrElse((c, 0), Nil).foreach { nb =>
                 if (!visited(nb)) {
                   visited += nb
-                  val s = dot(qv, vecs(nb))
-                  if (result.size < efB || s > result.head._1) {
-                    frontier.enqueue((s, nb))
-                    result.enqueue((s, nb))
-                    if (result.size > efB) result.dequeue()
+                  vecs.get(nb).foreach { nv => // skip dangling (see descent)
+                    val s = dot(qv, nv)
+                    if (result.size < efB || s > result.head._1) {
+                      frontier.enqueue((s, nb))
+                      result.enqueue((s, nb))
+                      if (result.size > efB) result.dequeue()
+                    }
                   }
                 }
               }
@@ -142,10 +174,6 @@ final class HnswIndex private (
           }
         }
     }.toDF("query_id", "corpus_id", "sim")
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
-      .filter(col("rank") <= kB)
-      .select("query_id", "corpus_id", "sim", "rank")
   }
 
   /** Persist both graph tables, shard-partitioned; reopen with
@@ -161,8 +189,15 @@ final class HnswIndex private (
     // both tables are on disk: release the cached build frame (reopen
     // with load() for further queries — a train/save/discard maintenance
     // loop must not pin one cached graph per iteration for the JVM life)
-    backing.foreach(_.unpersist(blocking = false))
+    release()
   }
+
+  /** Drop the cached build frame once nodes/edges are persisted —
+    * [[save]] and [[HnswIndex.append]]'s segment path both call this so
+    * maintenance loops don't pin one cached graph per iteration.
+    */
+  private[ext] def release(): Unit =
+    backing.foreach(_.unpersist(blocking = false))
 
   /** Graph degree stats per level — diagnostics/spec seam (degree must
     * respect the M / 2M caps the construction prunes to).
@@ -175,9 +210,11 @@ final class HnswIndex private (
 
 object HnswIndex {
 
-  /** Query broadcast bound, [[PqIndex.maxBroadcastShortlist]]'s
-    * discipline: fan-out search replicates the query set to every
-    * shard task, so it must stay small by construction.
+  /** Per-chunk query broadcast bound, [[PqIndex.maxBroadcastShortlist]]'s
+    * discipline: fan-out search replicates the query set to every shard
+    * task, so each broadcast stays small by construction. Larger query
+    * sets are NOT an error — [[HnswIndex.topK]] chunks them into
+    * bounded broadcasts automatically.
     */
   val maxBroadcastQueries = 65536
 
@@ -352,11 +389,26 @@ object HnswIndex {
       return AppendReport(0L, 0, curShards, curShards > maxShards)
     val seg = train(batch, m, efConstruction, segmentShards, idCol, vecCol)
     val offset = lit(curShards)
+    // sweep orphans from a crashed prior attempt: if the last append
+    // died after its edge/node writes but before the params flip, the
+    // retry re-reads the OLD n_shards and would append into the same
+    // shard ids in append mode — duplicate rows forever. The target
+    // shard dirs are dead by construction (params never advanced past
+    // curShards, so no reader resolves them), so deleting them first
+    // restores all-or-nothing append semantics.
+    (0 until segmentShards).foreach { i =>
+      val sid = curShards + i
+      Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/edges/shard=$sid"))
+      Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/nodes/shard=$sid"))
+    }
     // edges FIRST (see scaladoc), then nodes, then the params flip
     seg.edges.withColumn("shard", col("shard") + offset)
       .write.mode("append").partitionBy("shard").parquet(s"$path/edges")
     seg.nodes.withColumn("shard", col("shard") + offset)
       .write.mode("append").partitionBy("shard").parquet(s"$path/nodes")
+    // segment is on disk: drop its cached build frame (the append-loop
+    // leak save() exists to prevent — append never calls save)
+    seg.release()
     val total = curShards + segmentShards
     import spark.implicits._
     // params flip via sibling-dir swap, not in-place overwrite (whose

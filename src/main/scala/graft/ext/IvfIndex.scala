@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.runtime.Fs
 
 /** [EXT] IVF-Flat index with a real lifecycle: train once, persist the
   * cell-partitioned corpus, probe many times without ever reshuffling
@@ -76,9 +77,7 @@ final class IvfIndex private (
     val m = index.agg(count(lit(1)).as("n"),
         avg(array_max(cellScores(col("cv"), centroids)).getField("sim")).as("ms"))
       .collect().head
-    Seq((m.getLong(0), m.getLong(0), 0L, m.getDouble(1)))
-      .toDF("train_rows", "total_rows", "appended_rows", "train_mean_sim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IvfIndex.writeMeta(spark, path, (m.getLong(0), m.getLong(0), 0L, m.getDouble(1)))
   }
 
   /** The probe join's physical plan (diagnostics/spec seam). */
@@ -213,18 +212,17 @@ object IvfIndex {
              maxAppendedFraction: Double = 0.5,
              maxSimDrop: Double = 0.15): AppendReport = {
     val idx = load(spark, path)
-    // self-heal a pre-maintenance save (no meta dir): stamp a baseline
-    // from the CURRENT cell table — one pass, same arithmetic as save —
-    // so old indexes append instead of crashing
-    if (!new java.io.File(s"$path/meta").exists()) {
-      import spark.implicits._
+    // self-heal when no readable meta exists — a pre-maintenance save
+    // (no meta dir) OR a crash mid-flip that left only partial bytes:
+    // stamp a baseline from the CURRENT cell table — one pass, same
+    // arithmetic as save — so old/damaged indexes append instead of
+    // crashing
+    if (readMeta(spark, path).isEmpty) {
       val m = idx.assignments.agg(count(lit(1)).as("n"),
           avg(array_max(cellScores(col("cv"), idx.centroids)).getField("sim")).as("ms"))
         .collect().head
-      Seq((m.getLong(0), m.getLong(0), 0L,
-          if (m.isNullAt(1)) 0.0 else m.getDouble(1)))
-        .toDF("train_rows", "total_rows", "appended_rows", "train_mean_sim")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeMeta(spark, path, (m.getLong(0), m.getLong(0), 0L,
+        if (m.isNullAt(1)) 0.0 else m.getDouble(1)))
     }
     val scored = SimilarityOps.normalized(batch, idCol, vecCol)
       .withColumn("__best", array_max(cellScores(col("v"), idx.centroids)))
@@ -238,27 +236,50 @@ object IvfIndex {
       val (appended, batchMeanSim) =
         (m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
       if (appended == 0L) {
-        val meta = spark.read.parquet(s"$path/meta").collect().head
+        val meta = readMeta(spark, path).get
         val (train, total) = (meta.getLong(0), meta.getLong(1))
         return AppendReport(0L, total, 1.0 - train.toDouble / total,
           meta.getDouble(3), 0.0, retrainRecommended = false)
       }
       scored.drop("__sim").write.mode("append").partitionBy("cid")
         .parquet(s"$path/cells")
-      val meta = spark.read.parquet(s"$path/meta").collect().head
+      val meta = readMeta(spark, path).get
       val (trainRows, totalRows, appendedRows, trainMeanSim) =
         (meta.getLong(0), meta.getLong(1) + appended,
           meta.getLong(2) + appended, meta.getDouble(3))
-      import spark.implicits._
-      Seq((trainRows, totalRows, appendedRows, trainMeanSim))
-        .toDF("train_rows", "total_rows", "appended_rows", "train_mean_sim")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeMeta(spark, path, (trainRows, totalRows, appendedRows, trainMeanSim))
       val frac = appendedRows.toDouble / totalRows
       AppendReport(appended, totalRows, frac, trainMeanSim, batchMeanSim,
         retrainRecommended =
           frac > maxAppendedFraction || batchMeanSim < trainMeanSim - maxSimDrop)
     } finally scored.unpersist()
   }
+
+  /** Crash-safe maintenance-meta flip (the params discipline
+    * [[HnswIndex.append]] uses): write `meta__new` fully, then swap it
+    * in (delete + move). An in-place overwrite's delete-then-write
+    * window would leave a partial dir the next append crashes reading.
+    */
+  private def writeMeta(spark: SparkSession, path: String,
+      row: (Long, Long, Long, Double)): Unit = {
+    import spark.implicits._
+    Seq(row).toDF("train_rows", "total_rows", "appended_rows", "train_mean_sim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta__new")
+    Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/meta"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/meta__new"),
+      java.nio.file.Paths.get(s"$path/meta"))
+  }
+
+  /** Read the maintenance meta through every crash window: live dir
+    * first, `meta__new` if we catch the delete→move gap, None when
+    * neither holds a readable row (missing or partial bytes) — the
+    * caller restamps a baseline in that case.
+    */
+  private def readMeta(spark: SparkSession, path: String): Option[org.apache.spark.sql.Row] =
+    Seq(s"$path/meta", s"$path/meta__new").view.flatMap { d =>
+      if (!new java.io.File(d).exists()) None
+      else scala.util.Try(spark.read.parquet(d).collect().head).toOption
+    }.headOption
 
   /** Reopen a persisted index: centroids are driver-collected (nlist
     * rows), the cell table is the partitioned parquet scan — probes

@@ -679,6 +679,7 @@ final class Materializer(spark: SparkSession, baseDir: String,
     import java.nio.file.Files
     val windata = windataDir(model)
     Files.createDirectories(windata)
+    healMigrations(model, windata)
     val newName = model + "__v_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val newDir = Paths.get(baseDir, newName)
@@ -719,10 +720,18 @@ final class Materializer(spark: SparkSession, baseDir: String,
               else {
                 // pre-manifest real dir: migrate by rename, leaving a
                 // symlink in its place — the legacy table stays whole
-                // if this commit crashes before publish
+                // if this commit crashes before publish. The rename and
+                // the re-link are two steps; a `__mig_` intent marker
+                // brackets them so [[healMigrations]] can finish the
+                // re-link after a crash in between (without the marker
+                // the retry's carry-forward would silently drop the
+                // window and GC would sweep its bytes)
                 val r = windata.resolve(s"${part}__v${nextSeq(part)}")
+                val marker = windata.resolve(s"__mig_${r.getFileName}")
+                Files.createFile(marker)
                 Files.move(entry, r)
                 Files.createSymbolicLink(entry, r.toAbsolutePath)
+                Files.deleteIfExists(marker)
                 r
               }
             Files.createSymbolicLink(newDir.resolve(part), real.toAbsolutePath)
@@ -738,6 +747,36 @@ final class Materializer(spark: SparkSession, baseDir: String,
     Option(Paths.get(baseDir).toFile.list()).toSeq.flatten
       .filter(_.startsWith(s"${model}__stage_"))
       .foreach(n => Fs.deleteRecursive(Paths.get(baseDir, n)))
+  }
+
+  /** Recover legacy-partition migrations that crashed between the
+    * rename into windata and the symlink left in the legacy dir. Each
+    * migration stamps a `__mig_<entry>` intent marker first, so a
+    * surviving marker whose legacy entry is missing while its windata
+    * dir exists identifies a lost window DEFINITIVELY — a failed fresh
+    * write's windata orphan carries no marker and must NOT resurface
+    * (re-linking it would publish a crashed commit's data). All other
+    * marker states are benign: move not yet done (entry still real) or
+    * link already done (entry is a symlink) → just drop the marker.
+    * Runs at the top of every windowed commit, before carry-forward
+    * and GC, under the same writer/file locks.
+    */
+  private def healMigrations(model: String, windata: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, LinkOption}
+    Option(windata.toFile.list()).toSeq.flatten
+      .filter(_.startsWith("__mig_")).foreach { mk =>
+        val entryName = mk.stripPrefix("__mig_")
+        val real = windata.resolve(entryName)
+        val cut = entryName.lastIndexOf("__v")
+        if (cut > 0) {
+          val part = entryName.substring(0, cut)
+          val legacyEntry = Paths.get(legacyPath(model)).resolve(part)
+          if (Files.exists(real) &&
+              !Files.exists(legacyEntry, LinkOption.NOFOLLOW_LINKS))
+            Files.createSymbolicLink(legacyEntry, real.toAbsolutePath)
+        }
+        Files.deleteIfExists(windata.resolve(mk))
+      }
   }
 
   /** Mark-and-sweep for `<model>__windata`: a real window dir is live
@@ -763,8 +802,15 @@ final class Materializer(spark: SparkSession, baseDir: String,
         .filter(Files.isSymbolicLink(_))
         .map(p => Files.readSymbolicLink(p).getFileName.toString)
     }.toSet
-    Option(windata.toFile.list()).toSeq.flatten
-      .filterNot(referenced)
+    // `__mig_` intent markers and their bracketed entries are mid-
+    // migration state, healed by [[healMigrations]] before any sweep —
+    // never GC fodder
+    val entries = Option(windata.toFile.list()).toSeq.flatten
+    val midMigration = entries.filter(_.startsWith("__mig_"))
+      .map(_.stripPrefix("__mig_")).toSet
+    entries
+      .filterNot(_.startsWith("__mig_"))
+      .filterNot(n => referenced(n) || midMigration(n))
       .foreach(n => Fs.deleteRecursive(windata.resolve(n)))
   }
 

@@ -61,6 +61,26 @@ class HnswIndexSpec extends SparkSpec {
       s"cluster recall ${inCluster.toDouble / got.length} below 0.95")
   }
 
+  test("large query sets chunk automatically: chunked equals one-shot, and the old hard cap is gone") {
+    val embs = clusteredRows.toDF("vec_id", "embedding")
+    val idx = HnswIndex.train(embs, m = 6, nShards = 2)
+    val q = embs.filter($"vec_id" < 40)
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val one = collectSet(idx.topK(q, 3, ef = 32))
+    // 6 chunks of 7: per-chunk broadcasts, one merged rank window
+    assert(collectSet(idx.topK(q, 3, ef = 32, chunkSize = 7)) == one)
+    // a query set larger than maxBroadcastQueries (the r8 hard-error
+    // cap) now completes: 70,001 queries → two bounded broadcasts
+    val big = spark.range(70001).select(
+      (col("id") + 1000000L).as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "cast(pmod(xxhash64(cast(id * 64 + d as string)), 1000) as double) " +
+        "/ 1000.0 - 0.5)").as("embedding"))
+    val res = idx.topK(big, k = 2, ef = 8)
+    assert(res.count() == 70001L * 2, "every query must get its top-k")
+  }
+
   test("fixture recall@3 vs brute force stays off the floor on near-uniform data") {
     val e = Sources(spark, dir).embeddings
     val q = e.filter(col("vec_id") < 20)

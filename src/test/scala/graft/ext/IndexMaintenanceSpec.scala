@@ -215,4 +215,73 @@ class IndexMaintenanceSpec extends SparkSpec {
       .select("corpus_id").as[Long].collect().toSet
     assert((100000L until 100008L).forall(ids))
   }
+
+  test("IVF append self-heals a PARTIAL meta dir and survives a crashed flip") {
+    import java.nio.file.{Files, Paths}
+    val path = freshDir()
+    IvfIndex.train(emb.filter(col("vec_id") < 200), nlist = 8).save(path)
+    // crash mid-write of the old in-place overwrite: the dir exists but
+    // holds no readable parquet — append must restamp, not crash
+    graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/meta"))
+    Files.createDirectories(Paths.get(s"$path/meta"))
+    Files.write(Paths.get(s"$path/meta/part-corrupt.parquet"), Array[Byte](1, 2, 3))
+    val r = IvfIndex.append(spark, path, emb.filter(col("vec_id") >= 480))
+    assert(r.appended == 20 && !r.retrainRecommended, r.toString)
+    // crash between the swap's delete and move: only meta__new on disk —
+    // the fallback read must find it
+    Files.move(Paths.get(s"$path/meta"), Paths.get(s"$path/meta__new"))
+    val r2 = IvfIndex.append(spark, path,
+      emb.filter(col("vec_id") >= 470 && col("vec_id") < 480)
+        .select(($"vec_id" + 500000).as("vec_id"), $"embedding"))
+    assert(r2.appended == 10, r2.toString)
+    assert(new java.io.File(s"$path/meta").exists(), "flip must land at the live name")
+    assert(!new java.io.File(s"$path/meta__new").exists(), "sibling dir must be consumed")
+  }
+
+  test("HNSW append sweeps a crashed attempt's orphan shard files: retry leaves no duplicates") {
+    val path = freshDir()
+    val base = emb.filter(col("vec_id") < 100)
+    val late = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    HnswIndex.train(base, m = 6, nShards = 2).save(path)
+    // full append, then roll params BACK — the exact state a crash after
+    // the edge/node writes but before the params flip leaves behind
+    HnswIndex.append(spark, path, late, segmentShards = 1)
+    Seq((6, 2)).toDF("m", "n_shards").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+    // retry re-reads n_shards=2 and targets shard 2 again: without the
+    // orphan sweep the first attempt's rows would duplicate forever
+    val r = HnswIndex.append(spark, path, late, segmentShards = 1)
+    assert(r.totalShards == 3, r.toString)
+    val nodes = spark.read.parquet(s"$path/nodes")
+    assert(nodes.count() == 120, s"orphan rows survived: ${nodes.count()}")
+    assert(nodes.select("corpus_id").distinct().count() == 120)
+  }
+
+  test("HNSW append does not pin the segment's cached build frame") {
+    val path = freshDir()
+    HnswIndex.train(emb.filter(col("vec_id") < 80), m = 6, nShards = 2).save(path)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    HnswIndex.append(spark, path,
+      emb.filter(col("vec_id") >= 80 && col("vec_id") < 100))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "append leaked a cached segment build frame")
+  }
+
+  test("HNSW search skips dangling edges (node invisible mid-append) instead of throwing") {
+    import java.nio.file.{Files, Paths}
+    val path = freshDir()
+    HnswIndex.train(emb.filter(col("vec_id") < 100), m = 6, nShards = 2).save(path)
+    // drop ONE node row but keep every edge referencing it — what a
+    // reader sees when a multi-file node append is partially visible,
+    // or in compact's nodes-swapped/edges-old crash window
+    val victim = 99L
+    val pruned = spark.read.parquet(s"$path/nodes")
+      .filter(col("corpus_id") =!= victim)
+    pruned.write.partitionBy("shard").parquet(s"$path/nodes__tmp")
+    graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/nodes"))
+    Files.move(Paths.get(s"$path/nodes__tmp"), Paths.get(s"$path/nodes"))
+    val got = HnswIndex.load(spark, path).topK(queries, 3, ef = 32)
+    assert(got.count() > 0, "search must still answer from the reachable subgraph")
+    assert(got.filter(col("corpus_id") === victim).count() == 0)
+  }
 }

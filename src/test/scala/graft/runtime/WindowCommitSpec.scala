@@ -171,6 +171,65 @@ class WindowCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("plain keyed table"), e.getMessage)
   }
 
+  test("a migration that crashed between rename and re-link heals: the window is not dropped") {
+    val dir = freshDir()
+    val legacy = Paths.get(dir, "m")
+    (days.flatMap(d => (0 until 4).map(i => (java.sql.Date.valueOf(d), i, 1))))
+      .toDF("event_date", "i", "gen")
+      .write.partitionBy("event_date").parquet(legacy.toString)
+    // simulate the exact crash state: day 1's real dir renamed into
+    // windata (intent marker stamped) but the legacy re-link never ran —
+    // without healing, the next commit's carry-forward silently drops
+    // the day and GC deletes its bytes
+    val windata = Paths.get(dir, "m__windata")
+    Files.createDirectories(windata)
+    val entry = s"event_date=${days(0)}__v1"
+    Files.createFile(windata.resolve(s"__mig_$entry"))
+    Files.move(legacy.resolve(s"event_date=${days(0)}"), windata.resolve(entry))
+    val mat = new Materializer(spark, dir)
+    val t = mat.rebuildMicrobatchWindow("m", "event_date", days(1))(window(2, 5))
+    assert(t.filter($"event_date" === java.sql.Date.valueOf(days(0))).count() == 4,
+      "crashed-migration window must be healed back into the table")
+    assert(t.count() == 4 + 5 + 4)
+    val names = Option(windata.toFile.list()).toSeq.flatten
+    assert(!names.exists(_.startsWith("__mig_")), s"marker must be consumed: $names")
+    assert(Files.exists(windata.resolve(entry)), "healed window's bytes must survive GC")
+  }
+
+  test("marker stamped but rename not yet done: heal is a no-op beyond dropping the marker") {
+    val dir = freshDir()
+    val legacy = Paths.get(dir, "m")
+    (days.flatMap(d => (0 until 4).map(i => (java.sql.Date.valueOf(d), i, 1))))
+      .toDF("event_date", "i", "gen")
+      .write.partitionBy("event_date").parquet(legacy.toString)
+    val windata = Paths.get(dir, "m__windata")
+    Files.createDirectories(windata)
+    Files.createFile(windata.resolve(s"__mig_event_date=${days(0)}__v1"))
+    val mat = new Materializer(spark, dir)
+    val t = mat.rebuildMicrobatchWindow("m", "event_date", days(1))(window(2, 5))
+    assert(t.count() == 4 + 5 + 4)
+    assert(!Option(windata.toFile.list()).toSeq.flatten.exists(_.startsWith("__mig_")))
+  }
+
+  test("an UNMARKED windata orphan (failed fresh write) is swept, never resurrected") {
+    val dir = freshDir()
+    val mat = new Materializer(spark, dir)
+    mat.materializeMicrobatch("m", "event_date", begin, days.last)(window(1, 4))
+    // a crashed commit's fresh-write bytes for a day that never
+    // published: no marker → resurfacing it would publish failed-commit
+    // data, so it must be GC'd, not healed
+    val windata = Paths.get(dir, "m__windata")
+    val orphan = windata.resolve("event_date=2024-01-05__v1")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("stale.bin"), Array[Byte](1))
+    mat.rebuildMicrobatchWindow("m", "event_date", days(1))(window(2, 5))
+    val t = spark.read.parquet(mat.outPath("m"))
+    assert(t.select($"event_date".cast("string")).distinct().as[String]
+      .collect().toSet == days.map(_.toString).toSet,
+      "failed-commit day must not appear")
+    assert(!Files.exists(orphan), "unreferenced orphan must be swept")
+  }
+
   test("crash before publish leaves only orphans; the next commit GCs them") {
     val mat = new Materializer(spark, freshDir())
     mat.materializeMicrobatch("m", "event_date", begin, days.last)(window(1, 4))
