@@ -296,6 +296,14 @@ final class Materializer(spark: SparkSession, baseDir: String,
   def readPrior(model: String): Option[DataFrame] =
     if (exists(model)) Some(spark.read.parquet(outPath(model))) else None
 
+  /** [[FragmentedTable]] handle for `table` in this warehouse — the
+    * O(batch)-per-upsert layout the streaming ingest sinks default to.
+    * Same baseDir, so a deployment keeps one warehouse path for both
+    * layouts; names must not collide with a Materializer model's.
+    */
+  def fragmented(table: String, uniqueKey: String): FragmentedTable =
+    new FragmentedTable(spark, baseDir, table, uniqueKey)
+
   /** Run one model incrementally. `build` receives the prior output (None
     * on first run) and returns the fresh batch, keyed by `uniqueKey`.
     * `onSchemaChange` is dbt's schema-drift knob ([[SchemaEvolution]]);

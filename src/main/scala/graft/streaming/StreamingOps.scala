@@ -151,17 +151,28 @@ object StreamingOps {
     * itself — unbounded corpus, restart-safe, at the cost of a corpus
     * scan per micro-batch (amortized by the Bloom route).
     */
-  /** `compactEvery` > 0 runs [[Materializer.compact]] after every Nth
-    * micro-batch (the "optimize every N commits" maintenance cadence):
-    * per-trigger appends fragment the table, and without periodic
-    * compaction a long-running ingest's corpus scan degrades file by
-    * file. Keyed on batchId, so a restart replaying a batch repeats at
-    * most one compaction — idempotent like the append itself.
+  /** DEFAULT = the O(batch) [[graft.runtime.FragmentedTable]] path
+    * ([[corpusIngestFragmentedSink]]'s body): each trigger writes only
+    * its surviving batch as a new fragment, and `compactEvery` > 0 folds
+    * the accumulated fragments every Nth micro-batch (keyed on batchId,
+    * so a replay repeats at most one compaction). A pre-existing
+    * Materializer table of the same name is seeded into the fragment
+    * store ONCE at sink construction, so upgrading a deployment keeps
+    * its corpus.
+    *
+    * `wholeTableRewrite = true` opts into the legacy Materializer form —
+    * every trigger re-writes the whole table through the versioned
+    * manifest commit (time travel / change feed compose, at O(corpus)
+    * write amplification per trigger: model-sized outputs only, never a
+    * high-frequency ingest of a large corpus).
     */
   def corpusIngestSink(docs: DataFrame, mat: Materializer,
                        model: String, compactEvery: Long = 0L,
-                       compactTargetFiles: Int = 8): DataStreamWriter[Row] =
-    docs.writeStream.outputMode("append").foreachBatch {
+                       compactTargetFiles: Int = 8,
+                       wholeTableRewrite: Boolean = false): DataStreamWriter[Row] =
+    if (!wholeTableRewrite)
+      corpusIngestFragmentedSink(docs, seeded(mat, model, "doc_id"), compactEvery)
+    else docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         mat.materialize(model, "doc_id") {
           case None        => graft.ext.DedupOps.dedupExact(batch)
@@ -171,6 +182,20 @@ object StreamingOps {
           mat.compact(model, compactTargetFiles)
         ()
     }
+
+  /** Fragment-store handle for `table`, seeded once from a pre-existing
+    * Materializer table of the same name (the upgrade path: a corpus
+    * ingested under the legacy whole-table sinks keeps its rows when the
+    * deployment flips to the fragmented default). The seed is a single
+    * O(corpus) upsert, paid at sink construction, never per trigger.
+    */
+  private def seeded(mat: Materializer, table: String,
+                     uniqueKey: String): graft.runtime.FragmentedTable = {
+    val frag = mat.fragmented(table, uniqueKey)
+    if (frag.read().isEmpty && mat.exists(table))
+      mat.readPrior(table).foreach(frag.upsert)
+    frag
+  }
 
   /** [[corpusIngestSink]] over a [[graft.runtime.FragmentedTable]]: the
     * same Bloom-routed exact-dedup bridge, but each trigger WRITES only
@@ -240,8 +265,12 @@ object StreamingOps {
     * predicate result counts as failing, the dbt-test convention) BEFORE
     * dedup. Rows failing any check land in `<model>__rejects` carrying
     * the FIRST failing check's name as `reject_reason`; only valid rows
-    * continue into the exact-dedup ingest. Both tables commit through
-    * the Materializer's upsert-by-doc_id, so a replayed micro-batch is
+    * continue into the exact-dedup ingest. DEFAULT = both tables commit
+    * as O(batch) fragments ([[corpusIngestQuarantineFragmentedSink]]'s
+    * body, seeded once from pre-existing Materializer tables);
+    * `wholeTableRewrite = true` opts into the legacy Materializer
+    * upsert-by-doc_id (O(corpus) write per trigger). Either way a
+    * replayed micro-batch is
     * idempotent on BOTH sides: its rejects upsert their own ids, its
     * valid rows content-dedup against their previous append. The
     * quarantine is a queryable TABLE, not a log line — ops inspect it,
@@ -250,10 +279,15 @@ object StreamingOps {
     * contracts as the other ingest sinks.
     */
   def corpusIngestQuarantineSink(docs: DataFrame, mat: Materializer, model: String,
-                                 checks: Seq[(String, org.apache.spark.sql.Column)]
+                                 checks: Seq[(String, org.apache.spark.sql.Column)],
+                                 compactEvery: Long = 0L,
+                                 wholeTableRewrite: Boolean = false
                                 ): DataStreamWriter[Row] = {
     require(checks.nonEmpty, "at least one validity check required")
-    docs.writeStream.outputMode("append").foreachBatch {
+    if (!wholeTableRewrite)
+      corpusIngestQuarantineFragmentedSink(docs, seeded(mat, model, "doc_id"),
+        seeded(mat, model + "__rejects", "doc_id"), checks, compactEvery)
+    else docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val fails = checks.map { case (n, p) => (n, not(coalesce(p, lit(false)))) }
         val reason = fails.tail
@@ -296,10 +330,12 @@ object StreamingOps {
     *      side-table, append survivors to the corpus. Their signatures
     *      land at the next trigger's repair.
     *
-    * Both tables still pay the Materializer's whole-table parquet
-    * rewrite per upsert — parquet has no MERGE; that (like the
-    * cross-process reader seam) is where a table format's atomic commit
-    * plugs in on a real deployment. The sink assumes ONE ingest stream
+    * DEFAULT = both tables commit as O(batch) fragments
+    * ([[corpusIngestNearDupFragmentedSink]]'s body, seeded once from
+    * pre-existing Materializer tables). `wholeTableRewrite = true` opts
+    * into the legacy Materializer upsert, whose whole-table parquet
+    * rewrite per trigger (parquet has no MERGE) suits model-sized
+    * outputs only. The sink assumes ONE ingest stream
     * per model (the usual topology — a streaming query owns its sink
     * tables); `hotShingles` is a PINNED stopword-shingle list baked into
     * stored signatures, so it must stay constant for a table's lifetime.
@@ -309,8 +345,14 @@ object StreamingOps {
   def corpusIngestNearDupSink(docs: DataFrame, mat: Materializer, model: String,
                               threshold: Double,
                               numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
-                              hotShingles: Seq[String] = Nil): DataStreamWriter[Row] =
-    docs.writeStream.outputMode("append").foreachBatch {
+                              hotShingles: Seq[String] = Nil,
+                              compactEvery: Long = 0L,
+                              wholeTableRewrite: Boolean = false): DataStreamWriter[Row] =
+    if (!wholeTableRewrite)
+      corpusIngestNearDupFragmentedSink(docs, seeded(mat, model, "doc_id"),
+        seeded(mat, model + "__sigs", "doc_id"), threshold, numHashes, bands,
+        shingleK, hotShingles, compactEvery)
+    else docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val sigsModel = model + "__sigs"
         if (mat.exists(model)) {
@@ -414,13 +456,21 @@ object StreamingOps {
     * broadcasts into the corpus scan — exact screening, no corpus
     * shuffle). Same table-is-the-state restart story as the text
     * sinks: a replayed batch's vectors are cosine-1.0 duplicates of
-    * their own previous append and are absorbed. Swap the exact screen
-    * for an IVF/PQ probe when batches grow large (same trade as the
-    * batch op).
+    * their own previous append and are absorbed. DEFAULT = the corpus
+    * commits as O(batch) fragments ([[corpusIngestEmbedFragmentedSink]]'s
+    * body, seeded once from a pre-existing Materializer table);
+    * `wholeTableRewrite = true` opts into the legacy whole-table
+    * Materializer upsert. For large batches swap the exact screen for
+    * the indexed probe ([[corpusIngestEmbedIndexedSink]]).
     */
   def corpusIngestEmbedSink(vecs: DataFrame, mat: Materializer, model: String,
-                            threshold: Double): DataStreamWriter[Row] =
-    vecs.writeStream.outputMode("append").foreachBatch {
+                            threshold: Double,
+                            compactEvery: Long = 0L,
+                            wholeTableRewrite: Boolean = false): DataStreamWriter[Row] =
+    if (!wholeTableRewrite)
+      corpusIngestEmbedFragmentedSink(vecs, seeded(mat, model, "vec_id"),
+        threshold, compactEvery)
+    else vecs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         mat.materialize(model, "vec_id") {
           case None => graft.ext.DedupOps.removeNearDups(batch,

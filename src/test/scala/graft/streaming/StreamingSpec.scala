@@ -629,11 +629,12 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("corpus ingest sink: cross-batch content dedup against the materialized table") {
+  test("corpus ingest sink: cross-batch content dedup; DEFAULT path writes O(batch) fragments") {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
       java.nio.file.Files.createTempDirectory("ingest_stream").toString)
-    def corpus: Set[Long] = mat.readPrior("corpus")
+    val frag = mat.fragmented("corpus", "doc_id")
+    def corpus: Set[Long] = frag.read()
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingOps.corpusIngestSink(
@@ -643,14 +644,42 @@ class StreamingSpec extends SparkSpec {
       in.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA   beta"))
       q.processAllAvailable()
       assert(corpus == Set(1L, 2L), corpus.toString)
+      assert(frag.fragmentCount() == 1, "default must commit as fragments")
+      assert(!mat.exists("corpus"),
+        "default must not pay the Materializer whole-table rewrite")
       // batch 2: doc 4 duplicates the MATERIALIZED corpus, doc 5 is new
       in.addData((4L, "alpha beta"), (5L, "delta"))
       q.processAllAvailable()
       assert(corpus == Set(1L, 2L, 5L), corpus.toString)
-      // redelivered batch (at-least-once source): idempotent
+      assert(frag.fragmentCount() == 2,
+        "each trigger must add exactly its surviving batch as one fragment")
+      // redelivered batch (at-least-once source): idempotent, zero write
       in.addData((4L, "alpha beta"), (5L, "delta"))
       q.processAllAvailable()
       assert(corpus == Set(1L, 2L, 5L), corpus.toString)
+      assert(frag.fragmentCount() == 2, "replay must not write a fragment")
+    } finally q.stop()
+  }
+
+  test("corpus ingest sink SEEDS the fragment store from a pre-existing Materializer table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mat = new graft.runtime.Materializer(spark,
+      java.nio.file.Files.createTempDirectory("ingest_seed").toString)
+    // a corpus ingested under the legacy whole-table sink…
+    mat.materialize("corpus", "doc_id")(_ =>
+      Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text"))
+    // …keeps its rows (and its dedup authority) when the deployment
+    // flips to the fragmented default
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestSink(
+      in.toDF().toDF("doc_id", "text"), mat, "corpus").start()
+    try {
+      in.addData((4L, "alpha beta"), (5L, "delta"))
+      q.processAllAvailable()
+      val corpus = mat.fragmented("corpus", "doc_id").read().get
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpus == Set(1L, 2L, 5L),
+        s"seeded corpus must absorb the legacy table's duplicates: $corpus")
     } finally q.stop()
   }
 
@@ -685,9 +714,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
       java.nio.file.Files.createTempDirectory("ingest_quar").toString)
-    def corpus: Set[Long] = mat.readPrior("qc")
+    def corpus: Set[Long] = mat.fragmented("qc", "doc_id").read()
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
-    def rejects: Map[Long, String] = mat.readPrior("qc__rejects")
+    def rejects: Map[Long, String] = mat.fragmented("qc__rejects", "doc_id").read()
       .map(_.select("doc_id", "reject_reason").as[(Long, String)].collect().toMap)
       .getOrElse(Map.empty)
     val in = MemoryStream[(Long, String)]
@@ -717,7 +746,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("corpus ingest sink with compactEvery keeps the table at target file count") {
+  test("opt-in wholeTableRewrite=true keeps the legacy Materializer form, compaction included") {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
       java.nio.file.Files.createTempDirectory("ingest_compact").toString)
@@ -728,7 +757,7 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingOps.corpusIngestSink(
       in.toDF().toDF("doc_id", "text").repartition(4), mat, "cc",
-      compactEvery = 1L, compactTargetFiles = 1).start()
+      compactEvery = 1L, compactTargetFiles = 1, wholeTableRewrite = true).start()
     try {
       in.addData((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       q.processAllAvailable()
@@ -746,9 +775,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
       java.nio.file.Files.createTempDirectory("ingest_nd_stream").toString)
-    def corpus: Set[Long] = mat.readPrior("nd")
+    def corpus: Set[Long] = mat.fragmented("nd", "doc_id").read()
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
-    def sigIds: Set[Long] = mat.readPrior("nd__sigs")
+    def sigIds: Set[Long] = mat.fragmented("nd__sigs", "doc_id").read()
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingOps.corpusIngestNearDupSink(
@@ -790,7 +819,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
       java.nio.file.Files.createTempDirectory("ingest_nd_poison").toString)
-    def corpus: Set[Long] = mat.readPrior("nd")
+    def corpus: Set[Long] = mat.fragmented("nd", "doc_id").read()
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingOps.corpusIngestNearDupSink(
@@ -800,9 +829,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(corpus == Set(1L), corpus.toString)
       val plant = Seq((999L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
-      mat.materialize("nd__sigs", "doc_id") { _ =>
-        graft.ext.IngestOps.minHashSigsOf(plant)
-      }
+      mat.fragmented("nd__sigs", "doc_id")
+        .upsert(graft.ext.IngestOps.minHashSigsOf(plant))
       // 21 is a 10/11 near-dup of the PLANTED signature only; 22 novel
       in.addData((21L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"), (22L, "z1 z2 z3 z4"))
       q.processAllAvailable()
@@ -817,7 +845,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mat = new graft.runtime.Materializer(spark,
       java.nio.file.Files.createTempDirectory("ingest_emb_stream").toString)
-    def corpus: Set[Long] = mat.readPrior("vecs")
+    def corpus: Set[Long] = mat.fragmented("vecs", "vec_id").read()
       .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
     val in = MemoryStream[(Long, Seq[Float])]
     val q = graft.streaming.StreamingOps.corpusIngestEmbedSink(
