@@ -41,6 +41,23 @@ object Graft {
     s
   }
 
+  /** Unified ANN front door: build the profile-selected index rung
+    * (brute / IVF / SQ8 / IVF-PQ / HNSW) over `corpus` at `path` —
+    * rung choice, persistence, `search`/`append`/`maintain`, and the
+    * measured-recall gate all behind one handle
+    * ([[graft.ext.VectorIndex]]). Reopen with [[loadIndex]]; a catalog
+    * index registered under `<name>.vecindex` resolves through
+    * [[graft.runtime.Sources.index]].
+    */
+  def index(corpus: DataFrame, path: String,
+            profile: graft.ext.IndexProfile = graft.ext.IndexProfile.balanced)
+      : graft.ext.VectorIndex =
+    graft.ext.VectorIndex.build(corpus, path, profile)
+
+  /** Reopen an index built by [[index]]. */
+  def loadIndex(spark: SparkSession, path: String): graft.ext.VectorIndex =
+    graft.ext.VectorIndex.load(spark, path)
+
   /** The reference user's `dbt run`: materialize all three models in
     * dependency order into `warehouseDir` (incremental on re-run — the
     * Materializer reads each model's prior table for the watermark

@@ -1,0 +1,265 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Declarative intent for the unified ANN front door
+  * ([[VectorIndex.build]] / `Graft.index`) — what the CALLER knows
+  * about their workload, not which data structure serves it. The
+  * builder measures the corpus (rows × dims) and picks the rung:
+  *
+  *   - at or under `exactFloor` rows → BRUTE (exact; below this size an
+  *     index buys nothing over one broadcast scan)
+  *   - `serving = true` → HNSW (graph navigation: per-query latency
+  *     O(log N) hops instead of a corpus scan — the point-lookup shape)
+  *   - else by `memoryBudgetBytes` against the index's working set:
+  *     full vectors (n·d·8) fit → IVF (cid-partitioned full precision,
+  *     best batch recall); SQ8 codes (n·d) fit → SQ8 with exact refine;
+  *     otherwise → IVF-PQ (coarse cells over ~m-byte codes, the
+  *     smallest footprint that still prunes the scan).
+  *
+  * `nprobe`/`shortlist` are the recall/cost knobs the chosen rung
+  * consumes (ignored by rungs without the knob). The profile persists
+  * with the index, so `load` + `search` needs no re-tuning at the
+  * call site.
+  */
+final case class IndexProfile(
+    memoryBudgetBytes: Long = 4L << 30,
+    serving: Boolean = false,
+    exactFloor: Long = 50000L,
+    nprobe: Int = 4,
+    shortlist: Int = 64)
+
+object IndexProfile {
+  /** Always exact, any size — the oracle-friendly profile. */
+  val exact: IndexProfile = IndexProfile(exactFloor = Long.MaxValue)
+  /** The default: exact when small, full-precision IVF when it fits. */
+  val balanced: IndexProfile = IndexProfile()
+  /** Tight memory: quantized rungs even for mid-size corpora. */
+  val compact: IndexProfile = IndexProfile(memoryBudgetBytes = 16L << 20,
+    exactFloor = 1000L)
+  /** Low-latency point lookups → the graph rung. */
+  val serving: IndexProfile = IndexProfile(serving = true, exactFloor = 1000L)
+}
+
+/** One persisted ANN index behind a rung-agnostic API: `search`,
+  * `append`, `maintain`, `recallGate` — the facade VERDICT r8 asked for
+  * over the seven-family ladder (brute / IVF / SQ8 / IVF-PQ / HNSW
+  * here; PQ-flat and sign-LSH remain direct-API rungs, each dominated
+  * by a facade rung on both axes). All heavy lifting delegates to the
+  * per-rung implementations, so every plan shape, bound, and crash
+  * guarantee is the one their own specs gate.
+  *
+  * Layout at `path/`: `kind` (one-line rung + knobs marker, written
+  * tmp+atomic-move), `idx/` (the rung's own save dir), and — for rungs
+  * whose index does not retain full vectors (brute, SQ8, IVF-PQ) —
+  * `corpus/` parquet for exact refine, maintenance retrains, and
+  * recall ground truth. IVF keeps vectors in its cells and HNSW in its
+  * nodes, so those rungs pay no copy.
+  */
+final class VectorIndex private (val spark: SparkSession, val path: String,
+                                 val kind: String, val profile: IndexProfile) {
+
+  import VectorIndex._
+
+  // live dir, falling back to a crashed IVF retrain's backup (see
+  // maintain's two-rename swap) — the index stays readable through the
+  // swap's crash window
+  private def idxPath = {
+    val live = s"$path/idx"
+    if (Files.exists(Paths.get(live))) live
+    else if (Files.exists(Paths.get(live + "__old"))) live + "__old"
+    else live
+  }
+  private def corpusPath = s"$path/corpus"
+
+  /** The indexed vectors as (vec_id, embedding) — refine input,
+    * retrain input, and the recall gate's ground-truth corpus.
+    */
+  def corpusFrame: DataFrame = kind match {
+    case Brute | Sq | IvfPq => spark.read.parquet(corpusPath)
+    case Ivf => IvfIndex.load(spark, idxPath).assignments
+      .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
+    case Hnsw => spark.read.parquet(s"$idxPath/nodes")
+      .select(col("corpus_id").as("vec_id"), col("v").as("embedding"))
+  }
+
+  /** Top-k per query row as (query_id, corpus_id, sim, rank) — the
+    * ladder-wide result contract. Each rung runs its own verified
+    * probe shape; quantized rungs refine exactly against the stored
+    * corpus (ADC orders the shortlist, true cosine orders the answer).
+    */
+  def search(queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kind match {
+      case Brute =>
+        SimilarityOps.bruteForceTopK(corpusFrame, queries, k,
+          idCol = idCol, vecCol = vecCol)
+      case Ivf =>
+        IvfIndex.load(spark, idxPath)
+          .topK(queries, k, nprobe = profile.nprobe, idCol = idCol, vecCol = vecCol)
+      case Sq =>
+        SqIndex.load(spark, idxPath).topKRefined(queries, corpusFrame, k,
+          shortlist = math.max(profile.shortlist, k), idCol = idCol, vecCol = vecCol)
+      case IvfPq =>
+        IvfPqIndex.load(spark, idxPath).topKRefined(queries, corpusFrame, k,
+          nprobe = profile.nprobe, shortlist = math.max(profile.shortlist, k),
+          idCol = idCol, vecCol = vecCol)
+      case Hnsw =>
+        HnswIndex.load(spark, idxPath).topK(queries, k,
+          ef = math.max(profile.shortlist, k), idCol = idCol, vecCol = vecCol)
+    }
+
+  /** O(batch) incremental extension through the rung's own `append`
+    * (new ids only — every rung's contract). Returns the unified drift
+    * summary; when `maintenanceRecommended` fires, schedule
+    * [[maintain]] — the same trade every rung documents individually.
+    */
+  def append(batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): AppendSummary = {
+    def keepCorpus(): Unit =
+      batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        .write.mode("append").parquet(corpusPath)
+    kind match {
+      case Brute =>
+        val n = batch.count(); keepCorpus(); AppendSummary(n, maintenanceRecommended = false)
+      case Ivf =>
+        val r = IvfIndex.append(spark, idxPath, batch, idCol, vecCol)
+        AppendSummary(r.appended, r.retrainRecommended)
+      case Sq =>
+        val r = SqIndex.append(spark, idxPath, batch, idCol, vecCol)
+        keepCorpus(); AppendSummary(r.appended, r.retrainRecommended)
+      case IvfPq =>
+        val r = IvfPqIndex.append(spark, idxPath, batch, idCol, vecCol)
+        keepCorpus(); AppendSummary(r.appended, r.retrainRecommended)
+      case Hnsw =>
+        val r = HnswIndex.append(spark, idxPath, batch, idCol = idCol, vecCol = vecCol)
+        AppendSummary(r.appended, r.compactRecommended)
+    }
+  }
+
+  /** The maintenance the rung's drift report asks for: retrain from the
+    * indexed corpus (quantized/coarse rungs) or fold segments
+    * ([[HnswIndex.compact]]). No-op for brute. O(corpus) by nature —
+    * scheduled, never per-batch.
+    */
+  def maintain(): Unit = kind match {
+    case Brute => ()
+    case Ivf =>
+      // IVF's retrain input IS its own cell table: stage the new index
+      // to a sibling dir, then two-rename swap (an in-place overwrite
+      // would delete the files the training scan is still reading; the
+      // __old backup keeps the swap's crash window readable)
+      val c = corpusFrame
+      val n = c.count()
+      val tmp = s"$path/idx__new"
+      graft.runtime.Fs.deleteRecursive(Paths.get(tmp))
+      IvfIndex.train(c, nlist = nlistFor(n)).save(tmp)
+      graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/idx__old"))
+      Files.move(Paths.get(s"$path/idx"), Paths.get(s"$path/idx__old"))
+      Files.move(Paths.get(tmp), Paths.get(s"$path/idx"))
+      graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/idx__old"))
+    case Sq => SqIndex.train(corpusFrame).save(idxPath)
+    case IvfPq =>
+      val c = corpusFrame
+      IvfPqIndex.train(c, nlist = nlistFor(c.count())).save(idxPath)
+    case Hnsw => HnswIndex.compact(spark, idxPath)
+  }
+
+  /** Driver-gateable measured recall@k vs the exact answer over this
+    * index's own corpus ([[RecallOps.recallGate]]: emits `meets_floor`
+    * so a wrong-recall regression FAILS the gate, the r8 discipline).
+    */
+  def recallGate(queries: DataFrame, k: Int, floor: Double,
+                 expectExactPairs: Option[Long] = None): DataFrame =
+    RecallOps.recallGate(s"auto_$kind",
+      SimilarityOps.bruteForceTopK(corpusFrame, queries, k),
+      search(queries, k), Seq("query_id", "corpus_id"),
+      floor = floor, expectExactPairs = expectExactPairs)
+}
+
+object VectorIndex {
+
+  val Brute = "brute"; val Ivf = "ivf"; val Sq = "sq"
+  val IvfPq = "ivfpq"; val Hnsw = "hnsw"
+
+  /** Unified drift summary over the per-rung append reports. */
+  final case class AppendSummary(appended: Long, maintenanceRecommended: Boolean)
+
+  /** √n coarse-cell count, clamped to the verified operating range —
+    * the standard IVF sizing (probe cost n·nprobe/nlist stays ∝ √n).
+    */
+  private def nlistFor(n: Long): Int =
+    math.min(4096, math.max(16, math.sqrt(n.toDouble).toInt))
+
+  /** Pick the rung for (n rows, d dims) under `profile` — pure,
+    * spec-gated directly.
+    */
+  def selectKind(n: Long, dims: Int, profile: IndexProfile): String =
+    if (n <= profile.exactFloor) Brute
+    else if (profile.serving) Hnsw
+    else if (n * dims * 8 <= profile.memoryBudgetBytes) Ivf
+    else if (n * dims <= profile.memoryBudgetBytes) Sq
+    else IvfPq
+
+  /** Build + persist the profile-selected index at `path`; reopen with
+    * [[load]]. Costs one `count` + one first-row peek to measure the
+    * corpus, then the chosen rung's own train+save.
+    */
+  def build(corpus: DataFrame, path: String, profile: IndexProfile,
+            idCol: String = "vec_id", vecCol: String = "embedding"): VectorIndex = {
+    val n = corpus.count()
+    require(n > 0, "cannot index an empty corpus")
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    val kind = selectKind(n, dims, profile)
+    Files.createDirectories(Paths.get(path))
+    val std = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    kind match {
+      case Brute => std.write.mode("overwrite").parquet(s"$path/corpus")
+      case Ivf => IvfIndex.train(std, nlist = nlistFor(n)).save(s"$path/idx")
+      case Sq =>
+        SqIndex.train(std).save(s"$path/idx")
+        std.write.mode("overwrite").parquet(s"$path/corpus")
+      case IvfPq =>
+        IvfPqIndex.train(std, nlist = nlistFor(n)).save(s"$path/idx")
+        std.write.mode("overwrite").parquet(s"$path/corpus")
+      case Hnsw => HnswIndex.train(std).save(s"$path/idx")
+    }
+    writeKind(path, kind, profile)
+    new VectorIndex(corpus.sparkSession, path, kind, profile)
+  }
+
+  /** Reopen a persisted index: the `kind` marker restores the rung and
+    * the operating knobs it was built with.
+    */
+  def load(spark: SparkSession, path: String): VectorIndex = {
+    val line = new String(Files.readAllBytes(Paths.get(s"$path/kind")), "UTF-8").trim
+    val fields = line.split('\t')
+    val kv = fields.drop(1).map { f =>
+      val Array(a, b) = f.split('=')
+      a -> b
+    }.toMap
+    val profile = IndexProfile(
+      memoryBudgetBytes = kv("budget").toLong,
+      serving = kv("serving").toBoolean,
+      exactFloor = kv("floor").toLong,
+      nprobe = kv("nprobe").toInt,
+      shortlist = kv("shortlist").toInt)
+    new VectorIndex(spark, path, fields.head, profile)
+  }
+
+  /** Marker flip via tmp + atomic same-dir rename — the manifest
+    * discipline everywhere else in the engine (a reader resolves the
+    * old or the new marker, never partial bytes).
+    */
+  private def writeKind(path: String, kind: String, p: IndexProfile): Unit = {
+    val body = s"$kind\tbudget=${p.memoryBudgetBytes}\tserving=${p.serving}" +
+      s"\tfloor=${p.exactFloor}\tnprobe=${p.nprobe}\tshortlist=${p.shortlist}\n"
+    val tmp = Paths.get(path, "kind__tmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path, "kind"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

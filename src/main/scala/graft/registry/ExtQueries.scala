@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, DriftOps, HnswIndex, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, SqIndex, TextOps}
+import graft.ext.{CorpusOps, DedupOps, DriftOps, HnswIndex, IndexProfile, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, SqIndex, TextOps, VectorIndex}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -92,6 +92,15 @@ object ExtQueries {
 
   private val ivfIndexCache = new IndexDirCache("graft_ivfidx_",
     (s, dir, p) => IvfIndex.train(Sources(s, dir).embeddings, nlist = 16).save(p))
+  // unified front door (Graft.index / VectorIndex): one exact-profile
+  // build (oracle-comparable) and one serving-profile build (graph rung,
+  // recall-gated) — the registered routing VERDICT r8 asked for
+  private val autoExactIndexCache = new IndexDirCache("graft_autoexact_",
+    (s, dir, p) => { VectorIndex.build(Sources(s, dir).embeddings, p,
+      IndexProfile.exact); () })
+  private val autoServingIndexCache = new IndexDirCache("graft_autoserve_",
+    (s, dir, p) => { VectorIndex.build(Sources(s, dir).embeddings, p,
+      IndexProfile(serving = true, exactFloor = 100L)); () })
   private val pqIndexCache = new IndexDirCache("graft_pqidx_",
     (s, dir, p) => PqIndex.train(Sources(s, dir).embeddings).save(p))
   private val ivfPqIndexCache = new IndexDirCache("graft_ivfpqidx_",
@@ -544,6 +553,25 @@ object ExtQueries {
     "q_ext_knn_brute" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
+    }),
+    // UNIFIED FRONT DOOR (Graft.index / VectorIndex): the exact profile
+    // selects the brute rung at any corpus size, so the registered query
+    // routes build → persist → load → search through the facade and
+    // still hash-matches the shared exact top-3 oracle
+    "q_ext_knn_auto" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      VectorIndex.load(s, autoExactIndexCache.pathFor(s, dir))
+        .search(e.filter(col("vec_id") < 20), k = 3)
+    }),
+    // facade recall gate: the serving profile selects the HNSW rung
+    // (graph fan-out), measured against brute over the facade's own
+    // stored corpus — same driver-gated meets_floor discipline as the
+    // direct-API recall rows
+    "q_ext_recall_knn_auto" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      VectorIndex.load(s, autoServingIndexCache.pathFor(s, dir))
+        .recallGate(e.filter(col("vec_id") < 20), k = 3, floor = 0.5,
+          expectExactPairs = Some(60L))
     }),
     // HNSW graph rung (shard-and-merge, HnswIndex): production probe —
     // no oracle (graph navigation is approximate by contract, like the
@@ -1362,6 +1390,8 @@ object ExtQueries {
          |FROM docs d JOIN comp c ON d.doc_id = c.node
          |WHERE c.root = d.doc_id""".stripMargin),
     "q_ext_knn_brute" -> knnExactSql,
+    // facade exact profile = the brute rung: same result set by routing
+    "q_ext_knn_auto" -> knnExactSql,
     "q_ext_corpus_drift" ->
       (s"""WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
          |b AS (SELECT * FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
@@ -1610,5 +1640,7 @@ object ExtQueries {
       "SELECT 'sq8_refine_k3_shortlist32' AS metric, CAST(0.8 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
     "q_ext_recall_knn_hnsw" ->
       "SELECT 'hnsw_k3_ef64_4shard' AS metric, CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
+    "q_ext_recall_knn_auto" ->
+      "SELECT 'auto_hnsw' AS metric, CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS meets_floor",
   )
 }

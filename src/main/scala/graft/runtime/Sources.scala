@@ -34,6 +34,14 @@ final class Sources(spark: SparkSession, val dir: String) {
   def events: DataFrame    = table("events")
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** A persisted vector index registered in this catalog (built by
+    * `Graft.index(corpus, s"$dir/<name>.vecindex", profile)`) — the
+    * `ref()` seam for models that consume an ANN index rather than a
+    * table.
+    */
+  def index(name: String): graft.ext.VectorIndex =
+    graft.ext.VectorIndex.load(spark, s"$dir/$name.vecindex")
 }
 
 object Sources {
