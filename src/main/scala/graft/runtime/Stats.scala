@@ -1,6 +1,6 @@
 package graft.runtime
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cost-based-optimizer wiring (ANALYZE TABLE → Catalyst CBO). Spark's
   * CBO — stats-driven join reordering and build-side selection — only
@@ -55,6 +55,89 @@ object Stats {
         .getOrElse(sys.error(s"ANALYZE left no rowCount for $qt"))
       qt -> rc
     }.toMap
+  }
+
+  /** Catalog-stats slice the engine's own decisions consume: table
+    * bytes, row count, and per-column distinct counts — read back from
+    * the ANALYZEd catalog metadata ([[registerAndAnalyze]]'s output),
+    * never estimated from file sizes.
+    */
+  final case class TableStats(sizeInBytes: BigInt, rowCount: BigInt,
+      ndv: Map[String, BigInt])
+
+  def tableStats(spark: SparkSession, table: String): TableStats = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Database)))
+    val st = meta.stats.getOrElse(
+      sys.error(s"no statistics for $Database.$table — run registerAndAnalyze first"))
+    TableStats(st.sizeInBytes,
+      st.rowCount.getOrElse(sys.error(s"no rowCount for $Database.$table")),
+      st.colStats.flatMap { case (c, cs) => cs.distinctCount.map(c -> _) })
+  }
+
+  /** The engine's OWN stats consumption (not just a CBO toggle): what a
+    * join of `left ⋈ right` should physically do, decided from ANALYZE
+    * numbers BEFORE any shuffle runs. `broadcastRight` when the right
+    * side's measured bytes fit the broadcast budget (the decision AQE
+    * can only make after the first shuffle already materialized);
+    * otherwise `salt` fires when the left key's rows-per-distinct-value
+    * exceeds `skewFactor` × the even-partition share — the NDV-derived
+    * signature of a key set that hash-partitioning will concentrate
+    * into straggler partitions. Salt width = how many even shares one
+    * average key spans, clamped to [2, 32] (each extra unit replicates
+    * the right side once — [[graft.ops.Joins.saltedJoin]]'s documented
+    * cost).
+    */
+  final case class JoinDecision(broadcastRight: Boolean, salt: Option[Int],
+      reason: String)
+
+  def decideJoin(leftRows: BigInt, leftKeyNdv: BigInt, rightBytes: BigInt,
+                 parallelism: Int, broadcastBytes: Long = 10L << 20,
+                 skewFactor: Double = 4.0): JoinDecision = {
+    require(parallelism > 0 && leftRows >= 0)
+    if (rightBytes <= broadcastBytes)
+      JoinDecision(broadcastRight = true, salt = None,
+        s"right ${rightBytes}B <= broadcast budget ${broadcastBytes}B")
+    else {
+      val rowsPerKey = (leftRows / leftKeyNdv.max(1)).toDouble
+      val rowsPerPartition = math.max(1.0, leftRows.toDouble / parallelism)
+      if (rowsPerKey >= skewFactor * rowsPerPartition) {
+        val width = math.min(32, math.max(2,
+          math.ceil(rowsPerKey / rowsPerPartition).toInt))
+        JoinDecision(broadcastRight = false, salt = Some(width),
+          f"avg $rowsPerKey%.0f rows/key >= $skewFactor×$rowsPerPartition%.0f/partition")
+      } else JoinDecision(broadcastRight = false, salt = None,
+        f"avg $rowsPerKey%.0f rows/key under the skew bar; plain shuffle join")
+    }
+  }
+
+  /** Stats-planned equi-join over two ANALYZEd catalog tables: reads
+    * both sides' [[tableStats]], takes [[decideJoin]]'s verdict, and
+    * emits the corresponding physical shape — `broadcast(right)`,
+    * [[graft.ops.Joins.saltedJoin]], or the plain shuffle join. Result
+    * rows are identical across all three shapes (spec-gated); only the
+    * exchange topology differs.
+    */
+  def statsJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                keys: Seq[String], joinType: String = "inner",
+                broadcastBytes: Long = 10L << 20,
+                skewFactor: Double = 4.0): DataFrame = {
+    require(keys.nonEmpty, "statsJoin needs at least one equi-key")
+    val ls = tableStats(spark, leftTable)
+    val rs = tableStats(spark, rightTable)
+    val keyNdv = keys.flatMap(ls.ndv.get).minOption.getOrElse(
+      sys.error(s"no NDV for ${keys.mkString(",")} on $Database.$leftTable"))
+    val d = decideJoin(ls.rowCount, keyNdv, rs.sizeInBytes,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      broadcastBytes, skewFactor)
+    val left = spark.table(s"$Database.$leftTable")
+    val right = spark.table(s"$Database.$rightTable")
+    if (d.broadcastRight)
+      left.join(org.apache.spark.sql.functions.broadcast(right), keys, joinType)
+    else d.salt match {
+      case Some(w) => graft.ops.Joins.saltedJoin(left, right, keys, joinType, w)
+      case None    => left.join(right, keys, joinType)
+    }
   }
 
   /** Run `body` with CBO + stats-based join reordering enabled,

@@ -63,4 +63,52 @@ class StatsSpec extends SparkSpec {
     val b = spark.sql(q).collect().head.getLong(0)
     assert(a == b && a > 0)
   }
+
+  test("decideJoin flips with the stats, not the call site") {
+    import Stats.decideJoin
+    // tiny right side → broadcast, whatever the left looks like
+    assert(decideJoin(leftRows = 1000000, leftKeyNdv = 2,
+      rightBytes = 1 << 20, parallelism = 32).broadcastRight)
+    // big right + low-NDV left key → salted (avg rows/key spans many
+    // even partition shares)
+    val skew = decideJoin(leftRows = 1000000, leftKeyNdv = 2,
+      rightBytes = 1L << 30, parallelism = 32)
+    assert(!skew.broadcastRight && skew.salt.exists(_ >= 2), skew.toString)
+    // same shapes, high-NDV key → plain shuffle join
+    val even = decideJoin(leftRows = 1000000, leftKeyNdv = 500000,
+      rightBytes = 1L << 30, parallelism = 32)
+    assert(!even.broadcastRight && even.salt.isEmpty, even.toString)
+  }
+
+  test("statsJoin: ANALYZE numbers pick broadcast / salted / plain, plan-gated; rows identical") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-statsjoin").toString
+    // skewed fact: 20k rows over 2 distinct keys; uniform fact: 20k keys
+    (0 until 20000).map(i => (i % 2, i.toLong)).toDF("k", "v")
+      .write.parquet(s"$tmp/skewfact.parquet")
+    (0 until 20000).map(i => (i, i.toLong)).toDF("k", "v")
+      .write.parquet(s"$tmp/unifact.parquet")
+    Seq((0, "a"), (1, "b")).toDF("k", "attr")
+      .write.parquet(s"$tmp/dim.parquet")
+    Stats.registerAndAnalyze(spark, tmp, Seq("skewfact", "unifact", "dim"))
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.sparkPlan.toString
+    // measured-small right → the broadcast shape, decided BEFORE any run
+    val bc = Stats.statsJoin(spark, "skewfact", "dim", Seq("k"))
+    assert(plan(bc).contains("BroadcastHashJoin"), plan(bc))
+    assert(!plan(bc).contains("__salt"))
+    // broadcast budget withdrawn + 10000 rows/key over 2 keys → salted
+    val salted = Stats.statsJoin(spark, "skewfact", "dim", Seq("k"),
+      broadcastBytes = 1L, skewFactor = 2.0)
+    assert(plan(salted).contains("__salt"),
+      s"low-NDV key must salt:\n${plan(salted)}")
+    // identical stats EXCEPT the key NDV → the decision flips to plain
+    val even = Stats.statsJoin(spark, "unifact", "dim", Seq("k"),
+      broadcastBytes = 1L, skewFactor = 2.0)
+    assert(!plan(even).contains("__salt"),
+      s"high-NDV key must not salt:\n${plan(even)}")
+    // all shapes agree on the rows
+    assert(salted.count() == 20000L && bc.count() == 20000L)
+    assert(Stats.statsJoin(spark, "unifact", "dim", Seq("k")).count() == 2L)
+  }
 }
