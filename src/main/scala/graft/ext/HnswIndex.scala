@@ -470,13 +470,22 @@ object HnswIndex {
         .find(d => new java.io.File(d).exists())
         .getOrElse(s"$path/$t")
     val p = spark.read.parquet(resolve("params")).collect().head
+    // a graph CAN be edgeless (every shard holds one node — tiny
+    // bootstrap corpora): Spark writes such an edge table as a dir with
+    // no parquet footers, which a plain read refuses to infer — fall
+    // back to an explicitly-typed empty frame (search degrades to
+    // entry-point-only, which IS the whole graph per shard)
+    val edges = scala.util.Try(spark.read.parquet(resolve("edges")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Int, Int, Long, Long)].toDF("shard", "level", "src", "dst")
+      }
     new HnswIndex(
       spark.read.parquet(resolve("nodes"))
         .select(col("shard").cast("int").as("shard"), col("corpus_id"),
           col("v"), col("level")),
-      spark.read.parquet(resolve("edges"))
-        .select(col("shard").cast("int").as("shard"), col("level"),
-          col("src"), col("dst")),
+      edges.select(col("shard").cast("int").as("shard"), col("level"),
+        col("src"), col("dst")),
       p.getInt(0), p.getInt(1))
   }
 }

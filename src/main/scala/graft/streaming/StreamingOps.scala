@@ -590,6 +590,72 @@ object StreamingOps {
         ()
     }
 
+  /** The indexed embed sink GENERALIZED over the unified ANN front door
+    * ([[graft.ext.VectorIndex]]): the same screen → append → drift-
+    * maintain loop as [[corpusIngestEmbedIndexedSink]], but the index
+    * rung comes from `profile` — IVF, SQ8, IVF-PQ, HNSW, or brute all
+    * get the streaming maintenance cadence through one sink (VERDICT r8
+    * ask #8). Per trigger: within-batch exact screen, id-level replay
+    * absorption, the facade rung's `search(k=1)` near-dup check at
+    * `threshold`, O(batch) `append` of survivors to BOTH the fragment
+    * corpus and the index, and — when the rung's drift report fires —
+    * an in-place `maintain()` (retrain/compact, the scheduled O(corpus)
+    * trade every rung documents).
+    *
+    * The rung is SELECTED AT BOOTSTRAP from the first surviving batch
+    * (pass an explicit `exactFloor`/`serving` to pin it — a first batch
+    * smaller than the floor bootstraps the brute rung and stays there).
+    * Crash repair mirrors the SQ8 sink: a corpus ahead of the index
+    * (died between `frag.upsert` and the index append) is healed by an
+    * id-anti-join append of exactly the unindexed rows; a lost index
+    * rebuilds from the merged corpus. Same single-writer topology;
+    * `indexPath` is owned by this sink.
+    */
+  def corpusIngestEmbedVectorIndexSink(vecs: DataFrame,
+                                       frag: graft.runtime.FragmentedTable,
+                                       indexPath: String,
+                                       profile: graft.ext.IndexProfile,
+                                       threshold: Double,
+                                       compactEvery: Long = 0L): DataStreamWriter[Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.ext.VectorIndex
+        def idxExists = new java.io.File(s"$indexPath/kind").exists()
+        val batchDeduped = graft.ext.DedupOps.removeNearDups(batch,
+          graft.ext.SimilarityOps.cosinePairs(batch, threshold),
+          idCol = "vec_id", dropCol = "vec_b")
+        val survivors = frag.read() match {
+          case None => batchDeduped
+          case Some(corpus) =>
+            val fresh = batchDeduped.join(
+              corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            if (!idxExists) { VectorIndex.build(corpus, indexPath, profile); () }
+            else {
+              val repair = VectorIndex.load(spark, indexPath)
+              val unindexed = corpus.join(
+                repair.corpusFrame.select("vec_id"), Seq("vec_id"), "left_anti")
+              if (!unindexed.isEmpty) repair.append(unindexed)
+            }
+            val idx = VectorIndex.load(spark, indexPath)
+            val hits = idx.search(fresh, k = 1)
+              .filter(col("sim") >= threshold)
+              .select(col("query_id").as("vec_id")).distinct()
+            fresh.join(broadcast(hits), Seq("vec_id"), "left_anti")
+        }
+        if (!survivors.isEmpty) {
+          frag.upsert(survivors)
+          if (!idxExists) { VectorIndex.build(survivors, indexPath, profile); () }
+          else {
+            val idx = VectorIndex.load(spark, indexPath)
+            if (idx.append(survivors).maintenanceRecommended) idx.maintain()
+          }
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          frag.compact()
+        ()
+    }
+
   /** Streaming exact dedup — the ingest front door: emit each content
     * fingerprint's FIRST-SEEN row, drop every later duplicate, across
     * micro-batch boundaries (state holds one entry per distinct

@@ -200,6 +200,66 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // the facade-generalized indexed embed sink, parameterized over rungs:
+  // the SQ8 sink's screen → append → drift-maintain loop now reaches
+  // every VectorIndex rung (VERDICT r8 ask #8)
+  for ((rung, profile) <- Seq(
+      "ivf" -> graft.ext.IndexProfile(exactFloor = 0L),
+      "hnsw" -> graft.ext.IndexProfile(serving = true, exactFloor = 0L))) {
+    test(s"facade indexed embed sink [$rung]: screened ingest, O(batch) index appends, crash repair, maintain") {
+      import graft.ext.VectorFixtures.synthVec
+      def jig(base: Seq[Float], eps: Float): Seq[Float] =
+        base.zipWithIndex.map { case (v, d) => if (d == 0) v + eps else v }
+      implicit val sqlCtx = spark.sqlContext
+      val dir = freshDir()
+      val frag = new FragmentedTable(spark, dir, s"vvecs_$rung", "vec_id")
+      val idxPath = s"$dir/vvecs_$rung.vecindex"
+      def corpus: Set[Long] = frag.read()
+        .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
+      def idx = graft.ext.VectorIndex.load(spark, idxPath)
+      def indexIds: Set[Long] =
+        idx.corpusFrame.select("vec_id").as[Long].collect().toSet
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingOps.corpusIngestEmbedVectorIndexSink(
+        in.toDF().toDF("vec_id", "embedding"), frag, idxPath, profile,
+        threshold = 0.99).start()
+      try {
+        // bootstrap: the first survivors select and build the rung
+        in.addData((1L, synthVec(1)), (2L, synthVec(2)), (3L, jig(synthVec(1), 0.01f)))
+        q.processAllAvailable()
+        assert(corpus == Set(1L, 2L), corpus.toString)
+        assert(idx.kind == rung, s"profile must select $rung, got ${idx.kind}")
+        assert(indexIds == Set(1L, 2L))
+        // near-dup of the MATERIALIZED corpus screened via the index;
+        // novel vector appends O(batch) to corpus AND index
+        in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+        q.processAllAvailable()
+        assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+        assert(indexIds == Set(1L, 2L, 12L), "index must stay in sync with the corpus")
+        // replay: id-absorbed, index does not grow
+        in.addData((11L, jig(synthVec(1), 0.01f)), (12L, synthVec(50)))
+        q.processAllAvailable()
+        assert(corpus == Set(1L, 2L, 12L) && indexIds == Set(1L, 2L, 12L))
+        // crash state: corpus gained a row the index never saw — the
+        // next trigger's repair appends exactly the gap
+        frag.upsert(Seq((7L, synthVec(7))).toDF("vec_id", "embedding"))
+        in.addData((13L, synthVec(60)))
+        q.processAllAvailable()
+        assert(indexIds == Set(1L, 2L, 7L, 12L, 13L), indexIds.toString)
+        // the healed index actually screens a near-dup of the
+        // once-unindexed vector
+        in.addData((17L, synthVec(7)))
+        q.processAllAvailable()
+        assert(corpus == Set(1L, 2L, 7L, 12L, 13L), corpus.toString)
+        // scheduled maintenance (retrain/compact) preserves screening
+        idx.maintain()
+        in.addData((27L, synthVec(7)), (28L, synthVec(70)))
+        q.processAllAvailable()
+        assert(corpus == Set(1L, 2L, 7L, 12L, 13L, 28L), corpus.toString)
+      } finally q.stop()
+    }
+  }
+
   test("quarantine fragmented sink: dead-letter + dedup ≡ Materializer sink; both O(batch)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
