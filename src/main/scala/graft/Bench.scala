@@ -27,8 +27,34 @@ import java.nio.charset.StandardCharsets
   * regression cannot masquerade as a speedup.
   */
 object Bench {
+
+  /** The registered sf1 (10× bench scale) robustness tier — the
+    * pair/ANN/span families whose cost can scale super-linearly, i.e.
+    * exactly the rows where a 10× scale-up exposes planner cliffs the
+    * sf0.1 contract can't see (SURVEY §6's sweep, promoted from a
+    * one-off script to a harness mode; VERDICT r8 ask #5). Activate
+    * with `SPARK_GRAFT_SF=1`; the input is `dev/make_sf1.py`'s
+    * shape-preserving 10× synthesis (replica-unique tokens keep the
+    * pair count ∝ 10×, not 100×), default dir /tmp/sf1.
+    */
+  private val sf1Rows: Set[String] = Set(
+    "q_ext_jaccard_pairs", "q_ext_jaccard_pairs_pruned",
+    "q_ext_jaccard_pairs_prefix", "q_ext_jaccard_bigram_pairs",
+    "q_ext_jaccard_bigram_pairs_pruned", "q_ext_minhash_neardup",
+    "q_ext_simhash_neardup", "q_ext_winnow_neardup", "q_ext_edit_distance",
+    "q_ext_dedup_cc_corpus", "q_ext_dedup_neardup_corpus",
+    "q_ext_dedup_embed_corpus", "q_ext_dedup_semantic",
+    "q_ext_dup_span_stats", "q_ext_scrub_dup_spans", "q_ext_cosine_pairs",
+    "q_ext_knn_brute", "q_ext_knn_lsh", "q_ext_knn_ivf",
+    "q_ext_knn_ivf_probe", "q_ext_knn_ivf_probe_approx", "q_ext_knn_pq",
+    "q_ext_knn_sq", "q_ext_knn_ivfpq")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.get("SPARK_GRAFT_SF").contains("1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      if (sf1) "/tmp/sf1" else "/root/testdata/sf0.1")
+    if (sf1) require(new java.io.File(s"$sfDir/documents.parquet").exists(),
+      s"sf1 tier input missing at $sfDir — generate it with: python3 dev/make_sf1.py $sfDir")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,8 +81,10 @@ object Bench {
       System.gc()
     }
     // Dev-only row subset (comma-separated names); absent = full bench,
-    // which is the driver contract.
+    // which is the driver contract. The sf1 tier pins its registered
+    // row set unless an explicit subset narrows it further.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+      .orElse(if (sf1) Some(sf1Rows) else None)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries

@@ -175,6 +175,18 @@ object RelationalQueries {
             .cast("double").as("revenue"),
           count(lit(1)).as("line_count"))
     }),
+    // STATS-PLANNED join (Stats.statsJoinOn): ANALYZE numbers pick the
+    // physical shape (broadcast/salted/plain) BEFORE any shuffle; the
+    // oracle pins that whatever shape the stats chose, the rows are the
+    // declaration-equivalent join's — planning must never change results
+    "q_rel_stats_join" -> ((s, dir) => {
+      graft.runtime.Stats.registerAndAnalyze(s, dir, Seq("lineitem", "orders"))
+      graft.runtime.Stats.statsJoinOn(s, "lineitem", "orders",
+          Seq("l_orderkey" -> "o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_count"),
+          countDistinct(col("l_orderkey")).as("order_count"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -188,6 +200,12 @@ object RelationalQueries {
       ("""SELECT o_orderpriority,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
          |  count(*) AS line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin),
+    "q_rel_stats_join" ->
+      ("""SELECT o_orderpriority,
+         |  count(*) AS line_count,
+         |  count(DISTINCT l_orderkey) AS order_count
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1""".stripMargin),
     "q_rel_pricing_summary" ->

@@ -121,17 +121,36 @@ object Stats {
   def statsJoin(spark: SparkSession, leftTable: String, rightTable: String,
                 keys: Seq[String], joinType: String = "inner",
                 broadcastBytes: Long = 10L << 20,
-                skewFactor: Double = 4.0): DataFrame = {
-    require(keys.nonEmpty, "statsJoin needs at least one equi-key")
+                skewFactor: Double = 4.0): DataFrame =
+    statsJoinOn(spark, leftTable, rightTable, keys.map(k => k -> k),
+      joinType, broadcastBytes, skewFactor)
+
+  /** [[statsJoin]] for sides whose key COLUMNS are named differently
+    * (every star-schema catalog: `l_orderkey` = `o_orderkey`). Each
+    * pair is (left column, right column); NDV comes from the left
+    * side's columns, and the salted shape aligns the right names to the
+    * left before [[graft.ops.Joins.saltedJoin]]'s shared-name contract
+    * (output carries the LEFT key names once, the usual USING shape).
+    */
+  def statsJoinOn(spark: SparkSession, leftTable: String, rightTable: String,
+                  keyPairs: Seq[(String, String)], joinType: String = "inner",
+                  broadcastBytes: Long = 10L << 20,
+                  skewFactor: Double = 4.0): DataFrame = {
+    require(keyPairs.nonEmpty, "statsJoin needs at least one equi-key")
     val ls = tableStats(spark, leftTable)
     val rs = tableStats(spark, rightTable)
-    val keyNdv = keys.flatMap(ls.ndv.get).minOption.getOrElse(
-      sys.error(s"no NDV for ${keys.mkString(",")} on $Database.$leftTable"))
+    val keyNdv = keyPairs.flatMap(p => ls.ndv.get(p._1)).minOption.getOrElse(
+      sys.error(s"no NDV for ${keyPairs.map(_._1).mkString(",")} on $Database.$leftTable"))
     val d = decideJoin(ls.rowCount, keyNdv, rs.sizeInBytes,
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       broadcastBytes, skewFactor)
     val left = spark.table(s"$Database.$leftTable")
-    val right = spark.table(s"$Database.$rightTable")
+    // align the right key names to the left's so every shape below is
+    // a USING join (single key column out, no ambiguous references)
+    val right = keyPairs.foldLeft(spark.table(s"$Database.$rightTable")) {
+      case (df, (l, r)) => if (l == r) df else df.withColumnRenamed(r, l)
+    }
+    val keys = keyPairs.map(_._1)
     if (d.broadcastRight)
       left.join(org.apache.spark.sql.functions.broadcast(right), keys, joinType)
     else d.salt match {
