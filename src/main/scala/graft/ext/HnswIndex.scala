@@ -111,69 +111,59 @@ final class HnswIndex private (
         val ns = nIt.toArray
         if (ns.isEmpty) Iterator.empty
         else {
-          val vecs = ns.map { case (id, v, _) => id -> v.toArray }.toMap
-          val adj = new scala.collection.mutable.HashMap[(Long, Int), scala.collection.mutable.ArrayBuffer[Long]]()
-          eIt.foreach { case (lvl, src, dst) =>
-            adj.getOrElseUpdate((src, lvl), new scala.collection.mutable.ArrayBuffer[Long]()) += dst
-          }
-          val entry = ns.maxBy { case (id, _, l) => (l, -id) }
-          val maxLevel = entry._3
-          def dot(a: Array[Double], b: Array[Double]): Double = {
-            var s = 0.0; var i = 0
-            while (i < a.length) { s += a(i) * b(i); i += 1 }
-            s
-          }
+          val graph = HnswIndex.ShardGraph(ns, eIt)
           bq.value.iterator.flatMap { case (qid, qv) =>
-            // greedy descent to level 1
-            var ep = entry._1
-            var epSim = dot(qv, vecs(ep))
-            var lvl = maxLevel
-            while (lvl >= 1) {
-              var improved = true
-              while (improved) {
-                improved = false
-                // vecs.get: skip dangling edges (a concurrent reader can
-                // see a multi-file node append partially; compact's crash
-                // window can pair new nodes with old edges) — degrade to
-                // the reachable subgraph instead of throwing
-                adj.getOrElse((ep, lvl), Nil).foreach { nb =>
-                  vecs.get(nb).foreach { nv =>
-                    val s = dot(qv, nv)
-                    if (s > epSim) { ep = nb; epSim = s; improved = true }
-                  }
-                }
-              }
-              lvl -= 1
-            }
-            // beam search at level 0 (ef-bounded best-first)
-            val visited = new scala.collection.mutable.HashSet[Long]()
-            // frontier: max-sim first; result: min-sim first (bounded to ef)
-            val frontier = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(_._1))
-            val result = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(-_._1))
-            visited += ep
-            frontier.enqueue((epSim, ep))
-            result.enqueue((epSim, ep))
-            while (frontier.nonEmpty) {
-              val (cs, c) = frontier.dequeue()
-              if (cs < result.head._1 && result.size >= efB) frontier.clear()
-              else adj.getOrElse((c, 0), Nil).foreach { nb =>
-                if (!visited(nb)) {
-                  visited += nb
-                  vecs.get(nb).foreach { nv => // skip dangling (see descent)
-                    val s = dot(qv, nv)
-                    if (result.size < efB || s > result.head._1) {
-                      frontier.enqueue((s, nb))
-                      result.enqueue((s, nb))
-                      if (result.size > efB) result.dequeue()
-                    }
-                  }
-                }
-              }
-            }
-            result.iterator.filter(_._2 != qid).map { case (s, id) => (qid, id, s) }
+            graph.beam(qid, qv, efB)
           }
         }
     }.toDF("query_id", "corpus_id", "sim")
+  }
+
+  /** Frame-scale form of [[topK]]: the query set stays a DATAFRAME —
+    * replicated to every shard by an `explode` over shard ids and
+    * cogrouped with that shard's graph — so a corpus-sized query frame
+    * (e.g. corpus-vs-corpus semantic join through the graph rung) never
+    * touches the driver. One shuffle of the query set (×S replication,
+    * the same cost shape as [[IvfIndex.topK]]'s probe explode) plus the
+    * graph tables' shard-partitioned scan; per-(query, shard) work is
+    * identical to [[topK]]'s beam. Prefer [[topK]] for serving-sized
+    * query sets — broadcast beats an S-way shuffle there; this is the
+    * batch-join path VERDICT r8 named as the remaining HNSW gap.
+    */
+  def topKJoin(queries: DataFrame, k: Int, ef: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(ef >= k, s"ef $ef must be >= k $k")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val efB = ef
+    val qRdd = SimilarityOps.normalized(queries, idCol, vecCol)
+      .select(explode(sequence(lit(0), lit(nShards - 1))).as("shard"),
+        col("id").cast("long"), col("v"))
+      .as[(Int, Long, Seq[Double])].rdd
+      .map { case (s, id, v) => (s, (id, v)) }
+    val nodesRdd = nodes.select(col("shard"), col("corpus_id").cast("long"),
+        col("v"), col("level"))
+      .as[(Int, Long, Seq[Double], Int)].rdd
+      .map { case (s, id, v, l) => (s, (id, v, l)) }
+    val edgesRdd = edges.select(col("shard"), col("level"),
+        col("src").cast("long"), col("dst").cast("long"))
+      .as[(Int, Int, Long, Long)].rdd
+      .map { case (s, l, a, b) => (s, (l, a, b)) }
+    val cand = nodesRdd.cogroup(edgesRdd, qRdd, nShards).flatMap {
+      case (_, (nIt, eIt, qIt)) =>
+        val ns = nIt.toArray
+        if (ns.isEmpty) Iterator.empty
+        else {
+          val graph = HnswIndex.ShardGraph(ns, eIt)
+          qIt.iterator.flatMap { case (qid, qv) =>
+            graph.beam(qid, qv.toArray, efB)
+          }
+        }
+    }.toDF("query_id", "corpus_id", "sim")
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
   }
 
   /** Persist both graph tables, shard-partitioned; reopen with
@@ -217,6 +207,87 @@ object HnswIndex {
     * bounded broadcasts automatically.
     */
   val maxBroadcastQueries = 65536
+
+  /** One shard's graph held in task memory: node vectors + per-level
+    * adjacency, with the greedy-descent + ef-bounded level-0 beam. The
+    * SINGLE search kernel behind both distribution shapes — [[topK]]'s
+    * broadcast fan-out and [[topKJoin]]'s cogrouped query frame — so
+    * the two paths cannot drift semantically. Dangling edges (a dst
+    * missing from the visible node files: partially-visible appends,
+    * compact's crash window) are skipped via `vecs.get`, degrading to
+    * the reachable subgraph instead of throwing.
+    */
+  private[ext] final class ShardGraph(ns: Array[(Long, Seq[Double], Int)],
+                                      eIt: Iterable[(Int, Long, Long)]) {
+    private val vecs: Map[Long, Array[Double]] =
+      ns.map { case (id, v, _) => id -> v.toArray }.toMap
+    private val adj =
+      new scala.collection.mutable.HashMap[(Long, Int), scala.collection.mutable.ArrayBuffer[Long]]()
+    eIt.foreach { case (lvl, src, dst) =>
+      adj.getOrElseUpdate((src, lvl),
+        new scala.collection.mutable.ArrayBuffer[Long]()) += dst
+    }
+    private val entry = ns.maxBy { case (id, _, l) => (l, -id) }
+
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** The per-(query, shard) search: greedy descent to level 1, then
+      * the ef-bounded best-first beam at level 0; emits
+      * (query_id, corpus_id, sim) with the query's own id excluded.
+      */
+    def beam(qid: Long, qv: Array[Double], ef: Int): Iterator[(Long, Long, Double)] = {
+      var ep = entry._1
+      var epSim = dot(qv, vecs(ep))
+      var lvl = entry._3
+      while (lvl >= 1) {
+        var improved = true
+        while (improved) {
+          improved = false
+          adj.getOrElse((ep, lvl), Nil).foreach { nb =>
+            vecs.get(nb).foreach { nv =>
+              val s = dot(qv, nv)
+              if (s > epSim) { ep = nb; epSim = s; improved = true }
+            }
+          }
+        }
+        lvl -= 1
+      }
+      val visited = new scala.collection.mutable.HashSet[Long]()
+      // frontier: max-sim first; result: min-sim first (bounded to ef)
+      val frontier = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(_._1))
+      val result = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(-_._1))
+      visited += ep
+      frontier.enqueue((epSim, ep))
+      result.enqueue((epSim, ep))
+      while (frontier.nonEmpty) {
+        val (cs, c) = frontier.dequeue()
+        if (cs < result.head._1 && result.size >= ef) frontier.clear()
+        else adj.getOrElse((c, 0), Nil).foreach { nb =>
+          if (!visited(nb)) {
+            visited += nb
+            vecs.get(nb).foreach { nv =>
+              val s = dot(qv, nv)
+              if (result.size < ef || s > result.head._1) {
+                frontier.enqueue((s, nb))
+                result.enqueue((s, nb))
+                if (result.size > ef) result.dequeue()
+              }
+            }
+          }
+        }
+      }
+      result.iterator.filter(_._2 != qid).map { case (s, id) => (qid, id, s) }
+    }
+  }
+
+  private[ext] object ShardGraph {
+    def apply(ns: Array[(Long, Seq[Double], Int)],
+              eIt: Iterable[(Int, Long, Long)]): ShardGraph = new ShardGraph(ns, eIt)
+  }
 
   /** Deterministic geometric layer for node `id`: the standard
     * floor(-ln(U) · mL) draw with U derived from xxhash64(id) — no RNG,

@@ -81,6 +81,22 @@ class HnswIndexSpec extends SparkSpec {
     assert(res.count() == 70001L * 2, "every query must get its top-k")
   }
 
+  test("topKJoin (cogrouped query frame) equals topK (broadcast) — one kernel, two shapes") {
+    val embs = clusteredRows.toDF("vec_id", "embedding")
+    val idx = HnswIndex.train(embs, m = 6, nShards = 2)
+    val q = embs.filter($"vec_id" < 40)
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(collectRows(idx.topKJoin(q, 3, ef = 32)) ==
+      collectRows(idx.topK(q, 3, ef = 32)))
+    // and the join shape survives a persisted reload (the batch path
+    // reads the shard-partitioned parquet directly)
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-join").toString
+    idx.save(path)
+    assert(collectRows(HnswIndex.load(spark, path).topKJoin(q, 3, ef = 32)) ==
+      collectRows(idx.topK(q, 3, ef = 32)))
+  }
+
   test("fixture recall@3 vs brute force stays off the floor on near-uniform data") {
     val e = Sources(spark, dir).embeddings
     val q = e.filter(col("vec_id") < 20)
