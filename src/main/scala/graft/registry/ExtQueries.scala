@@ -137,7 +137,38 @@ object ExtQueries {
       .foreach(d => graft.runtime.Fs.deleteRecursive(java.nio.file.Paths.get(d)))
   }
 
+  // Fragment-store with zone maps: documents banded by n_chars into
+  // three fragments plus a NEWER overwrite fragment (every 10th doc's
+  // n_chars bumped by 100000 — the overwrite is what makes the read a
+  // real last-writer-wins merge, not a filtered union). Built once per
+  // (session, fixture dir) under the same lifecycle cache the ANN
+  // indexes use.
+  private val fragStoreCache = new IndexDirCache("graft_fragstore_",
+    (s, dir, p) => {
+      val q = Sources(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val frag = new graft.runtime.FragmentedTable(s, p, "docs", "doc_id")
+      frag.upsert(q.filter(col("n_chars") < 200))
+      frag.upsert(q.filter(col("n_chars") >= 200 && col("n_chars") < 350))
+      frag.upsert(q.filter(col("n_chars") >= 350))
+      frag.upsert(q.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(100000L)))
+    })
+
   val queries: Map[String, Q] = Map(
+    // Zone-map pruned fragment read (FragmentedTable.readWhere): the
+    // predicate disproves the two low bands from their manifest stats,
+    // so only the high band and the overwrite fragment are scanned in
+    // full — the require turns "pruning actually happened" into part of
+    // the oracle gate, while the DuckDB oracle replays the LWW overwrite
+    // with a CASE and pins the merged VALUES.
+    "q_ext_frag_skip" -> ((s, dir) => {
+      val p = fragStoreCache.pathFor(s, dir)
+      val (res, rep) = new graft.runtime.FragmentedTable(s, p, "docs", "doc_id")
+        .readWhereReport(col("n_chars") >= lit(350L) && col("lang") === "en")
+      require(rep.scanned < rep.total, s"zone maps pruned nothing: $rep")
+      res.get
+    }),
     "q_ext_text_features" -> ((s, dir) =>
       Sources(s, dir).documents.select(
         col("doc_id"),
@@ -935,6 +966,15 @@ object ExtQueries {
       |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ext_frag_skip" ->
+      // replay of the fragment store's last-writer-wins state: the
+      // overwrite batch (doc_id % 10 = 0, n_chars + 100000) supersedes
+      // the banded base rows, then the engine's readWhere predicate
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN doc_id % 10 = 0 THEN n_chars + 100000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE CASE WHEN doc_id % 10 = 0 THEN n_chars + 100000 ELSE n_chars END >= 350
+        |  AND lang = 'en'""".stripMargin,
     "q_ext_text_features" ->
       (s"""SELECT doc_id,
          |  len($toksSql) AS token_count,

@@ -1,8 +1,13 @@
 package graft.runtime
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or => COr}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.net.{URLDecoder, URLEncoder}
 
 /** LSM-style upsert table: the O(batch)-per-upsert alternative to the
   * Materializer's whole-table rewrite (parquet has no MERGE, so the
@@ -14,7 +19,19 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * upsert semantics); [[compact]] folds the merge back to one fragment
   * when read amplification has grown. The classic LSM trade, explicit:
   *   write O(batch) + manifest flip; read O(live fragments) until the
-  *   next compaction; compaction O(table), scheduled, not per-upsert.
+  *   next compaction; compaction O(table) for the full fold, or O(run)
+  *   for [[compactTiered]]'s partial fold of the newest small fragments.
+  *
+  * Each manifest entry also carries a ZONE MAP: per-column min / max /
+  * null-count / row-count collected from the fragment's own bytes at
+  * write time (one O(batch) aggregate per upsert). [[readWhere]] uses
+  * the zone maps to skip fragments that provably contain no matching
+  * row — the fragment-level analogue of parquet row-group skipping, and
+  * the piece that makes a selective probe of a 100 TB fragment store
+  * read O(matching fragments), not O(table). Pruning under
+  * last-writer-wins needs care (a skipped NEWER fragment must not let a
+  * superseded row resurface); see [[readWhere]] for the winner-aware
+  * plan that keeps it exact.
   *
   * Commit protocol mirrors the Materializer's manifest pointer: fragment
   * bytes land fully before the manifest names them (a crash in between
@@ -31,21 +48,33 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 final class FragmentedTable(spark: SparkSession, baseDir: String,
                             table: String, uniqueKey: String) {
+  import FragmentedTable._
 
   private val lock = FragmentedTable.lockFor(s"${Paths.get(baseDir).toAbsolutePath}#$table")
   private def manifestPath = Paths.get(baseDir, s"$table.fragments")
 
-  private def readManifest(): Seq[String] =
+  private def readEntries(): Seq[FragEntry] =
     if (!Files.exists(manifestPath)) Nil
     else new String(Files.readAllBytes(manifestPath), "UTF-8")
-      .linesIterator.filter(_.nonEmpty).toSeq
+      .linesIterator.filter(_.nonEmpty).map(FragEntry.parse).toSeq
 
-  private def publishManifest(frags: Seq[String]): Unit = {
+  private def publishManifest(frags: Seq[FragEntry]): Unit = {
     val tmp = Paths.get(baseDir, s"$table.fragments__tmp_" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    Files.write(tmp, (frags.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.write(tmp, (frags.map(_.render).mkString("\n") + "\n").getBytes("UTF-8"))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write a fragment dir and collect its zone map from the bytes just
+    * written (exact for what readers will see, and cheaper than
+    * re-evaluating the batch's lineage).
+    */
+  private def writeFragment(batch: DataFrame): FragEntry = {
+    val name = s"${table}__frag_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    batch.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$name")
+    FragEntry(name, Some(ZoneMap.collect(spark.read.parquet(s"$baseDir/$name"))))
   }
 
   /** Append `batch` as a new fragment: keys present in older fragments
@@ -56,10 +85,23 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * ingest paths all dedup per batch before upserting).
     */
   def upsert(batch: DataFrame): Unit = lock.synchronized {
-    val name = s"${table}__frag_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    batch.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$name")
-    publishManifest(readManifest() :+ name)
+    publishManifest(readEntries() :+ writeFragment(batch))
+  }
+
+  /** Last-writer-wins merge of manifest entries tagged with their GLOBAL
+    * manifest position (so a partial fragment list still ranks versions
+    * by true commit order).
+    */
+  private def merged(entries: Seq[(FragEntry, Int)]): DataFrame = {
+    val unioned = entries.map { case (e, i) =>
+      spark.read.parquet(s"$baseDir/${e.name}").withColumn("__frag_seq", lit(i))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(uniqueKey)).orderBy(col("__frag_seq").desc)
+    unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__frag_seq")
   }
 
   /** The merged table: per key, the row from the NEWEST fragment that
@@ -68,23 +110,81 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * Empty (no upserts yet) → None.
     */
   def read(): Option[DataFrame] = {
-    val frags = readManifest()
-    if (frags.isEmpty) return None
-    val unioned = frags.zipWithIndex.map { case (f, i) =>
-      spark.read.parquet(s"$baseDir/$f").withColumn("__frag_seq", lit(i))
+    val entries = readEntries()
+    if (entries.isEmpty) None else Some(merged(entries.zipWithIndex))
+  }
+
+  /** `read().filter(pred)`, but fragments whose zone map proves they
+    * contain no matching row are skipped. Exactness argument:
+    *
+    *  - Conjuncts referencing ONLY the unique key prune outright: every
+    *    version of a key carries the same key value, so a fragment with
+    *    no key in the predicate's range holds no version of any
+    *    qualifying key — skipping it can neither lose a winner nor let a
+    *    superseded row resurface, and keys outside the range fail `pred`
+    *    in whatever version survives the merge.
+    *  - Conjuncts on OTHER columns cannot prune the MERGE (a newer
+    *    fragment whose rows all fail `pred` still supersedes older
+    *    versions that might pass it). So winners — (key, newest seq) —
+    *    are computed over every key-live fragment reading ONLY the key
+    *    column (parquet column pruning makes that the cheap part), and
+    *    full rows are read just from fragments whose zone map intersects
+    *    the whole predicate; a winning row in a skipped fragment fails
+    *    `pred` by the zone proof, so dropping it equals filtering it.
+    *
+    * The residual `.filter(pred)` always runs, so predicate forms the
+    * zone probe doesn't understand (it handles =, <=>, <, <=, >, >=,
+    * IN, IS [NOT] NULL, AND, OR over column-vs-literal) degrade to
+    * un-pruned correctness, never to wrong answers. String bounds are
+    * compared only when pure ASCII (where Java and UTF8String orders
+    * agree); anything else conservatively keeps the fragment.
+    */
+  def readWhere(pred: Column): Option[DataFrame] = readWhereReport(pred)._1
+
+  def readWhereReport(pred: Column): (Option[DataFrame], PruneReport) = {
+    val entries = readEntries().zipWithIndex
+    if (entries.isEmpty) return (None, PruneReport(0, 0, 0))
+    // opaque conjuncts (None) still filter at execution time but can
+    // never justify skipping a fragment
+    val conjuncts = org.apache.spark.sql.GraftColumnBridge
+      .predicateConjuncts(pred).flatten
+    val keyConj = conjuncts.filter(c => ZoneProbe.refsOnly(c, uniqueKey))
+    val keyLive = entries.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, keyConj) }
+    val report0 = PruneReport(entries.size, keyLive.size, 0)
+    if (keyLive.isEmpty) {
+      // every fragment disproven: empty result with the table schema
+      val schema = spark.read.parquet(s"$baseDir/${entries.head._1.name}")
+      return (Some(schema.filter(lit(false)).filter(pred)), report0)
+    }
+    val candidates = keyLive.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, conjuncts) }
+    val report = report0.copy(scanned = candidates.size)
+    if (candidates.size == keyLive.size)
+      return (Some(merged(keyLive).filter(pred)), report)
+    if (candidates.isEmpty) {
+      val schema = spark.read.parquet(s"$baseDir/${entries.head._1.name}")
+      return (Some(schema.filter(lit(false)).filter(pred)), report)
+    }
+    // winners over key-live fragments, key column only
+    val winners = keyLive.map { case (e, i) =>
+      spark.read.parquet(s"$baseDir/${e.name}")
+        .select(col(uniqueKey).as("__w_key")).withColumn("__w_seq", lit(i))
     }.reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(uniqueKey)).orderBy(col("__frag_seq").desc)
-    Some(unioned
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__frag_seq"))
+      .groupBy(col("__w_key")).agg(max(col("__w_seq")).as("__max_seq"))
+    val rows = candidates.map { case (e, i) =>
+      spark.read.parquet(s"$baseDir/${e.name}").withColumn("__frag_seq", lit(i))
+    }.reduce(_ unionByName _)
+    val out = rows.join(winners,
+        rows(uniqueKey) <=> winners("__w_key") &&
+          rows("__frag_seq") === winners("__max_seq"))
+      .drop("__w_key", "__max_seq", "__frag_seq")
+      .filter(pred)
+    (Some(out), report)
   }
 
   /** Live fragment count — the read-amplification signal a maintenance
     * cadence compacts on.
     */
-  def fragmentCount(): Int = readManifest().size
+  def fragmentCount(): Int = readEntries().size
 
   /** Fold the merge back to ONE fragment: write the merged rows as a new
     * fragment, flip the manifest to name only it, then GC every
@@ -94,23 +194,325 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * no-op on an empty table.
     */
   def compact(): Unit = lock.synchronized {
-    read().foreach { merged =>
-      val name = s"${table}__frag_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$name")
-      publishManifest(Seq(name))
-      val live = Set(name)
-      Option(new java.io.File(baseDir).list()).toSeq.flatten
-        .filter(n => n.startsWith(s"${table}__frag_") && !live(n))
-        .foreach(n => Fs.deleteRecursive(Paths.get(baseDir, n)))
+    val entries = readEntries()
+    if (entries.nonEmpty) {
+      val entry = writeFragment(merged(entries.zipWithIndex))
+      publishManifest(Seq(entry))
+      gcUnreferenced(Set(entry.name))
     }
   }
+
+  /** Size-tiered PARTIAL compaction: fold only the newest contiguous run
+    * of small fragments, leaving the large base alone — the standard LSM
+    * answer to [[compact]]'s O(table) rewrite. A steady trickle of
+    * upserts otherwise forces a choice between unbounded read
+    * amplification and re-writing the whole (at scale: 100 TB) table on
+    * every cadence tick; tiered folding keeps per-compaction I/O ∝ the
+    * run of recent batches, with the full fold reserved for occasional
+    * deep maintenance.
+    *
+    * Policy: walk newest → oldest accumulating the run; extend while the
+    * next older fragment is no bigger than `tierFactor` × the bytes
+    * accumulated so far (so a big settled fragment terminates the run).
+    * A run of ≥ 2 fragments is merged last-writer-wins WITHIN the run
+    * and the result replaces the run at its manifest position — global
+    * order, and therefore global LWW, is unchanged (the merged fragment
+    * is still newer than everything it didn't absorb, and within-run
+    * winners were already resolved). Returns true if a fold happened.
+    */
+  def compactTiered(tierFactor: Double = 4.0): Boolean = lock.synchronized {
+    val entries = readEntries()
+    if (entries.size < 2) return false
+    val sizes = entries.map(e => dirBytes(Paths.get(baseDir, e.name)))
+    var runStart = entries.size - 1
+    var runBytes = sizes(runStart)
+    while (runStart > 0 && sizes(runStart - 1) <= tierFactor * runBytes) {
+      runStart -= 1
+      runBytes += sizes(runStart)
+    }
+    if (runStart >= entries.size - 1) return false
+    val run = entries.zipWithIndex.drop(runStart)
+    val entry = writeFragment(merged(run))
+    publishManifest(entries.take(runStart) :+ entry)
+    gcUnreferenced(entries.take(runStart).map(_.name).toSet + entry.name)
+    true
+  }
+
+  /** Compact only when read amplification crossed `maxLive` fragments:
+    * tiered first (cheap), full fold only if the tier policy could not
+    * shrink below the bound (e.g. many same-sized fragments). The
+    * maintenance entry point for sink cadences.
+    */
+  def maybeCompact(maxLive: Int, tierFactor: Double = 4.0): Boolean = lock.synchronized {
+    if (fragmentCount() <= maxLive) false
+    else {
+      compactTiered(tierFactor)
+      if (fragmentCount() > maxLive) compact()
+      true
+    }
+  }
+
+  private def gcUnreferenced(live: Set[String]): Unit =
+    Option(new java.io.File(baseDir).list()).toSeq.flatten
+      .filter(n => n.startsWith(s"${table}__frag_") && !live(n))
+      .foreach(n => Fs.deleteRecursive(Paths.get(baseDir, n)))
 }
 
 object FragmentedTable {
+
+  /** Zone-map prune report: of `total` live fragments, `keyLive`
+    * survived the key-predicate probe (and were read at least for their
+    * key column) and `scanned` survived the full-predicate probe (and
+    * were read in full). `total - keyLive` fragments were not touched at
+    * all.
+    */
+  final case class PruneReport(total: Int, keyLive: Int, scanned: Int)
+
   // JVM-global writer serialization per (warehouse, table), mirroring the
   // Materializer's registry
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(key: String): Object =
     locks.computeIfAbsent(key, _ => new Object)
+
+  private def dirBytes(p: Path): Long = {
+    val f = p.toFile
+    if (!f.exists) 0L
+    else Option(f.listFiles).toSeq.flatten
+      .map(c => if (c.isDirectory) dirBytes(c.toPath) else c.length).sum
+  }
+
+  /** One manifest line: fragment dir name plus its optional zone map.
+    * Legacy manifests (bare names) parse with `stats = None` and render
+    * back unchanged — an old table keeps working, just without pruning
+    * until its fragments are rewritten by compaction.
+    */
+  final case class FragEntry(name: String, stats: Option[ZoneMap]) {
+    def render: String = stats match {
+      case None    => name
+      case Some(z) => s"$name\t${z.render}"
+    }
+  }
+  object FragEntry {
+    def parse(line: String): FragEntry = line.split('\t') match {
+      case Array(n)    => FragEntry(n, None)
+      case Array(n, z) => FragEntry(n, ZoneMap.parse(z))
+      case other       => FragEntry(other.head, None)
+    }
+  }
+
+  /** Per-column fragment statistics. min/max are None when the column
+    * has no non-null value in the fragment; values are stored in a
+    * type-tagged canonical string form (numerics as decimal strings,
+    * dates as epoch days, timestamps as epoch micros, strings verbatim).
+    */
+  final case class ColStats(typ: String, min: Option[String],
+                            max: Option[String], nulls: Long)
+
+  final case class ZoneMap(rows: Long, cols: Map[String, ColStats]) {
+    private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+    def render: String = {
+      val colStr = cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        Seq(enc(n), c.typ, c.min.map(enc).getOrElse(""),
+          c.max.map(enc).getOrElse(""), c.nulls.toString).mkString("|")
+      }.mkString("\u0001")
+      s"$rows\u0001$colStr"
+    }
+  }
+
+  object ZoneMap {
+    private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+
+    def parse(s: String): Option[ZoneMap] = try {
+      val parts = s.split('\u0001')
+      val rows = parts.head.toLong
+      val cols = parts.tail.filter(_.nonEmpty).map { cs =>
+        val Array(n, t, mn, mx, nulls) = cs.split('|')
+        dec(n) -> ColStats(t,
+          if (mn == "") None else Some(dec(mn)),
+          if (mx == "") None else Some(dec(mx)), nulls.toLong)
+      }.toMap
+      Some(ZoneMap(rows, cols))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Type tag for a column we know how to probe; None → column is not
+      * tracked (always a potential match).
+      */
+    private[runtime] def tagOf(dt: DataType): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case FloatType | DoubleType                        => Some("double")
+      case _: DecimalType                                => Some("decimal")
+      case StringType                                    => Some("string")
+      case DateType                                      => Some("date")
+      case TimestampType                                 => Some("timestamp")
+      // NTZ micros live in a different domain than instant micros; a
+      // distinct tag keeps cross-type predicates from pruning
+      case TimestampNTZType                              => Some("timestamp_ntz")
+      case BooleanType                                   => Some("boolean")
+      case _                                             => None
+    }
+
+    private def canonical(tag: String, v: Any): String = (tag, v) match {
+      case ("date", d: java.sql.Date)           => DateTimeUtils.fromJavaDate(d).toString
+      case ("date", d: java.time.LocalDate)     => DateTimeUtils.localDateToDays(d).toString
+      case ("timestamp", t: java.sql.Timestamp) => DateTimeUtils.fromJavaTimestamp(t).toString
+      case ("timestamp", t: java.time.Instant)  => DateTimeUtils.instantToMicros(t).toString
+      case ("timestamp_ntz", t: java.time.LocalDateTime) =>
+        DateTimeUtils.localDateTimeToMicros(t).toString
+      case (_, x)                               => x.toString
+    }
+
+    /** One aggregate over the fragment: per tracked column min, max,
+      * non-null count; plus total rows. O(fragment), map-side partial.
+      */
+    def collect(df: DataFrame): ZoneMap = {
+      val tracked = df.schema.fields.flatMap(f => tagOf(f.dataType).map(f.name -> _))
+      val aggs = Seq(count(lit(1)).as("__zm_rows")) ++ tracked.flatMap { case (n, _) =>
+        Seq(min(col(n)).as(s"__zm_min_$n"), max(col(n)).as(s"__zm_max_$n"),
+          count(col(n)).as(s"__zm_nn_$n"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val rows = row.getAs[Long]("__zm_rows")
+      val cols = tracked.map { case (n, tag) =>
+        val mn = Option(row.getAs[Any](s"__zm_min_$n")).map(canonical(tag, _))
+        val mx = Option(row.getAs[Any](s"__zm_max_$n")).map(canonical(tag, _))
+        val nn = row.getAs[Long](s"__zm_nn_$n")
+        n -> ColStats(tag, mn, mx, rows - nn)
+      }.toMap
+      ZoneMap(rows, cols)
+    }
+  }
+
+  /** The conservative zone-map probe: proves "no row in this fragment
+    * can satisfy the conjunct", or declines. Every decline keeps the
+    * fragment, so imprecision costs I/O, never correctness.
+    */
+  private[runtime] object ZoneProbe {
+
+    def splitConjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case other      => Seq(other)
+    }
+
+    private def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference  => Some(a.name)
+      case _                      => None
+    }
+
+    /** Does `e` reference only the column `name` (case-insensitive) —
+      * and at least one column at all? Literal-only conjuncts are not
+      * key conjuncts.
+      */
+    def refsOnly(e: Expression, name: String): Boolean = {
+      val refs = collectRefs(e)
+      refs.nonEmpty && refs.forall(_.equalsIgnoreCase(name))
+    }
+
+    private def collectRefs(e: Expression): Seq[String] = e match {
+      case a: UnresolvedAttribute => Seq(a.name)
+      case a: AttributeReference  => Seq(a.name)
+      case other                  => other.children.flatMap(collectRefs)
+    }
+
+    def mayMatch(stats: Option[ZoneMap], conjuncts: Seq[Expression]): Boolean =
+      stats match {
+        case None    => true
+        case Some(z) => conjuncts.forall(c => probe(z, c))
+      }
+
+    /** true = the fragment MAY contain a row satisfying `c`. */
+    private def probe(z: ZoneMap, c: Expression): Boolean = c match {
+      case COr(l, r)  => probe(z, l) || probe(z, r)
+      case CAnd(l, r) => probe(z, l) && probe(z, r)
+
+      case EqualTo(a, Literal(v, dt))   => cmpProbe(z, a, v, dt, eqP = true, ltP = false, gtP = false)
+      case EqualTo(Literal(v, dt), a)   => cmpProbe(z, a, v, dt, eqP = true, ltP = false, gtP = false)
+      case EqualNullSafe(a, Literal(v, dt)) =>
+        if (v == null) attrName(a).forall(n => nullsOf(z, n).forall(_ > 0))
+        else cmpProbe(z, a, v, dt, eqP = true, ltP = false, gtP = false)
+      case EqualNullSafe(Literal(v, dt), a) =>
+        if (v == null) attrName(a).forall(n => nullsOf(z, n).forall(_ > 0))
+        else cmpProbe(z, a, v, dt, eqP = true, ltP = false, gtP = false)
+
+      case GreaterThan(a, Literal(v, dt))        => cmpProbe(z, a, v, dt, eqP = false, ltP = false, gtP = true)
+      case GreaterThan(Literal(v, dt), a)        => cmpProbe(z, a, v, dt, eqP = false, ltP = true, gtP = false)
+      case GreaterThanOrEqual(a, Literal(v, dt)) => cmpProbe(z, a, v, dt, eqP = true, ltP = false, gtP = true)
+      case GreaterThanOrEqual(Literal(v, dt), a) => cmpProbe(z, a, v, dt, eqP = true, ltP = true, gtP = false)
+      case LessThan(a, Literal(v, dt))           => cmpProbe(z, a, v, dt, eqP = false, ltP = true, gtP = false)
+      case LessThan(Literal(v, dt), a)           => cmpProbe(z, a, v, dt, eqP = false, ltP = false, gtP = true)
+      case LessThanOrEqual(a, Literal(v, dt))    => cmpProbe(z, a, v, dt, eqP = true, ltP = true, gtP = false)
+      case LessThanOrEqual(Literal(v, dt), a)    => cmpProbe(z, a, v, dt, eqP = true, ltP = false, gtP = true)
+
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, dt) =>
+          cmpProbe(z, a, v, dt, eqP = true, ltP = false, gtP = false)
+        }
+      case IsNull(a)    => attrName(a).forall(n => nullsOf(z, n).forall(_ > 0))
+      case IsNotNull(a) => attrName(a).forall(n => nonNullsOf(z, n).forall(_ > 0))
+      case _            => true
+    }
+
+    private def nullsOf(z: ZoneMap, name: String): Option[Long] =
+      z.cols.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c.nulls }
+    private def nonNullsOf(z: ZoneMap, name: String): Option[Long] =
+      z.cols.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => z.rows - c.nulls }
+
+    /** Probe `attr <cmp> literal` against the column's [min, max]:
+      * the comparison may hold in the fragment iff the requested
+      * relation (any union of eq / lt / gt, from the caller's flags,
+      * where lt means "some column value < literal" etc.) intersects
+      * the bound interval. Declines (returns true) when the column is
+      * untracked, the literal's type family differs from the column's,
+      * or values aren't comparable conservatively (non-ASCII strings).
+      */
+    private def cmpProbe(z: ZoneMap, attrE: Expression, v: Any, dt: DataType,
+                         eqP: Boolean, ltP: Boolean, gtP: Boolean): Boolean = {
+      val name = attrName(attrE).getOrElse(return true)
+      val cs = z.cols.collectFirst {
+        case (n, c) if n.equalsIgnoreCase(name) => c
+      }.getOrElse(return true)
+      if (v == null) return false // null comparison never satisfies
+      if (cs.min.isEmpty || cs.max.isEmpty) return false // all-null column
+      val litTag = ZoneMap.tagOf(dt).getOrElse(return true)
+      if (compat(cs.typ, litTag).isEmpty) return true
+      val (mnC, mxC) = cmpValues(cs.typ, litTag, cs.min.get, cs.max.get, v)
+        .getOrElse(return true)
+      // relation possible within [min, max]?
+      (eqP && mnC <= 0 && mxC >= 0) || // min<=v<=max → some value may equal v
+      (ltP && mnC < 0)  ||             // min < v → some value < v
+      (gtP && mxC > 0)                 // max > v → some value > v
+    }
+
+    /** Are column tag and literal tag the same comparison family? */
+    private def compat(colTag: String, litTag: String): Option[Unit] = {
+      def numeric(t: String) = t == "long" || t == "double" || t == "decimal"
+      if (colTag == litTag) Some(())
+      else if (numeric(colTag) && numeric(litTag)) Some(())
+      else None
+    }
+
+    /** (compare(min, v), compare(max, v)) in the column's domain, or
+      * None when not conservatively comparable.
+      */
+    private def cmpValues(colTag: String, litTag: String,
+                          mn: String, mx: String, v: Any): Option[(Int, Int)] = try {
+      def ascii(s: String) = s.forall(_ < 128)
+      colTag match {
+        case "long" | "double" | "decimal" | "date" | "timestamp" | "timestamp_ntz" =>
+          // dates/timestamps are epoch days / micros in both the stats
+          // and the Literal's internal form — plain numeric compare
+          val lv = BigDecimal(v.toString)
+          Some((BigDecimal(mn).compare(lv), BigDecimal(mx).compare(lv)))
+        case "string" =>
+          val sv = v.toString
+          if (ascii(mn) && ascii(mx) && ascii(sv))
+            Some((mn.compareTo(sv), mx.compareTo(sv)))
+          else None
+        case "boolean" =>
+          val bv = v.toString.toBoolean
+          Some((mn.toBoolean.compareTo(bv), mx.toBoolean.compareTo(bv)))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

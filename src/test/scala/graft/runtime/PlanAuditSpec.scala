@@ -1,0 +1,89 @@
+package graft.runtime
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[PlanAudit]] detector gates: each anti-pattern the audit claims to
+  * catch is manufactured deliberately and must be flagged; a clean
+  * aggregation must NOT be flagged. Conf-dependent cases restore the
+  * session conf in finally (shared session).
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = () => spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def kinds(r: PlanAudit.Report): Set[String] =
+    r.findings.map(_.kind).toSet
+
+  test("cartesian product is flagged high") {
+    val df = docs().crossJoin(Seq(1, 2, 3).toDF("n"))
+    val rep = PlanAudit.audit(df)
+    assert(kinds(rep).contains("cartesian-product"), rep.render)
+    assert(rep.highSeverity.nonEmpty)
+  }
+
+  test("non-equi nested-loop join is flagged as cartesian family") {
+    val bounds = Seq((0L, 100L), (100L, 200L)).toDF("lo", "hi")
+    val df = docs().join(bounds,
+      col("n_chars") >= col("lo") && col("n_chars") < col("hi"))
+    assert(kinds(PlanAudit.audit(df)).contains("cartesian-product"))
+  }
+
+  test("window without PARTITION BY is flagged high; partitioned window is not") {
+    val global = docs().withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    val rep = PlanAudit.audit(global)
+    assert(kinds(rep).contains("single-partition-window"), rep.render)
+    val partitioned = docs().withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(!kinds(PlanAudit.audit(partitioned)).contains("single-partition-window"))
+  }
+
+  test("shuffle join with a broadcast-sized side is flagged when broadcasting is off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = Seq(("en", 1), ("de", 2)).toDF("lang", "rank")
+      val df = docs().join(dim, Seq("lang"))
+      val rep = PlanAudit.audit(df)
+      assert(kinds(rep).contains("broadcastable-shuffle-join"), rep.render)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pushable filter above a pushdown-less scan is flagged; pushed filter is not") {
+    // the text source supports no filter pushdown: a pushable predicate
+    // above it reads and materializes every line first
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    Seq("alpha", "beta", "gamma").toDF("value").write.text(s"$dir/t")
+    val df = spark.read.text(s"$dir/t").filter(col("value") === "beta")
+    val rep = PlanAudit.audit(df)
+    assert(kinds(rep).contains("missing-pushdown"), rep.render)
+    // parquet pushes the same shape down: clean
+    val rep2 = PlanAudit.audit(docs().filter(col("n_chars") > 300))
+    assert(!kinds(rep2).contains("missing-pushdown"), rep2.render)
+    // ... unless someone turned parquet pushdown off in conf
+    val prev = spark.conf.get("spark.sql.parquet.filterPushdown")
+    try {
+      spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+      val rep3 = PlanAudit.audit(docs().filter(col("n_chars") > 300))
+      assert(kinds(rep3).contains("missing-pushdown"), rep3.render)
+    } finally spark.conf.set("spark.sql.parquet.filterPushdown", prev)
+  }
+
+  test("opaque UDF is reported info") {
+    val shout = udf((s: String) => if (s == null) null else s.toUpperCase)
+    val df = docs().select(shout(col("lang")).as("l"))
+    assert(kinds(PlanAudit.audit(df)).contains("scala-udf"))
+  }
+
+  test("a clean partial-aggregated groupBy has no findings and counts its shuffle") {
+    val df = docs().groupBy("lang").agg(count(lit(1)).as("n"))
+    val rep = PlanAudit.audit(df)
+    assert(rep.findings.isEmpty, rep.render)
+    assert(rep.metrics("shuffles") >= 1)
+    assert(rep.metrics("file_scans") == 1)
+  }
+}
