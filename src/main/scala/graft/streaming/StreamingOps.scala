@@ -153,9 +153,13 @@ object StreamingOps {
     */
   /** DEFAULT = the O(batch) [[graft.runtime.FragmentedTable]] path
     * ([[corpusIngestFragmentedSink]]'s body): each trigger writes only
-    * its surviving batch as a new fragment, and `compactEvery` > 0 folds
-    * the accumulated fragments every Nth micro-batch (keyed on batchId,
-    * so a replay repeats at most one compaction). A pre-existing
+    * its surviving batch as a new fragment, and `compactEvery` > 0
+    * TIER-folds the newest small-fragment run every Nth micro-batch
+    * (keyed on batchId, so a replay repeats at most one compaction) —
+    * per-cadence I/O stays proportional to the recent batches, the
+    * settled base fragment is never rewritten on cadence
+    * ([[graft.runtime.FragmentedTable.compactTiered]]); the O(corpus)
+    * full fold remains an explicit maintenance call. A pre-existing
     * Materializer table of the same name is seeded into the fragment
     * store ONCE at sink construction, so upgrading a deployment keeps
     * its corpus.
@@ -217,7 +221,7 @@ object StreamingOps {
         }
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compact()
+          frag.compactTiered()
         ()
     }
 
@@ -254,7 +258,7 @@ object StreamingOps {
         }
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          frag.compact(); rejectsFrag.compact()
+          frag.compactTiered(); rejectsFrag.compactTiered()
         }
         ()
     }
@@ -442,7 +446,7 @@ object StreamingOps {
           threshold, numHashes, bands, shingleK, hotShingles = hotShingles)
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          frag.compact(); sigsFrag.compact()
+          frag.compactTiered(); sigsFrag.compactTiered()
         }
         ()
     }
@@ -504,7 +508,7 @@ object StreamingOps {
         }
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compact()
+          frag.compactTiered()
         ()
     }
 
@@ -586,7 +590,7 @@ object StreamingOps {
           }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compact()
+          frag.compactTiered()
         ()
     }
 
@@ -652,7 +656,7 @@ object StreamingOps {
           }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compact()
+          frag.compactTiered()
         ()
     }
 

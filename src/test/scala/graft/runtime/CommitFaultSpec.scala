@@ -129,6 +129,45 @@ class CommitFaultSpec extends SparkSpec {
     assert(frag.fragmentCount() == 1)
   }
 
+  test("tiered compaction killed before the manifest flip: old layout intact, retry heals") {
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "t", "id")
+    frag.upsert((0 until 50000).map(i => (s"k$i", i)).toDF("id", "v"))
+    for (b <- 1 to 3)
+      frag.upsert(Seq((s"k$b", 1000 + b)).toDF("id", "v"))
+    val before = frag.read().get.collect().map(_.mkString("|")).toSet
+    // the state compactTiered leaves if killed between writing the
+    // folded fragment and the manifest rename: a complete folded dir no
+    // manifest line names
+    Seq(("folded", 1)).toDF("id", "v").write.parquet(s"$dir/t__frag_tornfold")
+    assert(frag.read().get.collect().map(_.mkString("|")).toSet == before,
+      "a torn tiered fold must be invisible to readers")
+    // the retry folds for real and sweeps the torn attempt
+    assert(frag.compactTiered())
+    assert(!Files.exists(Paths.get(s"$dir/t__frag_tornfold")),
+      "retry must GC the torn fold attempt")
+    assert(frag.read().get.collect().map(_.mkString("|")).toSet == before)
+    assert(frag.fragmentCount() == 2, "base + folded run expected")
+  }
+
+  test("tiered compaction manifest flipped but GC skipped: stale run dirs are swept later") {
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "t", "id")
+    frag.upsert((0 until 50000).map(i => (s"k$i", i)).toDF("id", "v"))
+    for (b <- 1 to 3)
+      frag.upsert(Seq((s"k$b", 1000 + b)).toDF("id", "v"))
+    val before = frag.read().get.collect().map(_.mkString("|")).toSet
+    frag.compactTiered()
+    // crash-after-flip is indistinguishable from success to readers; a
+    // LEFTOVER dir from that window is any unreferenced fragment dir
+    Seq(("stale", 1)).toDF("id", "v").write.parquet(s"$dir/t__frag_stalerun")
+    assert(frag.read().get.collect().map(_.mkString("|")).toSet == before)
+    frag.compact()
+    assert(!Files.exists(Paths.get(s"$dir/t__frag_stalerun")),
+      "full fold must sweep unreferenced run dirs")
+    assert(frag.read().get.collect().map(_.mkString("|")).toSet == before)
+  }
+
   test("near-dup sink killed between corpus append and __sigs append: next trigger repairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
