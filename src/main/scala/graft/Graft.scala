@@ -58,6 +58,17 @@ object Graft {
   def loadIndex(spark: SparkSession, path: String): graft.ext.VectorIndex =
     graft.ext.VectorIndex.load(spark, path)
 
+  /** Static scale review of a query's physical plan: the checklist
+    * every engine operator passes in its plan-shape specs, as a library
+    * call for USER pipelines — cartesian/nested-loop joins,
+    * single-partition windows, shuffle joins with a broadcast-sized
+    * side, pushable filters above scans that won't use them, opaque
+    * UDFs, plus shuffle/broadcast/scan counts
+    * ([[graft.runtime.PlanAudit]]).
+    */
+  def audit(df: org.apache.spark.sql.Dataset[_]): graft.runtime.PlanAudit.Report =
+    graft.runtime.PlanAudit.audit(df)
+
   /** The reference user's `dbt run`: materialize all three models in
     * dependency order into `warehouseDir` (incremental on re-run — the
     * Materializer reads each model's prior table for the watermark
