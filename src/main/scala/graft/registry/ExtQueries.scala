@@ -155,7 +155,35 @@ object ExtQueries {
         .withColumn("n_chars", col("n_chars") + lit(100000L)))
     })
 
+  // Fragment-store with tombstone deletes: full corpus upserted, the
+  // src0/src1 sources deleted (O(keys) tombstone fragments), every 4th
+  // doc re-upserted with bumped n_chars (resurrecting its share of the
+  // deleted sources), with a tiered fold in between — whether the fold
+  // absorbs the base (purging) or only the run (marker-retaining)
+  // depends on fragment bytes at this sf; BOTH are content-preserving
+  // and the oracle pins the result either way (the deterministic
+  // marker-retaining case is FragmentDeleteSpec's).
+  private val fragDeleteStoreCache = new IndexDirCache("graft_fragdel_",
+    (s, dir, p) => {
+      val q = Sources(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val frag = new graft.runtime.FragmentedTable(s, p, "docs", "doc_id")
+      frag.upsert(q)
+      frag.deleteKeys(q.filter(col("source").isin("src0", "src1")).select("doc_id"))
+      frag.compactTiered()
+      frag.upsert(q.filter(col("doc_id") % 4 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(50000L)))
+    })
+
   val queries: Map[String, Q] = Map(
+    // Tombstone-deleted fragment read: live keys are (not deleted) OR
+    // (resurrected by the newer upsert); the DuckDB oracle replays the
+    // delete + resurrection algebraically over the base table.
+    "q_ext_frag_delete" -> ((s, dir) => {
+      val p = fragDeleteStoreCache.pathFor(s, dir)
+      new graft.runtime.FragmentedTable(s, p, "docs", "doc_id")
+        .readWhere(col("lang") === "en").get
+    }),
     // Zone-map pruned fragment read (FragmentedTable.readWhere): the
     // predicate disproves the two low bands from their manifest stats,
     // so only the high band and the overwrite fragment are scanned in
@@ -966,6 +994,14 @@ object ExtQueries {
       |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ext_frag_delete" ->
+      // visible = never-deleted OR resurrected by the later %4 upsert,
+      // whose rows carry the bumped n_chars
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN doc_id % 4 = 0 THEN n_chars + 50000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE (source NOT IN ('src0', 'src1') OR doc_id % 4 = 0)
+        |  AND lang = 'en'""".stripMargin,
     "q_ext_frag_skip" ->
       // replay of the fragment store's last-writer-wins state: the
       // overwrite batch (doc_id % 10 = 0, n_chars + 100000) supersedes

@@ -50,6 +50,9 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
                             table: String, uniqueKey: String) {
   import FragmentedTable._
 
+  /** The upsert key column (for callers composing joins against it). */
+  def keyColumn: String = uniqueKey
+
   private val lock = FragmentedTable.lockFor(s"${Paths.get(baseDir).toAbsolutePath}#$table")
   private def manifestPath = Paths.get(baseDir, s"$table.fragments")
 
@@ -85,23 +88,56 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * ingest paths all dedup per batch before upserting).
     */
   def upsert(batch: DataFrame): Unit = lock.synchronized {
+    require(!batch.columns.contains(DeletedCol),
+      s"$DeletedCol is reserved for tombstone fragments")
     publishManifest(readEntries() :+ writeFragment(batch))
   }
 
+  /** Tombstone delete: O(batch of keys), the LSM answer to key-level
+    * deletion (Materializer.deleteWhere pays a table rewrite; a 100 TB
+    * fragment store cannot). Writes ONE fragment holding only the key
+    * column plus the reserved `__graft_deleted` marker; on read the
+    * tombstone is just the newest "version" of its key, and a tombstone
+    * winner removes the key from the merge. Re-upserting the key later
+    * resurrects it (the new fragment out-ranks the tombstone). Partial
+    * folds RETAIN surviving tombstones (an older base fragment outside
+    * the fold may still hold the key); only the full [[compact]] — by
+    * then the table's sole fragment — physically purges them.
+    */
+  def deleteKeys(keys: DataFrame): Unit = lock.synchronized {
+    val tomb = keys.select(col(uniqueKey)).distinct()
+      .withColumn(DeletedCol, lit(true))
+    publishManifest(readEntries() :+ writeFragment(tomb))
+  }
+
+  /** [[deleteKeys]] for every CURRENT row matching `pred` (evaluated
+    * against the live merge at call time).
+    */
+  def deleteWhere(pred: Column): Unit =
+    read().foreach(df => deleteKeys(df.filter(pred).select(uniqueKey)))
+
   /** Last-writer-wins merge of manifest entries tagged with their GLOBAL
     * manifest position (so a partial fragment list still ranks versions
-    * by true commit order).
+    * by true commit order). `purgeTombstones = false` (partial folds)
+    * keeps tombstone WINNERS as marker rows — dropping them would
+    * resurrect the key from fragments outside the fold.
     */
-  private def merged(entries: Seq[(FragEntry, Int)]): DataFrame = {
+  private def merged(entries: Seq[(FragEntry, Int)],
+                     purgeTombstones: Boolean = true): DataFrame = {
     val unioned = entries.map { case (e, i) =>
       spark.read.parquet(s"$baseDir/${e.name}").withColumn("__frag_seq", lit(i))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val hasDel = unioned.columns.contains(DeletedCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(uniqueKey)).orderBy(col("__frag_seq").desc)
-    unioned
+    val winners = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__frag_seq")
+    if (!hasDel) winners
+    else if (purgeTombstones)
+      winners.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+    else winners
   }
 
   /** The merged table: per key, the row from the NEWEST fragment that
@@ -144,6 +180,12 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
   def readWhereReport(pred: Column): (Option[DataFrame], PruneReport) = {
     val entries = readEntries().zipWithIndex
     if (entries.isEmpty) return (None, PruneReport(0, 0, 0))
+    // empty-result schema: the first DATA fragment (a tombstone fragment
+    // holds only the key + marker)
+    def emptyResult: DataFrame = {
+      val e = entries.find(x => !isTombstone(x._1)).getOrElse(entries.head)._1
+      spark.read.parquet(s"$baseDir/${e.name}").filter(lit(false)).filter(pred)
+    }
     // opaque conjuncts (None) still filter at execution time but can
     // never justify skipping a fragment
     val conjuncts = org.apache.spark.sql.GraftColumnBridge
@@ -151,19 +193,15 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val keyConj = conjuncts.filter(c => ZoneProbe.refsOnly(c, uniqueKey))
     val keyLive = entries.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, keyConj) }
     val report0 = PruneReport(entries.size, keyLive.size, 0)
-    if (keyLive.isEmpty) {
-      // every fragment disproven: empty result with the table schema
-      val schema = spark.read.parquet(s"$baseDir/${entries.head._1.name}")
-      return (Some(schema.filter(lit(false)).filter(pred)), report0)
-    }
+    if (keyLive.isEmpty) return (Some(emptyResult), report0)
+    // a tombstone fragment carries no data columns, so non-key conjuncts
+    // can never disprove it from its zone map (missing column = keep) —
+    // tombstones stay in the candidate set and remove their keys below
     val candidates = keyLive.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, conjuncts) }
     val report = report0.copy(scanned = candidates.size)
     if (candidates.size == keyLive.size)
       return (Some(merged(keyLive).filter(pred)), report)
-    if (candidates.isEmpty) {
-      val schema = spark.read.parquet(s"$baseDir/${entries.head._1.name}")
-      return (Some(schema.filter(lit(false)).filter(pred)), report)
-    }
+    if (candidates.isEmpty) return (Some(emptyResult), report)
     // winners over key-live fragments, key column only
     val winners = keyLive.map { case (e, i) =>
       spark.read.parquet(s"$baseDir/${e.name}")
@@ -172,11 +210,14 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
       .groupBy(col("__w_key")).agg(max(col("__w_seq")).as("__max_seq"))
     val rows = candidates.map { case (e, i) =>
       spark.read.parquet(s"$baseDir/${e.name}").withColumn("__frag_seq", lit(i))
-    }.reduce(_ unionByName _)
-    val out = rows.join(winners,
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val joined = rows.join(winners,
         rows(uniqueKey) <=> winners("__w_key") &&
           rows("__frag_seq") === winners("__max_seq"))
       .drop("__w_key", "__max_seq", "__frag_seq")
+    val out = (if (joined.columns.contains(DeletedCol))
+        joined.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+      else joined)
       .filter(pred)
     (Some(out), report)
   }
@@ -196,6 +237,8 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
   def compact(): Unit = lock.synchronized {
     val entries = readEntries()
     if (entries.nonEmpty) {
+      // the full fold sees every fragment, so tombstones have nothing
+      // left to shadow: purge them physically
       val entry = writeFragment(merged(entries.zipWithIndex))
       publishManifest(Seq(entry))
       gcUnreferenced(Set(entry.name))
@@ -232,7 +275,10 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     }
     if (runStart >= entries.size - 1) return false
     val run = entries.zipWithIndex.drop(runStart)
-    val entry = writeFragment(merged(run))
+    // a fold that absorbs the OLDEST fragment sees the whole table and
+    // may purge tombstones; a partial fold must keep them as marker
+    // rows, or keys still present in the un-folded base would resurrect
+    val entry = writeFragment(merged(run, purgeTombstones = runStart == 0))
     publishManifest(entries.take(runStart) :+ entry)
     gcUnreferenced(entries.take(runStart).map(_.name).toSet + entry.name)
     true
@@ -267,6 +313,17 @@ object FragmentedTable {
     * all.
     */
   final case class PruneReport(total: Int, keyLive: Int, scanned: Int)
+
+  /** Reserved marker column carried only by tombstone fragments
+    * ([[FragmentedTable.deleteKeys]]); rejected in upsert batches.
+    */
+  val DeletedCol = "__graft_deleted"
+
+  /** A fragment whose zone map tracks the tombstone marker holds only
+    * deletions (the marker column exists only in tombstone fragments).
+    */
+  private[runtime] def isTombstone(e: FragEntry): Boolean =
+    e.stats.exists(_.cols.keys.exists(_.equalsIgnoreCase(DeletedCol)))
 
   // JVM-global writer serialization per (warehouse, table), mirroring the
   // Materializer's registry

@@ -225,6 +225,35 @@ object StreamingOps {
         ()
     }
 
+  /** Streaming KEY DELETION against a [[graft.runtime.FragmentedTable]]
+    * corpus — the right-to-be-forgotten shape: a stream of deletion
+    * requests (one key column matching the store's upsert key) lands as
+    * one O(batch) tombstone fragment per trigger; the corpus is never
+    * rewritten, and the usual `compactEvery` cadence folds tombstones
+    * into the run (the FULL fold purges them physically —
+    * FragmentedTable.deleteKeys). Requests are semi-joined against the
+    * LIVE merge first, so a replayed trigger (its keys already
+    * tombstoned, hence not live) writes nothing, and requests for keys
+    * the corpus never held are dropped rather than materialized as
+    * useless tombstones. A delete racing AHEAD of its key's ingest is
+    * therefore a no-op by design — deletion applies to the corpus as
+    * of the trigger, not to future arrivals.
+    */
+  def keyDeletionFragmentedSink(requests: DataFrame,
+                                frag: graft.runtime.FragmentedTable,
+                                compactEvery: Long = 0L): DataStreamWriter[Row] =
+    requests.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        frag.read().foreach { cur =>
+          val live = batch.select(col(frag.keyColumn)).distinct()
+            .join(cur.select(frag.keyColumn), Seq(frag.keyColumn), "left_semi")
+          if (!live.isEmpty) frag.deleteKeys(live)
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          frag.compactTiered()
+        ()
+    }
+
   /** [[corpusIngestQuarantineSink]] over [[graft.runtime.FragmentedTable]]s:
     * the same validate → dead-letter → exact-dedup split, but BOTH the
     * corpus and the `__rejects` quarantine commit as O(batch) fragments

@@ -85,5 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(rep.findings.isEmpty, rep.render)
     assert(rep.metrics("shuffles") >= 1)
     assert(rep.metrics("file_scans") == 1)
+    // the facade delegates to the same detector set
+    val viaFacade = graft.Graft.audit(docs().crossJoin(Seq(1).toDF("n")))
+    assert(viaFacade.findings.exists(_.kind == "cartesian-product"))
   }
 }

@@ -27,6 +27,41 @@ class FragmentedSinkSpec extends SparkSpec {
     spark.read.parquet(frags.maxBy(_.lastModified()).getPath).count()
   }
 
+  test("key-deletion sink: O(batch) tombstones, replay writes nothing, unknown keys dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "corpus", "doc_id")
+    frag.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text"))
+    def corpus: Set[Long] = frag.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[Long]
+    val q = StreamingOps.keyDeletionFragmentedSink(
+      in.toDF().toDF("doc_id"), frag, compactEvery = 3L).start()
+    try {
+      // trigger 0: delete 2 and a key the corpus never held
+      in.addData(2L, 99L)
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 3L, 4L), corpus.toString)
+      assert(frag.fragmentCount() == 2, "one tombstone fragment per trigger")
+      assert(newestFragmentRows(dir, "corpus") == 1L,
+        "tombstone fragment must hold only the LIVE requested keys")
+      // trigger 1: replay — 2 is already tombstoned (not live): no write
+      in.addData(2L)
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 3L, 4L))
+      assert(frag.fragmentCount() == 2, "replay must not write a fragment")
+      // trigger 2: real delete + compaction cadence (batchId 2 % 3 == 2)
+      in.addData(3L)
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 4L), corpus.toString)
+      assert(frag.fragmentCount() <= 2, "cadence fold must bound fragments")
+      // deleted keys stay deleted across a full fold; bytes purge
+      frag.compact()
+      assert(corpus == Set(1L, 4L))
+      assert(!frag.read().get.columns.contains(FragmentedTable.DeletedCol))
+    } finally q.stop()
+  }
+
   test("near-dup fragmented sink: sink semantics ≡ Materializer sink; writes ∝ batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
