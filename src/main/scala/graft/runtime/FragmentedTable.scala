@@ -422,10 +422,15 @@ object FragmentedTable {
       * non-null count; plus total rows. O(fragment), map-side partial.
       */
     def collect(df: DataFrame): ZoneMap = {
-      val tracked = df.schema.fields.flatMap(f => tagOf(f.dataType).map(f.name -> _))
+      // names are backtick-quoted so dotted columns aren't parsed as
+      // nested paths; a name CONTAINING a backtick is left untracked
+      // (unquotable) rather than failing the write
+      val tracked = df.schema.fields
+        .filterNot(_.name.contains("`"))
+        .flatMap(f => tagOf(f.dataType).map(f.name -> _))
       val aggs = Seq(count(lit(1)).as("__zm_rows")) ++ tracked.flatMap { case (n, _) =>
-        Seq(min(col(n)).as(s"__zm_min_$n"), max(col(n)).as(s"__zm_max_$n"),
-          count(col(n)).as(s"__zm_nn_$n"))
+        Seq(min(col(s"`$n`")).as(s"__zm_min_$n"), max(col(s"`$n`")).as(s"__zm_max_$n"),
+          count(col(s"`$n`")).as(s"__zm_nn_$n"))
       }
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       val rows = row.getAs[Long]("__zm_rows")
@@ -450,10 +455,13 @@ object FragmentedTable {
       case other      => Seq(other)
     }
 
+    // UnresolvedAttribute.name backtick-quotes parts containing dots, so
+    // compare on the raw single name part; multi-part references (nested
+    // fields) decline pruning — a zone map only tracks top-level columns
     private def attrName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.name)
-      case a: AttributeReference  => Some(a.name)
-      case _                      => None
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
+      case a: AttributeReference                           => Some(a.name)
+      case _                                               => None
     }
 
     /** Does `e` reference only the column `name` (case-insensitive) —
@@ -466,7 +474,11 @@ object FragmentedTable {
     }
 
     private def collectRefs(e: Expression): Seq[String] = e match {
-      case a: UnresolvedAttribute => Seq(a.name)
+      // multi-part names (nested-field references) are marked so they
+      // can never equal a top-level key column name in refsOnly
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.size == 1) Seq(a.nameParts.head)
+        else Seq(" nested:" + a.nameParts.mkString("."))
       case a: AttributeReference  => Seq(a.name)
       case other                  => other.children.flatMap(collectRefs)
     }

@@ -159,6 +159,17 @@ class FragmentSkipSpec extends SparkSpec {
     assertSame(frag, col("v") >= 10000)
   }
 
+  test("dotted column names survive stats collection and probing") {
+    val frag = new FragmentedTable(spark, freshDir(), "t", "id")
+    frag.upsert(Seq(("a", 1), ("b", 2)).toDF("id", "dotted.name"))
+    frag.upsert(Seq(("c", 30)).toDF("id", "dotted.name"))
+    val pred = col("`dotted.name`") > 10
+    val (res, rep) = frag.readWhereReport(pred)
+    assert(rep.scanned == 1, rep.toString)
+    assert(rowsOf(res.get) == Set("c|30"))
+    assert(rowsOf(frag.read().get.filter(pred)) == Set("c|30"))
+  }
+
   test("maybeCompact respects the read-amplification bound") {
     val dir = freshDir()
     val frag = new FragmentedTable(spark, dir, "t", "id")
