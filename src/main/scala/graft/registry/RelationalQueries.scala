@@ -180,7 +180,11 @@ object RelationalQueries {
     // oracle pins that whatever shape the stats chose, the rows are the
     // declaration-equivalent join's — planning must never change results
     "q_rel_stats_join" -> ((s, dir) => {
-      graft.runtime.Stats.registerAndAnalyze(s, dir, Seq("lineitem", "orders"))
+      // reuseExisting: the row measures the stats-PLANNED join, not a
+      // re-ANALYZE per run — the maintenance scan is paid once per
+      // session/location, the amortized shape the Stats scaladoc states
+      graft.runtime.Stats.registerAndAnalyze(s, dir, Seq("lineitem", "orders"),
+        reuseExisting = true)
       graft.runtime.Stats.statsJoinOn(s, "lineitem", "orders",
           Seq("l_orderkey" -> "o_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -38,24 +38,49 @@ object Stats {
     * actually landed.
     */
   def registerAndAnalyze(spark: SparkSession, dir: String,
-                         tables: Seq[String]): Map[String, BigInt] = {
+                         tables: Seq[String],
+                         reuseExisting: Boolean = false): Map[String, BigInt] = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
     tables.map { t =>
       val qt = s"$Database.$t"
-      spark.sql(s"DROP TABLE IF EXISTS $qt")
-      spark.sql(s"CREATE TABLE $qt USING parquet LOCATION '$dir/$t.parquet'")
-      spark.sql(s"ANALYZE TABLE $qt COMPUTE STATISTICS FOR ALL COLUMNS")
-      // read the row count from the CATALOG metadata, not a plan: plan
-      // stats only surface rowCount when CBO is on, and a plan lookup by
-      // bare name is hijackable by session temp views anyway
-      val rc = spark.sessionState.catalog
-        .getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(Database)))
-        .stats.flatMap(_.rowCount)
-        .getOrElse(sys.error(s"ANALYZE left no rowCount for $qt"))
+      val reused = if (reuseExisting) existingStats(spark, t, dir) else None
+      val rc = reused.getOrElse {
+        spark.sql(s"DROP TABLE IF EXISTS $qt")
+        spark.sql(s"CREATE TABLE $qt USING parquet LOCATION '$dir/$t.parquet'")
+        spark.sql(s"ANALYZE TABLE $qt COMPUTE STATISTICS FOR ALL COLUMNS")
+        // read the row count from the CATALOG metadata, not a plan: plan
+        // stats only surface rowCount when CBO is on, and a plan lookup by
+        // bare name is hijackable by session temp views anyway
+        spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t, Some(Database)))
+          .stats.flatMap(_.rowCount)
+          .getOrElse(sys.error(s"ANALYZE left no rowCount for $qt"))
+      }
       qt -> rc
     }.toMap
   }
+
+  /** ANALYZE is a one-scan-per-table maintenance cost amortized across
+    * every query planned after it; `reuseExisting = true` models that
+    * steady state by accepting catalog stats that already exist FOR THE
+    * SAME LOCATION (a table registered over a different path — or one
+    * never analyzed — still pays the full path). Immutable-fixture
+    * contexts only: stats over a mutated file are the caller's risk,
+    * exactly as with any warehouse whose ANALYZE cadence lags writes.
+    */
+  private def existingStats(spark: SparkSession, t: String,
+                            dir: String): Option[BigInt] =
+    scala.util.Try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(Database)))
+      val loc = java.nio.file.Paths.get(meta.location).toAbsolutePath.toString
+      val want = java.nio.file.Paths.get(dir, s"$t.parquet").toAbsolutePath.toString
+      meta.stats
+        .filter(_ => loc == want)
+        .filter(_.colStats.nonEmpty)
+        .flatMap(_.rowCount)
+    }.toOption.flatten
 
   /** Catalog-stats slice the engine's own decisions consume: table
     * bytes, row count, and per-column distinct counts — read back from

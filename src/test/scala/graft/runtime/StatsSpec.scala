@@ -111,4 +111,27 @@ class StatsSpec extends SparkSpec {
     assert(salted.count() == 20000L && bc.count() == 20000L)
     assert(Stats.statsJoin(spark, "unifact", "dim", Seq("k")).count() == 2L)
   }
+
+  test("reuseExisting accepts same-location stats, refreshes on mutation or new location") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stats-reuse").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$tmp/mini.parquet")
+    val rc1 = Stats.registerAndAnalyze(spark, tmp, Seq("mini"))(s"$db.mini")
+    assert(rc1 == BigInt(2))
+    // mutate the underlying file; reuse must SKIP the re-analyze and
+    // hand back the stale (but same-location) count
+    Seq((3, "c")).toDF("k", "v").write.mode("append").parquet(s"$tmp/mini.parquet")
+    val reused = Stats.registerAndAnalyze(spark, tmp, Seq("mini"),
+      reuseExisting = true)(s"$db.mini")
+    assert(reused == BigInt(2), "reuseExisting must not re-scan the table")
+    // the default path refreshes
+    val fresh = Stats.registerAndAnalyze(spark, tmp, Seq("mini"))(s"$db.mini")
+    assert(fresh == BigInt(3), "default must re-analyze")
+    // a DIFFERENT location under reuse pays the full path
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-stats-reuse2").toString
+    Seq((1, "x")).toDF("k", "v").write.parquet(s"$tmp2/mini.parquet")
+    val moved = Stats.registerAndAnalyze(spark, tmp2, Seq("mini"),
+      reuseExisting = true)(s"$db.mini")
+    assert(moved == BigInt(1), "location change must force re-analyze")
+  }
 }
