@@ -180,11 +180,31 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
   def readWhereReport(pred: Column): (Option[DataFrame], PruneReport) = {
     val entries = readEntries().zipWithIndex
     if (entries.isEmpty) return (None, PruneReport(0, 0, 0))
-    // empty-result schema: the first DATA fragment (a tombstone fragment
-    // holds only the key + marker)
+    // the TABLE schema is the first-wins union over every live fragment
+    // (fragments may differ — schema evolution null-fills on read); any
+    // pruned read must be padded back to it, both so the predicate
+    // resolves columns that only exist in pruned-away fragments and so
+    // the result schema equals the unpruned read's
+    val tableFields: Seq[StructField] = {
+      val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      entries.foreach { case (e, _) =>
+        spark.read.parquet(s"$baseDir/${e.name}").schema.fields
+          .filterNot(_.name == DeletedCol)
+          .foreach(f => if (!seen.contains(f.name)) seen(f.name) = f)
+      }
+      seen.values.toSeq
+    }
+    def pad(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      val full = tableFields.foldLeft(df) { (acc, f) =>
+        if (present(f.name)) acc
+        else acc.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      full.select(tableFields.map(f => col(s"`${f.name}`")): _*)
+    }
     def emptyResult: DataFrame = {
       val e = entries.find(x => !isTombstone(x._1)).getOrElse(entries.head)._1
-      spark.read.parquet(s"$baseDir/${e.name}").filter(lit(false)).filter(pred)
+      pad(spark.read.parquet(s"$baseDir/${e.name}").filter(lit(false))).filter(pred)
     }
     // opaque conjuncts (None) still filter at execution time but can
     // never justify skipping a fragment
@@ -200,7 +220,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val candidates = keyLive.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, conjuncts) }
     val report = report0.copy(scanned = candidates.size)
     if (candidates.size == keyLive.size)
-      return (Some(merged(keyLive).filter(pred)), report)
+      return (Some(pad(merged(keyLive)).filter(pred)), report)
     if (candidates.isEmpty) return (Some(emptyResult), report)
     // winners over key-live fragments, key column only
     val winners = keyLive.map { case (e, i) =>
@@ -215,7 +235,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
         rows(uniqueKey) <=> winners("__w_key") &&
           rows("__frag_seq") === winners("__max_seq"))
       .drop("__w_key", "__max_seq", "__frag_seq")
-    val out = (if (joined.columns.contains(DeletedCol))
+    val out = pad(if (joined.columns.contains(DeletedCol))
         joined.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
       else joined)
       .filter(pred)

@@ -159,6 +159,27 @@ class FragmentSkipSpec extends SparkSpec {
     assertSame(frag, col("v") >= 10000)
   }
 
+  test("schema evolution across fragments: added columns null-fill, probes stay safe") {
+    val frag = new FragmentedTable(spark, freshDir(), "t", "id")
+    frag.upsert(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    // a later batch adds a column: old fragments null-fill on read
+    frag.upsert(Seq(("c", 3, "en"), ("a", 10, "de")).toDF("id", "v", "lang"))
+    val all = rowsOf(frag.read().get)
+    assert(all == Set("a|10|de", "b|2|null", "c|3|en"), all.toString)
+    // predicate on the NEW column: the old fragment's zone map lacks it,
+    // so it is conservatively kept, and its null-filled rows filter out
+    assertSame(frag, col("lang") === "en")
+    assertSame(frag, col("lang").isNull)
+    // a batch MISSING a column also null-fills
+    frag.upsert(Seq(("d", 4)).toDF("id", "v"))
+    assert(rowsOf(frag.read().get) ==
+      Set("a|10|de", "b|2|null", "c|3|en", "d|4|null"))
+    // compaction settles the union schema
+    frag.compact()
+    assert(frag.read().get.columns.toSeq.sorted == Seq("id", "lang", "v"))
+    assertSame(frag, col("v") > 3)
+  }
+
   test("dotted column names survive stats collection and probing") {
     val frag = new FragmentedTable(spark, freshDir(), "t", "id")
     frag.upsert(Seq(("a", 1), ("b", 2)).toDF("id", "dotted.name"))
