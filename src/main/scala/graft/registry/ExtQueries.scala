@@ -175,7 +175,42 @@ object ExtQueries {
         .withColumn("n_chars", col("n_chars") + lit(50000L)))
     })
 
+  // Hash-bucketed fragment store: the sharded layout (per-bucket
+  // manifests + compaction, driver-side bucket routing on key
+  // equality). Same delete + resurrect algebra as the flat store so the
+  // oracle is a pure replay: delete every 7th doc, resurrect every 14th
+  // with bumped n_chars.
+  private val fragBucketStoreCache = new IndexDirCache("graft_fragbkt_",
+    (s, dir, p) => {
+      val q = Sources(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val bs = graft.runtime.BucketedFragmentStore(s, p, "docs", "doc_id",
+        buckets = 16)
+      bs.upsert(q)
+      bs.deleteKeys(q.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      bs.upsert(q.filter(col("doc_id") % 14 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000L)))
+    })
+
   val queries: Map[String, Q] = Map(
+    // Bucket-routed point read: the key IN-list conjunct hashes its
+    // literals on the driver and probes at most one bucket per value —
+    // the require turns the routing into part of the gate; the rest of
+    // the predicate filters within the probed buckets. The oracle
+    // replays the delete + resurrection algebra over the base table.
+    "q_ext_frag_bucketed" -> ((s, dir) => {
+      val p = fragBucketStoreCache.pathFor(s, dir)
+      val bs = graft.runtime.BucketedFragmentStore.open(s, p, "docs", "doc_id")
+      val ids = Seq(0L, 3L, 7L, 14L)  // resurrected, plain, deleted, resurrected
+      val (res, rep) = bs.readWhereReport(
+        col("doc_id").isin(ids: _*) && col("lang").isNotNull)
+      require(rep.probed.size < bs.buckets,
+        s"bucket routing pruned nothing: $rep")
+      res.map(_.filter(lit(true))).getOrElse(
+        Sources(s, dir).documents.select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .filter(lit(false)))
+    }),
     // Tombstone-deleted fragment read: live keys are (not deleted) OR
     // (resurrected by the newer upsert); the DuckDB oracle replays the
     // delete + resurrection algebraically over the base table.
@@ -994,6 +1029,13 @@ object ExtQueries {
       |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ext_frag_bucketed" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN doc_id % 14 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id IN (0, 3, 7, 14)
+        |  AND (doc_id % 7 <> 0 OR doc_id % 14 = 0)
+        |  AND lang IS NOT NULL""".stripMargin,
     "q_ext_frag_delete" ->
       // visible = never-deleted OR resurrected by the later %4 upsert,
       // whose rows carry the bumped n_chars

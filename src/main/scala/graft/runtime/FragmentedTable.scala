@@ -77,7 +77,8 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val name = s"${table}__frag_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     batch.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$name")
-    FragEntry(name, Some(ZoneMap.collect(spark.read.parquet(s"$baseDir/$name"))))
+    val back = spark.read.parquet(s"$baseDir/$name")
+    FragEntry(name, Some(ZoneMap.collect(back)), Some(back.schema.toDDL))
   }
 
   /** Append `batch` as a new fragment: keys present in older fragments
@@ -92,6 +93,23 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
       s"$DeletedCol is reserved for tombstone fragments")
     publishManifest(readEntries() :+ writeFragment(batch))
   }
+
+  /** Register an ALREADY-WRITTEN parquet dir as this table's newest
+    * fragment by MOVING it into place (same filesystem), with its zone
+    * map supplied by the caller (e.g. computed in one grouped pass over
+    * many buckets' staging output — [[BucketedFragmentStore]]). The
+    * commit protocol is unchanged: bytes are in place before the
+    * manifest names them.
+    */
+  private[runtime] def adopt(srcDir: Path, stats: Option[ZoneMap],
+                             schema: Option[StructType]): Unit =
+    lock.synchronized {
+      val name = s"${table}__frag_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      Files.move(srcDir, Paths.get(baseDir, name))
+      publishManifest(readEntries() :+
+        FragEntry(name, stats, schema.map(_.toDDL)))
+    }
 
   /** Tombstone delete: O(batch of keys), the LSM answer to key-level
     * deletion (Materializer.deleteWhere pays a table rewrite; a 100 TB
@@ -123,9 +141,10 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * resurrect the key from fragments outside the fold.
     */
   private def merged(entries: Seq[(FragEntry, Int)],
-                     purgeTombstones: Boolean = true): DataFrame = {
+                     purgeTombstones: Boolean = true,
+                     frame: FragEntry => DataFrame = defaultFrame): DataFrame = {
     val unioned = entries.map { case (e, i) =>
-      spark.read.parquet(s"$baseDir/${e.name}").withColumn("__frag_seq", lit(i))
+      frame(e).withColumn("__frag_seq", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val hasDel = unioned.columns.contains(DeletedCol)
     val w = org.apache.spark.sql.expressions.Window
@@ -149,6 +168,17 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val entries = readEntries()
     if (entries.isEmpty) None else Some(merged(entries.zipWithIndex))
   }
+
+  private def defaultFrame(e: FragEntry): DataFrame =
+    spark.read.parquet(s"$baseDir/${e.name}")
+
+  /** The key column's stored type, reading ONE fragment's footer (for
+    * callers that route on the key — [[BucketedFragmentStore]]).
+    */
+  private[runtime] def keyDataType(): Option[org.apache.spark.sql.types.DataType] =
+    readEntries().headOption.flatMap(e =>
+      e.schema.getOrElse(defaultFrame(e).schema).fields
+        .find(_.name.equalsIgnoreCase(uniqueKey)).map(_.dataType))
 
   /** `read().filter(pred)`, but fragments whose zone map proves they
     * contain no matching row are skipped. Exactness argument:
@@ -180,6 +210,12 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
   def readWhereReport(pred: Column): (Option[DataFrame], PruneReport) = {
     val entries = readEntries().zipWithIndex
     if (entries.isEmpty) return (None, PruneReport(0, 0, 0))
+    // one DataFrame per fragment per CALL — every later use (schema
+    // pass, winner scan, row scan) shares it, so a fragment's file
+    // listing/footer work is paid once, not once per role
+    val frameOf = scala.collection.mutable.Map[String, DataFrame]()
+    def frame(e: FragEntry): DataFrame =
+      frameOf.getOrElseUpdate(e.name, defaultFrame(e))
     // the TABLE schema is the first-wins union over every live fragment
     // (fragments may differ — schema evolution null-fills on read); any
     // pruned read must be padded back to it, both so the predicate
@@ -188,7 +224,9 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val tableFields: Seq[StructField] = {
       val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
       entries.foreach { case (e, _) =>
-        spark.read.parquet(s"$baseDir/${e.name}").schema.fields
+        // manifest-carried schema when present: zero file listings for
+        // fragments the predicate will prune anyway
+        e.schema.getOrElse(frame(e).schema).fields
           .filterNot(_.name == DeletedCol)
           .foreach(f => if (!seen.contains(f.name)) seen(f.name) = f)
       }
@@ -204,7 +242,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     }
     def emptyResult: DataFrame = {
       val e = entries.find(x => !isTombstone(x._1)).getOrElse(entries.head)._1
-      pad(spark.read.parquet(s"$baseDir/${e.name}").filter(lit(false))).filter(pred)
+      pad(frame(e).filter(lit(false))).filter(pred)
     }
     // opaque conjuncts (None) still filter at execution time but can
     // never justify skipping a fragment
@@ -220,16 +258,16 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val candidates = keyLive.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, conjuncts) }
     val report = report0.copy(scanned = candidates.size)
     if (candidates.size == keyLive.size)
-      return (Some(pad(merged(keyLive)).filter(pred)), report)
+      return (Some(pad(merged(keyLive, frame = frame)).filter(pred)), report)
     if (candidates.isEmpty) return (Some(emptyResult), report)
     // winners over key-live fragments, key column only
     val winners = keyLive.map { case (e, i) =>
-      spark.read.parquet(s"$baseDir/${e.name}")
-        .select(col(uniqueKey).as("__w_key")).withColumn("__w_seq", lit(i))
+      frame(e)
+        .select(col(s"`$uniqueKey`").as("__w_key")).withColumn("__w_seq", lit(i))
     }.reduce(_ unionByName _)
       .groupBy(col("__w_key")).agg(max(col("__w_seq")).as("__max_seq"))
     val rows = candidates.map { case (e, i) =>
-      spark.read.parquet(s"$baseDir/${e.name}").withColumn("__frag_seq", lit(i))
+      frame(e).withColumn("__frag_seq", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val joined = rows.join(winners,
         rows(uniqueKey) <=> winners("__w_key") &&
@@ -358,21 +396,37 @@ object FragmentedTable {
       .map(c => if (c.isDirectory) dirBytes(c.toPath) else c.length).sum
   }
 
-  /** One manifest line: fragment dir name plus its optional zone map.
-    * Legacy manifests (bare names) parse with `stats = None` and render
-    * back unchanged — an old table keeps working, just without pruning
+  /** One manifest line: fragment dir name, optional zone map, optional
+    * schema DDL (URL-encoded) — the schema in the MANIFEST means a
+    * pruned read resolves the table's union schema with zero file
+    * listings; only fragments that actually scan touch the filesystem.
+    * Legacy manifests (bare names, or name+stats) parse with the
+    * missing parts as None and render back unchanged — an old table
+    * keeps working, just without pruning / with footer-read schema
     * until its fragments are rewritten by compaction.
     */
-  final case class FragEntry(name: String, stats: Option[ZoneMap]) {
-    def render: String = stats match {
-      case None    => name
-      case Some(z) => s"$name\t${z.render}"
+  final case class FragEntry(name: String, stats: Option[ZoneMap],
+                             schemaDdl: Option[String] = None) {
+    def render: String = (stats, schemaDdl) match {
+      case (None, None)       => name
+      case (Some(z), None)    => s"$name\t${z.render}"
+      case (zOpt, Some(ddl))  =>
+        val zs = zOpt.map(_.render).getOrElse("")
+        s"$name\t$zs\t${java.net.URLEncoder.encode(ddl, "UTF-8")}"
     }
+    /** Parsed schema, None when absent or unparseable (fall back to a
+      * footer read).
+      */
+    def schema: Option[StructType] = schemaDdl.flatMap(d =>
+      scala.util.Try(StructType.fromDDL(d)).toOption)
   }
   object FragEntry {
     def parse(line: String): FragEntry = line.split('\t') match {
       case Array(n)    => FragEntry(n, None)
       case Array(n, z) => FragEntry(n, ZoneMap.parse(z))
+      case Array(n, z, d) =>
+        FragEntry(n, if (z.isEmpty) None else ZoneMap.parse(z),
+          scala.util.Try(java.net.URLDecoder.decode(d, "UTF-8")).toOption)
       case other       => FragEntry(other.head, None)
     }
   }
@@ -438,21 +492,25 @@ object FragmentedTable {
       case (_, x)                               => x.toString
     }
 
-    /** One aggregate over the fragment: per tracked column min, max,
-      * non-null count; plus total rows. O(fragment), map-side partial.
+    /** Tracked (name, tag) columns plus the min/max/non-null aggregate
+      * columns for them — names are backtick-quoted so dotted columns
+      * aren't parsed as nested paths; a name CONTAINING a backtick is
+      * left untracked (unquotable) rather than failing the write.
       */
-    def collect(df: DataFrame): ZoneMap = {
-      // names are backtick-quoted so dotted columns aren't parsed as
-      // nested paths; a name CONTAINING a backtick is left untracked
-      // (unquotable) rather than failing the write
-      val tracked = df.schema.fields
-        .filterNot(_.name.contains("`"))
-        .flatMap(f => tagOf(f.dataType).map(f.name -> _))
+    private[runtime] def aggPlan(schema: StructType,
+        exclude: Set[String] = Set.empty): (Seq[(String, String)], Seq[Column]) = {
+      val tracked = schema.fields
+        .filterNot(f => f.name.contains("`") || exclude(f.name))
+        .flatMap(f => tagOf(f.dataType).map(f.name -> _)).toSeq
       val aggs = Seq(count(lit(1)).as("__zm_rows")) ++ tracked.flatMap { case (n, _) =>
         Seq(min(col(s"`$n`")).as(s"__zm_min_$n"), max(col(s"`$n`")).as(s"__zm_max_$n"),
           count(col(s"`$n`")).as(s"__zm_nn_$n"))
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (tracked, aggs)
+    }
+
+    private[runtime] def fromRow(row: org.apache.spark.sql.Row,
+                                 tracked: Seq[(String, String)]): ZoneMap = {
       val rows = row.getAs[Long]("__zm_rows")
       val cols = tracked.map { case (n, tag) =>
         val mn = Option(row.getAs[Any](s"__zm_min_$n")).map(canonical(tag, _))
@@ -461,6 +519,14 @@ object FragmentedTable {
         n -> ColStats(tag, mn, mx, rows - nn)
       }.toMap
       ZoneMap(rows, cols)
+    }
+
+    /** One aggregate over the fragment: per tracked column min, max,
+      * non-null count; plus total rows. O(fragment), map-side partial.
+      */
+    def collect(df: DataFrame): ZoneMap = {
+      val (tracked, aggs) = aggPlan(df.schema)
+      fromRow(df.agg(aggs.head, aggs.tail: _*).collect()(0), tracked)
     }
   }
 
@@ -498,7 +564,7 @@ object FragmentedTable {
       // can never equal a top-level key column name in refsOnly
       case a: UnresolvedAttribute =>
         if (a.nameParts.size == 1) Seq(a.nameParts.head)
-        else Seq(" nested:" + a.nameParts.mkString("."))
+        else Seq("\u0000nested:" + a.nameParts.mkString("."))
       case a: AttributeReference  => Seq(a.name)
       case other                  => other.children.flatMap(collectRefs)
     }

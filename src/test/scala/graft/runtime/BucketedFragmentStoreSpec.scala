@@ -1,0 +1,139 @@
+package graft.runtime
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** [[BucketedFragmentStore]]: content-equivalence with the flat store
+  * under the same operation sequence, single-bucket point reads,
+  * two-job upserts (one fragment per non-empty bucket), staging-crash
+  * sweep, and cross-bucket torn-write convergence on replay.
+  */
+class BucketedFragmentStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-bucket").toString
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("bucketed ≡ flat under a random upsert/delete sequence; readWhere exact") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 8)
+    val flat = new FragmentedTable(spark, freshDir(), "t", "id")
+    val rnd = new scala.util.Random(13)
+    for (b <- 1 to 5) {
+      val keys = rnd.shuffle((0 until 40).toList).take(6 + rnd.nextInt(10))
+      val rows = keys.map(k => (s"k%02d".format(k), b * 100 + k))
+      val df = rows.toDF("id", "v")
+      bs.upsert(df); flat.upsert(df)
+      if (b == 3) {
+        val dels = Seq("k05", "k17", "k33").toDF("id")
+        bs.deleteKeys(dels); flat.deleteKeys(dels)
+      }
+      val got = rowsOf(bs.read().get)
+      val want = rowsOf(flat.read().get)
+      assert(got == want, s"batch $b: $got != $want")
+    }
+    val preds: Seq[Column] = Seq(
+      col("v") > 300, col("id") === "k07", col("id").isin("k01", "k05", "k25"),
+      col("v") < 150 || col("id") === "k39")
+    preds.foreach { p =>
+      assert(rowsOf(bs.readWhere(p).get) == rowsOf(flat.read().get.filter(p)),
+        p.toString)
+    }
+  }
+
+  test("key-equality probe reads ONE bucket; IN-list one per value; type mismatch declines") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 16)
+    bs.upsert((0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val (res, rep) = bs.readWhereReport(col("id") === 7L)
+    assert(rep.probed.size == 1, rep.toString)
+    assert(rowsOf(res.get) == Set("7|v7"))
+    val (res2, rep2) = bs.readWhereReport(col("id").isin(7L, 8L, 9L))
+    assert(rep2.probed.size <= 3, rep2.toString)
+    assert(rowsOf(res2.get) == Set("7|v7", "8|v8", "9|v9"))
+    // literal typed INT against a LONG key: wrong hash domain — must
+    // decline bucket pruning (probe all), never misroute
+    val (res3, rep3) = bs.readWhereReport(col("id") === 7)
+    assert(rep3.probed.size == 16, rep3.toString)
+    assert(rowsOf(res3.get) == Set("7|v7"))
+    // non-key predicate probes all buckets, zone maps prune within
+    val (_, rep4) = bs.readWhereReport(col("v") === "v7")
+    assert(rep4.probed.size == 16)
+  }
+
+  test("one upsert = one fragment per non-empty bucket, two Spark jobs' worth of staging") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
+    bs.upsert((0 until 100).map(i => (s"k$i", i)).toDF("id", "v"))
+    assert(bs.fragmentCounts().forall(_ == 1), bs.fragmentCounts().toString)
+    bs.upsert(Seq(("k1", 1000)).toDF("id", "v"))
+    // exactly ONE bucket gained a fragment
+    assert(bs.fragmentCounts().sum == 5, bs.fragmentCounts().toString)
+    assert(rowsOf(bs.read().get.filter(col("id") === "k1")) == Set("k1|1000"))
+    // no staging leftovers
+    assert(!new java.io.File(dir).list().exists(_.contains("__staging_")))
+  }
+
+  test("crashed staging dir is swept at the next write; never visible to readers") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
+    bs.upsert(Seq(("a", 1)).toDF("id", "v"))
+    val stale = s"$dir/t__staging_deadbeef"
+    Seq(("ghost", 9)).toDF("id", "v").write.parquet(stale)
+    assert(rowsOf(bs.read().get) == Set("a|1"), "staging must be invisible")
+    bs.upsert(Seq(("b", 2)).toDF("id", "v"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stale)),
+      "next write must sweep dead staging")
+    assert(rowsOf(bs.read().get) == Set("a|1", "b|2"))
+  }
+
+  test("cross-bucket torn adopt converges on replay") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
+    bs.upsert((0 until 40).map(i => (s"k$i", i)).toDF("id", "v"))
+    val batch = (0 until 40 by 5).map(i => (s"k$i", 1000 + i)).toDF("id", "v")
+    bs.upsert(batch)
+    // manufacture the mid-adopt kill: one bucket's manifest rolled back
+    // to before the batch (its fragment dir GC'd too)
+    val victim = bs.fragmentCounts().zipWithIndex.find(_._1 == 2).map(_._2).get
+    val mf = java.nio.file.Paths.get(dir, s"t__b$victim.fragments")
+    val lines = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val dropped = lines.last.split('\t').head
+    java.nio.file.Files.write(mf,
+      (lines.init.mkString("\n") + "\n").getBytes("UTF-8"))
+    Fs.deleteRecursive(java.nio.file.Paths.get(dir, dropped))
+    // torn: some buckets saw the batch, the victim did not — still readable
+    val torn = bs.read().get
+    assert(torn.count() == 40)
+    // replay the SAME batch: every bucket converges to the batch state
+    bs.upsert(batch)
+    val healed = rowsOf(bs.read().get)
+    (0 until 40 by 5).foreach(i => assert(healed.contains(s"k$i|${1000 + i}"), s"k$i"))
+    assert(healed.size == 40)
+  }
+
+  test("meta pins the bucket count: open() restores, mismatched apply() rejects") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 8)
+    bs.upsert(Seq(("a", 1)).toDF("id", "v"))
+    val reopened = BucketedFragmentStore.open(spark, dir, "t", "id")
+    assert(reopened.buckets == 8)
+    assert(rowsOf(reopened.read().get) == Set("a|1"))
+    intercept[IllegalArgumentException] {
+      BucketedFragmentStore(spark, dir, "t", "id", buckets = 16)
+    }
+  }
+
+  test("per-bucket maintenance: maybeCompact bounds each bucket independently") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 2)
+    for (b <- 1 to 6)
+      bs.upsert(Seq((s"k$b", b), (s"j$b", b)).toDF("id", "v"))
+    val before = rowsOf(bs.read().get)
+    assert(bs.maybeCompact(maxLivePerBucket = 2))
+    assert(bs.fragmentCounts().forall(_ <= 2), bs.fragmentCounts().toString)
+    assert(rowsOf(bs.read().get) == before)
+  }
+}
