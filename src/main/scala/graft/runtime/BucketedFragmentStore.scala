@@ -45,7 +45,8 @@ import FragmentedTable.{DeletedCol, FragEntry, PruneReport, ZoneMap}
   * probe otherwise — mismatch can cost I/O, never correctness.
   */
 final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
-    table: String, uniqueKey: String, val buckets: Int) {
+    table: String, uniqueKey: String, val buckets: Int)
+    extends KeyedFragmentStore {
 
   import BucketedFragmentStore.{BucketCol, BucketReport}
 
@@ -100,6 +101,8 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   def deleteKeys(keys: DataFrame): Unit =
     stageAndAdopt(keys.select(col(s"`$uniqueKey`")).distinct()
       .withColumn(DeletedCol, lit(true)))
+
+  def keyColumn: String = uniqueKey
 
   def deleteWhere(pred: Column): Unit =
     read().foreach(df => deleteKeys(df.filter(pred).select(s"`$uniqueKey`")))

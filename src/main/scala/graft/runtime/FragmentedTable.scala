@@ -47,7 +47,8 @@ import java.net.{URLDecoder, URLEncoder}
   * are safe through the manifest.
   */
 final class FragmentedTable(spark: SparkSession, baseDir: String,
-                            table: String, uniqueKey: String) {
+                            table: String, uniqueKey: String)
+    extends KeyedFragmentStore {
   import FragmentedTable._
 
   /** The upsert key column (for callers composing joins against it). */

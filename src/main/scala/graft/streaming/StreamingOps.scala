@@ -211,7 +211,7 @@ object StreamingOps {
     * own previous fragment and the empty survivor set writes nothing).
     */
   def corpusIngestFragmentedSink(docs: DataFrame,
-                                 frag: graft.runtime.FragmentedTable,
+                                 frag: graft.runtime.KeyedFragmentStore,
                                  compactEvery: Long = 0L): DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -240,7 +240,7 @@ object StreamingOps {
     * of the trigger, not to future arrivals.
     */
   def keyDeletionFragmentedSink(requests: DataFrame,
-                                frag: graft.runtime.FragmentedTable,
+                                frag: graft.runtime.KeyedFragmentStore,
                                 compactEvery: Long = 0L): DataStreamWriter[Row] =
     requests.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -265,8 +265,8 @@ object StreamingOps {
     * usual cadence.
     */
   def corpusIngestQuarantineFragmentedSink(docs: DataFrame,
-                                           frag: graft.runtime.FragmentedTable,
-                                           rejectsFrag: graft.runtime.FragmentedTable,
+                                           frag: graft.runtime.KeyedFragmentStore,
+                                           rejectsFrag: graft.runtime.KeyedFragmentStore,
                                            checks: Seq[(String, org.apache.spark.sql.Column)],
                                            compactEvery: Long = 0L): DataStreamWriter[Row] = {
     require(checks.nonEmpty, "at least one validity check required")
@@ -435,8 +435,8 @@ object StreamingOps {
     * append-only-ids contracts as the Materializer-backed sink.
     */
   def corpusIngestNearDupFragmentedSink(docs: DataFrame,
-                                        frag: graft.runtime.FragmentedTable,
-                                        sigsFrag: graft.runtime.FragmentedTable,
+                                        frag: graft.runtime.KeyedFragmentStore,
+                                        sigsFrag: graft.runtime.KeyedFragmentStore,
                                         threshold: Double,
                                         numHashes: Int = 32, bands: Int = 8,
                                         shingleK: Int = 1,
@@ -523,7 +523,7 @@ object StreamingOps {
     * previous fragment and survives nothing.
     */
   def corpusIngestEmbedFragmentedSink(vecs: DataFrame,
-                                      frag: graft.runtime.FragmentedTable,
+                                      frag: graft.runtime.KeyedFragmentStore,
                                       threshold: Double,
                                       compactEvery: Long = 0L): DataStreamWriter[Row] =
     vecs.writeStream.outputMode("append").foreachBatch {
@@ -560,7 +560,7 @@ object StreamingOps {
     * as every ingest sink; `indexPath` is owned by this sink.
     */
   def corpusIngestEmbedIndexedSink(vecs: DataFrame,
-                                   frag: graft.runtime.FragmentedTable,
+                                   frag: graft.runtime.KeyedFragmentStore,
                                    indexPath: String,
                                    threshold: Double,
                                    shortlist: Int = 32,
@@ -645,7 +645,7 @@ object StreamingOps {
     * `indexPath` is owned by this sink.
     */
   def corpusIngestEmbedVectorIndexSink(vecs: DataFrame,
-                                       frag: graft.runtime.FragmentedTable,
+                                       frag: graft.runtime.KeyedFragmentStore,
                                        indexPath: String,
                                        profile: graft.ext.IndexProfile,
                                        threshold: Double,

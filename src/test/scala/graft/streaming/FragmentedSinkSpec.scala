@@ -27,6 +27,38 @@ class FragmentedSinkSpec extends SparkSpec {
     spark.read.parquet(frags.maxBy(_.lastModified()).getPath).count()
   }
 
+  test("ingest sink runs unchanged against a BUCKETED store; writes stay O(batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val bs = graft.runtime.BucketedFragmentStore(spark, dir, "corpus", "doc_id",
+      buckets = 4)
+    def corpus: Set[Long] = bs.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestFragmentedSink(
+      in.toDF().toDF("doc_id", "text"), bs, compactEvery = 2L).start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // within-batch content dedup keeps the lowest id per text
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      val afterFirst = bs.fragmentCounts().sum
+      // batch 2: one dup of the corpus, one novel; then the cadence
+      // tier-folds per bucket
+      in.addData((11L, "beta"), (12L, "gamma"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L), corpus.toString)
+      assert(bs.fragmentCounts().sum <= afterFirst + 1,
+        s"per-trigger writes must be O(batch): ${bs.fragmentCounts()}")
+      // replay: everything dedups, no fragment written
+      val before = bs.fragmentCounts().sum
+      in.addData((11L, "beta"), (12L, "gamma"))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 12L))
+      assert(bs.fragmentCounts().sum == before, "replay must not write")
+    } finally q.stop()
+  }
+
   test("key-deletion sink: O(batch) tombstones, replay writes nothing, unknown keys dropped") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
