@@ -50,6 +50,9 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
 
   import BucketedFragmentStore.{BucketCol, BucketReport}
 
+  private val lock = BucketedFragmentStore.lockFor(
+    s"${java.nio.file.Paths.get(baseDir).toAbsolutePath}#$table")
+
   /** Per-bucket stores (visible for maintenance/inspection). */
   val bucketTables: IndexedSeq[FragmentedTable] =
     (0 until buckets).map(b =>
@@ -60,7 +63,7 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   /** Stage once partitioned by bucket, zone-map in one grouped pass,
     * adopt per bucket. Two Spark jobs total.
     */
-  private def stageAndAdopt(df: DataFrame): Unit = {
+  private def stageAndAdopt(df: DataFrame): Unit = lock.synchronized {
     sweepStaging()
     val staging = Paths.get(baseDir,
       s"${table}__staging_" + java.util.UUID.randomUUID().toString.replace("-", ""))
@@ -77,7 +80,9 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     val fragSchema = org.apache.spark.sql.types.StructType(
       back.schema.fields.filterNot(_.name == BucketCol))
     statRows.foreach { r =>
-      val b = r.getAs[Int](BucketCol)
+      // partition values read back as Int or (inference off) String —
+      // parse, don't cast
+      val b = r.get(r.fieldIndex(BucketCol)).toString.toInt
       bucketTables(b).adopt(staging.resolve(s"$BucketCol=$b"),
         Some(ZoneMap.fromRow(r, tracked)), Some(fragSchema))
     }
@@ -95,6 +100,8 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   def upsert(batch: DataFrame): Unit = {
     require(!batch.columns.contains(DeletedCol),
       s"$DeletedCol is reserved for tombstone fragments")
+    require(!batch.columns.contains(BucketCol),
+      s"$BucketCol is reserved for bucket routing")
     stageAndAdopt(batch)
   }
 
@@ -126,8 +133,31 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     val frames = results.flatMap(_._2._1)
     val report = BucketReport(buckets, probed,
       results.map { case (b, (_, r)) => b -> r }.toMap)
-    if (frames.isEmpty) (None, report)
-    else (Some(frames.reduce(_.unionByName(_, allowMissingColumns = true))), report)
+    if (frames.nonEmpty)
+      (Some(frames.reduce(_.unionByName(_, allowMissingColumns = true))), report)
+    else unionSchema() match {
+      // the probed buckets are empty but the STORE is not: the contract
+      // is read().filter(pred), so hand back an empty frame with the
+      // union schema rather than None
+      case Some(schema) =>
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        (Some(empty.filter(pred)), report)
+      case None => (None, report)
+    }
+  }
+
+  /** First-wins union schema across the buckets; None on an empty store. */
+  private def unionSchema(): Option[org.apache.spark.sql.types.StructType] = {
+    val parts = bucketTables.flatMap(_.tableSchema())
+    if (parts.isEmpty) None
+    else {
+      val seen = scala.collection.mutable.LinkedHashMap[String,
+        org.apache.spark.sql.types.StructField]()
+      parts.foreach(_.fields.foreach(f =>
+        if (!seen.contains(f.name)) seen(f.name) = f))
+      Some(org.apache.spark.sql.types.StructType(seen.values.toSeq))
+    }
   }
 
   /** Buckets that can hold a key satisfying some key-equality conjunct
@@ -192,6 +222,12 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
 }
 
 object BucketedFragmentStore {
+
+  // JVM-global writer serialization per (warehouse, table): staging
+  // sweep + adopt must not interleave with another in-JVM writer
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
 
   final case class BucketReport(totalBuckets: Int, probed: Seq[Int],
                                 perBucket: Map[Int, PruneReport]) {

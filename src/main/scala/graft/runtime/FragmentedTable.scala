@@ -124,7 +124,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * then the table's sole fragment — physically purges them.
     */
   def deleteKeys(keys: DataFrame): Unit = lock.synchronized {
-    val tomb = keys.select(col(uniqueKey)).distinct()
+    val tomb = keys.select(qcol(uniqueKey)).distinct()
       .withColumn(DeletedCol, lit(true))
     publishManifest(readEntries() :+ writeFragment(tomb))
   }
@@ -133,7 +133,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * against the live merge at call time).
     */
   def deleteWhere(pred: Column): Unit =
-    read().foreach(df => deleteKeys(df.filter(pred).select(uniqueKey)))
+    read().foreach(df => deleteKeys(df.filter(pred).select(qcol(uniqueKey))))
 
   /** Last-writer-wins merge of manifest entries tagged with their GLOBAL
     * manifest position (so a partial fragment list still ranks versions
@@ -149,7 +149,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val hasDel = unioned.columns.contains(DeletedCol)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(uniqueKey)).orderBy(col("__frag_seq").desc)
+      .partitionBy(qcol(uniqueKey)).orderBy(col("__frag_seq").desc)
     val winners = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -172,6 +172,22 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
 
   private def defaultFrame(e: FragEntry): DataFrame =
     spark.read.parquet(s"$baseDir/${e.name}")
+
+  /** First-wins union schema over the live fragments (manifest DDL
+    * when present, footer read otherwise), minus the tombstone marker;
+    * None on an empty table.
+    */
+  private[runtime] def tableSchema(): Option[StructType] = {
+    val entries = readEntries()
+    if (entries.isEmpty) return None
+    val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    entries.foreach { e =>
+      e.schema.getOrElse(defaultFrame(e).schema).fields
+        .filterNot(_.name == DeletedCol)
+        .foreach(f => if (!seen.contains(f.name)) seen(f.name) = f)
+    }
+    Some(StructType(seen.values.toSeq))
+  }
 
   /** The key column's stored type, reading ONE fragment's footer (for
     * callers that route on the key — [[BucketedFragmentStore]]).
@@ -239,7 +255,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
         if (present(f.name)) acc
         else acc.withColumn(f.name, lit(null).cast(f.dataType))
       }
-      full.select(tableFields.map(f => col(s"`${f.name}`")): _*)
+      full.select(tableFields.map(f => qcol(f.name)): _*)
     }
     def emptyResult: DataFrame = {
       val e = entries.find(x => !isTombstone(x._1)).getOrElse(entries.head)._1
@@ -264,7 +280,7 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     // winners over key-live fragments, key column only
     val winners = keyLive.map { case (e, i) =>
       frame(e)
-        .select(col(s"`$uniqueKey`").as("__w_key")).withColumn("__w_seq", lit(i))
+        .select(qcol(uniqueKey).as("__w_key")).withColumn("__w_seq", lit(i))
     }.reduce(_ unionByName _)
       .groupBy(col("__w_key")).agg(max(col("__w_seq")).as("__max_seq"))
     val rows = candidates.map { case (e, i) =>
@@ -372,6 +388,13 @@ object FragmentedTable {
     * all.
     */
   final case class PruneReport(total: Int, keyLive: Int, scanned: Int)
+
+  /** Backtick-quoted column reference safe for ANY column name —
+    * embedded backticks escape by doubling, per the SQL identifier
+    * rules, so a name like a`b resolves instead of failing to parse.
+    */
+  private[runtime] def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   /** Reserved marker column carried only by tombstone fragments
     * ([[FragmentedTable.deleteKeys]]); rejected in upsert batches.
@@ -501,11 +524,11 @@ object FragmentedTable {
     private[runtime] def aggPlan(schema: StructType,
         exclude: Set[String] = Set.empty): (Seq[(String, String)], Seq[Column]) = {
       val tracked = schema.fields
-        .filterNot(f => f.name.contains("`") || exclude(f.name))
+        .filterNot(f => exclude(f.name))
         .flatMap(f => tagOf(f.dataType).map(f.name -> _)).toSeq
       val aggs = Seq(count(lit(1)).as("__zm_rows")) ++ tracked.flatMap { case (n, _) =>
-        Seq(min(col(s"`$n`")).as(s"__zm_min_$n"), max(col(s"`$n`")).as(s"__zm_max_$n"),
-          count(col(s"`$n`")).as(s"__zm_nn_$n"))
+        Seq(min(qcol(n)).as(s"__zm_min_$n"), max(qcol(n)).as(s"__zm_max_$n"),
+          count(qcol(n)).as(s"__zm_nn_$n"))
       }
       (tracked, aggs)
     }

@@ -27,6 +27,11 @@ trait KeyedFragmentStore {
   def deleteWhere(pred: Column): Unit
   /** Fold the newest small-fragment run(s); cheap cadence maintenance. */
   def compactTiered(tierFactor: Double = 4.0): Boolean
+  /** Tiered fold, then a full fold only if a manifest still exceeds
+    * `maxLive` fragments — the bounded-read-amplification backstop the
+    * sink cadences call (per-bucket bound on the sharded layout).
+    */
+  def maybeCompact(maxLive: Int, tierFactor: Double = 4.0): Boolean
   /** Full fold (purges tombstones). */
   def compact(): Unit
 }

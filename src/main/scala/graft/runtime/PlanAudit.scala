@@ -95,16 +95,16 @@ object PlanAudit {
         "window with no PARTITION BY: all rows on one task; " +
           "partition the window or use a scale-safe id"))
     case j: SortMergeJoinExec =>
-      broadcastableSide(ds, j.left, j.right).map { bytes =>
+      broadcastableSide(ds, j.left, j.right, j.joinType).map { bytes =>
         Finding("broadcastable-shuffle-join", "medium", j.nodeName,
-          s"smaller side estimated ~$bytes bytes: broadcast() it instead " +
-            "of shuffling both sides")
+          s"smaller legally-buildable side estimated ~$bytes bytes: " +
+            "broadcast() it instead of shuffling both sides")
       }.toSeq
     case j: ShuffledHashJoinExec =>
-      broadcastableSide(ds, j.left, j.right).map { bytes =>
+      broadcastableSide(ds, j.left, j.right, j.joinType).map { bytes =>
         Finding("broadcastable-shuffle-join", "medium", j.nodeName,
-          s"smaller side estimated ~$bytes bytes: broadcast() it instead " +
-            "of shuffling both sides")
+          s"smaller legally-buildable side estimated ~$bytes bytes: " +
+            "broadcast() it instead of shuffling both sides")
       }.toSeq
     case f: FilterExec =>
       val udf = if (hasUdf(f.condition))
@@ -181,14 +181,29 @@ object PlanAudit {
     }
   }
 
-  /** Smallest side's optimizer size estimate, when it fits the broadcast
-    * bar but was shuffled anyway. With broadcasting disabled
-    * (threshold <= 0) the recommendation bar falls back to 10 MB —
-    * that's exactly the configuration under which this finding is most
-    * useful.
+  /** Smallest LEGALLY-BUILDABLE side's optimizer size estimate, when it
+    * fits the broadcast bar but was shuffled anyway. Build-side legality
+    * follows Spark's own join-strategy rules (a full-outer join can
+    * broadcast neither side; a left-outer only its right; a right-outer
+    * only its left), so the finding never recommends a hint Spark would
+    * ignore. With broadcasting disabled (threshold <= 0) the bar falls
+    * back to 10 MB — exactly the configuration under which this finding
+    * is most useful.
     */
   private def broadcastableSide(ds: Dataset[_], left: SparkPlan,
-                                right: SparkPlan): Option[BigInt] = {
+                                right: SparkPlan,
+                                joinType: org.apache.spark.sql.catalyst.plans.JoinType)
+      : Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.plans._
+    val canBuildRight = joinType match {
+      case _: InnerLike | LeftOuter | LeftSemi | LeftAnti => true
+      case _: ExistenceJoin                               => true
+      case _                                              => false
+    }
+    val canBuildLeft = joinType match {
+      case _: InnerLike | RightOuter => true
+      case _                         => false
+    }
     val conf = ds.sparkSession.conf
     val threshold = BigInt(conf.get("spark.sql.autoBroadcastJoinThreshold",
       "10485760").stripSuffix("b").stripSuffix("B") match {
@@ -196,7 +211,8 @@ object PlanAudit {
       case _ => "10485760"
     })
     val bar = if (threshold > 0) threshold else BigInt(10485760)
-    val sizes = Seq(left, right).flatMap(sideSize)
+    val sizes = (if (canBuildLeft) sideSize(left) else None).toSeq ++
+      (if (canBuildRight) sideSize(right) else None).toSeq
     sizes.sorted.headOption.filter(_ <= bar)
   }
 

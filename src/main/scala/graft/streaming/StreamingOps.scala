@@ -122,6 +122,23 @@ object StreamingOps {
       }
   }
 
+
+  /** Cadence maintenance for the fragmented sinks: a tiered fold every
+    * tick (I/O ∝ the recent run), with a bounded-read-amplification
+    * backstop — if a manifest still exceeds [[CadenceMaxLive]] fragments
+    * after the tiered fold (e.g. the tier policy keeps declining because
+    * the newest fragment is tiny next to its predecessor), a full fold
+    * restores the bound rather than letting amplification grow
+    * unchecked between manual maintenance.
+    */
+  val CadenceMaxLive = 8
+
+  private def cadenceFold(s: graft.runtime.KeyedFragmentStore): Unit = {
+    s.compactTiered()
+    s.maybeCompact(CadenceMaxLive)
+    ()
+  }
+
   /** Sink glue: every micro-batch runs the batch upsert-by-key path, so
     * a streaming model materializes exactly like its batch rerun.
     */
@@ -221,7 +238,7 @@ object StreamingOps {
         }
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compactTiered()
+          cadenceFold(frag)
         ()
     }
 
@@ -250,7 +267,7 @@ object StreamingOps {
           if (!live.isEmpty) frag.deleteKeys(live)
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compactTiered()
+          cadenceFold(frag)
         ()
     }
 
@@ -287,7 +304,7 @@ object StreamingOps {
         }
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          frag.compactTiered(); rejectsFrag.compactTiered()
+          cadenceFold(frag); cadenceFold(rejectsFrag)
         }
         ()
     }
@@ -475,7 +492,7 @@ object StreamingOps {
           threshold, numHashes, bands, shingleK, hotShingles = hotShingles)
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          frag.compactTiered(); sigsFrag.compactTiered()
+          cadenceFold(frag); cadenceFold(sigsFrag)
         }
         ()
     }
@@ -537,7 +554,7 @@ object StreamingOps {
         }
         if (!survivors.isEmpty) frag.upsert(survivors)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compactTiered()
+          cadenceFold(frag)
         ()
     }
 
@@ -619,7 +636,7 @@ object StreamingOps {
           }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compactTiered()
+          cadenceFold(frag)
         ()
     }
 
@@ -685,7 +702,7 @@ object StreamingOps {
           }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          frag.compactTiered()
+          cadenceFold(frag)
         ()
     }
 

@@ -115,6 +115,26 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(healed.size == 40)
   }
 
+  test("probing only empty buckets returns an EMPTY frame with the union schema, not None") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 32)
+    bs.upsert(Seq((1L, "a")).toDF("id", "v"))
+    // find a key routing to a bucket with no fragments
+    val missing = (2L to 200L).find { k =>
+      val (_, rep) = bs.readWhereReport(col("id") === k)
+      rep.perBucket.values.forall(_.total == 0)
+    }.get
+    val res = bs.readWhere(col("id") === missing)
+    assert(res.isDefined, "non-empty store must not return None")
+    assert(res.get.count() == 0)
+    assert(res.get.columns.toSeq == Seq("id", "v"), res.get.columns.toSeq)
+  }
+
+  test("reserved bucket-routing column is rejected in upserts") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 4)
+    val bad = Seq((1L, 0)).toDF("id", "__graft_bucket")
+    intercept[IllegalArgumentException] { bs.upsert(bad) }
+  }
+
   test("meta pins the bucket count: open() restores, mismatched apply() rejects") {
     val dir = freshDir()
     val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 8)

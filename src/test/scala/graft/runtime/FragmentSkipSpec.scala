@@ -191,6 +191,17 @@ class FragmentSkipSpec extends SparkSpec {
     assert(rowsOf(frag.read().get.filter(pred)) == Set("c|30"))
   }
 
+  test("backtick-bearing column names write, probe, and pad without parse errors") {
+    val frag = new FragmentedTable(spark, freshDir(), "t", "id")
+    frag.upsert(Seq(("a", 1), ("b", 2)).toDF("id", "tick`name"))
+    frag.upsert(Seq(("c", 30, "x")).toDF("id", "tick`name", "extra"))
+    // pad() must select the backtick-bearing column (doubled-backtick
+    // quoting) in the pruned branches; equivalence is the contract
+    assertSame(frag, col("extra") === "x")
+    assertSame(frag, col("`tick``name`") > 10)
+    assert(frag.read().get.count() == 3)
+  }
+
   test("maybeCompact respects the read-amplification bound") {
     val dir = freshDir()
     val frag = new FragmentedTable(spark, dir, "t", "id")

@@ -73,6 +73,23 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.filterPushdown", prev)
   }
 
+  test("illegal-build-side joins are not flagged broadcastable") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = Seq(("en", 1), ("de", 2)).toDF("lang", "rank")
+      // full outer can broadcast NEITHER side: a shuffle join is already
+      // the right plan, so no finding
+      val fo = docs().join(dim, Seq("lang"), "full_outer")
+      assert(!kinds(PlanAudit.audit(fo)).contains("broadcastable-shuffle-join"),
+        PlanAudit.audit(fo).render)
+      // left outer CAN build right (the small dim): flagged
+      val lo = docs().join(dim, Seq("lang"), "left_outer")
+      assert(kinds(PlanAudit.audit(lo)).contains("broadcastable-shuffle-join"),
+        PlanAudit.audit(lo).render)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("opaque UDF is reported info") {
     val shout = udf((s: String) => if (s == null) null else s.toUpperCase)
     val df = docs().select(shout(col("lang")).as("l"))
