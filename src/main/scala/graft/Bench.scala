@@ -47,7 +47,10 @@ object Bench {
     "q_ext_dup_span_stats", "q_ext_scrub_dup_spans", "q_ext_cosine_pairs",
     "q_ext_knn_brute", "q_ext_knn_lsh", "q_ext_knn_ivf",
     "q_ext_knn_ivf_probe", "q_ext_knn_ivf_probe_approx", "q_ext_knn_pq",
-    "q_ext_knn_sq", "q_ext_knn_ivfpq")
+    "q_ext_knn_sq", "q_ext_knn_ivfpq",
+    // fragment-store family: store build + pruned/bucket-routed reads
+    // must stay flat-ish as the corpus scales 10×
+    "q_ext_frag_skip", "q_ext_frag_delete", "q_ext_frag_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sf1 = sys.env.get("SPARK_GRAFT_SF").contains("1")
