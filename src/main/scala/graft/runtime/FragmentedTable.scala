@@ -309,14 +309,27 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * GC — the same keep-until-superseded window as the Materializer;
     * no-op on an empty table.
     */
-  def compact(): Unit = lock.synchronized {
+  def compact(): Unit = compact(readerGrace = false)
+
+  /** [[compact]] with an opt-in ONE-GENERATION reader grace:
+    * `readerGrace = true` RETIRES the superseded fragment dirs (listed
+    * in a `<table>.retired` sidecar, same atomic-rename protocol)
+    * instead of deleting them, so a cross-process reader that resolved
+    * the pre-fold manifest can finish its scan; the retired generation
+    * is swept at the NEXT fold (either mode). Crash orphans — dirs no
+    * manifest and no retired list ever named — are swept immediately in
+    * both modes. The default stays immediate GC: minimal storage, with
+    * the keep-until-superseded window documented above.
+    */
+  def compact(readerGrace: Boolean): Unit = lock.synchronized {
     val entries = readEntries()
     if (entries.nonEmpty) {
       // the full fold sees every fragment, so tombstones have nothing
       // left to shadow: purge them physically
       val entry = writeFragment(merged(entries.zipWithIndex))
       publishManifest(Seq(entry))
-      gcUnreferenced(Set(entry.name))
+      retireAndGc(superseded = entries.map(_.name).toSet - entry.name,
+        live = Set(entry.name), readerGrace)
     }
   }
 
@@ -338,26 +351,34 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * is still newer than everything it didn't absorb, and within-run
     * winners were already resolved). Returns true if a fold happened.
     */
-  def compactTiered(tierFactor: Double = 4.0): Boolean = lock.synchronized {
-    val entries = readEntries()
-    if (entries.size < 2) return false
-    val sizes = entries.map(e => dirBytes(Paths.get(baseDir, e.name)))
-    var runStart = entries.size - 1
-    var runBytes = sizes(runStart)
-    while (runStart > 0 && sizes(runStart - 1) <= tierFactor * runBytes) {
-      runStart -= 1
-      runBytes += sizes(runStart)
+  def compactTiered(tierFactor: Double = 4.0): Boolean =
+    compactTiered(tierFactor, readerGrace = false)
+
+  /** [[compactTiered]] with the same opt-in reader grace as the
+    * two-argument `compact`.
+    */
+  def compactTiered(tierFactor: Double, readerGrace: Boolean): Boolean =
+    lock.synchronized {
+      val entries = readEntries()
+      if (entries.size < 2) return false
+      val sizes = entries.map(e => dirBytes(Paths.get(baseDir, e.name)))
+      var runStart = entries.size - 1
+      var runBytes = sizes(runStart)
+      while (runStart > 0 && sizes(runStart - 1) <= tierFactor * runBytes) {
+        runStart -= 1
+        runBytes += sizes(runStart)
+      }
+      if (runStart >= entries.size - 1) return false
+      val run = entries.zipWithIndex.drop(runStart)
+      // a fold that absorbs the OLDEST fragment sees the whole table and
+      // may purge tombstones; a partial fold must keep them as marker
+      // rows, or keys still present in the un-folded base would resurrect
+      val entry = writeFragment(merged(run, purgeTombstones = runStart == 0))
+      publishManifest(entries.take(runStart) :+ entry)
+      retireAndGc(superseded = run.map(_._1.name).toSet,
+        live = entries.take(runStart).map(_.name).toSet + entry.name, readerGrace)
+      true
     }
-    if (runStart >= entries.size - 1) return false
-    val run = entries.zipWithIndex.drop(runStart)
-    // a fold that absorbs the OLDEST fragment sees the whole table and
-    // may purge tombstones; a partial fold must keep them as marker
-    // rows, or keys still present in the un-folded base would resurrect
-    val entry = writeFragment(merged(run, purgeTombstones = runStart == 0))
-    publishManifest(entries.take(runStart) :+ entry)
-    gcUnreferenced(entries.take(runStart).map(_.name).toSet + entry.name)
-    true
-  }
 
   /** Compact only when read amplification crossed `maxLive` fragments:
     * tiered first (cheap), full fold only if the tier policy could not
@@ -373,10 +394,36 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     }
   }
 
-  private def gcUnreferenced(live: Set[String]): Unit =
+  private def retiredPath = Paths.get(baseDir, s"$table.retired")
+
+  private def readRetired(): Set[String] =
+    if (!Files.exists(retiredPath)) Set.empty
+    else new String(Files.readAllBytes(retiredPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSet
+
+  private def writeRetired(names: Set[String]): Unit =
+    if (names.isEmpty) Files.deleteIfExists(retiredPath)
+    else {
+      val tmp = Paths.get(baseDir, s"$table.retired__tmp_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      Files.write(tmp, (names.mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.move(tmp, retiredPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** Post-fold cleanup: the PREVIOUS retired generation and crash
+    * orphans always go; this fold's superseded dirs either go too
+    * (default) or become the new retired generation (readerGrace).
+    */
+  private def retireAndGc(superseded: Set[String], live: Set[String],
+                          readerGrace: Boolean): Unit = {
+    val keep = if (readerGrace) superseded else Set.empty[String]
+    writeRetired(keep)
     Option(new java.io.File(baseDir).list()).toSeq.flatten
-      .filter(n => n.startsWith(s"${table}__frag_") && !live(n))
+      .filter(n => n.startsWith(s"${table}__frag_") && !live(n) && !keep(n))
       .foreach(n => Fs.deleteRecursive(Paths.get(baseDir, n)))
+  }
 }
 
 object FragmentedTable {

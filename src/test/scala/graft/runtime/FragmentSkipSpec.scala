@@ -191,6 +191,29 @@ class FragmentSkipSpec extends SparkSpec {
     assert(rowsOf(frag.read().get.filter(pred)) == Set("c|30"))
   }
 
+  test("readerGrace compaction retires superseded dirs for one generation") {
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "t", "id")
+    frag.upsert(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    frag.upsert(Seq(("a", 10)).toDF("id", "v"))
+    // a reader resolves the PRE-fold manifest (lazy plan over old dirs)
+    val oldReader = frag.read().get
+    frag.compact(readerGrace = true)
+    // superseded dirs retained: the old reader can still finish
+    assert(oldReader.collect().map(_.mkString("|")).toSet == Set("a|10", "b|2"))
+    val dirs = new java.io.File(dir).list().count(_.startsWith("t__frag_"))
+    assert(dirs == 3, s"grace must retain the 2 superseded dirs: $dirs")
+    assert(frag.fragmentCount() == 1)
+    assert(rowsOf(frag.read().get) == Set("a|10", "b|2"))
+    // the NEXT fold (default mode) sweeps the retired generation
+    frag.upsert(Seq(("c", 3)).toDF("id", "v"))
+    frag.compact()
+    val after = new java.io.File(dir).list().count(_.startsWith("t__frag_"))
+    assert(after == 1, s"next fold must sweep the retired generation: $after")
+    assert(rowsOf(frag.read().get) == Set("a|10", "b|2", "c|3"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "t.retired")))
+  }
+
   test("backtick-bearing column names write, probe, and pad without parse errors") {
     val frag = new FragmentedTable(spark, freshDir(), "t", "id")
     frag.upsert(Seq(("a", 1), ("b", 2)).toDF("id", "tick`name"))
