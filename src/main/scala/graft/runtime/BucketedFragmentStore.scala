@@ -219,6 +219,9 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     */
   def maybeCompact(maxLivePerBucket: Int, tierFactor: Double = 4.0): Boolean =
     bucketTables.map(_.maybeCompact(maxLivePerBucket, tierFactor)).exists(identity)
+
+  def compactIfOver(maxLivePerBucket: Int): Boolean =
+    bucketTables.map(_.compactIfOver(maxLivePerBucket)).exists(identity)
 }
 
 object BucketedFragmentStore {
@@ -236,17 +239,28 @@ object BucketedFragmentStore {
 
   private[runtime] val BucketCol = "__graft_bucket"
 
-  /** Create (writing the bucket-count meta) or open (validating it). */
+  /** Create (writing the bucket-count meta) or open (validating it).
+    * The meta check/write runs under the per-table writer lock and
+    * creates with CREATE_NEW, so two concurrent creators can never both
+    * write: the loser re-validates against whatever actually landed.
+    */
   def apply(spark: SparkSession, baseDir: String, table: String,
             uniqueKey: String, buckets: Int = 16): BucketedFragmentStore = {
     require(buckets > 0, "buckets must be positive")
     Files.createDirectories(Paths.get(baseDir))
     val meta = Paths.get(baseDir, s"$table.buckets")
-    if (Files.exists(meta)) {
-      val stored = new String(Files.readAllBytes(meta), "UTF-8").trim.toInt
-      require(stored == buckets,
-        s"$table was created with $stored buckets; re-bucketing requires a rebuild")
-    } else Files.write(meta, s"$buckets\n".getBytes("UTF-8"))
+    lockFor(s"${Paths.get(baseDir).toAbsolutePath}#$table").synchronized {
+      def validate(): Unit = {
+        val stored = new String(Files.readAllBytes(meta), "UTF-8").trim.toInt
+        require(stored == buckets,
+          s"$table was created with $stored buckets; call rebucket to change")
+      }
+      if (Files.exists(meta)) validate()
+      else try
+        Files.write(meta, s"$buckets\n".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => validate() }
+    }
     new BucketedFragmentStore(spark, baseDir, table, uniqueKey, buckets)
   }
 

@@ -286,10 +286,13 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val rows = candidates.map { case (e, i) =>
       frame(e).withColumn("__frag_seq", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val joined = rows.join(winners,
-        rows(uniqueKey) <=> winners("__w_key") &&
-          rows("__frag_seq") === winners("__max_seq"))
-      .drop("__w_key", "__max_seq", "__frag_seq")
+    // resolve the key via qcol like every other path — raw Dataset.apply
+    // would parse a dotted key column as a nested-field reference
+    val keyed = rows.withColumn("__r_key", qcol(uniqueKey))
+    val joined = keyed.join(winners,
+        keyed("__r_key") <=> winners("__w_key") &&
+          keyed("__frag_seq") === winners("__max_seq"))
+      .drop("__w_key", "__max_seq", "__frag_seq", "__r_key")
     val out = pad(if (joined.columns.contains(DeletedCol))
         joined.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
       else joined)
@@ -392,6 +395,11 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
       if (fragmentCount() > maxLive) compact()
       true
     }
+  }
+
+  def compactIfOver(maxLive: Int): Boolean = lock.synchronized {
+    if (fragmentCount() <= maxLive) false
+    else { compact(); true }
   }
 
   private def retiredPath = Paths.get(baseDir, s"$table.retired")
@@ -512,10 +520,13 @@ object FragmentedTable {
 
   final case class ZoneMap(rows: Long, cols: Map[String, ColStats]) {
     private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+    // Present bounds carry a '=' marker so Some("") and None stay
+    // distinguishable across the manifest round-trip ('=' never appears
+    // in URLEncoder output, so legacy unmarked values can't collide).
+    private def encB(b: Option[String]) = b.map("=" + enc(_)).getOrElse("")
     def render: String = {
       val colStr = cols.toSeq.sortBy(_._1).map { case (n, c) =>
-        Seq(enc(n), c.typ, c.min.map(enc).getOrElse(""),
-          c.max.map(enc).getOrElse(""), c.nulls.toString).mkString("|")
+        Seq(enc(n), c.typ, encB(c.min), encB(c.max), c.nulls.toString).mkString("|")
       }.mkString("\u0001")
       s"$rows\u0001$colStr"
     }
@@ -523,15 +534,19 @@ object FragmentedTable {
 
   object ZoneMap {
     private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+    // Inverse of encB; accepts legacy unmarked values (where "" is
+    // ambiguous — cmpProbe declines on that inconsistency, see below).
+    private def decB(s: String): Option[String] =
+      if (s.isEmpty) None
+      else if (s.charAt(0) == '=') Some(dec(s.substring(1)))
+      else Some(dec(s))
 
     def parse(s: String): Option[ZoneMap] = try {
       val parts = s.split('\u0001')
       val rows = parts.head.toLong
       val cols = parts.tail.filter(_.nonEmpty).map { cs =>
         val Array(n, t, mn, mx, nulls) = cs.split('|')
-        dec(n) -> ColStats(t,
-          if (mn == "") None else Some(dec(mn)),
-          if (mx == "") None else Some(dec(mx)), nulls.toLong)
+        dec(n) -> ColStats(t, decB(mn), decB(mx), nulls.toLong)
       }.toMap
       Some(ZoneMap(rows, cols))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -698,7 +713,11 @@ object FragmentedTable {
         case (n, c) if n.equalsIgnoreCase(name) => c
       }.getOrElse(return true)
       if (v == null) return false // null comparison never satisfies
-      if (cs.min.isEmpty || cs.max.isEmpty) return false // all-null column
+      // Absent bounds prune ONLY when the null count independently
+      // confirms the column is all-null in this fragment; otherwise the
+      // bounds are inconsistent (e.g. a legacy manifest that conflated
+      // an empty-string min with "no value") and we must decline.
+      if (cs.min.isEmpty || cs.max.isEmpty) return cs.nulls < z.rows
       val litTag = ZoneMap.tagOf(dt).getOrElse(return true)
       if (compat(cs.typ, litTag).isEmpty) return true
       val (mnC, mxC) = cmpValues(cs.typ, litTag, cs.min.get, cs.max.get, v)

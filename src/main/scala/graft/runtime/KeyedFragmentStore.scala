@@ -32,6 +32,12 @@ trait KeyedFragmentStore {
     * sink cadences call (per-bucket bound on the sharded layout).
     */
   def maybeCompact(maxLive: Int, tierFactor: Double = 4.0): Boolean
+  /** The [[maybeCompact]] backstop WITHOUT the tiered pre-pass: full
+    * fold of any manifest still over `maxLive` fragments. For callers
+    * that just ran their own [[compactTiered]] — avoids paying the tier
+    * policy (and its per-fragment filesystem walk) twice per tick.
+    */
+  def compactIfOver(maxLive: Int): Boolean
   /** Full fold (purges tombstones). */
   def compact(): Unit
 }

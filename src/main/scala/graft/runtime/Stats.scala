@@ -47,6 +47,8 @@ object Stats {
       val rc = reused.getOrElse {
         spark.sql(s"DROP TABLE IF EXISTS $qt")
         spark.sql(s"CREATE TABLE $qt USING parquet LOCATION '$dir/$t.parquet'")
+        spark.sql(s"ALTER TABLE $qt SET TBLPROPERTIES " +
+          s"('$TokenProp' = '${freshnessToken(s"$dir/$t.parquet")}')")
         spark.sql(s"ANALYZE TABLE $qt COMPUTE STATISTICS FOR ALL COLUMNS")
         // read the row count from the CATALOG metadata, not a plan: plan
         // stats only surface rowCount when CBO is on, and a plan lookup by
@@ -61,13 +63,40 @@ object Stats {
     }.toMap
   }
 
+  /** Table property carrying the file-level freshness token the stats
+    * were computed over.
+    */
+  private val TokenProp = "graft.stats.token"
+
+  /** Cheap content token for a parquet location: file count, total
+    * bytes, newest mtime. Changes whenever the fixture is regenerated —
+    * even at the same path — so stale-stats reuse self-invalidates.
+    */
+  private def freshnessToken(path: String): String = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) "absent"
+    else {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        var bytes = 0L; var mtime = 0L; var count = 0L
+        walk.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            bytes += java.nio.file.Files.size(p); count += 1
+            mtime = math.max(mtime,
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          }
+        }
+        s"$count:$bytes:$mtime"
+      } finally walk.close()
+    }
+  }
+
   /** ANALYZE is a one-scan-per-table maintenance cost amortized across
     * every query planned after it; `reuseExisting = true` models that
     * steady state by accepting catalog stats that already exist FOR THE
-    * SAME LOCATION (a table registered over a different path — or one
-    * never analyzed — still pays the full path). Immutable-fixture
-    * contexts only: stats over a mutated file are the caller's risk,
-    * exactly as with any warehouse whose ANALYZE cadence lags writes.
+    * SAME LOCATION **and whose recorded freshness token still matches
+    * the files** — a fixture regenerated at the same path (new bytes or
+    * mtimes) invalidates the reuse and pays a fresh ANALYZE.
     */
   private def existingStats(spark: SparkSession, t: String,
                             dir: String): Option[BigInt] =
@@ -78,6 +107,7 @@ object Stats {
       val want = java.nio.file.Paths.get(dir, s"$t.parquet").toAbsolutePath.toString
       meta.stats
         .filter(_ => loc == want)
+        .filter(_ => meta.properties.get(TokenProp).contains(freshnessToken(want)))
         .filter(_.colStats.nonEmpty)
         .flatMap(_.rowCount)
     }.toOption.flatten

@@ -135,7 +135,8 @@ object StreamingOps {
 
   private def cadenceFold(s: graft.runtime.KeyedFragmentStore): Unit = {
     s.compactTiered()
-    s.maybeCompact(CadenceMaxLive)
+    // backstop WITHOUT a second tier pass — this tick already paid one
+    s.compactIfOver(CadenceMaxLive)
     ()
   }
 

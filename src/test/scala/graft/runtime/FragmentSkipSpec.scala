@@ -112,6 +112,50 @@ class FragmentSkipSpec extends SparkSpec {
     assert(res.get.as[(String, Int)].collect().toSet == Set(("k1", 10)))
   }
 
+  test("empty-string min/max survives the manifest round-trip; fragment not mispruned") {
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "t", "id")
+    // fragment whose string column's MIN is the empty string — the
+    // round-trip regression: render must keep Some("") distinct from
+    // None or a re-read manifest prunes this fragment as "all null"
+    frag.upsert(Seq(("k1", "", 1), ("k2", "zzz", 2)).toDF("id", "s", "v"))
+    frag.upsert(Seq(("k3", "mid", 3)).toDF("id", "s", "v"))
+    // re-open: forces the manifest parse path (no in-memory stats)
+    val reopened = new FragmentedTable(spark, dir, "t", "id")
+    assertSame(reopened, col("s") === "")
+    assertSame(reopened, col("s") <= "a")
+    val hit = reopened.readWhere(col("s") === "").get
+      .as[(String, String, Int)].collect().toSet
+    assert(hit == Set(("k1", "", 1)), hit.toString)
+    // the ZoneMap codec itself: Some("") != None across render/parse
+    val zm = FragmentedTable.ZoneMap(2, Map(
+      "a" -> FragmentedTable.ColStats("string", Some(""), Some(""), 0),
+      "b" -> FragmentedTable.ColStats("string", None, None, 2)))
+    val back = FragmentedTable.ZoneMap.parse(zm.render).get
+    assert(back == zm, s"$back != $zm")
+  }
+
+  test("absent bounds prune only when the null count confirms all-null") {
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "t", "id")
+    // truly all-null column: nulls == rows → probe may prune on s = 'x'
+    frag.upsert(Seq(("k1", null.asInstanceOf[String], 1),
+      ("k2", null.asInstanceOf[String], 2)).toDF("id", "s", "v"))
+    val (_, rep) = frag.readWhereReport(col("s") === "x")
+    assert(rep.scanned == 0, rep.toString)
+    // legacy manifest that lost an empty-string bound (inconsistent:
+    // bounds absent but nulls < rows) must DECLINE pruning, not skip
+    frag.upsert(Seq(("k3", "", 3)).toDF("id", "s", "v"))
+    val mf = java.nio.file.Paths.get(dir, "t.fragments")
+    val legacyised = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .replace("=", "") // strip presence markers: "" bounds become ambiguous
+    java.nio.file.Files.write(mf, legacyised.getBytes("UTF-8"))
+    val reopened = new FragmentedTable(spark, dir, "t", "id")
+    val got = reopened.readWhere(col("s") === "").get
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(("k3", "", 3)), got.toString)
+  }
+
   test("predicate disproven everywhere returns an empty frame with the table schema") {
     val dir = freshDir()
     val frag = new FragmentedTable(spark, dir, "t", "id")

@@ -112,21 +112,29 @@ class StatsSpec extends SparkSpec {
     assert(Stats.statsJoin(spark, "unifact", "dim", Seq("k")).count() == 2L)
   }
 
-  test("reuseExisting accepts same-location stats, refreshes on mutation or new location") {
+  test("reuseExisting accepts fresh same-location stats, refreshes on mutation or new location") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-stats-reuse").toString
     Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$tmp/mini.parquet")
     val rc1 = Stats.registerAndAnalyze(spark, tmp, Seq("mini"))(s"$db.mini")
     assert(rc1 == BigInt(2))
-    // mutate the underlying file; reuse must SKIP the re-analyze and
-    // hand back the stale (but same-location) count
-    Seq((3, "c")).toDF("k", "v").write.mode("append").parquet(s"$tmp/mini.parquet")
+    // prove reuse does NOT re-scan when the files are untouched: plant a
+    // sentinel rowCount in the catalog (files and the freshness token
+    // unchanged) — reuse must hand the sentinel back
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("mini", Some("graft_stats"))
+    val cat = spark.sessionState.catalog
+    val planted = cat.getTableMetadata(ident).stats.get.copy(rowCount = Some(BigInt(42)))
+    cat.alterTableStats(ident, Some(planted))
     val reused = Stats.registerAndAnalyze(spark, tmp, Seq("mini"),
       reuseExisting = true)(s"$db.mini")
-    assert(reused == BigInt(2), "reuseExisting must not re-scan the table")
-    // the default path refreshes
-    val fresh = Stats.registerAndAnalyze(spark, tmp, Seq("mini"))(s"$db.mini")
-    assert(fresh == BigInt(3), "default must re-analyze")
+    assert(reused == BigInt(42), "unmutated reuseExisting must not re-scan")
+    // mutate the underlying files: the freshness token no longer matches
+    // the recorded one, so reuse must pay a fresh ANALYZE (the stale
+    // plan-shape hazard the token exists to close)
+    Seq((3, "c")).toDF("k", "v").write.mode("append").parquet(s"$tmp/mini.parquet")
+    val refreshed = Stats.registerAndAnalyze(spark, tmp, Seq("mini"),
+      reuseExisting = true)(s"$db.mini")
+    assert(refreshed == BigInt(3), "mutation must invalidate stats reuse")
     // a DIFFERENT location under reuse pays the full path
     val tmp2 = java.nio.file.Files.createTempDirectory("graft-stats-reuse2").toString
     Seq((1, "x")).toDF("k", "v").write.parquet(s"$tmp2/mini.parquet")
