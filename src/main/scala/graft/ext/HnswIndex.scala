@@ -501,13 +501,18 @@ object HnswIndex {
     * scheduled compaction [[append]]'s report asks for. One full
     * rebuild from the persisted node vectors (graphs cannot merge
     * in place), staged to a temp dir and swapped in; search fan-out
-    * drops back to `nShards`.
+    * drops back to `nShards`. `exclude` (a one-column `corpus_id`
+    * frame) drops those nodes from the rebuild — the physical purge
+    * point for ids a caller has tombstoned (deletion is honored at
+    * search by the caller's filter until this fold makes it durable).
     */
   def compact(spark: SparkSession, path: String,
-              efConstruction: Int = 64, nShards: Int = 4): Unit = {
+              efConstruction: Int = 64, nShards: Int = 4,
+              exclude: Option[DataFrame] = None): Unit = {
     import java.nio.file.{Files, Paths}
     val cur = load(spark, path)
-    val corpus = cur.nodes.select(col("corpus_id"), col("v"))
+    val corpus = exclude.foldLeft(cur.nodes.select(col("corpus_id"), col("v")))(
+      (n, ex) => n.join(ex.select("corpus_id"), Seq("corpus_id"), "left_anti"))
     val idx = train(corpus, cur.m, efConstruction, nShards,
       idCol = "corpus_id", vecCol = "v")
     val tmp = path + "__compact_tmp"

@@ -63,35 +63,112 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
 
   import VectorIndex._
 
-  // live dir, falling back to a crashed IVF retrain's backup (see
-  // maintain's two-rename swap) — the index stays readable through the
-  // swap's crash window
-  private def idxPath = {
-    val live = s"$path/idx"
+  // live dir, falling back to a crashed swap's backup (see maintain's
+  // two-rename protocol) — the dir stays readable through the swap's
+  // crash window
+  private def resolveLive(live: String): String =
     if (Files.exists(Paths.get(live))) live
     else if (Files.exists(Paths.get(live + "__old"))) live + "__old"
     else live
+  private def idxPath = resolveLive(s"$path/idx")
+  private def corpusPath = resolveLive(s"$path/corpus")
+  // tombstones are only appended (delete) or cleared whole (maintain's
+  // last step) — never swapped, so no fallback resolution is needed,
+  // and a crash mid-maintain leaves at worst already-purged tombstones
+  // whose anti-joins are no-ops
+  private def deletedPath = s"$path/deleted"
+
+  /** Replace `live` with its fully-written `live__new` sibling: old is
+    * renamed to `__old` (the readable fallback through the crash
+    * window), new moves in, backup is GC'd. `__new` must exist.
+    */
+  private def swapInNew(liveName: String): Unit = {
+    val live = Paths.get(s"$path/$liveName")
+    val old = Paths.get(s"$path/${liveName}__old")
+    graft.runtime.Fs.deleteRecursive(old)
+    if (Files.exists(live)) Files.move(live, old)
+    Files.move(Paths.get(s"$path/${liveName}__new"), live)
+    graft.runtime.Fs.deleteRecursive(old)
   }
-  private def corpusPath = s"$path/corpus"
+
+  /** Ids tombstoned by [[delete]] and not yet purged by [[maintain]],
+    * as a one-column `vec_id` frame; None when there are none.
+    */
+  def deletedIds: Option[DataFrame] =
+    if (Files.exists(Paths.get(deletedPath)))
+      Some(spark.read.parquet(deletedPath).select("vec_id").distinct())
+    else None
+
+  /** Number of live tombstones — also [[search]]'s over-fetch width, so
+    * a caller letting this grow unbounded should schedule [[maintain]].
+    */
+  def deletedCount(): Long = deletedIds.map(_.count()).getOrElse(0L)
 
   /** The indexed vectors as (vec_id, embedding) — refine input,
     * retrain input, and the recall gate's ground-truth corpus.
+    * Tombstoned ids are excluded, so every consumer (refine, retrain,
+    * ground truth) agrees deletion already happened.
     */
-  def corpusFrame: DataFrame = kind match {
-    case Brute | Sq | IvfPq => spark.read.parquet(corpusPath)
-    case Ivf => IvfIndex.load(spark, idxPath).assignments
-      .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
-    case Hnsw => spark.read.parquet(s"$idxPath/nodes")
-      .select(col("corpus_id").as("vec_id"), col("v").as("embedding"))
+  def corpusFrame: DataFrame = {
+    val base = kind match {
+      case Brute | Sq | IvfPq => spark.read.parquet(corpusPath)
+      case Ivf => IvfIndex.load(spark, idxPath).assignments
+        .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
+      case Hnsw => spark.read.parquet(s"$idxPath/nodes")
+        .select(col("corpus_id").as("vec_id"), col("v").as("embedding"))
+    }
+    deletedIds.fold(base)(d => base.join(d, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Tombstone `keys` across the ladder in O(keys): one appended
+    * tombstone batch, honored immediately by [[search]] /
+    * [[corpusFrame]] / [[recallGate]] on every rung, physically purged
+    * at the next [[maintain]]. Idempotent; ids the index never held are
+    * harmless. Returns the number of distinct keys recorded. A deleted
+    * id stays deleted until a post-[[maintain]] re-append — appending a
+    * still-tombstoned id is rejected (the rung tables still hold its
+    * old row, and two live rows per id would corrupt top-k).
+    */
+  def delete(keys: DataFrame, idCol: String = "vec_id"): Long = {
+    val ks = keys.select(col(idCol).as("vec_id")).distinct()
+    val n = ks.count()
+    if (n > 0) ks.write.mode("append").parquet(s"$path/deleted")
+    n
   }
 
   /** Top-k per query row as (query_id, corpus_id, sim, rank) — the
     * ladder-wide result contract. Each rung runs its own verified
     * probe shape; quantized rungs refine exactly against the stored
     * corpus (ADC orders the shortlist, true cosine orders the answer).
+    *
+    * Tombstoned ids never surface: the rung probe over-fetches
+    * `k + deletedCount` candidates, the tombstone set anti-joins out,
+    * and ranks recompute over the survivors — so an EXACT rung stays
+    * exact after deletes (every deleted id above rank k is replaced
+    * from the over-fetch), and approximate rungs keep their recall
+    * character. The over-fetch width is why unbounded tombstone growth
+    * wants a [[maintain]].
     */
   def search(queries: DataFrame, k: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dels = if (kind == Brute) None else deletedIds // brute scans corpusFrame: already filtered
+    val dCount = dels.map(_.count()).getOrElse(0L)
+    val kRaw = math.min(Int.MaxValue.toLong, k.toLong + dCount).toInt
+    val raw = rawSearch(queries, kRaw, idCol, vecCol)
+    if (dCount == 0) raw
+    else {
+      import org.apache.spark.sql.expressions.Window
+      raw.join(dels.get.withColumnRenamed("vec_id", "corpus_id"),
+          Seq("corpus_id"), "left_anti")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
+        .filter(col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", "rank")
+    }
+  }
+
+  private def rawSearch(queries: DataFrame, k: Int,
+                        idCol: String, vecCol: String): DataFrame =
     kind match {
       case Brute =>
         SimilarityOps.bruteForceTopK(corpusFrame, queries, k,
@@ -118,6 +195,15 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
     */
   def append(batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): AppendSummary = {
+    // a tombstoned id's old row still sits in the rung tables until
+    // maintain purges it; letting a re-append through would leave TWO
+    // live rows for one id once the tombstone clears — reject instead
+    // (re-add after maintain)
+    deletedIds.foreach { d =>
+      require(batch.select(col(idCol).as("vec_id"))
+          .join(d, Seq("vec_id"), "left_semi").isEmpty,
+        "batch contains tombstoned ids; run maintain() before re-appending them")
+    }
     def keepCorpus(): Unit =
       batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
         .write.mode("append").parquet(corpusPath)
@@ -141,30 +227,47 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
 
   /** The maintenance the rung's drift report asks for: retrain from the
     * indexed corpus (quantized/coarse rungs) or fold segments
-    * ([[HnswIndex.compact]]). No-op for brute. O(corpus) by nature —
-    * scheduled, never per-batch.
+    * ([[HnswIndex.compact]]). O(corpus) by nature — scheduled, never
+    * per-batch. This is also the PHYSICAL PURGE point for [[delete]]:
+    * every rebuild trains from [[corpusFrame]] (tombstones already
+    * excluded), corpus-keeping rungs rewrite their corpus dir minus the
+    * tombstones (two-rename swap, readable through a crash), and the
+    * tombstone set clears LAST — a crash anywhere leaves tombstones
+    * whose anti-joins are at worst no-ops, never resurrections.
     */
-  def maintain(): Unit = kind match {
-    case Brute => ()
-    case Ivf =>
-      // IVF's retrain input IS its own cell table: stage the new index
-      // to a sibling dir, then two-rename swap (an in-place overwrite
-      // would delete the files the training scan is still reading; the
-      // __old backup keeps the swap's crash window readable)
-      val c = corpusFrame
-      val n = c.count()
-      val tmp = s"$path/idx__new"
-      graft.runtime.Fs.deleteRecursive(Paths.get(tmp))
-      IvfIndex.train(c, nlist = nlistFor(n)).save(tmp)
-      graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/idx__old"))
-      Files.move(Paths.get(s"$path/idx"), Paths.get(s"$path/idx__old"))
-      Files.move(Paths.get(tmp), Paths.get(s"$path/idx"))
-      graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/idx__old"))
-    case Sq => SqIndex.train(corpusFrame).save(idxPath)
-    case IvfPq =>
-      val c = corpusFrame
-      IvfPqIndex.train(c, nlist = nlistFor(c.count())).save(idxPath)
-    case Hnsw => HnswIndex.compact(spark, idxPath)
+  def maintain(): Unit = {
+    val hadDeletes = deletedCount() > 0
+    kind match {
+      case Brute => () // corpus rewrite below is the whole purge
+      case Ivf =>
+        // IVF's retrain input IS its own cell table: stage the new index
+        // to a sibling dir, then two-rename swap (an in-place overwrite
+        // would delete the files the training scan is still reading; the
+        // __old backup keeps the swap's crash window readable)
+        val c = corpusFrame
+        val n = c.count()
+        val tmp = s"$path/idx__new"
+        graft.runtime.Fs.deleteRecursive(Paths.get(tmp))
+        IvfIndex.train(c, nlist = nlistFor(n)).save(tmp)
+        swapInNew("idx")
+      case Sq => SqIndex.train(corpusFrame).save(idxPath)
+      case IvfPq =>
+        val c = corpusFrame
+        IvfPqIndex.train(c, nlist = nlistFor(c.count())).save(idxPath)
+      case Hnsw =>
+        HnswIndex.compact(spark, idxPath, exclude =
+          deletedIds.map(_.withColumnRenamed("vec_id", "corpus_id")))
+    }
+    if (hadDeletes) {
+      if (kind == Brute || kind == Sq || kind == IvfPq) {
+        // rewrite the refine/ground-truth corpus without the tombstones
+        val tmp = s"$path/corpus__new"
+        graft.runtime.Fs.deleteRecursive(Paths.get(tmp))
+        corpusFrame.write.parquet(tmp)
+        swapInNew("corpus")
+      }
+      graft.runtime.Fs.deleteRecursive(Paths.get(deletedPath))
+    }
   }
 
   /** Driver-gateable measured recall@k vs the exact answer over this

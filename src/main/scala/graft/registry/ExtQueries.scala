@@ -101,6 +101,21 @@ object ExtQueries {
   private val autoServingIndexCache = new IndexDirCache("graft_autoserve_",
     (s, dir, p) => { VectorIndex.build(Sources(s, dir).embeddings, p,
       IndexProfile(serving = true, exactFloor = 100L)); () })
+  // deletion lifecycle through the facade: build the IVF rung (full
+  // probe ⇒ exact) on the < 400 slice, tombstone vec_id % 7 == 3, then
+  // append the >= 400 tail WHILE the tombstones are live — the
+  // registered search proves deleted ids never surface and later
+  // appends stay searchable, hash-matched against the exact oracle
+  // over exactly the surviving corpus
+  private val autoDeleteIndexCache = new IndexDirCache("graft_autodel_",
+    (s, dir, p) => {
+      val e = Sources(s, dir).embeddings
+      val idx = VectorIndex.build(e.filter(col("vec_id") < 400), p,
+        IndexProfile(exactFloor = 100L, nprobe = 4096))
+      idx.delete(e.filter(col("vec_id") % 7 === 3 && col("vec_id") < 400))
+      idx.append(e.filter(col("vec_id") >= 400))
+      ()
+    })
   private val pqIndexCache = new IndexDirCache("graft_pqidx_",
     (s, dir, p) => PqIndex.train(Sources(s, dir).embeddings).save(p))
   private val ivfPqIndexCache = new IndexDirCache("graft_ivfpqidx_",
@@ -655,6 +670,15 @@ object ExtQueries {
     "q_ext_knn_auto" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
       VectorIndex.load(s, autoExactIndexCache.pathFor(s, dir))
+        .search(e.filter(col("vec_id") < 20), k = 3)
+    }),
+    // ANN deletion, driver-gated: the facade's IVF rung at full probe
+    // is exact, so after delete + append the top-3 must hash-match the
+    // brute answer over the post-delete corpus — any tombstoned id
+    // surfacing (or any appended id missing) fails the oracle
+    "q_ext_knn_after_delete" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      VectorIndex.load(s, autoDeleteIndexCache.pathFor(s, dir))
         .search(e.filter(col("vec_id") < 20), k = 3)
     }),
     // facade recall gate: the serving profile selects the HNSW rung
@@ -1508,6 +1532,30 @@ object ExtQueries {
          |FROM docs d JOIN comp c ON d.doc_id = c.node
          |WHERE c.root = d.doc_id""".stripMargin),
     "q_ext_knn_brute" -> knnExactSql,
+    // exact top-3 over the corpus AS IT STANDS after the registered
+    // delete (vec_id % 7 = 3 of the < 400 build slice) and the >= 400
+    // append — query vectors keep the full < 20 set (a deleted id may
+    // still QUERY; it just can't be an answer)
+    "q_ext_knn_after_delete" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE NOT (vec_id % 7 = 3 AND vec_id < 400)
+        |),
+        |q AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 20
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM q JOIN e c ON q.vec_id != c.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin,
     // facade exact profile = the brute rung: same result set by routing
     "q_ext_knn_auto" -> knnExactSql,
     "q_ext_corpus_drift" ->

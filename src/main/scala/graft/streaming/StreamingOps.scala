@@ -260,12 +260,31 @@ object StreamingOps {
   def keyDeletionFragmentedSink(requests: DataFrame,
                                 frag: graft.runtime.KeyedFragmentStore,
                                 compactEvery: Long = 0L): DataStreamWriter[Row] =
+    keyDeletionFragmentedSink(requests, frag, compactEvery, index = None)
+
+  /** [[keyDeletionFragmentedSink]] that ALSO tombstones each trigger's
+    * live keys in an ANN index over the same corpus
+    * ([[graft.ext.VectorIndex.delete]]) — corpus delete ⇒ index delete
+    * in one call, so a forgotten document stops being retrievable in
+    * the same trigger that tombstones its text. The index tombstone is
+    * O(keys) and replay-safe for the same reason the fragment side is:
+    * a redelivered trigger's keys are no longer live in the corpus, so
+    * both deletes skip. Index purge rides the index's own
+    * [[graft.ext.VectorIndex.maintain]] cadence, not this sink's.
+    */
+  def keyDeletionFragmentedSink(requests: DataFrame,
+                                frag: graft.runtime.KeyedFragmentStore,
+                                compactEvery: Long,
+                                index: Option[graft.ext.VectorIndex]): DataStreamWriter[Row] =
     requests.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         frag.read().foreach { cur =>
           val live = batch.select(col(frag.keyColumn)).distinct()
             .join(cur.select(frag.keyColumn), Seq(frag.keyColumn), "left_semi")
-          if (!live.isEmpty) frag.deleteKeys(live)
+          if (!live.isEmpty) {
+            frag.deleteKeys(live)
+            index.foreach(_.delete(live, idCol = frag.keyColumn))
+          }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           cadenceFold(frag)

@@ -267,6 +267,68 @@ class IndexMaintenanceSpec extends SparkSpec {
       "append leaked a cached segment build frame")
   }
 
+  test("delete across the facade ladder: tombstones honored, maintain purges, recall floor holds") {
+    val d = 64 // embeddings fixture dims
+    val base = emb.filter(col("vec_id") < 400)
+    val late = emb.filter(col("vec_id") >= 400)
+    val nB = base.count()
+    val delPred = col("vec_id") % 7 === 3 && col("vec_id") < 400
+    val delIds = emb.filter(delPred).select("vec_id").as[Long].collect().toSet
+    // one profile per rung; floor = the rung's registered recall floor
+    val rungs = Seq(
+      (VectorIndex.Brute, IndexProfile.exact, 0.99),
+      (VectorIndex.Ivf, IndexProfile(exactFloor = 10L, nprobe = 64), 0.99),
+      (VectorIndex.Sq, IndexProfile(exactFloor = 10L,
+        memoryBudgetBytes = nB * d * 4), 0.8),
+      (VectorIndex.IvfPq, IndexProfile(exactFloor = 10L,
+        memoryBudgetBytes = nB * d / 2, nprobe = 64), 0.2),
+      (VectorIndex.Hnsw, IndexProfile(serving = true, exactFloor = 10L), 0.5))
+    for ((want, prof, floor) <- rungs) {
+      val path = freshDir()
+      val idx = VectorIndex.build(base, path, prof)
+      assert(idx.kind == want, s"expected $want got ${idx.kind}")
+      // tombstone O(keys); honored immediately on every surface
+      assert(idx.delete(emb.filter(delPred)) == delIds.size)
+      def noDeleted(res: org.apache.spark.sql.DataFrame, ctx: String): Unit = {
+        val leaked = res.select("corpus_id").as[Long].collect().filter(delIds)
+        assert(leaked.isEmpty, s"$want/$ctx surfaced deleted ids: ${leaked.toSeq}")
+      }
+      noDeleted(idx.search(queries, 3), "post-delete")
+      assert(idx.corpusFrame.filter(delPred).count() == 0, s"$want corpusFrame")
+      // exact rungs: the post-delete answer IS brute over the survivors
+      if (want == VectorIndex.Brute || want == VectorIndex.Ivf) {
+        val expect = pairSet(SimilarityOps.bruteForceTopK(
+          base.filter(!delPred), queries, 3))
+        assert(pairSet(idx.search(queries, 3)) == expect, s"$want exactness")
+      }
+      val gate = idx.recallGate(queries, 3, floor)
+      assert(gate.select("meets_floor").as[Boolean].collect().forall(identity),
+        s"$want recall floor after delete")
+      // append while tombstones live: fresh ids fine, tombstoned rejected
+      idx.append(late)
+      noDeleted(idx.search(queries, 3), "post-append")
+      intercept[IllegalArgumentException] {
+        idx.append(emb.filter(col("vec_id") === delIds.head))
+      }
+      // maintain = the physical purge: tombstones clear, corpus shrinks
+      idx.maintain()
+      assert(idx.deletedCount() == 0, s"$want tombstones must purge")
+      assert(idx.corpusFrame.count() == emb.count() - delIds.size)
+      assert(idx.corpusFrame.filter(delPred).count() == 0)
+      noDeleted(idx.search(queries, 3), "post-maintain")
+      val gate2 = idx.recallGate(queries, 3, floor)
+      assert(gate2.select("meets_floor").as[Boolean].collect().forall(identity),
+        s"$want recall floor after maintain")
+      // post-purge, a deleted id may re-enter (the forget cycle is over)
+      idx.append(emb.filter(col("vec_id") === delIds.head))
+      assert(idx.corpusFrame.filter(col("vec_id") === delIds.head).count() == 1,
+        s"$want re-append after maintain must resurrect")
+    }
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+
   test("HNSW search skips dangling edges (node invisible mid-append) instead of throwing") {
     import java.nio.file.{Files, Paths}
     val path = freshDir()

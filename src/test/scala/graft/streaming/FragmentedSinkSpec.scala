@@ -94,6 +94,42 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("key-deletion sink with an ANN index: corpus delete ⇒ index delete in one trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "corpus", "doc_id")
+    frag.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text"))
+    // embeddings keyed by the SAME doc_id; exact rung (brute) so the
+    // post-delete search answer is fully determined
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0f, 1f)))
+      .toDF("doc_id", "embedding")
+    val idx = graft.ext.VectorIndex.build(emb, s"$dir/annidx",
+      graft.ext.IndexProfile.exact, idCol = "doc_id")
+    val in = MemoryStream[Long]
+    val q = StreamingOps.keyDeletionFragmentedSink(
+      in.toDF().toDF("doc_id"), frag, compactEvery = 0L, index = Some(idx)).start()
+    try {
+      // doc 2 is doc 1's nearest neighbor before the delete
+      val query = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+      assert(idx.search(query, 1).select("corpus_id").as[Long].head() == 1L)
+      // delete 2 (live) and 99 (never held): only 2 tombstones anywhere
+      in.addData(2L, 99L)
+      q.processAllAvailable()
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L, 4L))
+      assert(idx.deletedCount() == 1L, "live key must tombstone the index too")
+      val got = idx.search(query, 3).select("corpus_id").as[Long].collect().toSet
+      assert(!got.contains(2L), s"deleted id surfaced from the index: $got")
+      assert(got == Set(1L, 3L, 4L), got.toString)
+      // replay: 2 is no longer live in the corpus — neither side writes
+      in.addData(2L)
+      q.processAllAvailable()
+      assert(idx.deletedCount() == 1L, "replayed delete must not re-tombstone")
+    } finally q.stop()
+  }
+
   test("near-dup fragmented sink: sink semantics ≡ Materializer sink; writes ∝ batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
