@@ -200,11 +200,19 @@ object ExtQueries {
       val q = Sources(s, dir).documents
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       val bs = graft.runtime.BucketedFragmentStore(s, p, "docs", "doc_id",
-        buckets = 16)
+        buckets = 4)
       bs.upsert(q)
       bs.deleteKeys(q.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      // re-shard 4 → 16 with the resurrection upsert INTERLEAVED
+      // mid-migration: half the old buckets are drained when it lands,
+      // so its rows route across both generations — the registered
+      // read then gates that re-sharding is content-preserving (same
+      // oracle as before) AND that post-commit key routing prunes
+      bs.rebucketStart(16)
+      bs.rebucketStep(); bs.rebucketStep()
       bs.upsert(q.filter(col("doc_id") % 14 === 0)
         .withColumn("n_chars", col("n_chars") + lit(1000L)))
+      while (bs.rebucketStep()) ()
     })
 
   val queries: Map[String, Q] = Map(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, In, Literal, Murmur3Hash}
 import org.apache.spark.sql.types.DataType
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import FragmentedTable.{DeletedCol, FragEntry, PruneReport, ZoneMap}
 
@@ -37,6 +37,29 @@ import FragmentedTable.{DeletedCol, FragEntry, PruneReport, ZoneMap}
   * duplicate fragment — the same replay-idempotence the streaming sinks
   * already rely on. Unadopted staging dirs are swept at the next write.
   *
+  * == Re-sharding ==
+  *
+  * A store that outgrows its bucket count calls [[rebucket]] (run to
+  * completion) or [[rebucketStart]] + [[rebucketStep]] (one OLD bucket
+  * per step — the incremental background shape). Migration is
+  * GENERATIONAL: new-generation bucket tables (`table__g<G>b<b>`) fill
+  * one old bucket at a time, each step re-partitioning ONLY that
+  * bucket's live merge into the new layout (I/O per step ∝ 1/buckets of
+  * the data; the old generation is never rewritten, just drained).
+  * While a migration is open:
+  *
+  *  - every key lives in exactly ONE place — drained old buckets route
+  *    to the new generation, undrained ones keep routing to the old —
+  *    so reads union disjoint key sets and upserts/deletes land next to
+  *    the history they must shadow;
+  *  - a journal (`table.rebucket`, atomic tmp+rename per step) records
+  *    the drained set; a crash replays the in-flight bucket (duplicate
+  *    identical rows that last-writer-wins absorbs — the store's usual
+  *    convergence) and [[apply]]/[[open]] resume from the journal;
+  *  - the bucket-count meta flips to the new layout only at the END
+  *    (atomic rename), so a reader that never saw the journal still
+  *    resolves a consistent pre-migration view of undrained buckets.
+  *
   * The bucket function hashes the key column AS TYPED IN THE BATCH;
   * producers must keep the key's type stable across upserts (a key
   * ingested as INT and probed as LONG hashes differently). Driver-side
@@ -45,29 +68,63 @@ import FragmentedTable.{DeletedCol, FragEntry, PruneReport, ZoneMap}
   * probe otherwise — mismatch can cost I/O, never correctness.
   */
 final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
-    table: String, uniqueKey: String, val buckets: Int)
+    table: String, uniqueKey: String,
+    initialBuckets: Int, initialGen: Int,
+    initialMigration: Option[BucketedFragmentStore.Migration])
     extends KeyedFragmentStore {
 
-  import BucketedFragmentStore.{BucketCol, BucketReport}
+  import BucketedFragmentStore.{BucketCol, BucketReport, Migration}
 
   private val lock = BucketedFragmentStore.lockFor(
     s"${java.nio.file.Paths.get(baseDir).toAbsolutePath}#$table")
 
-  /** Per-bucket stores (visible for maintenance/inspection). */
-  val bucketTables: IndexedSeq[FragmentedTable] =
-    (0 until buckets).map(b =>
-      new FragmentedTable(spark, baseDir, s"${table}__b$b", uniqueKey))
+  // committed layout + open migration — all mutations under `lock`
+  @volatile private var curBuckets: Int = initialBuckets
+  @volatile private var curGen: Int = initialGen
+  @volatile private var migration: Option[Migration] = initialMigration
 
-  private def bucketExpr: Column = pmod(hash(col(s"`$uniqueKey`")), lit(buckets))
+  /** The committed bucket count (pre-migration count while one is open). */
+  def buckets: Int = curBuckets
+
+  /** Open migration's (targetCount, drained old buckets), if any. */
+  def migrationStatus: Option[(Int, Set[Int])] =
+    migration.map(m => (m.newCount, m.done))
+
+  private def tableNameFor(gen: Int, b: Int): String =
+    if (gen == 0) s"${table}__b$b" else s"${table}__g${gen}b$b"
+
+  private def bucketTable(gen: Int, b: Int): FragmentedTable =
+    new FragmentedTable(spark, baseDir, tableNameFor(gen, b), uniqueKey)
+
+  /** Per-bucket stores of the COMMITTED generation (visible for
+    * maintenance/inspection); during a migration [[liveTables]] is the
+    * complete picture.
+    */
+  def bucketTables: IndexedSeq[FragmentedTable] =
+    (0 until curBuckets).map(b => bucketTable(curGen, b))
+
+  /** Every (gen, bucket) table that can currently hold keys: undrained
+    * old buckets plus — during a migration — all new-generation buckets.
+    */
+  private def liveTables: Seq[((Int, Int), FragmentedTable)] = migration match {
+    case None => (0 until curBuckets).map(b => (curGen, b) -> bucketTable(curGen, b))
+    case Some(m) =>
+      (0 until curBuckets).filterNot(m.done)
+        .map(b => (curGen, b) -> bucketTable(curGen, b)) ++
+        (0 until m.newCount).map(b => (m.newGen, b) -> bucketTable(m.newGen, b))
+  }
+
+  private def bucketExprFor(count: Int): Column =
+    pmod(hash(col(s"`$uniqueKey`")), lit(count))
 
   /** Stage once partitioned by bucket, zone-map in one grouped pass,
-    * adopt per bucket. Two Spark jobs total.
+    * adopt per bucket — into the given generation/count.
     */
-  private def stageAndAdopt(df: DataFrame): Unit = lock.synchronized {
+  private def stageAndAdoptInto(df: DataFrame, gen: Int, count: Int): Unit = {
     sweepStaging()
     val staging = Paths.get(baseDir,
       s"${table}__staging_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    df.withColumn(BucketCol, bucketExpr)
+    df.withColumn(BucketCol, bucketExprFor(count))
       .write.partitionBy(BucketCol).parquet(staging.toString)
     // an empty frame stages no partition dirs (just _SUCCESS): nothing
     // to adopt, and reading the empty dir would fail schema inference
@@ -83,10 +140,30 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
       // partition values read back as Int or (inference off) String —
       // parse, don't cast
       val b = r.get(r.fieldIndex(BucketCol)).toString.toInt
-      bucketTables(b).adopt(staging.resolve(s"$BucketCol=$b"),
+      bucketTable(gen, b).adopt(staging.resolve(s"$BucketCol=$b"),
         Some(ZoneMap.fromRow(r, tracked)), Some(fragSchema))
     }
     Fs.deleteRecursive(staging) // _SUCCESS + any empty remainder
+  }
+
+  /** Write path during a migration: split the batch by whether each
+    * key's OLD bucket has drained — drained keys land in the new
+    * generation (next to any post-drain history), undrained keys in the
+    * old (so the coming drain carries them over in order).
+    */
+  private def routeWrite(df: DataFrame): Unit = lock.synchronized {
+    migration match {
+      case None => stageAndAdoptInto(df, curGen, curBuckets)
+      case Some(m) if m.done.isEmpty =>
+        stageAndAdoptInto(df, curGen, curBuckets)
+      case Some(m) if m.done.size == curBuckets =>
+        stageAndAdoptInto(df, m.newGen, m.newCount)
+      case Some(m) =>
+        val oldB = bucketExprFor(curBuckets)
+        val drained = m.done.toSeq
+        stageAndAdoptInto(df.filter(oldB.isin(drained: _*)), m.newGen, m.newCount)
+        stageAndAdoptInto(df.filter(!oldB.isin(drained: _*)), curGen, curBuckets)
+    }
   }
 
   /** Orphan staging dirs from a crashed write — single-writer topology,
@@ -102,11 +179,11 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
       s"$DeletedCol is reserved for tombstone fragments")
     require(!batch.columns.contains(BucketCol),
       s"$BucketCol is reserved for bucket routing")
-    stageAndAdopt(batch)
+    routeWrite(batch)
   }
 
   def deleteKeys(keys: DataFrame): Unit =
-    stageAndAdopt(keys.select(col(s"`$uniqueKey`")).distinct()
+    routeWrite(keys.select(col(s"`$uniqueKey`")).distinct()
       .withColumn(DeletedCol, lit(true)))
 
   def keyColumn: String = uniqueKey
@@ -115,7 +192,7 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     read().foreach(df => deleteKeys(df.filter(pred).select(s"`$uniqueKey`")))
 
   def read(): Option[DataFrame] = {
-    val parts = bucketTables.flatMap(_.read())
+    val parts = liveTables.flatMap(_._2.read())
     if (parts.isEmpty) None
     else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
@@ -127,12 +204,13 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   def readWhere(pred: Column): Option[DataFrame] = readWhereReport(pred)._1
 
   def readWhereReport(pred: Column): (Option[DataFrame], BucketReport) = {
-    val targets = keyBuckets(pred).getOrElse((0 until buckets).toSet)
-    val probed = targets.toSeq.sorted
-    val results = probed.map(b => b -> bucketTables(b).readWhereReport(pred))
+    val live = liveTables
+    val targets = keyTargets(pred).getOrElse(live.map(_._1).toSet)
+    val probed = live.filter(t => targets(t._1))
+    val results = probed.map { case (gb, t) => gb -> t.readWhereReport(pred) }
     val frames = results.flatMap(_._2._1)
-    val report = BucketReport(buckets, probed,
-      results.map { case (b, (_, r)) => b -> r }.toMap)
+    val report = BucketReport(live.size, probed.map(_._1._2).sorted,
+      results.map { case (gb, (_, r)) => gb._2 -> r }.toMap)
     if (frames.nonEmpty)
       (Some(frames.reduce(_.unionByName(_, allowMissingColumns = true))), report)
     else unionSchema() match {
@@ -149,7 +227,7 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
 
   /** First-wins union schema across the buckets; None on an empty store. */
   private def unionSchema(): Option[org.apache.spark.sql.types.StructType] = {
-    val parts = bucketTables.flatMap(_.tableSchema())
+    val parts = liveTables.flatMap(_._2.tableSchema())
     if (parts.isEmpty) None
     else {
       val seen = scala.collection.mutable.LinkedHashMap[String,
@@ -160,44 +238,52 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     }
   }
 
-  /** Buckets that can hold a key satisfying some key-equality conjunct
-    * of `pred`; None = no usable conjunct (probe everything). Uses the
-    * FIRST key-equality/IN conjunct — any row satisfying the whole
-    * predicate satisfies each conjunct, so its key hashes into that
-    * conjunct's bucket set.
+  /** (gen, bucket) targets that can hold a key satisfying some
+    * key-equality conjunct of `pred`; None = no usable conjunct (probe
+    * everything). Uses the FIRST key-equality/IN conjunct — any row
+    * satisfying the whole predicate satisfies each conjunct, so its key
+    * hashes into that conjunct's bucket set. During a migration each
+    * literal routes by its old bucket's drain state — exactly the write
+    * path's routing, so probe and data can't disagree.
     */
-  private def keyBuckets(pred: Column): Option[Set[Int]] = {
+  private def keyTargets(pred: Column): Option[Set[(Int, Int)]] = {
     val keyType = storedKeyType().getOrElse(return None)
     org.apache.spark.sql.GraftColumnBridge.predicateConjuncts(pred)
-      .flatten.flatMap(bucketSet(_, keyType)).headOption
+      .flatten.flatMap(literalSet(_, keyType)).headOption
+      .map(_.map(routeOfLiteral))
   }
 
   private def isKey(e: Expression): Boolean =
     FragmentedTable.ZoneProbe.refsOnly(e, uniqueKey)
 
-  private def bucketSet(c: Expression, keyType: DataType): Option[Set[Int]] = c match {
-    case EqualTo(a, l @ Literal(_, dt)) if isKey(a) && dt == keyType =>
-      Some(Set(bucketOfLiteral(l)))
-    case EqualTo(l @ Literal(_, dt), a) if isKey(a) && dt == keyType =>
-      Some(Set(bucketOfLiteral(l)))
-    case EqualNullSafe(a, l @ Literal(_, dt)) if isKey(a) && dt == keyType =>
-      Some(Set(bucketOfLiteral(l)))
-    case EqualNullSafe(l @ Literal(_, dt), a) if isKey(a) && dt == keyType =>
-      Some(Set(bucketOfLiteral(l)))
+  /** The key-equality/IN literals of one conjunct, or None. */
+  private def literalSet(c: Expression, keyType: DataType): Option[Set[Literal]] = c match {
+    case EqualTo(a, l @ Literal(_, dt)) if isKey(a) && dt == keyType => Some(Set(l))
+    case EqualTo(l @ Literal(_, dt), a) if isKey(a) && dt == keyType => Some(Set(l))
+    case EqualNullSafe(a, l @ Literal(_, dt)) if isKey(a) && dt == keyType => Some(Set(l))
+    case EqualNullSafe(l @ Literal(_, dt), a) if isKey(a) && dt == keyType => Some(Set(l))
     case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall {
         case Literal(_, dt) => dt == keyType
         case _              => false
       } =>
-      Some(vs.map { case l: Literal => bucketOfLiteral(l) }.toSet)
+      Some(vs.map { case l: Literal => l }.toSet)
     case _ => None
   }
 
-  /** Driver-side replica of `pmod(hash(key), buckets)` — Murmur3 with
+  /** Where a key with this literal value currently lives. */
+  private def routeOfLiteral(l: Literal): (Int, Int) = migration match {
+    case None => (curGen, bucketOfLiteral(l, curBuckets))
+    case Some(m) =>
+      val old = bucketOfLiteral(l, curBuckets)
+      if (m.done(old)) (m.newGen, bucketOfLiteral(l, m.newCount)) else (curGen, old)
+  }
+
+  /** Driver-side replica of `pmod(hash(key), count)` — Murmur3 with
     * Spark's default seed, evaluated on the literal.
     */
-  private def bucketOfLiteral(l: Literal): Int = {
+  private def bucketOfLiteral(l: Literal, count: Int): Int = {
     val h = Murmur3Hash(Seq(l), 42).eval(null).asInstanceOf[Int]
-    math.floorMod(h, buckets)
+    math.floorMod(h, count)
   }
 
   /** The key's stored DataType, from the first bucket fragment that has
@@ -205,23 +291,112 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * then anyway).
     */
   private def storedKeyType(): Option[DataType] =
-    bucketTables.iterator.flatMap(_.keyDataType()).nextOption()
+    liveTables.iterator.map(_._2).flatMap(_.keyDataType()).nextOption()
 
-  def fragmentCounts(): IndexedSeq[Int] = bucketTables.map(_.fragmentCount())
+  def fragmentCounts(): IndexedSeq[Int] =
+    liveTables.map(_._2.fragmentCount()).toIndexedSeq
 
-  def compact(): Unit = bucketTables.foreach(_.compact())
+  def compact(): Unit = liveTables.foreach(_._2.compact())
 
   def compactTiered(tierFactor: Double = 4.0): Boolean =
-    bucketTables.map(_.compactTiered(tierFactor)).exists(identity)
+    liveTables.map(_._2.compactTiered(tierFactor)).exists(identity)
 
   /** Bound read amplification PER BUCKET — each bucket folds its own
     * run, so maintenance I/O is ∝ the hot buckets' recent batches.
     */
   def maybeCompact(maxLivePerBucket: Int, tierFactor: Double = 4.0): Boolean =
-    bucketTables.map(_.maybeCompact(maxLivePerBucket, tierFactor)).exists(identity)
+    liveTables.map(_._2.maybeCompact(maxLivePerBucket, tierFactor)).exists(identity)
 
   def compactIfOver(maxLivePerBucket: Int): Boolean =
-    bucketTables.map(_.compactIfOver(maxLivePerBucket)).exists(identity)
+    liveTables.map(_._2.compactIfOver(maxLivePerBucket)).exists(identity)
+
+  // ---- re-sharding ----------------------------------------------------
+
+  private def journalPath = Paths.get(baseDir, s"$table.rebucket")
+  private def metaPath = Paths.get(baseDir, s"$table.buckets")
+
+  private def writeJournal(m: Migration): Unit = {
+    val body = s"${m.newCount} ${m.newGen} ${m.done.toSeq.sorted.mkString(",")}\n"
+    val tmp = Paths.get(baseDir, s"$table.rebucket__tmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, journalPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Open a migration to `newCount` buckets (no data moves yet). A
+    * journal already targeting `newCount` resumes instead; any other
+    * open migration must finish first.
+    */
+  def rebucketStart(newCount: Int): Unit = lock.synchronized {
+    require(newCount > 0, "bucket count must be positive")
+    migration match {
+      case Some(m) =>
+        require(m.newCount == newCount,
+          s"a migration to ${m.newCount} buckets is already open; finish it first")
+      case None =>
+        require(newCount != curBuckets, s"store already has $newCount buckets")
+        val m = Migration(newCount, curGen + 1, Set.empty)
+        writeJournal(m)
+        migration = Some(m)
+    }
+  }
+
+  /** Drain ONE undrained old bucket into the new generation; returns
+    * true while more remain (the background-cadence contract: call
+    * until false). I/O per step ∝ that bucket's live rows. The final
+    * step commits the new layout (meta flip) and GCs the old
+    * generation. Crash-safe at every point: the journal marks a bucket
+    * drained only AFTER its rows are adopted, so a replayed step
+    * re-adopts identical rows that last-writer-wins absorbs.
+    */
+  def rebucketStep(): Boolean = lock.synchronized {
+    val m = migration.getOrElse(return false)
+    (0 until curBuckets).find(b => !m.done(b)) match {
+      case Some(b) =>
+        val src = bucketTable(curGen, b)
+        src.read().foreach(rows => stageAndAdoptInto(rows, m.newGen, m.newCount))
+        val m2 = m.copy(done = m.done + b)
+        writeJournal(m2)
+        migration = Some(m2)
+        dropBucketTable(curGen, b)
+        if (m2.done.size < curBuckets) true else { commitMigration(m2); false }
+      case None => commitMigration(m); false
+    }
+  }
+
+  /** Run a full migration to `newCount` (start or resume, then drain
+    * every bucket). Routing, reads, and writes stay correct throughout,
+    * so this can interleave with live upserts/deletes.
+    */
+  def rebucket(newCount: Int): Unit = {
+    rebucketStart(newCount)
+    while (rebucketStep()) ()
+  }
+
+  private def commitMigration(m: Migration): Unit = {
+    val tmp = Paths.get(baseDir, s"$table.buckets__tmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    Files.write(tmp, s"${m.newCount} ${m.newGen}\n".getBytes("UTF-8"))
+    Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    curBuckets = m.newCount
+    curGen = m.newGen
+    migration = None
+    Files.deleteIfExists(journalPath)
+  }
+
+  /** Remove every artifact of one bucket's [[FragmentedTable]]: its
+    * manifest, retired-list sidecar, and fragment dirs.
+    */
+  private def dropBucketTable(gen: Int, b: Int): Unit = {
+    val name = tableNameFor(gen, b)
+    Files.deleteIfExists(Paths.get(baseDir, s"$name.fragments"))
+    Files.deleteIfExists(Paths.get(baseDir, s"$name.retired"))
+    Option(new java.io.File(baseDir).list()).toSeq.flatten
+      .filter(_.startsWith(s"${name}__frag_"))
+      .foreach(n => Fs.deleteRecursive(Paths.get(baseDir, n)))
+  }
 }
 
 object BucketedFragmentStore {
@@ -237,12 +412,44 @@ object BucketedFragmentStore {
     def fragmentsScanned: Int = perBucket.valuesIterator.map(_.scanned).sum
   }
 
+  /** Open re-shard: target layout plus the drained OLD buckets. */
+  private[runtime] final case class Migration(newCount: Int, newGen: Int,
+                                              done: Set[Int])
+
   private[runtime] val BucketCol = "__graft_bucket"
+
+  /** Meta format: `<buckets>` (generation 0, the original layout) or
+    * `<buckets> <gen>` after a completed [[rebucket]].
+    */
+  private def parseMeta(s: String): (Int, Int) = s.trim.split("\\s+") match {
+    case Array(b)    => (b.toInt, 0)
+    case Array(b, g) => (b.toInt, g.toInt)
+    case other       => sys.error(s"unreadable bucket meta: '$s'")
+  }
+
+  private def readJournal(baseDir: String, table: String,
+                          metaGen: Int): Option[Migration] = {
+    val p = Paths.get(baseDir, s"$table.rebucket")
+    if (!Files.exists(p)) return None
+    val parts = new String(Files.readAllBytes(p), "UTF-8").trim.split("\\s+")
+    val (nc, ng) = (parts(0).toInt, parts(1).toInt)
+    if (ng <= metaGen) {
+      // stale journal from a migration whose meta flip already landed
+      // (crash between commit's rename and journal delete): sweep it
+      Files.deleteIfExists(p)
+      None
+    } else {
+      val done = if (parts.length > 2 && parts(2).nonEmpty)
+        parts(2).split(',').map(_.toInt).toSet else Set.empty[Int]
+      Some(Migration(nc, ng, done))
+    }
+  }
 
   /** Create (writing the bucket-count meta) or open (validating it).
     * The meta check/write runs under the per-table writer lock and
     * creates with CREATE_NEW, so two concurrent creators can never both
     * write: the loser re-validates against whatever actually landed.
+    * An interrupted [[rebucket]]'s journal is resumed, not discarded.
     */
   def apply(spark: SparkSession, baseDir: String, table: String,
             uniqueKey: String, buckets: Int = 16): BucketedFragmentStore = {
@@ -250,26 +457,36 @@ object BucketedFragmentStore {
     Files.createDirectories(Paths.get(baseDir))
     val meta = Paths.get(baseDir, s"$table.buckets")
     lockFor(s"${Paths.get(baseDir).toAbsolutePath}#$table").synchronized {
-      def validate(): Unit = {
-        val stored = new String(Files.readAllBytes(meta), "UTF-8").trim.toInt
-        require(stored == buckets,
-          s"$table was created with $stored buckets; call rebucket to change")
+      def validateAndOpen(): BucketedFragmentStore = {
+        val (storedB, storedG) = parseMeta(
+          new String(Files.readAllBytes(meta), "UTF-8"))
+        require(storedB == buckets,
+          s"$table was created with $storedB buckets; call rebucket to change")
+        new BucketedFragmentStore(spark, baseDir, table, uniqueKey,
+          storedB, storedG, readJournal(baseDir, table, storedG))
       }
-      if (Files.exists(meta)) validate()
-      else try
+      if (Files.exists(meta)) validateAndOpen()
+      else try {
         Files.write(meta, s"$buckets\n".getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch { case _: java.nio.file.FileAlreadyExistsException => validate() }
+        new BucketedFragmentStore(spark, baseDir, table, uniqueKey,
+          buckets, 0, None)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => validateAndOpen()
+      }
     }
-    new BucketedFragmentStore(spark, baseDir, table, uniqueKey, buckets)
   }
 
-  /** Open an existing store, reading the bucket count from its meta. */
+  /** Open an existing store, reading the bucket count (and generation,
+    * plus any in-flight migration journal) from its meta.
+    */
   def open(spark: SparkSession, baseDir: String, table: String,
            uniqueKey: String): BucketedFragmentStore = {
     val meta = Paths.get(baseDir, s"$table.buckets")
     require(Files.exists(meta), s"no bucketed store named $table at $baseDir")
-    val stored = new String(Files.readAllBytes(meta), "UTF-8").trim.toInt
-    new BucketedFragmentStore(spark, baseDir, table, uniqueKey, stored)
+    val (storedB, storedG) = parseMeta(
+      new String(Files.readAllBytes(meta), "UTF-8"))
+    new BucketedFragmentStore(spark, baseDir, table, uniqueKey,
+      storedB, storedG, readJournal(baseDir, table, storedG))
   }
 }

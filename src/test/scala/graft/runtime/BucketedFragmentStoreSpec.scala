@@ -156,4 +156,106 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(bs.fragmentCounts().forall(_ <= 2), bs.fragmentCounts().toString)
     assert(rowsOf(bs.read().get) == before)
   }
+
+  test("rebucket 4→16 under interleaved upserts/deletes: content ≡ flat, routing correct") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
+    val flat = new FragmentedTable(spark, freshDir(), "t", "id")
+    def both(f: KeyedFragmentStore => Unit): Unit = { f(bs); f(flat) }
+    both(_.upsert((0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")))
+    both(_.deleteKeys(Seq(5L, 17L).toDF("id")))
+    bs.rebucketStart(16)
+    assert(bs.rebucketStep(), "three old buckets must remain")
+    // mid-migration: reads see everything, point probes route correctly,
+    // and writes land next to the history they shadow — on BOTH sides
+    // of the drain line
+    both(_.upsert((55 until 70).map(i => (i.toLong, s"w$i")).toDF("id", "v")))
+    both(_.deleteKeys(Seq(8L, 61L).toDF("id")))
+    assert(rowsOf(bs.read().get) == rowsOf(flat.read().get))
+    for (k <- Seq(3L, 8L, 59L, 66L)) {
+      val got = rowsOf(bs.readWhere(col("id") === k).get)
+      assert(got == rowsOf(flat.read().get.filter(col("id") === k)), s"key $k: $got")
+    }
+    assert(bs.rebucketStep() && bs.rebucketStep())
+    assert(!bs.rebucketStep(), "fourth drain must commit the migration")
+    assert(bs.buckets == 16 && bs.migrationStatus.isEmpty)
+    assert(rowsOf(bs.read().get) == rowsOf(flat.read().get))
+    // committed layout: point probe prunes to ONE of the 16 buckets
+    val (res, rep) = bs.readWhereReport(col("id") === 30L)
+    assert(rep.probed.size == 1, rep.toString)
+    assert(rowsOf(res.get) == Set("30|v30"))
+    // old generation fully GC'd; reopen sees the new layout
+    val leftover = Option(new java.io.File(dir).list()).toSeq.flatten
+      .filter(n => n.startsWith("t__b") || n == "t.rebucket")
+    assert(leftover.isEmpty, leftover.toString)
+    val reopened = BucketedFragmentStore.open(spark, dir, "t", "id")
+    assert(reopened.buckets == 16)
+    assert(rowsOf(reopened.read().get) == rowsOf(flat.read().get))
+    // apply() validates against the NEW count now
+    intercept[IllegalArgumentException] {
+      BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
+    }
+    BucketedFragmentStore(spark, dir, "t", "id", buckets = 16)
+  }
+
+  test("rebucket merge 16→4 preserves content and prunes in the merged layout") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 16)
+    bs.upsert((0 until 80).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val before = rowsOf(bs.read().get)
+    bs.rebucket(4)
+    assert(bs.buckets == 4)
+    assert(rowsOf(bs.read().get) == before)
+    val (res, rep) = bs.readWhereReport(col("id") === 42L)
+    assert(rep.probed.size == 1 && rowsOf(res.get) == Set("42|v42"), rep.toString)
+  }
+
+  test("killed mid-rebucket: journal resumes on open; replayed drain converges by LWW") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
+    bs.upsert((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val want = rowsOf(bs.read().get)
+    bs.rebucketStart(8)
+    assert(bs.rebucketStep())
+    val drained = bs.migrationStatus.get._2
+    assert(drained.size == 1)
+    // simulate the crash window BETWEEN a drain's adopt and its journal
+    // mark: rewind the journal to done={} while the drained rows are
+    // already adopted in the new generation, and re-create the old
+    // bucket's content (in the real window the old bucket still exists)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "t.rebucket"),
+      "8 1 \n".getBytes("UTF-8"))
+    val crashed = BucketedFragmentStore.open(spark, dir, "t", "id")
+    assert(crashed.migrationStatus.contains((8, Set.empty[Int])))
+    // the dropped old bucket's keys: re-upsert them through the crashed
+    // view (they route back to old gen) — the coming re-drain adopts
+    // them AGAIN into the new generation, duplicating rows that
+    // last-writer-wins must absorb
+    val oldB = pmod(hash(col("id")), lit(4))
+    val redo = (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .filter(oldB.isInCollection(drained))
+    crashed.upsert(redo)
+    crashed.rebucket(8) // resume: same target adopts the open journal
+    assert(crashed.buckets == 8 && crashed.migrationStatus.isEmpty)
+    assert(rowsOf(crashed.read().get) == want, "replayed drain must converge")
+    // a crash AFTER the meta flip but BEFORE the journal delete: the
+    // stale journal (gen ≤ committed gen) is swept on open, not resumed
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "t.rebucket"),
+      "8 1 0,1\n".getBytes("UTF-8"))
+    val after = BucketedFragmentStore.open(spark, dir, "t", "id")
+    assert(after.migrationStatus.isEmpty, "stale journal must sweep")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t.rebucket")))
+    assert(rowsOf(after.read().get) == want)
+  }
+
+  test("rebucketStart rejects a conflicting target while a migration is open") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 4)
+    bs.upsert(Seq((1L, "a")).toDF("id", "v"))
+    bs.rebucketStart(8)
+    intercept[IllegalArgumentException](bs.rebucketStart(16))
+    bs.rebucketStart(8) // same target: resume, not error
+    bs.rebucket(8)
+    assert(bs.buckets == 8)
+    intercept[IllegalArgumentException](bs.rebucketStart(8)) // no-op target
+  }
 }
