@@ -1,0 +1,242 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structural (invariant) oracles for the approximate rows whose raw
+  * output the DuckDB driver cannot reproduce — banded near-dup pair
+  * sets and approximate ANN neighbor sets. The *_exactmode twins and
+  * measured-recall gates already cross-check those families; what was
+  * still missing (VERDICT r9 §missing-3) is a driver-checked gate ON
+  * THE PRODUCTION ROW ITSELF. The pattern here mirrors
+  * [[RecallOps.recallGate]]: the registered row runs the full
+  * production computation, then projects it to columns whose correct
+  * values the oracle KNOWS — per-(query, rank) verification flags for
+  * top-k rows, whole-frame verification flags for pair rows — so any
+  * violated invariant (wrong row count, id outside the corpus, a
+  * fabricated similarity, an unverified pair, a self-match) flips a
+  * value the driver hash-compares.
+  *
+  * Every flag is verified EXACTLY (re-derived similarities, re-derived
+  * signatures, portable token sets), so a `true` is a theorem about the
+  * emitted result, not a tautology.
+  */
+object StructGate {
+
+  import SimilarityOps.{dotFast, normalized}
+
+  /** Per-(query, rank) structural verification of a top-k result frame
+    * in the ladder contract shape (query_id, corpus_id, sim, rank).
+    * Output: one row per RESULT row — (query_id, rank, id_ok, no_self,
+    * sim_exact, order_ok) — plus, through the exact (query, rank) key
+    * set, the two global facts the oracle pins: every query answers
+    * EXACTLY k rows and ranks are exactly 1..k.
+    *
+    *  - id_ok:     corpus_id exists in the corpus frame
+    *  - no_self:   corpus_id != query_id
+    *  - sim_exact: reported sim equals the re-derived exact cosine of
+    *               the (query, corpus) embedding pair
+    *  - order_ok:  sim is non-increasing in rank within the query
+    */
+  def topKGate(result: DataFrame, queries: DataFrame, corpus: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               tolerance: Double = 1e-6): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col("id").as("corpus_id"), col("v").as("__cv"))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("__qv"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    result
+      .join(c, Seq("corpus_id"), "left")
+      .join(broadcast(q), Seq("query_id"), "left")
+      .withColumn("__next_sim", lead(col("sim"), 1).over(w))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("__cv").isNotNull.as("id_ok"),
+        (col("corpus_id") =!= col("query_id")).as("no_self"),
+        (col("__cv").isNotNull && col("__qv").isNotNull &&
+          abs(col("sim") - dotFast(col("__qv"), col("__cv"))) <= tolerance)
+          .as("sim_exact"),
+        (col("__next_sim").isNull || col("sim") >= col("__next_sim"))
+          .as("order_ok"))
+  }
+
+  /** The ANSI oracle for [[topKGate]] over the standard embeddings
+    * fixture: every query under `maxQueryId` must answer ranks 1..k
+    * with every flag true.
+    */
+  def topKGateOracle(k: Int, maxQueryId: Int): String =
+    s"""SELECT e.vec_id AS query_id, CAST(r.range + 1 AS BIGINT) AS rank,
+       |  true AS id_ok, true AS no_self, true AS sim_exact, true AS order_ok
+       |FROM embeddings e CROSS JOIN range($k) r
+       |WHERE e.vec_id < $maxQueryId""".stripMargin
+
+  /** Whole-frame structural verification of a cosine near-dup pair
+    * frame (vec_a, vec_b, sim): ids resolve in the corpus, pairs are
+    * lower-id-first and distinct, the reported sim is the re-derived
+    * exact cosine, and every pair clears the threshold. One output row
+    * of flags (plus nonempty — an empty result trivially satisfies
+    * everything, so the gate also pins that the row found anything at
+    * all).
+    */
+  def cosinePairGate(pairs: DataFrame, embs: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     tolerance: Double = 1e-6): DataFrame = {
+    val e = normalized(embs, idCol, vecCol)
+    val joined = pairs
+      .join(e.select(col("id").as("vec_a"), col("v").as("__va")), Seq("vec_a"), "left")
+      .join(e.select(col("id").as("vec_b"), col("v").as("__vb")), Seq("vec_b"), "left")
+      .withColumn("__exact", dotFast(col("__va"), col("__vb")))
+    gateRow(joined,
+      "ordered_ok" -> (col("vec_a") < col("vec_b")),
+      "ids_ok" -> (col("__va").isNotNull && col("__vb").isNotNull),
+      "sim_exact" -> (abs(col("sim") - col("__exact")) <= tolerance),
+      "threshold_ok" -> (col("sim") >= threshold))
+      .crossJoin(pairDistinctness(pairs, "vec_a", "vec_b"))
+      .select(col("nonempty"), col("ordered_ok"), col("ids_ok"),
+        col("sim_exact"), col("threshold_ok"), col("pairs_distinct"))
+  }
+
+  /** Whole-frame verification of a verified-Jaccard pair frame
+    * (doc_a, doc_b, jaccard) against portable distinct-token sets:
+    * the reported jaccard is re-derived exactly and clears the
+    * threshold; ordering/ids/distinctness as in [[cosinePairGate]].
+    * `tokensOf` must reproduce the token sets the producer verified
+    * with (e.g. distinct whitespace tokens for shingleK = 1).
+    */
+  def jaccardPairGate(pairs: DataFrame, docs: DataFrame, threshold: Double,
+                      tokensOf: Column => Column,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      tolerance: Double = 1e-9): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"), tokensOf(col(textCol)).as("__toks"))
+    val joined = pairs
+      .join(t.select(col("__id").as("doc_a"), col("__toks").as("__ta")), Seq("doc_a"), "left")
+      .join(t.select(col("__id").as("doc_b"), col("__toks").as("__tb")), Seq("doc_b"), "left")
+      .withColumn("__exact",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
+          size(array_union(col("__ta"), col("__tb"))))
+    gateRow(joined,
+      "ordered_ok" -> (col("doc_a") < col("doc_b")),
+      "ids_ok" -> (col("__ta").isNotNull && col("__tb").isNotNull),
+      "jaccard_exact" -> (abs(col("jaccard") - col("__exact")) <= tolerance),
+      "threshold_ok" -> (col("jaccard") >= threshold))
+      .crossJoin(pairDistinctness(pairs, "doc_a", "doc_b"))
+      .select(col("nonempty"), col("ordered_ok"), col("ids_ok"),
+        col("jaccard_exact"), col("threshold_ok"), col("pairs_distinct"))
+  }
+
+  /** Whole-frame verification of a SimHash pair frame
+    * (doc_a, doc_b, hamming): the reported hamming distance is
+    * re-derived from freshly computed signatures and is within
+    * `maxDist`; ordering/ids/distinctness as above. The signature
+    * recomputation shares [[DedupOps.simHash]] — the gate proves the
+    * BANDED candidate stage emitted only true-signature pairs, which is
+    * exactly the seam the chunk join could get wrong.
+    */
+  def hammingPairGate(pairs: DataFrame, docs: DataFrame, maxDist: Int,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = DedupOps.simHash(docs, textCol, idCol)
+    val joined = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("__sa")), Seq("doc_a"), "left")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("__sb")), Seq("doc_b"), "left")
+      .withColumn("__exact", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+    gateRow(joined,
+      "ordered_ok" -> (col("doc_a") < col("doc_b")),
+      "ids_ok" -> (col("__sa").isNotNull && col("__sb").isNotNull),
+      "hamming_exact" -> (col("hamming") === col("__exact")),
+      "maxdist_ok" -> (col("hamming") <= maxDist))
+      .crossJoin(pairDistinctness(pairs, "doc_a", "doc_b"))
+      .select(col("nonempty"), col("ordered_ok"), col("ids_ok"),
+        col("hamming_exact"), col("maxdist_ok"), col("pairs_distinct"))
+  }
+
+  /** Whole-frame verification of a greedy semantic-dedup result: the
+    * kept set is a distinct subset of the corpus, and every DROPPED id
+    * has a re-derived exact-cosine witness at `threshold` with a
+    * smaller corpus id — the precondition the greedy drop requires
+    * (each victim was the higher id of a verified pair). Cell-boundary
+    * recall (which pairs were FOUND) rides the exactmode twin; this
+    * gate proves nothing was dropped without cause.
+    */
+  def semanticDedupGate(kept: DataFrame, corpus: DataFrame, threshold: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val ids = corpus.select(col(idCol))
+    val droppedIds = ids.join(kept.select(col(idCol)), Seq(idCol), "left_anti")
+    val e = normalized(corpus, idCol, vecCol)
+    val witnessed = droppedIds.select(col(idCol).as("__d"))
+      .join(e.select(col("id").as("__d"), col("v").as("__dv")), Seq("__d"))
+      .join(e.select(col("id").as("__p"), col("v").as("__pv")),
+        col("__p") < col("__d"))
+      .filter(dotFast(col("__dv"), col("__pv")) >= threshold)
+      .select(col("__d").as(idCol)).distinct()
+    kept.agg((count(lit(1)) > 0).as("kept_nonempty"),
+        (count(lit(1)) === countDistinct(col(idCol))).as("kept_ids_distinct"))
+      .crossJoin(kept.join(ids, Seq(idCol), "left_anti")
+        .agg((count(lit(1)) === 0).as("kept_in_corpus")))
+      .crossJoin(droppedIds.join(witnessed, Seq(idCol), "left_anti")
+        .agg((count(lit(1)) === 0).as("dropped_have_witness")))
+  }
+
+  /** Whole-frame verification of a near-dup-aware ingest: survivors
+    * come only from the incoming batch and have pairwise-distinct
+    * texts (the exact-dedup leg), and every REJECTED incoming doc has
+    * a re-derived exact-Jaccard witness at `threshold` somewhere in
+    * the pool (existing corpus ∪ incoming) — every drop was earned,
+    * whether by the exact leg (jaccard 1) or a verified near-dup.
+    * LSH recall (drops that were MISSED) rides the exactmode twin.
+    */
+  def ingestNearDupGate(survivors: DataFrame, pool: DataFrame,
+                        incoming: DataFrame, threshold: Double,
+                        tokensOf: Column => Column,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def t(d: DataFrame) =
+      d.select(col(idCol).as("__id"), tokensOf(col(textCol)).as("__toks"))
+    val dropped = incoming.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+    // witness search through the inverted-index shuffle (the
+    // jaccardPairs shape), NOT an all-pairs nested loop: a candidate
+    // witness must share ≥ 1 token (implied by jaccard ≥ threshold > 0),
+    // so posting-list equi-joins find every possible witness
+    val dT = t(dropped).withColumn("__n", size(col("__toks")))
+    val pT = t(pool).withColumn("__n", size(col("__toks")))
+    val shared = dT.select(col("__id").as("__d"), col("__n").as("__dn"),
+        explode(col("__toks")).as("__t"))
+      .join(pT.select(col("__id").as("__p"), col("__n").as("__pn"),
+        explode(col("__toks")).as("__t")), Seq("__t"))
+      .filter(col("__d") =!= col("__p"))
+      .groupBy("__d", "__p", "__dn", "__pn").agg(count(lit(1)).as("__s"))
+    val witnessed = shared
+      .filter(col("__s").cast("double") /
+        (col("__dn") + col("__pn") - col("__s")) >= threshold)
+      .select(col("__d").as(idCol)).distinct()
+    survivors.agg((count(lit(1)) > 0).as("survivors_nonempty"),
+        (count(lit(1)) === countDistinct(md5(col(textCol))))
+          .as("survivors_distinct_text"))
+      .crossJoin(survivors.join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
+        .agg((count(lit(1)) === 0).as("survivors_from_incoming")))
+      .crossJoin(dropped.select(col(idCol)).join(witnessed, Seq(idCol), "left_anti")
+        .agg((count(lit(1)) === 0).as("dropped_have_witness")))
+  }
+
+  /** Constant-true one-row oracle matching the pair gates' column set. */
+  def pairGateOracle(metricFlag: String,
+                     boundFlag: String = "threshold_ok"): String =
+    s"""SELECT true AS nonempty, true AS ordered_ok, true AS ids_ok,
+       |  true AS $metricFlag, true AS $boundFlag, true AS pairs_distinct"""
+      .stripMargin
+
+  /** bool_and-fold the flag expressions over `rows` into one gate row,
+    * plus a nonempty witness.
+    */
+  private def gateRow(rows: DataFrame, flags: (String, Column)*): DataFrame =
+    rows.agg(
+      (count(lit(1)) > 0).as("nonempty"),
+      flags.map { case (n, c) =>
+        coalesce(bool_and(c), lit(true)).as(n)
+      }: _*)
+
+  private def pairDistinctness(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.agg((count(lit(1)) ===
+      countDistinct(col(aCol), col(bCol))).as("pairs_distinct"))
+}

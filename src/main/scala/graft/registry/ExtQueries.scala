@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusOps, DedupOps, DriftOps, HnswIndex, IndexProfile, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, SqIndex, TextOps, VectorIndex}
+import graft.ext.{CorpusOps, DedupOps, DriftOps, HnswIndex, IndexProfile, IngestOps, IvfIndex, IvfPqIndex, LmOps, MultimodalOps, PqIndex, RecallOps, RelevanceOps, SimilarityOps, SketchOps, SqIndex, StructGate, TextOps, VectorIndex}
 import graft.runtime.Sources
 
 /** [EXT] charter queries: dedup / similarity / text analysis over the
@@ -481,16 +481,20 @@ object ExtQueries {
       DedupOps.shingleJaccardPairs(docsSub(s, dir), 0.08, k = 2,
         maxDocFreqRatio = Some(0.1))),
     // Near-dup-aware ingest composition, bench-visible: odd-id subset
-    // half arrives against the even-id half. No oracle (LSH recall by
-    // contract, as q_ext_minhash_neardup); semantics spec-gated in
+    // half arrives against the even-id half. LSH recall stays by
+    // contract (exactmode twin below); the driver hash-checks the
+    // structural gate — survivors only from the batch with distinct
+    // texts, and every rejected doc has a re-derived exact-Jaccard
+    // witness in corpus ∪ batch. Semantics also spec-gated in
     // IngestSpec.
     "q_ext_ingest_neardup" -> ((s, dir) => {
       val docs = docsSub(s, dir)
-      IngestOps.appendDedupNearDup(
-          docs.filter(col("doc_id") % 20 === 0),
-          docs.filter(col("doc_id") % 20 =!= 0),
-          threshold = 0.9)
-        .select(col("doc_id"), col("lang"))
+      val existing = docs.filter(col("doc_id") % 20 === 0)
+      val incoming = docs.filter(col("doc_id") % 20 =!= 0)
+      StructGate.ingestNearDupGate(
+        IngestOps.appendDedupNearDup(existing, incoming, threshold = 0.9),
+        pool = docs, incoming = incoming, threshold = 0.9,
+        tokensOf = TextOps.distinctTokens _)
     }),
     // EXACT-mode oracle for the near-dup ingest composition (the
     // q_ext_knn_pq_exactmode pattern): identical dedup-then-check recipe
@@ -575,19 +579,43 @@ object ExtQueries {
       DedupOps.winnowNearDupPairs(docsSub(s, dir), minShared = 5)),
     // the PRODUCTION mode: codegen'd xxhash64 gram hashes — per-gram md5
     // is the measured hot cost of the oracle row (~3× the rest of the
-    // row at sf0.1) and the winnowing guarantee is hash-agnostic. Full
-    // documents table; no oracle (hash internals non-portable, like the
-    // MinHash rows); the robustness property is spec-gated for BOTH
-    // hash modes in ExtOpsSpec.
-    "q_ext_fingerprint_winnow_fast" -> ((s, dir) =>
-      DedupOps.winnowFingerprints(Sources(s, dir).documents, fastHash = true)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fps"),
-          md5(concat_ws("|", sort_array(collect_list(col("fp"))))).as("fps_md5"))),
-    "q_ext_minhash_neardup" -> ((s, dir) =>
-      DedupOps.minHashNearDupPairs(docsSub(s, dir), 0.9)),
-    "q_ext_simhash_neardup" -> ((s, dir) =>
-      DedupOps.simHashNearDupPairs(docsSub(s, dir), maxDist = 3)),
+    // row at sf0.1) and the winnowing guarantee is hash-agnostic. The
+    // hash VALUES are non-portable, so the driver checks the per-doc
+    // structural gate instead: the doc set is exactly the ≥ k-char
+    // normalized docs, n_grams is re-derived portably, and the selected
+    // fingerprint count respects the winnowing bounds 1 ≤ n_fps ≤
+    // n_grams (distinct VALUES can collapse below any position-based
+    // lower bound when gram text repeats, so 1 is the sharp floor).
+    // The selection robustness property stays spec-gated for BOTH hash
+    // modes in ExtOpsSpec.
+    "q_ext_fingerprint_winnow_fast" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents
+      val fps = DedupOps.winnowFingerprints(docs, fastHash = true)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      docs.select(col("doc_id"),
+          (length(TextOps.normalizeWs(col("text"))) - 4).cast("long").as("n_grams"))
+        .filter(col("n_grams") >= 1)
+        .join(fps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_fps").isNotNull && col("n_fps") >= 1 &&
+            col("n_fps") <= col("n_grams")).as("fp_bounds_ok"))
+    }),
+    // MinHash-LSH near-dup pairs, structurally gated: the banded
+    // candidates are exact-Jaccard verified before emission, so the
+    // gate re-derives every pair's jaccard from portable token sets
+    // and every flag must verify; recall rides q_ext_recall_minhash
+    "q_ext_minhash_neardup" -> ((s, dir) => {
+      val docs = docsSub(s, dir)
+      StructGate.jaccardPairGate(DedupOps.minHashNearDupPairs(docs, 0.9),
+        docs, 0.9, tokensOf = TextOps.distinctTokens _)
+    }),
+    // SimHash pairs, structurally gated: hamming re-derived from fresh
+    // signatures and bounded by maxDist; recall rides q_ext_recall_simhash
+    "q_ext_simhash_neardup" -> ((s, dir) => {
+      val docs = docsSub(s, dir)
+      StructGate.hammingPairGate(
+        DedupOps.simHashNearDupPairs(docs, maxDist = 3), docs, maxDist = 3)
+    }),
     // Measured-recall rows (RecallOps.recallGate): ORACLE-GATED —
     // (metric, recall_floor, meets_floor) against a constant-true DuckDB
     // oracle, so a recall collapse flips a CORRECTNESS row, not just a
@@ -699,12 +727,17 @@ object ExtQueries {
         .recallGate(e.filter(col("vec_id") < 20), k = 3, floor = 0.5,
           expectExactPairs = Some(60L))
     }),
-    // HNSW graph rung (shard-and-merge, HnswIndex): production probe —
-    // no oracle (graph navigation is approximate by contract, like the
-    // IVF nprobe row); its measured-recall gate is the oracle row below
+    // HNSW graph rung (shard-and-merge, HnswIndex): production probe.
+    // Graph navigation is approximate by contract, so the neighbor SET
+    // rides the measured-recall row below; what the driver hash-checks
+    // HERE is the structural gate over the production result itself
+    // (StructGate.topKGate): exactly k ranks per query, ids resolve in
+    // the corpus, no self-matches, sims re-derived exact, rank order
+    // consistent — r9's "structural oracles for the no_oracle rows".
     "q_ext_knn_hnsw" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
-      hnswIndex(s, dir).topK(e.filter(col("vec_id") < 20), k = 3, ef = 64)
+      val q = e.filter(col("vec_id") < 20)
+      StructGate.topKGate(hnswIndex(s, dir).topK(q, k = 3, ef = 64), q, e)
     }),
     "q_ext_recall_knn_hnsw" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
@@ -738,8 +771,15 @@ object ExtQueries {
     }),
     "q_ext_cosine_pairs" -> ((s, dir) =>
       SimilarityOps.cosinePairs(Sources(s, dir).embeddings, 0.35)),
-    "q_ext_knn_lsh" -> ((s, dir) =>
-      SimilarityOps.lshCosinePairs(Sources(s, dir).embeddings, 0.35)),
+    // sign-LSH cosine pairs, structurally gated: emitted pairs are
+    // exact-verified by construction (precision 1.0), so every flag —
+    // re-derived sims, threshold, ordering, id resolution, pair
+    // distinctness — must verify; the pair-set recall rides its
+    // measured-recall row
+    "q_ext_knn_lsh" -> ((s, dir) => {
+      val e = Sources(s, dir).embeddings
+      StructGate.cosinePairGate(SimilarityOps.lshCosinePairs(e, 0.35), e, 0.35)
+    }),
     // The two exact IVF rows now time DISTINCT lifecycle phases:
     //  - q_ext_knn_ivf is the COLD path — train + save + load + probe a
     //    fresh throwaway index on every call, so the bench row isolates
@@ -765,13 +805,13 @@ object ExtQueries {
         k = 3, nprobe = idx.nlist)
     }),
     // The number that sells IVF: the same probe at nprobe = 4 of 16 —
-    // O(N·nprobe/nlist) work per query. No oracle (approximate by
-    // design); recall ≥ 0.9 vs the exact top-k is spec-gated in
-    // ExtOpsSpec on this same persisted-index path.
+    // O(N·nprobe/nlist) work per query. Approximate by design, so the
+    // neighbor set rides its recall row; the driver hash-checks the
+    // structural gate over the production probe (see q_ext_knn_hnsw).
     "q_ext_knn_ivf_probe_approx" -> ((s, dir) => {
-      val idx = ivfIndex(s, dir)
-      idx.topK(Sources(s, dir).embeddings.filter(col("vec_id") < 20),
-        k = 3, nprobe = 4)
+      val e = Sources(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 20)
+      StructGate.topKGate(ivfIndex(s, dir).topK(q, k = 3, nprobe = 4), q, e)
     }),
     // Product quantization (PqIndex): the MEMORY side of the ANN story —
     // the corpus-wide scan reads m-byte codes, never vectors.
@@ -790,8 +830,9 @@ object ExtQueries {
     }),
     "q_ext_knn_pq" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
-      pqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
-        k = 3, shortlist = 64)
+      val q = e.filter(col("vec_id") < 20)
+      StructGate.topKGate(
+        pqIndex(s, dir).topKRefined(q, e, k = 3, shortlist = 64), q, e)
     }),
     // Scalar quantization (SqIndex): the first rung of the quantized-ANN
     // ladder — 8× compression from per-dimension 8-bit codes, error
@@ -810,8 +851,9 @@ object ExtQueries {
     }),
     "q_ext_knn_sq" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
-      sqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
-        k = 3, shortlist = 32)
+      val q = e.filter(col("vec_id") < 20)
+      StructGate.topKGate(
+        sqIndex(s, dir).topKRefined(q, e, k = 3, shortlist = 32), q, e)
     }),
     // IVF-PQ (the full composition a 100 TB ANN runs: probe pruning ×
     // residual code compression):
@@ -830,19 +872,24 @@ object ExtQueries {
     }),
     "q_ext_knn_ivfpq" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
-      ivfPqIndex(s, dir).topKRefined(e.filter(col("vec_id") < 20), e,
-        k = 3, nprobe = 4, shortlist = 32)
+      val q = e.filter(col("vec_id") < 20)
+      StructGate.topKGate(
+        ivfPqIndex(s, dir).topKRefined(q, e, k = 3, nprobe = 4, shortlist = 32),
+        q, e)
     }),
     // SemDeDup-style semantic dedup: cluster-local near-dup pairs →
-    // greedy drop. No oracle (cell-boundary recall is approximate by
-    // contract); exact-twin recall and cells≡clusters equality vs the
-    // global all-pairs are spec-gated in SemDedupSpec.
+    // greedy drop. Cell-boundary recall stays approximate by contract
+    // (exactmode twin + SemDedupSpec); the driver hash-checks the
+    // structural gate — kept is a distinct subset of the corpus and
+    // every dropped id has a re-derived exact-cosine witness with a
+    // smaller id, so nothing was dropped without cause.
     "q_ext_dedup_semantic" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
-      DedupOps.removeNearDups(e,
+      StructGate.semanticDedupGate(
+        DedupOps.removeNearDups(e,
           SimilarityOps.semanticNearDupPairs(e, threshold = 0.35),
-          idCol = "vec_id", dropCol = "vec_b")
-        .select(col("vec_id"), col("label"))
+          idCol = "vec_id", dropCol = "vec_b"),
+        corpus = e, threshold = 0.35)
     }),
     // EXACT-mode oracle for the SemDeDup composition (the *_exactmode
     // pattern): nlist = 1 puts the whole corpus in ONE cell, so the
@@ -1540,6 +1587,33 @@ object ExtQueries {
          |FROM docs d JOIN comp c ON d.doc_id = c.node
          |WHERE c.root = d.doc_id""".stripMargin),
     "q_ext_knn_brute" -> knnExactSql,
+    // ---- structural oracles for the approximate rows (r9 task 3):
+    // the gate rows project the production result to invariant columns
+    // whose correct values the oracle KNOWS — per-(query, rank) flags
+    // for the ANN rows, whole-frame flags for the pair/dedup rows
+    "q_ext_knn_hnsw" -> StructGate.topKGateOracle(k = 3, maxQueryId = 20),
+    "q_ext_knn_ivf_probe_approx" -> StructGate.topKGateOracle(k = 3, maxQueryId = 20),
+    "q_ext_knn_pq" -> StructGate.topKGateOracle(k = 3, maxQueryId = 20),
+    "q_ext_knn_sq" -> StructGate.topKGateOracle(k = 3, maxQueryId = 20),
+    "q_ext_knn_ivfpq" -> StructGate.topKGateOracle(k = 3, maxQueryId = 20),
+    "q_ext_knn_lsh" -> StructGate.pairGateOracle("sim_exact"),
+    "q_ext_minhash_neardup" -> StructGate.pairGateOracle("jaccard_exact"),
+    "q_ext_simhash_neardup" ->
+      StructGate.pairGateOracle("hamming_exact", boundFlag = "maxdist_ok"),
+    "q_ext_ingest_neardup" ->
+      """SELECT true AS survivors_nonempty, true AS survivors_distinct_text,
+        |  true AS survivors_from_incoming, true AS dropped_have_witness""".stripMargin,
+    "q_ext_dedup_semantic" ->
+      """SELECT true AS kept_nonempty, true AS kept_ids_distinct,
+        |  true AS kept_in_corpus, true AS dropped_have_witness""".stripMargin,
+    // fast-hash winnowing: values are non-portable, so the oracle pins
+    // the doc set, the portable gram count, and the selection bounds
+    "q_ext_fingerprint_winnow_fast" ->
+      """WITH nt AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)
+        |SELECT doc_id, CAST(length(t) - 4 AS BIGINT) AS n_grams,
+        |  true AS fp_bounds_ok
+        |FROM nt WHERE length(t) >= 5""".stripMargin,
     // exact top-3 over the corpus AS IT STANDS after the registered
     // delete (vec_id % 7 = 3 of the < 400 build slice) and the >= 400
     // append — query vectors keep the full < 20 set (a deleted id may

@@ -130,7 +130,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("near-dup ingest composition: candidate and verify joins broadcast, no blowup joins") {
-    val p = plan("q_ext_ingest_neardup")
+    // plan the PRODUCTION composition directly: the registered row now
+    // wraps it in StructGate.ingestNearDupGate, whose 1-row flag
+    // aggregates legitimately combine via single-row nested-loop cross
+    // joins that the blowup assertions below would misread
+    val docs = graft.runtime.Sources(spark, "/root/testdata/sf0.001").documents
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    val p = graft.ext.IngestOps.appendDedupNearDup(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0),
+        threshold = 0.9)
+      .queryExecution.executedPlan.toString
     // the corpus-side band stream meets the batch's band keys via
     // broadcast; the drop set applies as a broadcast anti-join. The
     // within-BATCH lsh self-join may legitimately shuffle (batch-sized);

@@ -490,7 +490,13 @@ class ExtOpsSpec extends SparkSpec {
     def keys(name: String) = graft.registry.ExtQueries.queries(name)(spark, dir)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     val brute = keys("q_ext_knn_brute")
-    val approx4 = keys("q_ext_knn_ivf_probe_approx")   // nprobe 4 of 16
+    // the REGISTERED approx row now emits its structural gate frame
+    // (StructGate.topKGate), so probe the same persisted index directly
+    // for the raw neighbor set this spec reasons about
+    val approx4 = graft.registry.ExtQueries.ivfIndex(spark, dir)
+      .topK(Sources(spark, dir).embeddings.filter(col("vec_id") < 20),
+        k = 3, nprobe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     val exact16 = keys("q_ext_knn_ivf_probe")          // nprobe = nlist
     // structural contract: every query answered with exactly k rows of
     // real, non-self corpus neighbors (ANN may rank non-top-k neighbors

@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.runtime.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The structural gates must be FALSIFIABLE — a gate that cannot fail
+  * gates nothing. Each case plants one specific violation in an
+  * otherwise-correct result and asserts exactly the matching flag
+  * flips (and, on the clean result, that every flag holds).
+  */
+class StructGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Sources(spark, dir).embeddings
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  private def allTrue(df: DataFrame, except: Set[String] = Set.empty): Unit = {
+    val row = df.collect().head
+    df.columns.zipWithIndex.foreach { case (c, i) =>
+      if (row.get(i).isInstanceOf[Boolean]) {
+        val v = row.getBoolean(i)
+        if (except(c)) assert(!v, s"flag $c should have flipped")
+        else assert(v, s"flag $c unexpectedly false")
+      }
+    }
+  }
+
+  test("topKGate: clean exact result passes; each planted violation flips its flag") {
+    val clean = SimilarityOps.bruteForceTopK(emb, queries, k = 3)
+    val gate = StructGate.topKGate(clean, queries, emb)
+    assert(gate.count() == queries.count() * 3)
+    assert(gate.filter(!col("id_ok") || !col("no_self") ||
+      !col("sim_exact") || !col("order_ok")).count() == 0)
+    // fabricated sim
+    val badSim = clean.withColumn("sim",
+      when(col("rank") === 2, col("sim") + 0.5).otherwise(col("sim")))
+    assert(StructGate.topKGate(badSim, queries, emb)
+      .filter(!col("sim_exact")).count() > 0)
+    // self-match
+    val selfed = clean.withColumn("corpus_id",
+      when(col("rank") === 1, col("query_id")).otherwise(col("corpus_id")))
+    assert(StructGate.topKGate(selfed, queries, emb)
+      .filter(!col("no_self")).count() > 0)
+    // id outside the corpus
+    val foreign = clean.withColumn("corpus_id",
+      when(col("rank") === 3, lit(999999L)).otherwise(col("corpus_id")))
+    assert(StructGate.topKGate(foreign, queries, emb)
+      .filter(!col("id_ok")).count() > 0)
+    // rank order inconsistent with sims
+    val swapped = clean.withColumn("rank",
+      when(col("rank") === 1, 2).when(col("rank") === 2, 1).otherwise(col("rank")))
+    assert(StructGate.topKGate(swapped, queries, emb)
+      .filter(!col("order_ok")).count() > 0)
+    // a missing rank surfaces as a missing (query, rank) key — the
+    // oracle side of the contract; here just pin the count drops
+    assert(StructGate.topKGate(clean.filter(col("rank") =!= 2), queries, emb)
+      .count() < queries.count() * 3)
+  }
+
+  test("cosinePairGate: clean verified pairs pass; violations flip flags") {
+    val clean = SimilarityOps.cosinePairs(emb, 0.35)
+    allTrue(StructGate.cosinePairGate(clean, emb, 0.35))
+    allTrue(StructGate.cosinePairGate(
+        clean.withColumn("sim", col("sim") - 0.4), emb, 0.35),
+      except = Set("sim_exact", "threshold_ok"))
+    val flipped = clean.select(col("vec_b").as("vec_a"),
+      col("vec_a").as("vec_b"), col("sim"))
+    allTrue(StructGate.cosinePairGate(flipped, emb, 0.35),
+      except = Set("ordered_ok"))
+    allTrue(StructGate.cosinePairGate(clean.unionAll(clean), emb, 0.35),
+      except = Set("pairs_distinct"))
+    // empty frame satisfies every per-row flag — nonempty is the guard
+    allTrue(StructGate.cosinePairGate(clean.filter(lit(false)), emb, 0.35),
+      except = Set("nonempty"))
+  }
+
+  test("semanticDedupGate: unexplained drop flips dropped_have_witness") {
+    val pairs = SimilarityOps.semanticNearDupPairs(emb, threshold = 0.35)
+    val kept = DedupOps.removeNearDups(emb, pairs, "vec_id", dropCol = "vec_b")
+    allTrue(StructGate.semanticDedupGate(kept, emb, 0.35))
+    // drop one extra row that has NO near-dup partner: pick a kept id
+    // with max id (witness requires a smaller-id partner at >= 0.35 —
+    // drop the id whose max sim to smaller ids is lowest)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val loner = e.as("a").join(e.as("b"), col("b.vec_id") < col("a.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(max(SimilarityOps.cosine(col("a.v"), col("b.v"))).as("mx"))
+      .orderBy(col("mx").asc).select("vec_id").as[Long].head()
+    val overDropped = kept.filter(col("vec_id") =!= loner)
+    allTrue(StructGate.semanticDedupGate(overDropped, emb, 0.35),
+      except = Set("dropped_have_witness"))
+  }
+
+  test("ingestNearDupGate: foreign survivor and unexplained reject flip flags") {
+    val docs = Sources(spark, dir).documents.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 20 === 0)
+    val incoming = docs.filter(col("doc_id") % 20 =!= 0)
+    val survivors = IngestOps.appendDedupNearDup(existing, incoming, 0.9)
+    allTrue(StructGate.ingestNearDupGate(survivors, docs, incoming, 0.9,
+      TextOps.distinctTokens _))
+    // survivor not from the batch
+    allTrue(StructGate.ingestNearDupGate(
+        survivors.unionByName(existing.limit(1)), docs, incoming, 0.9,
+        TextOps.distinctTokens _),
+      except = Set("survivors_from_incoming"))
+    // reject a doc nothing resembles: drop a survivor from the result —
+    // it becomes "dropped" but (being a survivor) has no witness
+    val victim = survivors.select("doc_id").as[Long].head()
+    allTrue(StructGate.ingestNearDupGate(
+        survivors.filter(col("doc_id") =!= victim), docs, incoming, 0.9,
+        TextOps.distinctTokens _),
+      except = Set("dropped_have_witness"))
+  }
+}
