@@ -15,11 +15,21 @@ import java.nio.charset.StandardCharsets
   * scan-shaped query would bench as nearly free. The noop sink fully
   * evaluates every output row/column and discards it.
   *
-  * Each query runs TWICE and the reported number is the min of the two
-  * passes: single-pass numbers swung up to 4× run-to-run with no code
-  * change (r2 `q_ext_knn_lsh`), which made per-round deltas
-  * unattributable. Min-of-2 damps GC/compilation noise while still
-  * paying all real work (shuffles, I/O) in both passes.
+  * Each query runs THREE passes and the reported number is the min:
+  * single-pass numbers swung up to 4× run-to-run with no code change
+  * (r2 `q_ext_knn_lsh`), which made per-round deltas unattributable.
+  * Best-of-N damps GC/compilation noise while still paying all real
+  * work (shuffles, I/O) in every pass. Two noise instruments ride in
+  * the JSON so a contention-inflated reading SELF-IDENTIFIES instead
+  * of costing an idle re-measure rebuttal (the r5–r9 pattern):
+  *   - `"spread"`: per-row (max-min)/min across the passes — a row
+  *     whose own passes disagree ran on a noisy host, whatever its min;
+  *   - `"host"`: 1-minute load average at start and end plus the host
+  *     CPU count — load near or above the CPU count means every number
+  *     in the file shared its cores.
+  * The flag criterion lives in BASELINE.md: treat a cross-round delta
+  * as real only if the row's spread is small and the host stamps show
+  * an idle machine; otherwise re-measure before concluding anything.
   *
   * Failures are NOT swallowed: a query that throws is recorded under
   * the `"errors"` map in the output JSON (name -> exception
@@ -88,24 +98,33 @@ object Bench {
     // row set unless an explicit subset narrows it further.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
       .orElse(if (sf1) Some(sf1Rows) else None)
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val loadStart = load1()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        val passes = (1 to 2).map { _ =>
+        val passes = (1 to nPasses).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         timings(name) = passes.min
+        spreads(name) = math.round(
+          (passes.max - passes.min) / passes.min * 1000.0) / 1000.0
       } catch {
         case e: Throwable =>
           errors(name) = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300)
       }
       hygiene()
     }
+    val loadEnd = load1()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -114,10 +133,13 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val host = s"""{"load1_start":$loadStart,"load1_end":$loadEnd,""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors},"passes":$nPasses}"""
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"host":$host,"errors":$errs,"sf":${jstr(sfDir)}}"""
     Files.write(
       Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
