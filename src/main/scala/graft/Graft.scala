@@ -65,6 +65,14 @@ object Graft {
     * side, pushable filters above scans that won't use them, opaque
     * UDFs, plus shuffle/broadcast/scan counts
     * ([[graft.runtime.PlanAudit]]).
+    *
+    * The same checklist can gate WRITES: construct the
+    * [[graft.runtime.Materializer]] with
+    * `auditMode = PlanAudit.Mode.Enforce` and any model whose plan
+    * carries a high-severity finding REFUSES to materialize (nothing
+    * written) on both the DataFrame and SQL surfaces;
+    * `PlanAudit.Mode.Log` records structured findings and writes
+    * anyway. Default is `Off` — the audit stays opt-in.
     */
   def audit(df: org.apache.spark.sql.Dataset[_]): graft.runtime.PlanAudit.Report =
     graft.runtime.PlanAudit.audit(df)

@@ -75,9 +75,33 @@ import java.nio.file.{Files, Paths}
   * both sides by `id` once, which AQE sizes.
   */
 final class Materializer(spark: SparkSession, baseDir: String,
-                         keepVersions: Int = 2) {
+                         keepVersions: Int = 2,
+                         auditMode: PlanAudit.Mode = PlanAudit.Mode.Off) {
   require(keepVersions >= 2,
     s"keepVersions must be >= 2 (new + the version readers may still scan): $keepVersions")
+
+  /** Scale lint on every frame this materializer is about to write
+    * ([[PlanAudit.Mode]]): both model surfaces (DataFrame API and SQL
+    * text) and every materialization strategy funnel through here. Runs
+    * BEFORE any bytes land, so [[PlanAudit.Mode.Enforce]] refuses the
+    * whole run — no version dir, no pointer flip — and a retry after
+    * the fix starts clean.
+    */
+  private def auditGate(model: String, result: DataFrame): Unit =
+    auditMode match {
+      case PlanAudit.Mode.Off => ()
+      case mode =>
+        val report = PlanAudit.audit(result)
+        val high = report.highSeverity
+        if (high.nonEmpty) {
+          val msg = s"plan audit refused model '$model': " +
+            s"${high.size} high-severity finding(s)\n${report.render}"
+          if (mode == PlanAudit.Mode.Enforce)
+            throw new PlanAudit.PlanAuditException(msg, report)
+          else org.slf4j.LoggerFactory.getLogger(classOf[Materializer])
+            .warn(msg)
+        }
+    }
 
   /** Directory of the model's CURRENT table: the manifest-resolved
     * version dir, or the legacy fixed dir when no pointer exists. Safe
@@ -408,6 +432,7 @@ final class Materializer(spark: SparkSession, baseDir: String,
     */
   private def commitVersion(model: String,
                             result: DataFrame): DataFrame = {
+    auditGate(model, result)
     // unique per invocation: even a writer that somehow bypasses the
     // locks (a crashed run's successor) can never clobber in-flight bytes
     val newName = model + "__v_" +
@@ -539,6 +564,7 @@ final class Materializer(spark: SparkSession, baseDir: String,
     val prior = readPrior(model)
     val fresh = build(prior)
     writerLockFor(model).synchronized { withFileLock(model) {
+      auditGate(model, fresh)
       val staging = stagingDir(model)
       fresh.write.mode(SaveMode.Overwrite).partitionBy(dateCol)
         .parquet(staging.toString)
@@ -630,6 +656,7 @@ final class Materializer(spark: SparkSession, baseDir: String,
         .filter(col(eventDateCol) >= lit(lo) && col(eventDateCol) < lit(hi))
     }
     val batch = frames.reduce(_ unionByName _)
+    auditGate(model, batch)
     val staging = stagingDir(model)
     batch.write.mode(SaveMode.Overwrite)
       .partitionBy(eventDateCol).parquet(staging.toString)

@@ -47,6 +47,32 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 object PlanAudit {
 
+  /** Enforcement posture a [[Materializer]] applies to every frame it
+    * is about to commit (both the DataFrame-API and SQL-text model
+    * surfaces funnel through the same commit seam):
+    *  - [[Mode.Off]] (default): no audit — byte-identical to pre-audit
+    *    behavior;
+    *  - [[Mode.Log]]: audit and log structured findings on
+    *    high-severity results, then write anyway — the observability
+    *    posture for existing pipelines;
+    *  - [[Mode.Enforce]]: REFUSE to materialize a plan with a
+    *    high-severity finding ([[PlanAuditException]], nothing
+    *    written) — the CI posture: a planted cartesian join fails the
+    *    run instead of burning the cluster.
+    */
+  sealed trait Mode
+  object Mode {
+    case object Off extends Mode
+    case object Log extends Mode
+    case object Enforce extends Mode
+  }
+
+  /** A refused materialization under [[Mode.Enforce]]; carries the full
+    * report so callers can render or triage findings programmatically.
+    */
+  final class PlanAuditException(msg: String, val report: Report)
+    extends RuntimeException(msg)
+
   final case class Finding(kind: String, severity: String, node: String,
                            detail: String)
 

@@ -96,6 +96,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(kinds(PlanAudit.audit(df)).contains("scala-udf"))
   }
 
+  test("enforce mode refuses a planted cartesian materialization; nothing lands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit-enf").toString
+    val mat = new Materializer(spark, dir, auditMode = PlanAudit.Mode.Enforce)
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq(("p"), ("q")).toDF("w")
+    val ex = intercept[PlanAudit.PlanAuditException] {
+      mat.materializeTable("bad")(a.crossJoin(b))
+    }
+    assert(ex.report.highSeverity.exists(_.kind == "cartesian-product"))
+    // refused BEFORE any bytes: no version dir, no pointer (the OS
+    // file-lock artifact is pre-write plumbing, not data)
+    val leftovers = Option(new java.io.File(dir).list()).toSeq.flatten
+      .filter(n => n.startsWith("bad") && !n.endsWith(".lock"))
+    assert(leftovers.isEmpty, leftovers.toString)
+    // the SQL-text surface funnels through the same commit seam
+    a.createOrReplaceTempView("pa_enf_a")
+    b.createOrReplaceTempView("pa_enf_b")
+    intercept[PlanAudit.PlanAuditException] {
+      mat.materializeTable("bad_sql")(
+        spark.sql("SELECT * FROM pa_enf_a CROSS JOIN pa_enf_b"))
+    }
+    // a single-partition window (the W2 global ROW_NUMBER quirk shape)
+    // is refused too — the lint catching the engine's own documented
+    // scale hazard when a user opts into enforcement
+    intercept[PlanAudit.PlanAuditException] {
+      mat.materializeTable("bad_w")(a.withColumn("rn",
+        row_number().over(Window.orderBy("k"))))
+    }
+    // clean plans still materialize under the same flag
+    assert(mat.materializeTable("good")(a).count() == 2)
+    // incremental path is gated as well (the second run's merged frame)
+    intercept[PlanAudit.PlanAuditException] {
+      mat.materialize("bad_incr", "k")(_ => a.crossJoin(b))
+    }
+  }
+
+  test("log mode records the finding but materializes anyway; off stays silent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit-log").toString
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq(("p"), ("q")).toDF("w")
+    val matLog = new Materializer(spark, dir, auditMode = PlanAudit.Mode.Log)
+    assert(matLog.materializeTable("warned")(a.crossJoin(b)).count() == 4)
+    val matOff = new Materializer(spark, dir)
+    assert(matOff.materializeTable("quiet")(a.crossJoin(b)).count() == 4)
+  }
+
   test("a clean partial-aggregated groupBy has no findings and counts its shuffle") {
     val df = docs().groupBy("lang").agg(count(lit(1)).as("n"))
     val rep = PlanAudit.audit(df)
