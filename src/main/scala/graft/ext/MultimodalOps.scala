@@ -144,9 +144,11 @@ object MultimodalOps {
 
   private val FeatureBins = 16
 
-  /** STUB decoder — byte-value histogram, normalized to sum 1. A real
-    * implementation replaces ONLY this function with a codec call
-    * (the ??? of this module); signature and batching stay identical.
+  /** FALLBACK featurizer for payloads no codec accepts — byte-value
+    * histogram, normalized to sum 1. Kept (a) for the synthetic-payload
+    * fixture rows whose blobs are text bytes by construction and (b) so
+    * a corrupt blob in a real pipeline still yields a filterable
+    * feature vector instead of a dropped row.
     */
   private def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
     val h = new Array[Double](FeatureBins)
@@ -158,12 +160,36 @@ object MultimodalOps {
     h
   }
 
+  /** 16-bin normalized luminance histogram over decoded ARGB pixels
+    * (ITU-R 601 integer luma) — the shared feature kernel of
+    * [[decodeImage]] and [[decodeFeatures]].
+    */
+  private def lumaHistogram(px: Array[Int]): Array[Double] = {
+    val hist = new Array[Double](FeatureBins)
+    px.foreach { p =>
+      val y = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+        114 * (p & 0xFF)) / 1000
+      hist(y / (256 / FeatureBins)) += 1.0
+    }
+    var i = 0
+    while (i < FeatureBins) { hist(i) /= px.length; i += 1 }
+    hist
+  }
+
   /** Decode + feature-extract: partition-local batch execution. Output
     * schema: input columns minus the blob, plus `features
     * array<double>[16]` and `media_bytes bigint`. The blob is dropped
     * on output so downstream stages don't shuffle payload bytes.
+    *
+    * Features come from the REAL codec path by default: payloads the
+    * codec decodes yield the luminance histogram over their actual
+    * pixels (the same kernel as [[decodeImage]]); payloads it rejects
+    * fall back to the byte-histogram stub — so image corpora get pixel
+    * features while synthetic/corrupt blobs still featurize. Pass
+    * `codec = None` to force the byte path for every row.
     */
-  def decodeFeatures(media: DataFrame, mediaCol: String = "media"): DataFrame = {
+  def decodeFeatures(media: DataFrame, mediaCol: String = "media",
+                     codec: Option[ImageCodec] = Some(ImageIoCodec)): DataFrame = {
     val inSchema = media.schema
     val mediaIdx = inSchema.fieldIndex(mediaCol)
     val outSchema = StructType(
@@ -176,7 +202,10 @@ object MultimodalOps {
       // per-partition init happens HERE (codec/model load in a real impl)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](mediaIdx)
-        val feats = fakeDecodeFeatures(payload)
+        val feats = codec.flatMap(_.decode(payload)) match {
+          case Some((_, _, px)) => lumaHistogram(px)
+          case None             => fakeDecodeFeatures(payload)
+        }
         val kept = keepIdx.map(r.get)
         Row.fromSeq(kept.toSeq ++ Seq(feats.toSeq,
           if (payload == null) 0L else payload.length.toLong))
@@ -250,16 +279,7 @@ object MultimodalOps {
         val kept = keepIdx.map(r.get)
         decoded match {
           case Some((w, h, px)) =>
-            val hist = new Array[Double](FeatureBins)
-            px.foreach { p =>
-              // ITU-R 601 integer luma from the ARGB word
-              val y = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
-                114 * (p & 0xFF)) / 1000
-              hist(y / (256 / FeatureBins)) += 1.0
-            }
-            var i = 0
-            while (i < FeatureBins) { hist(i) /= px.length; i += 1 }
-            Row.fromSeq(kept.toSeq ++ Seq(w, h, hist.toSeq))
+            Row.fromSeq(kept.toSeq ++ Seq(w, h, lumaHistogram(px).toSeq))
           case None =>
             Row.fromSeq(kept.toSeq ++ Seq(null, null, null))
         }

@@ -952,6 +952,19 @@ object ExtQueries {
           round(element_at(col("features"), 1), 6).as("bin0"),
           round(element_at(col("features"), 6), 6).as("bin5"),
           round(element_at(col("features"), 16), 6).as("bin15"))),
+    // decodeFeatures through the REAL codec route (its default): the
+    // generated-PNG blobs decode, so features are luminance histograms
+    // over ACTUAL pixels — the oracle recomputes them analytically from
+    // the generator formula, proving the feature entry point runs on
+    // decoded pixels, not payload bytes (VERDICT r9 task 7). The
+    // text-byte fixture row above keeps exercising the byte fallback.
+    "q_ext_media_features_real" -> ((s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.withGeneratedPng(Sources(s, dir).documents))
+        .select(col("doc_id"),
+          round(element_at(col("features"), 1), 6).as("bin0"),
+          round(element_at(col("features"), 6), 6).as("bin5"),
+          round(element_at(col("features"), 16), 6).as("bin15"))),
     // frame sampler gate: 4 evenly-spaced 64-byte slices per blob,
     // fingerprinted as md5 over the '|'-joined hex of each frame — a
     // scalar digest the DuckDB oracle reproduces by slicing hex(blob)
@@ -1788,6 +1801,29 @@ object ExtQueries {
          |  FROM d
          |)
          |SELECT doc_id, w AS decoded_width, h AS decoded_height,
+         |  round(CAST(len(list_filter(bins, v -> v = 0)) AS DOUBLE) / (w*h), 6) AS bin0,
+         |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / (w*h), 6) AS bin5,
+         |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / (w*h), 6) AS bin15
+         |FROM lum""".stripMargin),
+    // Analytic mirror of the decodeFeatures real-codec route: identical
+    // luminance CTE as the decode gate, projected to bins only (the PNG
+    // byte length is encoder-dependent, so media_bytes is not pinned)
+    "q_ext_media_features_real" ->
+      ("""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 8 + 1) * 8 AS INT) AS w,
+         |    CAST((doc_id % 6 + 1) * 8 AS INT) AS h
+         |  FROM documents
+         |),
+         |lum AS (
+         |  SELECT doc_id, w, h,
+         |    list_transform(range(w*h), i ->
+         |      (299 * (((((doc_id*31 + i) % 16777216) * 2654435769) >> 16) & 255)
+         |     + 587 * (((((doc_id*31 + i) % 16777216) * 2654435769) >> 8) & 255)
+         |     + 114 * ((((doc_id*31 + i) % 16777216) * 2654435769) & 255)) // 1000 // 16) AS bins
+         |  FROM d
+         |)
+         |SELECT doc_id,
          |  round(CAST(len(list_filter(bins, v -> v = 0)) AS DOUBLE) / (w*h), 6) AS bin0,
          |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / (w*h), 6) AS bin5,
          |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / (w*h), 6) AS bin15

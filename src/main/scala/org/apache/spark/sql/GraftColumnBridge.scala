@@ -32,6 +32,18 @@ object GraftColumnBridge {
     * construct the translator doesn't model (function calls, SQL
     * strings, arithmetic, UDFs, ...). A None conjunct still FILTERS at
     * execution time — it just cannot justify skipping data.
+    *
+    * SUPPORTED SPARK RANGE: written against the Spark 4.x ColumnNode
+    * AST (`org.apache.spark.sql.internal`, present since 4.0). The
+    * design degrade is SOFT by construction: any node shape this
+    * translator does not recognize — including shapes a future Spark
+    * minor introduces or renames — maps to None, and every consumer
+    * treats None as "scan, don't skip". An API drift therefore costs
+    * pruning, never correctness; FragmentSkipSpec pins the fallback
+    * with deliberately unmodelable predicates. A drift that breaks
+    * COMPILATION (e.g. `Column.node` moving again) fails loudly at
+    * build time, which is the desired failure mode for a private-API
+    * shim.
     */
   def predicateConjuncts(c: Column): Seq[Option[Expression]] = split(c.node)
 

@@ -112,6 +112,44 @@ class FragmentSkipSpec extends SparkSpec {
     assert(res.get.as[(String, Int)].collect().toSet == Set(("k1", 10)))
   }
 
+  test("unmodelable ColumnNodes degrade to unpruned-correct reads, never wrong or thrown") {
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "t", "id")
+    frag.upsert(Seq(("k1", 10, "a"), ("k2", 200, "b")).toDF("id", "v", "s"))
+    frag.upsert(Seq(("k3", 3000, "c")).toDF("id", "v", "s"))
+    // every predicate here contains a construct the bridge does NOT
+    // model (SQL-string exprs, arithmetic, UDFs, case/when) — the
+    // soft-degrade contract for a Spark minor-version AST drift: the
+    // conjunct translates to None, pruning is declined, and readWhere
+    // still equals read().filter
+    val shout = udf((s: String) => if (s == null) null else s.toUpperCase)
+    val opaque: Seq[Column] = Seq(
+      expr("v + 1 > 200"),                      // SqlExpr node
+      (col("v") * 2) < 500,                     // arithmetic fn node
+      shout(col("s")) === "A",                  // UDF node
+      when(col("v") > 100, true).otherwise(false), // case/when node
+      expr("id rlike 'k[0-9]'"))
+    opaque.foreach { p =>
+      val (res, rep) = frag.readWhereReport(p)
+      val want = rowsOf(frag.read().get.filter(p))
+      assert(rowsOf(res.get) == want, s"pred $p")
+      assert(rep.scanned == rep.total,
+        s"opaque predicate must decline pruning, got $rep for $p")
+    }
+    // bridge-level: the opaque node is Seq(None); a mixed conjunct
+    // keeps its modelable half (key pruning stays available)
+    import org.apache.spark.sql.GraftColumnBridge
+    assert(GraftColumnBridge.predicateConjuncts(expr("v + 1 > 200")) == Seq(None))
+    val mixed = GraftColumnBridge.predicateConjuncts(
+      col("id") === "k3" && shout(col("s")) === "C")
+    assert(mixed.size == 2 && mixed.count(_.isDefined) == 1, mixed.toString)
+    // and that modelable half still prunes to the key's fragment
+    val (res2, rep2) = frag.readWhereReport(
+      col("id") === "k3" && shout(col("s")) === "C")
+    assert(rep2.keyLive == 1, rep2.toString)
+    assert(rowsOf(res2.get) == Set("k3|3000|C".replace("C", "c")))
+  }
+
   test("empty-string min/max survives the manifest round-trip; fragment not mispruned") {
     val dir = freshDir()
     val frag = new FragmentedTable(spark, dir, "t", "id")
