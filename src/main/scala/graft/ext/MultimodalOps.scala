@@ -59,7 +59,12 @@ object ImageIoCodec extends ImageCodec {
 
   private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.isEmpty) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    // ImageIO THROWS (not null) on a payload whose header sniffs as a
+    // known format but whose body is garbage — a corrupt blob must map
+    // to None (the not-decodable contract), never fail the task
+    else scala.util.Try(
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    ).toOption.flatten
 
   override def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     readImage(payload).map { img =>

@@ -932,9 +932,13 @@ object ExtQueries {
         col("media_meta.format").as("format"),
         col("media_meta.width").as("width"),
         col("media_meta.height").as("height"))),
+    // codec = None: this fixture's blobs are text bytes BY CONSTRUCTION
+    // (the byte-fallback gate) — attempting an image sniff per row would
+    // be pure waste, and a future fixture text starting with an image
+    // magic prefix must not silently reroute the oracle-compared bins
     "q_ext_media_features" -> ((s, dir) =>
       MultimodalOps.decodeFeatures(
-        MultimodalOps.withFakeMedia(Sources(s, dir).documents))
+        MultimodalOps.withFakeMedia(Sources(s, dir).documents), codec = None)
         .select(col("doc_id"), col("media_bytes"),
           round(element_at(col("features"), 1), 6).as("bin0"),
           round(element_at(col("features"), 3), 6).as("bin2"),

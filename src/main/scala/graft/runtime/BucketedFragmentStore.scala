@@ -73,22 +73,25 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     initialMigration: Option[BucketedFragmentStore.Migration])
     extends KeyedFragmentStore {
 
-  import BucketedFragmentStore.{BucketCol, BucketReport, Migration}
+  import BucketedFragmentStore.{BucketCol, BucketReport, Layout, Migration}
 
   private val lock = BucketedFragmentStore.lockFor(
     s"${java.nio.file.Paths.get(baseDir).toAbsolutePath}#$table")
 
-  // committed layout + open migration — all mutations under `lock`
-  @volatile private var curBuckets: Int = initialBuckets
-  @volatile private var curGen: Int = initialGen
-  @volatile private var migration: Option[Migration] = initialMigration
+  // committed layout + open migration as ONE volatile value: readers
+  // snapshot it once per operation, so a concurrent commitMigration can
+  // never be observed half-applied (three separate fields would let a
+  // reader see the new count with the migration still "open" and union
+  // the new generation twice). Mutations under `lock`.
+  @volatile private var layout: Layout =
+    Layout(initialBuckets, initialGen, initialMigration)
 
   /** The committed bucket count (pre-migration count while one is open). */
-  def buckets: Int = curBuckets
+  def buckets: Int = layout.buckets
 
   /** Open migration's (targetCount, drained old buckets), if any. */
   def migrationStatus: Option[(Int, Set[Int])] =
-    migration.map(m => (m.newCount, m.done))
+    layout.migration.map(m => (m.newCount, m.done))
 
   private def tableNameFor(gen: Int, b: Int): String =
     if (gen == 0) s"${table}__b$b" else s"${table}__g${gen}b$b"
@@ -100,19 +103,24 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * maintenance/inspection); during a migration [[liveTables]] is the
     * complete picture.
     */
-  def bucketTables: IndexedSeq[FragmentedTable] =
-    (0 until curBuckets).map(b => bucketTable(curGen, b))
-
-  /** Every (gen, bucket) table that can currently hold keys: undrained
-    * old buckets plus — during a migration — all new-generation buckets.
-    */
-  private def liveTables: Seq[((Int, Int), FragmentedTable)] = migration match {
-    case None => (0 until curBuckets).map(b => (curGen, b) -> bucketTable(curGen, b))
-    case Some(m) =>
-      (0 until curBuckets).filterNot(m.done)
-        .map(b => (curGen, b) -> bucketTable(curGen, b)) ++
-        (0 until m.newCount).map(b => (m.newGen, b) -> bucketTable(m.newGen, b))
+  def bucketTables: IndexedSeq[FragmentedTable] = {
+    val st = layout
+    (0 until st.buckets).map(b => bucketTable(st.gen, b))
   }
+
+  /** Every (gen, bucket) table that can currently hold keys under the
+    * given layout snapshot: undrained old buckets plus — during a
+    * migration — all new-generation buckets.
+    */
+  private def liveTables(st: Layout): Seq[((Int, Int), FragmentedTable)] =
+    st.migration match {
+      case None =>
+        (0 until st.buckets).map(b => (st.gen, b) -> bucketTable(st.gen, b))
+      case Some(m) =>
+        (0 until st.buckets).filterNot(m.done)
+          .map(b => (st.gen, b) -> bucketTable(st.gen, b)) ++
+          (0 until m.newCount).map(b => (m.newGen, b) -> bucketTable(m.newGen, b))
+    }
 
   private def bucketExprFor(count: Int): Column =
     pmod(hash(col(s"`$uniqueKey`")), lit(count))
@@ -152,17 +160,18 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * old (so the coming drain carries them over in order).
     */
   private def routeWrite(df: DataFrame): Unit = lock.synchronized {
-    migration match {
-      case None => stageAndAdoptInto(df, curGen, curBuckets)
+    val st = layout
+    st.migration match {
+      case None => stageAndAdoptInto(df, st.gen, st.buckets)
       case Some(m) if m.done.isEmpty =>
-        stageAndAdoptInto(df, curGen, curBuckets)
-      case Some(m) if m.done.size == curBuckets =>
+        stageAndAdoptInto(df, st.gen, st.buckets)
+      case Some(m) if m.done.size == st.buckets =>
         stageAndAdoptInto(df, m.newGen, m.newCount)
       case Some(m) =>
-        val oldB = bucketExprFor(curBuckets)
+        val oldB = bucketExprFor(st.buckets)
         val drained = m.done.toSeq
         stageAndAdoptInto(df.filter(oldB.isin(drained: _*)), m.newGen, m.newCount)
-        stageAndAdoptInto(df.filter(!oldB.isin(drained: _*)), curGen, curBuckets)
+        stageAndAdoptInto(df.filter(!oldB.isin(drained: _*)), st.gen, st.buckets)
     }
   }
 
@@ -192,7 +201,7 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     read().foreach(df => deleteKeys(df.filter(pred).select(s"`$uniqueKey`")))
 
   def read(): Option[DataFrame] = {
-    val parts = liveTables.flatMap(_._2.read())
+    val parts = liveTables(layout).flatMap(_._2.read())
     if (parts.isEmpty) None
     else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
@@ -204,13 +213,17 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   def readWhere(pred: Column): Option[DataFrame] = readWhereReport(pred)._1
 
   def readWhereReport(pred: Column): (Option[DataFrame], BucketReport) = {
-    val live = liveTables
-    val targets = keyTargets(pred).getOrElse(live.map(_._1).toSet)
+    val st = layout
+    val live = liveTables(st)
+    val targets = keyTargets(st, pred).getOrElse(live.map(_._1).toSet)
     val probed = live.filter(t => targets(t._1))
     val results = probed.map { case (gb, t) => gb -> t.readWhereReport(pred) }
     val frames = results.flatMap(_._2._1)
-    val report = BucketReport(live.size, probed.map(_._1._2).sorted,
-      results.map { case (gb, (_, r)) => gb._2 -> r }.toMap)
+    // report keys are (gen, bucket): mid-migration both generations can
+    // probe the same bucket INDEX, and a bare-index map would collapse
+    // them and under-report scanned I/O
+    val report = BucketReport(live.size, probed.map(_._1).sorted,
+      results.map { case (gb, (_, r)) => gb -> r }.toMap)
     if (frames.nonEmpty)
       (Some(frames.reduce(_.unionByName(_, allowMissingColumns = true))), report)
     else unionSchema() match {
@@ -227,7 +240,7 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
 
   /** First-wins union schema across the buckets; None on an empty store. */
   private def unionSchema(): Option[org.apache.spark.sql.types.StructType] = {
-    val parts = liveTables.flatMap(_._2.tableSchema())
+    val parts = liveTables(layout).flatMap(_._2.tableSchema())
     if (parts.isEmpty) None
     else {
       val seen = scala.collection.mutable.LinkedHashMap[String,
@@ -246,11 +259,11 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * literal routes by its old bucket's drain state — exactly the write
     * path's routing, so probe and data can't disagree.
     */
-  private def keyTargets(pred: Column): Option[Set[(Int, Int)]] = {
-    val keyType = storedKeyType().getOrElse(return None)
+  private def keyTargets(st: Layout, pred: Column): Option[Set[(Int, Int)]] = {
+    val keyType = storedKeyType(st).getOrElse(return None)
     org.apache.spark.sql.GraftColumnBridge.predicateConjuncts(pred)
       .flatten.flatMap(literalSet(_, keyType)).headOption
-      .map(_.map(routeOfLiteral))
+      .map(_.map(routeOfLiteral(st, _)))
   }
 
   private def isKey(e: Expression): Boolean =
@@ -270,12 +283,12 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     case _ => None
   }
 
-  /** Where a key with this literal value currently lives. */
-  private def routeOfLiteral(l: Literal): (Int, Int) = migration match {
-    case None => (curGen, bucketOfLiteral(l, curBuckets))
+  /** Where a key with this literal value lives under the snapshot. */
+  private def routeOfLiteral(st: Layout, l: Literal): (Int, Int) = st.migration match {
+    case None => (st.gen, bucketOfLiteral(l, st.buckets))
     case Some(m) =>
-      val old = bucketOfLiteral(l, curBuckets)
-      if (m.done(old)) (m.newGen, bucketOfLiteral(l, m.newCount)) else (curGen, old)
+      val old = bucketOfLiteral(l, st.buckets)
+      if (m.done(old)) (m.newGen, bucketOfLiteral(l, m.newCount)) else (st.gen, old)
   }
 
   /** Driver-side replica of `pmod(hash(key), count)` — Murmur3 with
@@ -290,25 +303,25 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * one (single footer read); None on an empty store (nothing to prune
     * then anyway).
     */
-  private def storedKeyType(): Option[DataType] =
-    liveTables.iterator.map(_._2).flatMap(_.keyDataType()).nextOption()
+  private def storedKeyType(st: Layout): Option[DataType] =
+    liveTables(st).iterator.map(_._2).flatMap(_.keyDataType()).nextOption()
 
   def fragmentCounts(): IndexedSeq[Int] =
-    liveTables.map(_._2.fragmentCount()).toIndexedSeq
+    liveTables(layout).map(_._2.fragmentCount()).toIndexedSeq
 
-  def compact(): Unit = liveTables.foreach(_._2.compact())
+  def compact(): Unit = liveTables(layout).foreach(_._2.compact())
 
   def compactTiered(tierFactor: Double = 4.0): Boolean =
-    liveTables.map(_._2.compactTiered(tierFactor)).exists(identity)
+    liveTables(layout).map(_._2.compactTiered(tierFactor)).exists(identity)
 
   /** Bound read amplification PER BUCKET — each bucket folds its own
     * run, so maintenance I/O is ∝ the hot buckets' recent batches.
     */
   def maybeCompact(maxLivePerBucket: Int, tierFactor: Double = 4.0): Boolean =
-    liveTables.map(_._2.maybeCompact(maxLivePerBucket, tierFactor)).exists(identity)
+    liveTables(layout).map(_._2.maybeCompact(maxLivePerBucket, tierFactor)).exists(identity)
 
   def compactIfOver(maxLivePerBucket: Int): Boolean =
-    liveTables.map(_._2.compactIfOver(maxLivePerBucket)).exists(identity)
+    liveTables(layout).map(_._2.compactIfOver(maxLivePerBucket)).exists(identity)
 
   // ---- re-sharding ----------------------------------------------------
 
@@ -330,15 +343,16 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     */
   def rebucketStart(newCount: Int): Unit = lock.synchronized {
     require(newCount > 0, "bucket count must be positive")
-    migration match {
+    val st = layout
+    st.migration match {
       case Some(m) =>
         require(m.newCount == newCount,
           s"a migration to ${m.newCount} buckets is already open; finish it first")
       case None =>
-        require(newCount != curBuckets, s"store already has $newCount buckets")
-        val m = Migration(newCount, curGen + 1, Set.empty)
+        require(newCount != st.buckets, s"store already has $newCount buckets")
+        val m = Migration(newCount, st.gen + 1, Set.empty)
         writeJournal(m)
-        migration = Some(m)
+        layout = st.copy(migration = Some(m))
     }
   }
 
@@ -348,20 +362,30 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * step commits the new layout (meta flip) and GCs the old
     * generation. Crash-safe at every point: the journal marks a bucket
     * drained only AFTER its rows are adopted, so a replayed step
-    * re-adopts identical rows that last-writer-wins absorbs.
+    * re-adopts identical rows that last-writer-wins absorbs — and the
+    * drain carries TOMBSTONE winners along
+    * ([[FragmentedTable.readKeepTombstones]]), so a delete that landed
+    * in the replay window still shadows the earlier attempt's adopted
+    * copy instead of being resurrected by it. Like the flat store's
+    * immediate-GC compaction, dropping a drained bucket's files assumes
+    * no uncoordinated reader still holds a pre-drain frame of THAT
+    * bucket (in-process readers resolve liveTables per call and are
+    * fine).
     */
   def rebucketStep(): Boolean = lock.synchronized {
-    val m = migration.getOrElse(return false)
-    (0 until curBuckets).find(b => !m.done(b)) match {
+    val st = layout
+    val m = st.migration.getOrElse(return false)
+    (0 until st.buckets).find(b => !m.done(b)) match {
       case Some(b) =>
-        val src = bucketTable(curGen, b)
-        src.read().foreach(rows => stageAndAdoptInto(rows, m.newGen, m.newCount))
+        val src = bucketTable(st.gen, b)
+        src.readKeepTombstones()
+          .foreach(rows => stageAndAdoptInto(rows, m.newGen, m.newCount))
         val m2 = m.copy(done = m.done + b)
         writeJournal(m2)
-        migration = Some(m2)
-        dropBucketTable(curGen, b)
-        if (m2.done.size < curBuckets) true else { commitMigration(m2); false }
-      case None => commitMigration(m); false
+        layout = st.copy(migration = Some(m2))
+        dropBucketTable(st.gen, b)
+        if (m2.done.size < st.buckets) true else { commitMigration(st, m2); false }
+      case None => commitMigration(st, m); false
     }
   }
 
@@ -374,15 +398,17 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     while (rebucketStep()) ()
   }
 
-  private def commitMigration(m: Migration): Unit = {
+  private def commitMigration(st: Layout, m: Migration): Unit = {
+    // sweep any drained old-gen bucket whose files a crash between its
+    // journal mark and its drop left behind (idempotent on the rest)
+    (0 until st.buckets).filter(m.done).foreach(b => dropBucketTable(st.gen, b))
     val tmp = Paths.get(baseDir, s"$table.buckets__tmp_" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
     Files.write(tmp, s"${m.newCount} ${m.newGen}\n".getBytes("UTF-8"))
     Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    curBuckets = m.newCount
-    curGen = m.newGen
-    migration = None
+    // ONE write: count, generation, and migration-closed flip together
+    layout = Layout(m.newCount, m.newGen, None)
     Files.deleteIfExists(journalPath)
   }
 
@@ -407,14 +433,24 @@ object BucketedFragmentStore {
   private def lockFor(key: String): Object =
     locks.computeIfAbsent(key, _ => new Object)
 
-  final case class BucketReport(totalBuckets: Int, probed: Seq[Int],
-                                perBucket: Map[Int, PruneReport]) {
+  /** Probe report keyed by (generation, bucket) — the pair is the
+    * stable identity mid-migration, where both generations can carry
+    * the same bucket index.
+    */
+  final case class BucketReport(totalBuckets: Int, probed: Seq[(Int, Int)],
+                                perBucket: Map[(Int, Int), PruneReport]) {
     def fragmentsScanned: Int = perBucket.valuesIterator.map(_.scanned).sum
   }
 
   /** Open re-shard: target layout plus the drained OLD buckets. */
   private[runtime] final case class Migration(newCount: Int, newGen: Int,
                                               done: Set[Int])
+
+  /** One-snapshot view of the store's layout: committed bucket count +
+    * generation, plus the open migration if any.
+    */
+  private[runtime] final case class Layout(buckets: Int, gen: Int,
+                                           migration: Option[Migration])
 
   private[runtime] val BucketCol = "__graft_bucket"
 

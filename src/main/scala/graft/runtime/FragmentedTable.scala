@@ -170,6 +170,20 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     if (entries.isEmpty) None else Some(merged(entries.zipWithIndex))
   }
 
+  /** [[read]] but KEEPING tombstone winners as marker rows (the
+    * `DeletedCol` column present iff any live fragment carries it) —
+    * the migration drain's read: a bucket being moved wholesale must
+    * carry its deletions along, or a crash-replayed drain would
+    * resurrect a deleted key from the copy an earlier attempt already
+    * adopted into the target (same rule as the partial fold's
+    * `purgeTombstones = false`).
+    */
+  private[runtime] def readKeepTombstones(): Option[DataFrame] = {
+    val entries = readEntries()
+    if (entries.isEmpty) None
+    else Some(merged(entries.zipWithIndex, purgeTombstones = false))
+  }
+
   private def defaultFrame(e: FragEntry): DataFrame =
     spark.read.parquet(s"$baseDir/${e.name}")
 

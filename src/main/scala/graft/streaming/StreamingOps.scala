@@ -282,8 +282,14 @@ object StreamingOps {
           val live = batch.select(col(frag.keyColumn)).distinct()
             .join(cur.select(frag.keyColumn), Seq(frag.keyColumn), "left_semi")
           if (!live.isEmpty) {
-            frag.deleteKeys(live)
+            // index FIRST: if the trigger dies between the two deletes,
+            // the replayed batch still sees the keys live in the corpus
+            // and retries BOTH; the reverse order would tombstone the
+            // corpus, make the replay's live set empty, and lose the
+            // index tombstone forever. index.delete is idempotent, so
+            // the double-apply case is absorbed.
             index.foreach(_.delete(live, idCol = frag.keyColumn))
+            frag.deleteKeys(live)
           }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)

@@ -234,9 +234,22 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     val redo = (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
       .filter(oldB.isInCollection(drained))
     crashed.upsert(redo)
+    // a DELETE in the replay window: its key was already adopted into
+    // the new generation by the first (unjournaled) drain — the
+    // re-drain must carry the tombstone along, or the stale copy
+    // resurrects the key after commit
+    val victim = redo.select("id").as[Long].head()
+    crashed.deleteKeys(Seq(victim).toDF("id"))
+    // a leaked drained-bucket artifact (crash between a journal mark
+    // and its drop): the re-drain/commit sweep must remove it
+    val leakDir = java.nio.file.Paths.get(dir, "t__b0__frag_orphan")
+    java.nio.file.Files.createDirectories(leakDir)
     crashed.rebucket(8) // resume: same target adopts the open journal
     assert(crashed.buckets == 8 && crashed.migrationStatus.isEmpty)
-    assert(rowsOf(crashed.read().get) == want, "replayed drain must converge")
+    assert(!java.nio.file.Files.exists(leakDir), "drained-bucket leak not swept")
+    val wantAfterDelete = want.filterNot(_.startsWith(s"$victim|"))
+    assert(rowsOf(crashed.read().get) == wantAfterDelete,
+      "replayed drain must converge and honor the replay-window delete")
     // a crash AFTER the meta flip but BEFORE the journal delete: the
     // stale journal (gen ≤ committed gen) is swept on open, not resumed
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "t.rebucket"),
@@ -245,7 +258,7 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(after.migrationStatus.isEmpty, "stale journal must sweep")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "t.rebucket")))
-    assert(rowsOf(after.read().get) == want)
+    assert(rowsOf(after.read().get) == wantAfterDelete)
   }
 
   test("rebucketStart rejects a conflicting target while a migration is open") {
