@@ -885,11 +885,10 @@ object ExtQueries {
     // smaller id, so nothing was dropped without cause.
     "q_ext_dedup_semantic" -> ((s, dir) => {
       val e = Sources(s, dir).embeddings
+      val pairs = SimilarityOps.semanticNearDupPairs(e, threshold = 0.35)
       StructGate.semanticDedupGate(
-        DedupOps.removeNearDups(e,
-          SimilarityOps.semanticNearDupPairs(e, threshold = 0.35),
-          idCol = "vec_id", dropCol = "vec_b"),
-        corpus = e, threshold = 0.35)
+        DedupOps.removeNearDups(e, pairs, idCol = "vec_id", dropCol = "vec_b"),
+        corpus = e, pairs = pairs, threshold = 0.35)
     }),
     // EXACT-mode oracle for the SemDeDup composition (the *_exactmode
     // pattern): nlist = 1 puts the whole corpus in ONE cell, so the
@@ -1622,7 +1621,8 @@ object ExtQueries {
         |  true AS survivors_from_incoming, true AS dropped_have_witness""".stripMargin,
     "q_ext_dedup_semantic" ->
       """SELECT true AS kept_nonempty, true AS kept_ids_distinct,
-        |  true AS kept_in_corpus, true AS dropped_have_witness""".stripMargin,
+        |  true AS kept_in_corpus, true AS drops_match_pairs,
+        |  true AS pairs_verified""".stripMargin,
     // fast-hash winnowing: values are non-portable, so the oracle pins
     // the doc set, the portable gram count, and the selection bounds
     "q_ext_fingerprint_winnow_fast" ->

@@ -77,21 +77,20 @@ class StructGateSpec extends SparkSpec {
       except = Set("nonempty"))
   }
 
-  test("semanticDedupGate: unexplained drop flips dropped_have_witness") {
+  test("semanticDedupGate: unexplained drop and fabricated pairs flip their flags") {
     val pairs = SimilarityOps.semanticNearDupPairs(emb, threshold = 0.35)
     val kept = DedupOps.removeNearDups(emb, pairs, "vec_id", dropCol = "vec_b")
-    allTrue(StructGate.semanticDedupGate(kept, emb, 0.35))
-    // drop one extra row that has NO near-dup partner: pick a kept id
-    // with max id (witness requires a smaller-id partner at >= 0.35 —
-    // drop the id whose max sim to smaller ids is lowest)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val loner = e.as("a").join(e.as("b"), col("b.vec_id") < col("a.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_id"))
-      .agg(max(SimilarityOps.cosine(col("a.v"), col("b.v"))).as("mx"))
-      .orderBy(col("mx").asc).select("vec_id").as[Long].head()
-    val overDropped = kept.filter(col("vec_id") =!= loner)
-    allTrue(StructGate.semanticDedupGate(overDropped, emb, 0.35),
-      except = Set("dropped_have_witness"))
+    allTrue(StructGate.semanticDedupGate(kept, emb, pairs, 0.35))
+    // drop one extra kept row: the dropped set no longer matches the
+    // pairs' higher-id side — the drop has no pair to justify it
+    val victim = kept.select("vec_id").as[Long].head()
+    allTrue(StructGate.semanticDedupGate(
+        kept.filter(col("vec_id") =!= victim), emb, pairs, 0.35),
+      except = Set("drops_match_pairs"))
+    // fabricated pair sim: re-derivation must catch it
+    allTrue(StructGate.semanticDedupGate(kept, emb,
+        pairs.withColumn("sim", col("sim") + 0.5), 0.35),
+      except = Set("pairs_verified"))
   }
 
   test("ingestNearDupGate: foreign survivor and unexplained reject flip flags") {
