@@ -104,20 +104,38 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
     */
   def deletedCount(): Long = deletedIds.map(_.count()).getOrElse(0L)
 
+  private def baseCorpus: DataFrame = kind match {
+    case Brute | Sq | IvfPq => spark.read.parquet(corpusPath)
+    case Ivf => IvfIndex.load(spark, idxPath).assignments
+      .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
+    case Hnsw => spark.read.parquet(s"$idxPath/nodes")
+      .select(col("corpus_id").as("vec_id"), col("v").as("embedding"))
+  }
+
   /** The indexed vectors as (vec_id, embedding) — refine input,
     * retrain input, and the recall gate's ground-truth corpus.
     * Tombstoned ids are excluded, so every consumer (refine, retrain,
     * ground truth) agrees deletion already happened.
     */
-  def corpusFrame: DataFrame = {
-    val base = kind match {
-      case Brute | Sq | IvfPq => spark.read.parquet(corpusPath)
-      case Ivf => IvfIndex.load(spark, idxPath).assignments
-        .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
-      case Hnsw => spark.read.parquet(s"$idxPath/nodes")
-        .select(col("corpus_id").as("vec_id"), col("v").as("embedding"))
-    }
-    deletedIds.fold(base)(d => base.join(d, Seq("vec_id"), "left_anti"))
+  def corpusFrame: DataFrame =
+    deletedIds.fold(baseCorpus)(d => baseCorpus.join(d, Seq("vec_id"), "left_anti"))
+
+  /** Every id the rung tables hold, INCLUDING tombstoned-but-unpurged
+    * ones — the repair-seam set: a tombstoned id is not "missing from
+    * the index" (its bytes are still there and re-appending it before
+    * [[maintain]] is rejected), so a corpus-vs-index lag check must
+    * anti-join against THIS, not [[corpusFrame]].
+    */
+  def indexedIds: DataFrame = baseCorpus.select("vec_id")
+
+  /** Deletion-pressure maintenance signal, the tombstone analog of the
+    * rungs' drift reports: true once the tombstone set reaches
+    * `maxDeletedRatio` of the indexed rows (search over-fetch and
+    * anti-join cost grow with it, and purging reclaims the bytes).
+    */
+  def maintenanceDue(maxDeletedRatio: Double = 0.1): Boolean = {
+    val d = deletedCount()
+    d > 0 && d >= maxDeletedRatio * baseCorpus.count()
   }
 
   /** Tombstone `keys` across the ladder in O(keys): one appended

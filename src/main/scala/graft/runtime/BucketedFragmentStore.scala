@@ -398,6 +398,31 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     while (rebucketStep()) ()
   }
 
+  /** Background re-sharding driver for a maintenance cadence: while a
+    * migration is open, drains ONE bucket per call (bounded work per
+    * tick); otherwise opens a DOUBLING migration once the average live
+    * bucket's on-disk bytes (fs metadata only, no data read) exceed
+    * `maxBytesPerBucket`. Returns true when it did migration work —
+    * call it where `maybeCompact` is called and a growing table
+    * re-shards itself incrementally instead of hitting a pinned bucket
+    * count's wall. Growth-only; shrinking stays an explicit
+    * [[rebucket]].
+    */
+  def maybeRebucket(maxBytesPerBucket: Long): Boolean = lock.synchronized {
+    require(maxBytesPerBucket > 0, "maxBytesPerBucket must be positive")
+    val st = layout
+    st.migration match {
+      case Some(_) => rebucketStep(); true
+      case None =>
+        val total = liveTables(st).map(_._2.liveBytes()).sum
+        if (total > maxBytesPerBucket * st.buckets) {
+          rebucketStart(st.buckets * 2)
+          rebucketStep()
+          true
+        } else false
+    }
+  }
+
   private def commitMigration(st: Layout, m: Migration): Unit = {
     // sweep any drained old-gen bucket whose files a crash between its
     // journal mark and its drop left behind (idempotent on the rest)

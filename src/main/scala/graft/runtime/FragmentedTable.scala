@@ -319,6 +319,12 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     */
   def fragmentCount(): Int = readEntries().size
 
+  /** On-disk bytes of the live fragments (fs metadata only, no data
+    * read) — the volume signal re-sharding cadences size on.
+    */
+  private[runtime] def liveBytes(): Long =
+    readEntries().map(e => dirBytes(Paths.get(baseDir, e.name))).sum
+
   /** Fold the merge back to ONE fragment: write the merged rows as a new
     * fragment, flip the manifest to name only it, then GC every
     * unreferenced fragment dir (superseded fragments AND crash orphans).

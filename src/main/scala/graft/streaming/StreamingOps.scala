@@ -709,8 +709,12 @@ object StreamingOps {
             if (!idxExists) { VectorIndex.build(corpus, indexPath, profile); () }
             else {
               val repair = VectorIndex.load(spark, indexPath)
+              // anti-join the FULL indexed id set (indexedIds), not the
+              // tombstone-filtered corpusFrame: a tombstoned-but-unpurged
+              // id is present, and "repairing" it via append would be
+              // rejected (two live rows per id after the purge)
               val unindexed = corpus.join(
-                repair.corpusFrame.select("vec_id"), Seq("vec_id"), "left_anti")
+                repair.indexedIds, Seq("vec_id"), "left_anti")
               if (!unindexed.isEmpty) repair.append(unindexed)
             }
             val idx = VectorIndex.load(spark, indexPath)
@@ -724,7 +728,10 @@ object StreamingOps {
           if (!idxExists) { VectorIndex.build(survivors, indexPath, profile); () }
           else {
             val idx = VectorIndex.load(spark, indexPath)
-            if (idx.append(survivors).maintenanceRecommended) idx.maintain()
+            // drift OR deletion pressure: both resolve to the same
+            // scheduled O(corpus) maintain (retrain + tombstone purge)
+            if (idx.append(survivors).maintenanceRecommended ||
+                idx.maintenanceDue()) idx.maintain()
           }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)

@@ -329,6 +329,23 @@ class IndexMaintenanceSpec extends SparkSpec {
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
     df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
 
+  test("indexedIds keeps tombstoned ids visible to the repair seam; maintenanceDue tracks pressure") {
+    val path = freshDir()
+    val idx = VectorIndex.build(emb.filter(col("vec_id") < 100), path,
+      IndexProfile.exact)
+    assert(!idx.maintenanceDue(), "fresh index has no deletion pressure")
+    idx.delete(emb.filter(col("vec_id") < 15))
+    // corpusFrame excludes the tombstones; indexedIds does NOT — a
+    // corpus-vs-index lag check must see them as present, or a repair
+    // append of a tombstoned id would be rejected
+    assert(idx.corpusFrame.count() == 85)
+    assert(idx.indexedIds.count() == 100)
+    assert(idx.maintenanceDue(maxDeletedRatio = 0.1), "15% deleted >= 10% bar")
+    assert(!idx.maintenanceDue(maxDeletedRatio = 0.2), "15% deleted < 20% bar")
+    idx.maintain()
+    assert(!idx.maintenanceDue() && idx.indexedIds.count() == 85)
+  }
+
   test("HNSW search skips dangling edges (node invisible mid-append) instead of throwing") {
     import java.nio.file.{Files, Paths}
     val path = freshDir()

@@ -261,6 +261,25 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(rowsOf(after.read().get) == wantAfterDelete)
   }
 
+  test("maybeRebucket: cadence-driven doubling under byte pressure, one drain per tick") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 2)
+    bs.upsert((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val before = rowsOf(bs.read().get)
+    // generous bound: no pressure, no migration
+    assert(!bs.maybeRebucket(maxBytesPerBucket = 1L << 40))
+    assert(bs.migrationStatus.isEmpty && bs.buckets == 2)
+    // 1-byte bound: opens a doubling migration and drains one bucket
+    assert(bs.maybeRebucket(maxBytesPerBucket = 1L))
+    assert(bs.migrationStatus.exists(_._1 == 4))
+    // reads stay correct mid-migration; each tick drains one more
+    assert(rowsOf(bs.read().get) == before)
+    assert(bs.maybeRebucket(1L)) // drains the second (last) old bucket
+    assert(bs.buckets == 4 && bs.migrationStatus.isEmpty)
+    assert(rowsOf(bs.read().get) == before)
+    val (res, rep) = bs.readWhereReport(col("id") === 7L)
+    assert(rep.probed.size == 1 && rowsOf(res.get) == Set("7|v7"), rep.toString)
+  }
+
   test("rebucketStart rejects a conflicting target while a migration is open") {
     val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 4)
     bs.upsert(Seq((1L, "a")).toDF("id", "v"))
