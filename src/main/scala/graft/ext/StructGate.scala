@@ -176,11 +176,13 @@ object StructGate {
     val pairCheck = pairs
       .join(e.select(col("id").as("vec_a"), col("v").as("__va")), Seq("vec_a"), "left")
       .join(e.select(col("id").as("vec_b"), col("v").as("__vb")), Seq("vec_b"), "left")
-      .agg(coalesce(bool_and(
+      // inner coalesce: a null-field pair (null sim, null id) must FAIL
+      // the vote, not be skipped by bool_and's null handling
+      .agg(coalesce(bool_and(coalesce(
         col("vec_a") < col("vec_b") &&
           col("__va").isNotNull && col("__vb").isNotNull &&
           abs(col("sim") - dotFast(col("__va"), col("__vb"))) <= tolerance &&
-          col("sim") >= threshold), lit(true)).as("pairs_verified"))
+          col("sim") >= threshold, lit(false))), lit(true)).as("pairs_verified"))
     kept.agg((count(lit(1)) > 0).as("kept_nonempty"),
         (count(lit(1)) === countDistinct(col(idCol))).as("kept_ids_distinct"))
       .crossJoin(kept.join(ids, Seq(idCol), "left_anti")
@@ -241,13 +243,18 @@ object StructGate {
       .stripMargin
 
   /** bool_and-fold the flag expressions over `rows` into one gate row,
-    * plus a nonempty witness.
+    * plus a nonempty witness. Each per-row verdict is NULL-hardened
+    * BEFORE the fold: bool_and SKIPS nulls, so a row whose fields are
+    * null (e.g. a producer emitting a null-sim pair — a degenerate
+    * fabrication this gate exists to catch) must count as FAILED, not
+    * vanish from the vote. The outer coalesce handles only the
+    * empty-frame case (vacuously true; `nonempty` is the guard).
     */
   private def gateRow(rows: DataFrame, flags: (String, Column)*): DataFrame =
     rows.agg(
       (count(lit(1)) > 0).as("nonempty"),
       flags.map { case (n, c) =>
-        coalesce(bool_and(c), lit(true)).as(n)
+        coalesce(bool_and(coalesce(c, lit(false))), lit(true)).as(n)
       }: _*)
 
   private def pairDistinctness(pairs: DataFrame, aCol: String, bCol: String): DataFrame =

@@ -200,8 +200,32 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   def deleteWhere(pred: Column): Unit =
     read().foreach(df => deleteKeys(df.filter(pred).select(s"`$uniqueKey`")))
 
+  /** During a migration, a key LEGITIMATELY lives in the new generation
+    * iff its OLD bucket has drained — anything else there is a
+    * crash-window copy (a drain whose adopt landed but whose journal
+    * mark was lost; the old bucket remains authoritative and will
+    * re-drain, tombstones included). Filtering new-generation reads by
+    * this rule keeps the window invisible: no double-counted keys, and
+    * a delete issued in the window (routed to the authoritative old
+    * bucket) is honored immediately.
+    */
+  private def newGenAuthority(st: Layout, m: Migration): Column = {
+    val drained = m.done.toSeq
+    if (drained.isEmpty) lit(false)
+    else bucketExprFor(st.buckets).isin(drained: _*)
+  }
+
+  private def authoritativeFrames(st: Layout): Seq[DataFrame] =
+    liveTables(st).flatMap { case ((gen, _), t) =>
+      (t.read(), st.migration) match {
+        case (Some(df), Some(m)) if gen == m.newGen =>
+          Some(df.filter(newGenAuthority(st, m)))
+        case (f, _) => f
+      }
+    }
+
   def read(): Option[DataFrame] = {
-    val parts = liveTables(layout).flatMap(_._2.read())
+    val parts = authoritativeFrames(layout)
     if (parts.isEmpty) None
     else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
@@ -217,7 +241,17 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     val live = liveTables(st)
     val targets = keyTargets(st, pred).getOrElse(live.map(_._1).toSet)
     val probed = live.filter(t => targets(t._1))
-    val results = probed.map { case (gb, t) => gb -> t.readWhereReport(pred) }
+    val results = probed.map { case (gb, t) =>
+      // new-generation probes carry the crash-window authority guard
+      // (see newGenAuthority); an opaque extra conjunct costs no key
+      // pruning — the bridge declines it and pred's own conjuncts
+      // still prune
+      val p = st.migration match {
+        case Some(m) if gb._1 == m.newGen => pred && newGenAuthority(st, m)
+        case _ => pred
+      }
+      gb -> t.readWhereReport(p)
+    }
     val frames = results.flatMap(_._2._1)
     // report keys are (gen, bucket): mid-migration both generations can
     // probe the same bucket INDEX, and a bare-index map would collapse

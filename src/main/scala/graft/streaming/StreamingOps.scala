@@ -723,19 +723,40 @@ object StreamingOps {
               .select(col("query_id").as("vec_id")).distinct()
             fresh.join(broadcast(hits), Seq("vec_id"), "left_anti")
         }
+        val cadenceTick =
+          compactEvery > 0 && batchId % compactEvery == compactEvery - 1
         if (!survivors.isEmpty) {
-          frag.upsert(survivors)
-          if (!idxExists) { VectorIndex.build(survivors, indexPath, profile); () }
+          // pin the batch: the survivors plan embeds index state (the
+          // tombstone anti-join inside search) whose files a resurrect
+          // maintain below DELETES — the index append re-executes the
+          // plan, so its lineage must not reach back to removed files.
+          // Also saves re-running the whole dedup screen per consumer.
+          val pinned = survivors.localCheckpoint()
+          frag.upsert(pinned)
+          if (!idxExists) { VectorIndex.build(pinned, indexPath, profile); () }
           else {
             val idx = VectorIndex.load(spark, indexPath)
+            // RESURRECTION: a survivor whose id is still tombstoned in
+            // the index (deleted, then re-ingested before any purge)
+            // cannot append — the rung tables still hold its old row.
+            // The corpus upsert above already committed it, so purge
+            // NOW (maintain clears the tombstones) and then append the
+            // whole batch; appending around it instead would leave the
+            // id live-in-corpus but unsearchable until some later
+            // maintain.
+            val resurrecting = idx.deletedIds.exists(d =>
+              !pinned.select(col("vec_id")).join(d, Seq("vec_id"), "left_semi")
+                .isEmpty)
+            if (resurrecting) idx.maintain()
             // drift OR deletion pressure: both resolve to the same
-            // scheduled O(corpus) maintain (retrain + tombstone purge)
-            if (idx.append(survivors).maintenanceRecommended ||
-                idx.maintenanceDue()) idx.maintain()
+            // scheduled O(corpus) maintain (retrain + tombstone purge);
+            // the pressure probe costs a tombstone read + corpus count,
+            // so it rides the compaction cadence, not every trigger
+            if (idx.append(pinned).maintenanceRecommended ||
+                (cadenceTick && idx.maintenanceDue())) idx.maintain()
           }
         }
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          cadenceFold(frag)
+        if (cadenceTick) cadenceFold(frag)
         ()
     }
 

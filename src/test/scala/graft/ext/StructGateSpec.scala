@@ -75,6 +75,10 @@ class StructGateSpec extends SparkSpec {
     // empty frame satisfies every per-row flag — nonempty is the guard
     allTrue(StructGate.cosinePairGate(clean.filter(lit(false)), emb, 0.35),
       except = Set("nonempty"))
+    // null sims must fail the vote, not be skipped by bool_and
+    allTrue(StructGate.cosinePairGate(
+        clean.withColumn("sim", lit(null).cast("double")), emb, 0.35),
+      except = Set("sim_exact", "threshold_ok"))
   }
 
   test("semanticDedupGate: unexplained drop and fabricated pairs flip their flags") {
@@ -90,6 +94,11 @@ class StructGateSpec extends SparkSpec {
     // fabricated pair sim: re-derivation must catch it
     allTrue(StructGate.semanticDedupGate(kept, emb,
         pairs.withColumn("sim", col("sim") + 0.5), 0.35),
+      except = Set("pairs_verified"))
+    // NULL-sim pairs (the degenerate fabrication): bool_and skips null
+    // verdicts, so the gate must null-harden them to FAILED
+    allTrue(StructGate.semanticDedupGate(kept, emb,
+        pairs.withColumn("sim", lit(null).cast("double")), 0.35),
       except = Set("pairs_verified"))
   }
 

@@ -239,7 +239,14 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     // re-drain must carry the tombstone along, or the stale copy
     // resurrects the key after commit
     val victim = redo.select("id").as[Long].head()
+    val wantAfterDelete = want.filterNot(_.startsWith(s"$victim|"))
     crashed.deleteKeys(Seq(victim).toDF("id"))
+    // IN the window (before any resume): reads must be duplicate-free
+    // (the new generation's crash copies are non-authoritative while
+    // their old bucket is undrained) and the delete must be honored
+    val windowRows = rowsOf(crashed.read().get)
+    assert(windowRows == wantAfterDelete,
+      "crash-window read must hide non-authoritative copies and honor the delete")
     // a leaked drained-bucket artifact (crash between a journal mark
     // and its drop): the re-drain/commit sweep must remove it
     val leakDir = java.nio.file.Paths.get(dir, "t__b0__frag_orphan")
@@ -247,7 +254,6 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     crashed.rebucket(8) // resume: same target adopts the open journal
     assert(crashed.buckets == 8 && crashed.migrationStatus.isEmpty)
     assert(!java.nio.file.Files.exists(leakDir), "drained-bucket leak not swept")
-    val wantAfterDelete = want.filterNot(_.startsWith(s"$victim|"))
     assert(rowsOf(crashed.read().get) == wantAfterDelete,
       "replayed drain must converge and honor the replay-window delete")
     // a crash AFTER the meta flip but BEFORE the journal delete: the

@@ -359,6 +359,18 @@ class FragmentedSinkSpec extends SparkSpec {
         in.addData((27L, synthVec(7)), (28L, synthVec(70)))
         q.processAllAvailable()
         assert(corpus == Set(1L, 2L, 7L, 12L, 13L, 28L), corpus.toString)
+        // delete-then-reingest BEFORE any purge: the append guard would
+        // reject the still-tombstoned id — the sink must purge
+        // (maintain) and re-append, never die on the rejected append
+        frag.deleteKeys(Seq(12L).toDF("vec_id"))
+        idx.delete(Seq((12L, synthVec(50))).toDF("vec_id", "embedding"))
+        assert(!indexIds.contains(12L))
+        in.addData((12L, synthVec(50)))
+        q.processAllAvailable()
+        assert(corpus.contains(12L), "re-ingested id must re-enter the corpus")
+        assert(indexIds.contains(12L),
+          "resurrection must purge + re-append, not kill the query")
+        assert(idx.deletedCount() == 0L, "the resurrect purge clears tombstones")
       } finally q.stop()
     }
   }
