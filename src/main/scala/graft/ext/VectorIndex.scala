@@ -268,10 +268,22 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
         graft.runtime.Fs.deleteRecursive(Paths.get(tmp))
         IvfIndex.train(c, nlist = nlistFor(n)).save(tmp)
         swapInNew("idx")
-      case Sq => SqIndex.train(corpusFrame).save(idxPath)
+      case Sq =>
+        // unlike Ivf the retrain input lives in corpus/, not idx/, but an
+        // in-place save still has a crash window where a partial idx dir
+        // would resolve as live — and maintain() now runs inline from the
+        // streaming sink's purge/resurrection path, so the window recurs;
+        // stage + two-rename swap like the other rebuild sites
+        val sqTmp = s"$path/idx__new"
+        graft.runtime.Fs.deleteRecursive(Paths.get(sqTmp))
+        SqIndex.train(corpusFrame).save(sqTmp)
+        swapInNew("idx")
       case IvfPq =>
         val c = corpusFrame
-        IvfPqIndex.train(c, nlist = nlistFor(c.count())).save(idxPath)
+        val pqTmp = s"$path/idx__new"
+        graft.runtime.Fs.deleteRecursive(Paths.get(pqTmp))
+        IvfPqIndex.train(c, nlist = nlistFor(c.count())).save(pqTmp)
+        swapInNew("idx")
       case Hnsw =>
         HnswIndex.compact(spark, idxPath, exclude =
           deletedIds.map(_.withColumnRenamed("vec_id", "corpus_id")))

@@ -168,10 +168,19 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
       case Some(m) if m.done.size == st.buckets =>
         stageAndAdoptInto(df, m.newGen, m.newCount)
       case Some(m) =>
+        // The split evaluates the batch TWICE (complementary filters); a
+        // nondeterministic upstream frame (sampling, uuid(), rand-derived
+        // columns) re-evaluated per branch could route a row into both
+        // generations or neither. Pin one materialized evaluation first —
+        // batch-sized, not corpus-sized, so the checkpoint cost is ∝ the
+        // trigger. Lost-executor recompute of a localCheckpoint fails the
+        // job rather than silently re-rolling the dice; the store's
+        // replay-idempotence absorbs the retried write.
+        val pinned = df.localCheckpoint(true)
         val oldB = bucketExprFor(st.buckets)
         val drained = m.done.toSeq
-        stageAndAdoptInto(df.filter(oldB.isin(drained: _*)), m.newGen, m.newCount)
-        stageAndAdoptInto(df.filter(!oldB.isin(drained: _*)), st.gen, st.buckets)
+        stageAndAdoptInto(pinned.filter(oldB.isin(drained: _*)), m.newGen, m.newCount)
+        stageAndAdoptInto(pinned.filter(!oldB.isin(drained: _*)), st.gen, st.buckets)
     }
   }
 
@@ -400,11 +409,13 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * drain carries TOMBSTONE winners along
     * ([[FragmentedTable.readKeepTombstones]]), so a delete that landed
     * in the replay window still shadows the earlier attempt's adopted
-    * copy instead of being resurrected by it. Like the flat store's
-    * immediate-GC compaction, dropping a drained bucket's files assumes
-    * no uncoordinated reader still holds a pre-drain frame of THAT
-    * bucket (in-process readers resolve liveTables per call and are
-    * fine).
+    * copy instead of being resurrected by it. A drained bucket's FILES
+    * are kept until [[commitMigration]]: a lazy frame handed out by
+    * read()/readWhere() before the drain stays executable for the whole
+    * migration (one generation of grace, like compact's readerGrace),
+    * which matters because cadence-driven [[maybeRebucket]] makes drain
+    * steps recur on every maintenance tick. Only the final meta flip
+    * drops the old generation.
     */
   def rebucketStep(): Boolean = lock.synchronized {
     val st = layout
@@ -417,7 +428,6 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
         val m2 = m.copy(done = m.done + b)
         writeJournal(m2)
         layout = st.copy(migration = Some(m2))
-        dropBucketTable(st.gen, b)
         if (m2.done.size < st.buckets) true else { commitMigration(st, m2); false }
       case None => commitMigration(st, m); false
     }
@@ -458,8 +468,10 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   }
 
   private def commitMigration(st: Layout, m: Migration): Unit = {
-    // sweep any drained old-gen bucket whose files a crash between its
-    // journal mark and its drop left behind (idempotent on the rest)
+    // the ONE place drained old-generation files are GC'd: per-step
+    // drops would invalidate lazy frames handed out pre-drain (see
+    // rebucketStep), so the whole old generation rides along until the
+    // layout flips here
     (0 until st.buckets).filter(m.done).foreach(b => dropBucketTable(st.gen, b))
     val tmp = Paths.get(baseDir, s"$table.buckets__tmp_" +
       java.util.UUID.randomUUID().toString.replace("-", ""))

@@ -68,25 +68,32 @@ object Stats {
     */
   private val TokenProp = "graft.stats.token"
 
-  /** Cheap content token for a parquet location: file count, total
-    * bytes, newest mtime. Changes whenever the fixture is regenerated —
-    * even at the same path — so stale-stats reuse self-invalidates.
+  /** Cheap content token for a parquet location: an md5 over every
+    * file's (relative path, size, mtime), sorted by path. Changes
+    * whenever the fixture is regenerated — even at the same path — so
+    * stale-stats reuse self-invalidates. Per-file records (not the
+    * older count/total-bytes/newest-mtime triple) so two regenerations
+    * that happen to agree on aggregate count + byte total within one
+    * mtime granule — plausible for deterministic generators on
+    * coarse-mtime filesystems — still produce different tokens as long
+    * as ANY file's own (size, mtime) moved.
     */
-  private def freshnessToken(path: String): String = {
+  private[runtime] def freshnessToken(path: String): String = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(root)) "absent"
     else {
       val walk = java.nio.file.Files.walk(root)
       try {
-        var bytes = 0L; var mtime = 0L; var count = 0L
+        val records = scala.collection.mutable.ArrayBuffer[String]()
         walk.forEach { p =>
           if (java.nio.file.Files.isRegularFile(p)) {
-            bytes += java.nio.file.Files.size(p); count += 1
-            mtime = math.max(mtime,
-              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            records += s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
           }
         }
-        s"$count:$bytes:$mtime"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        records.sorted.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+        records.size + ":" + md.digest().map("%02x".format(_)).mkString
       } finally walk.close()
     }
   }

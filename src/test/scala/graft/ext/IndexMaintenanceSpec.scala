@@ -329,6 +329,42 @@ class IndexMaintenanceSpec extends SparkSpec {
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
     df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
 
+  test("Sq/IvfPq maintain stages the retrain: crashed-attempt leftovers consumed, swap window readable") {
+    import java.nio.file.{Files, Paths}
+    val d = 64
+    val base = emb.filter(col("vec_id") < 400)
+    val nB = base.count()
+    val profiles = Seq(
+      (VectorIndex.Sq, IndexProfile(exactFloor = 10L, memoryBudgetBytes = nB * d * 4)),
+      (VectorIndex.IvfPq, IndexProfile(exactFloor = 10L,
+        memoryBudgetBytes = nB * d / 2, nprobe = 64)))
+    for ((want, prof) <- profiles) {
+      val path = freshDir()
+      val idx = VectorIndex.build(base, path, prof)
+      assert(idx.kind == want)
+      // a crashed earlier retrain left a partial idx__new: maintain must
+      // sweep and replace it, never let resolveLive treat it as live
+      Files.createDirectories(Paths.get(s"$path/idx__new"))
+      Files.write(Paths.get(s"$path/idx__new/garbage"), Array[Byte](1, 2, 3))
+      idx.delete(emb.filter(col("vec_id") === 1L))
+      idx.maintain()
+      assert(!Files.exists(Paths.get(s"$path/idx__new")),
+        s"$want: staged retrain dir must be consumed by the swap")
+      assert(Files.exists(Paths.get(s"$path/idx")), s"$want: live idx present")
+      val after = idx.search(queries, 3)
+      assert(after.filter(col("corpus_id") === 1L).count() == 0, s"$want purge")
+      assert(after.groupBy("query_id").count().select("count").as[Long]
+        .collect().forall(_ == 3), s"$want: full top-k after staged retrain")
+      // the swap's crash window (live renamed away, __new not yet moved
+      // in): resolveLive must fall back to the __old backup
+      Files.move(Paths.get(s"$path/idx"), Paths.get(s"$path/idx__old"))
+      val reopened = VectorIndex.load(spark, path)
+      val fallback = pairSet(reopened.search(queries, 3))
+      assert(fallback.nonEmpty, s"$want: crash-window search must work from __old")
+      Files.move(Paths.get(s"$path/idx__old"), Paths.get(s"$path/idx"))
+    }
+  }
+
   test("indexedIds keeps tombstoned ids visible to the repair seam; maintenanceDue tracks pressure") {
     val path = freshDir()
     val idx = VectorIndex.build(emb.filter(col("vec_id") < 100), path,

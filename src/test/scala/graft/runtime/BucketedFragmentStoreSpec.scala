@@ -286,6 +286,48 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(rep.probed.size == 1 && rowsOf(res.get) == Set("7|v7"), rep.toString)
   }
 
+  test("lazy frame handed out before a drain step stays executable until commit") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
+    bs.upsert((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val want = rowsOf(bs.read().get)
+    val preDrain = bs.read().get // resolves the pre-migration layout lazily
+    bs.rebucketStart(8)
+    assert(bs.rebucketStep() && bs.rebucketStep(), "two drains, two remain")
+    // cadence-driven drains must NOT GC the drained buckets' files: the
+    // pre-drain frame executes only now, against the old generation
+    assert(rowsOf(preDrain) == want,
+      "pre-drain lazy frame must survive drain steps (deferred old-gen GC)")
+    assert(Option(new java.io.File(dir).list()).toSeq.flatten
+      .exists(_.startsWith("t__b")), "old generation kept until commit")
+    assert(bs.rebucketStep() && !bs.rebucketStep())
+    // only the COMMIT drops the old generation
+    assert(!Option(new java.io.File(dir).list()).toSeq.flatten
+      .exists(n => n.startsWith("t__b") && !n.startsWith("t__b__")),
+      "commit must GC the old generation")
+    assert(rowsOf(bs.read().get) == want)
+  }
+
+  test("nondeterministic batch mid-migration routes each row exactly once (pinned split)") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 4)
+    bs.upsert((0 until 20).map(i => (s"seed$i", -1L)).toDF("id", "v"))
+    bs.rebucketStart(8)
+    assert(bs.rebucketStep()) // mid-migration: drained + undrained coexist
+    // uuid() re-rolls per evaluation; without pinning, the complementary
+    // drained/undrained filters would each see FRESH ids and route rows
+    // into both generations or into neither
+    val n = 200
+    val batch = spark.range(n).select(expr("uuid()").as("id"), col("id").as("v"))
+    bs.upsert(batch)
+    val got = bs.read().get.filter(!col("id").startsWith("seed"))
+    assert(got.count() == n, "every batch row lands exactly once")
+    assert(got.select("v").distinct().count() == n,
+      "no source row dropped or duplicated by the split")
+    bs.rebucket(8)
+    val after = bs.read().get.filter(!col("id").startsWith("seed"))
+    assert(after.count() == n && after.select("v").distinct().count() == n)
+  }
+
   test("rebucketStart rejects a conflicting target while a migration is open") {
     val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 4)
     bs.upsert(Seq((1L, "a")).toDF("id", "v"))

@@ -142,4 +142,31 @@ class StatsSpec extends SparkSpec {
       reuseExisting = true)(s"$db.mini")
     assert(moved == BigInt(1), "location change must force re-analyze")
   }
+
+  test("freshness token distinguishes regenerations that agree on count, total bytes, and mtime") {
+    import java.nio.file.{Files, Paths}
+    // two fixtures: SAME file count (2), SAME total bytes (10), SAME
+    // mtimes — only the per-file byte split differs. The aggregate
+    // (count, total, newest-mtime) triple collides; the per-file digest
+    // must not.
+    val a = Files.createTempDirectory("graft-token-a").toString
+    val b = Files.createTempDirectory("graft-token-b").toString
+    def plant(dir: String, sizes: Seq[Int]): Unit = {
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val p = Paths.get(dir, s"part-$i")
+        Files.write(p, Array.fill[Byte](n)(7))
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+      }
+    }
+    plant(a, Seq(4, 6))
+    plant(b, Seq(6, 4)) // same multiset per index-swapped names → same aggregate
+    val ta = Stats.freshnessToken(a)
+    val tb = Stats.freshnessToken(b)
+    assert(ta != tb, s"aggregate-colliding regenerations must differ: $ta")
+    // identical per-file layout → identical token (reuse still fires)
+    val c = Files.createTempDirectory("graft-token-c").toString
+    plant(c, Seq(4, 6))
+    assert(Stats.freshnessToken(c) == ta, "same layout must keep the token stable")
+  }
 }
