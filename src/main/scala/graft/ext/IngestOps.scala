@@ -132,6 +132,97 @@ object IngestOps {
     batch.join(broadcast(drops), Seq(idCol), "left_anti")
   }
 
+  /** The PERSISTED band rows of a signature frame — one row per (doc,
+    * band): `(__bk, band_key, band, doc_id)` with `__bk` = "band:doc" as
+    * the unique row key and `band_key` the LSH bucket hash. This is the
+    * inverted index the banded streaming sink materializes through a
+    * route-by-`band_key` [[graft.runtime.BucketedFragmentStore]], so a
+    * trigger's probe reads only the buckets its batch's band keys hash
+    * into instead of re-banding the whole corpus signature table.
+    * Banding is computed ONCE here, at sign time, never again at probe
+    * time. Signature-less rows (empty toks — the side-table's
+    * convergence tombstones) produce no band rows.
+    */
+  def bandRowsOf(sigs: DataFrame, bands: Int, rows: Int,
+                 idCol: String = "doc_id"): DataFrame =
+    DedupOps.lshBands(sigs.filter(size(col("toks")) > 0), "sig", bands, rows)
+      .select(concat_ws(":", col("band"), col("doc_id")).as("__bk"),
+        col("band_key"), col("band"), col("doc_id").as(idCol))
+
+  /** [[appendDedupNearDupIndexed]] with the corpus side behind two
+    * POINT-PROBE closures instead of a full signature frame — the
+    * corpus-independent per-trigger shape:
+    *
+    *   - `bandProbe(keys)`: the stored band rows (schema ⊇ (doc_id,
+    *     band, band_key)) that MAY match any of the batch's band-key
+    *     hashes — a route-by-band-key bucketed read
+    *     ([[graft.runtime.BucketedFragmentStore.readRouted]]); a
+    *     superset is fine (the candidate equi-join filters), None means
+    *     an empty corpus.
+    *   - `toksProbe(ids)`: stored signature rows (schema ⊇ (doc_id,
+    *     toks)) for the candidate ids — a key-routed point read;
+    *     again a superset is fine.
+    *
+    * Candidate pairs are collected to the driver once (the SAME
+    * boundedness assumption as the indexed path, which broadcasts them)
+    * so the verify join never re-executes the band probe. Output is
+    * identical to [[appendDedupNearDupIndexed]] over the signatures the
+    * stores hold — the LSH operating point, hot-shingle list, and
+    * verified-Jaccard metric are unchanged.
+    */
+  def appendDedupNearDupRouted(bandProbe: Seq[Long] => Option[DataFrame],
+                               toksProbe: Seq[Any] => Option[DataFrame],
+                               incoming: DataFrame, threshold: Double,
+                               numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                               textCol: String = "text", idCol: String = "doc_id",
+                               hotShingles: Seq[String] = Nil): DataFrame = {
+    val rows = numHashes / bands
+    val spark = incoming.sparkSession
+    val exact = DedupOps.dedupExact(incoming, textCol, idCol)
+    val inAll = DedupOps.minHashSigFrame(exact, numHashes, shingleK, textCol, idCol,
+      hotShingles)
+    val batch = DedupOps.removeNearDups(exact,
+      DedupOps.pairsOfSigFrame(inAll, bands, rows, threshold), idCol)
+    val inS = inAll.join(broadcast(batch.select(col(idCol).as("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val inBands = DedupOps.lshBands(inS, "sig", bands, rows)
+    // O(batch·bands) driver keys — what routes the probe to buckets
+    val keys = inBands.select("band_key").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val noDrops = batch.select(col(idCol)).limit(0)
+    val drops = bandProbe(keys) match {
+      case None => noDrops
+      case Some(exBands) =>
+        val cand = exBands
+          .select(col("doc_id").as("ex_id"), col("band"), col("band_key"))
+          .join(broadcast(inBands.select(col("doc_id").as("in_id"),
+            col("band"), col("band_key"))), Seq("band", "band_key"))
+          .select("ex_id", "in_id").distinct()
+        // one materialization serves the id collection AND the verify
+        // join input (re-planning `cand` would re-run the band probe)
+        val candRows = cand.collect()
+        if (candRows.isEmpty) noDrops
+        else {
+          val candLocal = spark.createDataFrame(
+            java.util.Arrays.asList(candRows: _*), cand.schema)
+          val exIds = candRows.map(_.get(0)).distinct.toSeq
+          toksProbe(exIds) match {
+            case None => noDrops
+            case Some(exSigRows) =>
+              exSigRows.filter(size(col("toks")) > 0)
+                .select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
+                .join(broadcast(candLocal), Seq("ex_id"))
+                .join(broadcast(inS.select(col("doc_id").as("in_id"),
+                  col("toks").as("in_toks"))), Seq("in_id"))
+                .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
+                  size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
+                .select(col("in_id").as(idCol)).distinct()
+          }
+        }
+    }
+    batch.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   /** Near-dup-aware incremental ingest — the production recipe for "new
     * crawl vs existing corpus": within-batch exact + greedy near-dup
     * removal first, then every surviving incoming doc is LSH-checked

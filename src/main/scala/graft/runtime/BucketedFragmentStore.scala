@@ -66,9 +66,25 @@ import FragmentedTable.{DeletedCol, FragEntry, PruneReport, ZoneMap}
   * bucket pruning therefore only fires when the predicate literal's
   * type exactly matches the stored key type, declining to a full-bucket
   * probe otherwise — mismatch can cost I/O, never correctness.
+  *
+  * == Routing column ==
+  *
+  * By default buckets route on `uniqueKey`. A store may instead declare
+  * a separate `routeCol` — the inverted-index shape: rows stay
+  * last-writer-wins-unique on `uniqueKey` WITHIN their bucket, but the
+  * bucket is `pmod(hash(routeCol), buckets)` and key-equality pruning
+  * (and [[readRouted]] point probes) fire on `routeCol` literals. The
+  * producer contract: a given `uniqueKey`'s `routeCol` value is
+  * IMMUTABLE (a re-upsert that changed it would land in a different
+  * bucket and leave the old version live), every upsert batch carries
+  * the column, and [[deleteKeys]] frames must carry it too (a tombstone
+  * must land in the bucket holding its victim). The route column is
+  * pinned in the store meta, so reopen validates it like the bucket
+  * count. This is what lets an LSH band index route per-trigger probes
+  * to only the buckets a batch's band keys hash into.
   */
 final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
-    table: String, uniqueKey: String,
+    table: String, uniqueKey: String, val routeCol: String,
     initialBuckets: Int, initialGen: Int,
     initialMigration: Option[BucketedFragmentStore.Migration])
     extends KeyedFragmentStore {
@@ -123,7 +139,7 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     }
 
   private def bucketExprFor(count: Int): Column =
-    pmod(hash(col(s"`$uniqueKey`")), lit(count))
+    pmod(hash(FragmentedTable.qcol(routeCol)), lit(count))
 
   /** Stage once partitioned by bucket, zone-map in one grouped pass,
     * adopt per bucket — into the given generation/count.
@@ -197,17 +213,33 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
       s"$DeletedCol is reserved for tombstone fragments")
     require(!batch.columns.contains(BucketCol),
       s"$BucketCol is reserved for bucket routing")
+    require(batch.columns.contains(routeCol),
+      s"batch must carry the routing column '$routeCol'")
     routeWrite(batch)
   }
 
-  def deleteKeys(keys: DataFrame): Unit =
-    routeWrite(keys.select(col(s"`$uniqueKey`")).distinct()
+  def deleteKeys(keys: DataFrame): Unit = {
+    // a tombstone must land in the bucket holding its victim: routing
+    // by a non-key column therefore needs the route VALUE alongside the
+    // key (the caller knows it — route values are immutable per key)
+    require(keys.columns.contains(routeCol),
+      s"deleteKeys frame must carry the routing column '$routeCol'")
+    val cols =
+      if (routeCol == uniqueKey) Seq(FragmentedTable.qcol(uniqueKey))
+      else Seq(FragmentedTable.qcol(uniqueKey), FragmentedTable.qcol(routeCol))
+    routeWrite(keys.select(cols: _*).distinct()
       .withColumn(DeletedCol, lit(true)))
+  }
 
   def keyColumn: String = uniqueKey
 
   def deleteWhere(pred: Column): Unit =
-    read().foreach(df => deleteKeys(df.filter(pred).select(s"`$uniqueKey`")))
+    read().foreach { df =>
+      val cols =
+        if (routeCol == uniqueKey) Seq(FragmentedTable.qcol(uniqueKey))
+        else Seq(FragmentedTable.qcol(uniqueKey), FragmentedTable.qcol(routeCol))
+      deleteKeys(df.filter(pred).select(cols: _*))
+    }
 
   /** During a migration, a key LEGITIMATELY lives in the new generation
     * iff its OLD bucket has drained — anything else there is a
@@ -295,22 +327,22 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   }
 
   /** (gen, bucket) targets that can hold a key satisfying some
-    * key-equality conjunct of `pred`; None = no usable conjunct (probe
-    * everything). Uses the FIRST key-equality/IN conjunct — any row
-    * satisfying the whole predicate satisfies each conjunct, so its key
-    * hashes into that conjunct's bucket set. During a migration each
-    * literal routes by its old bucket's drain state — exactly the write
-    * path's routing, so probe and data can't disagree.
+    * route-equality conjunct of `pred`; None = no usable conjunct (probe
+    * everything). Uses the FIRST route-equality/IN conjunct — any row
+    * satisfying the whole predicate satisfies each conjunct, so its
+    * route value hashes into that conjunct's bucket set. During a
+    * migration each literal routes by its old bucket's drain state —
+    * exactly the write path's routing, so probe and data can't disagree.
     */
   private def keyTargets(st: Layout, pred: Column): Option[Set[(Int, Int)]] = {
-    val keyType = storedKeyType(st).getOrElse(return None)
+    val keyType = storedRouteType(st).getOrElse(return None)
     org.apache.spark.sql.GraftColumnBridge.predicateConjuncts(pred)
       .flatten.flatMap(literalSet(_, keyType)).headOption
       .map(_.map(routeOfLiteral(st, _)))
   }
 
   private def isKey(e: Expression): Boolean =
-    FragmentedTable.ZoneProbe.refsOnly(e, uniqueKey)
+    FragmentedTable.ZoneProbe.refsOnly(e, routeCol)
 
   /** The key-equality/IN literals of one conjunct, or None. */
   private def literalSet(c: Expression, keyType: DataType): Option[Set[Literal]] = c match {
@@ -342,12 +374,56 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     math.floorMod(h, count)
   }
 
-  /** The key's stored DataType, from the first bucket fragment that has
-    * one (single footer read); None on an empty store (nothing to prune
-    * then anyway).
+  /** The route column's stored DataType, from the first bucket fragment
+    * that has one (single footer read); None on an empty store (nothing
+    * to prune then anyway).
     */
-  private def storedKeyType(st: Layout): Option[DataType] =
-    liveTables(st).iterator.map(_._2).flatMap(_.keyDataType()).nextOption()
+  private def storedRouteType(st: Layout): Option[DataType] =
+    liveTables(st).iterator.map(_._2)
+      .flatMap(_.columnDataType(routeCol)).nextOption()
+
+  /** Point-probe by ROUTE VALUES: the union of exactly the buckets any
+    * of `routeValues` can live in — the inverted-index read path
+    * ([[readWhere]] with a giant IN would push the same bucket set but
+    * also a giant parquet filter; this returns the raw bucket union and
+    * lets the caller's own equi-join do the matching, the cheaper shape
+    * when the values number thousands). Values must match the stored
+    * route type exactly, else the probe declines to a full [[read]]
+    * (I/O, never correctness). Returns None only on an empty store.
+    *
+    * Scale contract: probed buckets ≤ min(distinct values, bucket
+    * count), and with a [[maybeRebucket]] cadence keeping per-bucket
+    * bytes bounded, probe I/O is ∝ the value count — independent of
+    * store size.
+    */
+  def readRouted(routeValues: Seq[Any]): Option[DataFrame] = {
+    val st = layout
+    if (routeValues.isEmpty)
+      return unionSchema().map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+    val targets = storedRouteType(st) match {
+      case None => None // empty store or typeless: fall through to read()
+      case Some(dt) =>
+        val lits = routeValues.map(Literal(_))
+        if (lits.exists(_.dataType != dt)) None
+        else Some(lits.map(routeOfLiteral(st, _)).toSet)
+    }
+    targets match {
+      case None => read()
+      case Some(ts) =>
+        val frames = liveTables(st).filter(t => ts(t._1)).flatMap {
+          case ((gen, _), t) => (t.read(), st.migration) match {
+            case (Some(df), Some(m)) if gen == m.newGen =>
+              Some(df.filter(newGenAuthority(st, m)))
+            case (f, _) => f
+          }
+        }
+        if (frames.nonEmpty)
+          Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+        else unionSchema().map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+    }
+  }
 
   def fragmentCounts(): IndexedSeq[Int] =
     liveTables(layout).map(_._2.fragmentCount()).toIndexedSeq
@@ -446,14 +522,24 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * migration is open, drains ONE bucket per call (bounded work per
     * tick); otherwise opens a DOUBLING migration once the average live
     * bucket's on-disk bytes (fs metadata only, no data read) exceed
-    * `maxBytesPerBucket`. Returns true when it did migration work —
-    * call it where `maybeCompact` is called and a growing table
-    * re-shards itself incrementally instead of hitting a pinned bucket
-    * count's wall. Growth-only; shrinking stays an explicit
-    * [[rebucket]].
+    * `maxBytesPerBucket`, or — when a floor is given — a HALVING
+    * migration once they fall below `minBytesPerBucket` (the inverse
+    * trigger: a table that shrank after a large deleteWhere reclaims
+    * its bucket count instead of keeping it forever). Both run through
+    * the same drain/journal protocol. Returns true when it did
+    * migration work — call it where `maybeCompact` is called and the
+    * table re-shards itself incrementally in either direction.
+    *
+    * Hysteresis: the floor must sit at ≤ maxBytesPerBucket/4 so a
+    * just-halved store (whose average doubles) cannot immediately
+    * re-trip the doubling bound — enforced, not advised.
     */
-  def maybeRebucket(maxBytesPerBucket: Long): Boolean = lock.synchronized {
+  def maybeRebucket(maxBytesPerBucket: Long,
+                    minBytesPerBucket: Long = 0L): Boolean = lock.synchronized {
     require(maxBytesPerBucket > 0, "maxBytesPerBucket must be positive")
+    require(minBytesPerBucket >= 0 &&
+      (minBytesPerBucket == 0L || minBytesPerBucket * 4 <= maxBytesPerBucket),
+      "minBytesPerBucket must be 0 (disabled) or <= maxBytesPerBucket/4")
     val st = layout
     st.migration match {
       case Some(_) => rebucketStep(); true
@@ -461,6 +547,11 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
         val total = liveTables(st).map(_._2.liveBytes()).sum
         if (total > maxBytesPerBucket * st.buckets) {
           rebucketStart(st.buckets * 2)
+          rebucketStep()
+          true
+        } else if (minBytesPerBucket > 0 && st.buckets > 1 &&
+            total < minBytesPerBucket * st.buckets) {
+          rebucketStart(st.buckets / 2)
           rebucketStep()
           true
         } else false
@@ -475,7 +566,8 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     (0 until st.buckets).filter(m.done).foreach(b => dropBucketTable(st.gen, b))
     val tmp = Paths.get(baseDir, s"$table.buckets__tmp_" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    Files.write(tmp, s"${m.newCount} ${m.newGen}\n".getBytes("UTF-8"))
+    val routeSuffix = if (routeCol == uniqueKey) "" else s" $routeCol"
+    Files.write(tmp, s"${m.newCount} ${m.newGen}$routeSuffix\n".getBytes("UTF-8"))
     Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     // ONE write: count, generation, and migration-closed flip together
@@ -525,14 +617,18 @@ object BucketedFragmentStore {
 
   private[runtime] val BucketCol = "__graft_bucket"
 
-  /** Meta format: `<buckets>` (generation 0, the original layout) or
-    * `<buckets> <gen>` after a completed [[rebucket]].
+  /** Meta format: `<buckets>` (generation 0, the original layout),
+    * `<buckets> <gen>` after a completed [[rebucket]], with an optional
+    * third token naming a non-default routing column (pinned for the
+    * store's lifetime, like the count).
     */
-  private def parseMeta(s: String): (Int, Int) = s.trim.split("\\s+") match {
-    case Array(b)    => (b.toInt, 0)
-    case Array(b, g) => (b.toInt, g.toInt)
-    case other       => sys.error(s"unreadable bucket meta: '$s'")
-  }
+  private def parseMeta(s: String): (Int, Int, Option[String]) =
+    s.trim.split("\\s+") match {
+      case Array(b)       => (b.toInt, 0, None)
+      case Array(b, g)    => (b.toInt, g.toInt, None)
+      case Array(b, g, r) => (b.toInt, g.toInt, Some(r))
+      case other          => sys.error(s"unreadable bucket meta: '$s'")
+    }
 
   private def readJournal(baseDir: String, table: String,
                           metaGen: Int): Option[Migration] = {
@@ -557,26 +653,35 @@ object BucketedFragmentStore {
     * creates with CREATE_NEW, so two concurrent creators can never both
     * write: the loser re-validates against whatever actually landed.
     * An interrupted [[rebucket]]'s journal is resumed, not discarded.
+    * `routeCol` declares a non-default routing column (see the class
+    * doc's routing-column contract); it is pinned in the meta.
     */
   def apply(spark: SparkSession, baseDir: String, table: String,
-            uniqueKey: String, buckets: Int = 16): BucketedFragmentStore = {
+            uniqueKey: String, buckets: Int = 16,
+            routeCol: Option[String] = None): BucketedFragmentStore = {
     require(buckets > 0, "buckets must be positive")
+    val route = routeCol.getOrElse(uniqueKey)
+    require(!route.exists(_.isWhitespace),
+      s"routing column name must not contain whitespace: '$route'")
     Files.createDirectories(Paths.get(baseDir))
     val meta = Paths.get(baseDir, s"$table.buckets")
     lockFor(s"${Paths.get(baseDir).toAbsolutePath}#$table").synchronized {
       def validateAndOpen(): BucketedFragmentStore = {
-        val (storedB, storedG) = parseMeta(
+        val (storedB, storedG, storedR) = parseMeta(
           new String(Files.readAllBytes(meta), "UTF-8"))
         require(storedB == buckets,
           s"$table was created with $storedB buckets; call rebucket to change")
-        new BucketedFragmentStore(spark, baseDir, table, uniqueKey,
+        require(storedR.getOrElse(uniqueKey) == route,
+          s"$table was created routing on '${storedR.getOrElse(uniqueKey)}', not '$route'")
+        new BucketedFragmentStore(spark, baseDir, table, uniqueKey, route,
           storedB, storedG, readJournal(baseDir, table, storedG))
       }
       if (Files.exists(meta)) validateAndOpen()
       else try {
-        Files.write(meta, s"$buckets\n".getBytes("UTF-8"),
+        val routeSuffix = if (route == uniqueKey) "" else s" 0 $route"
+        Files.write(meta, s"$buckets$routeSuffix\n".getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
-        new BucketedFragmentStore(spark, baseDir, table, uniqueKey,
+        new BucketedFragmentStore(spark, baseDir, table, uniqueKey, route,
           buckets, 0, None)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => validateAndOpen()
@@ -585,15 +690,16 @@ object BucketedFragmentStore {
   }
 
   /** Open an existing store, reading the bucket count (and generation,
-    * plus any in-flight migration journal) from its meta.
+    * routing column, plus any in-flight migration journal) from its meta.
     */
   def open(spark: SparkSession, baseDir: String, table: String,
            uniqueKey: String): BucketedFragmentStore = {
     val meta = Paths.get(baseDir, s"$table.buckets")
     require(Files.exists(meta), s"no bucketed store named $table at $baseDir")
-    val (storedB, storedG) = parseMeta(
+    val (storedB, storedG, storedR) = parseMeta(
       new String(Files.readAllBytes(meta), "UTF-8"))
     new BucketedFragmentStore(spark, baseDir, table, uniqueKey,
+      storedR.getOrElse(uniqueKey),
       storedB, storedG, readJournal(baseDir, table, storedG))
   }
 }

@@ -207,9 +207,15 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     * callers that route on the key — [[BucketedFragmentStore]]).
     */
   private[runtime] def keyDataType(): Option[org.apache.spark.sql.types.DataType] =
+    columnDataType(uniqueKey)
+
+  /** Any stored column's type from one fragment's footer — the bucketed
+    * store's route-column variant of [[keyDataType]].
+    */
+  private[runtime] def columnDataType(name: String): Option[org.apache.spark.sql.types.DataType] =
     readEntries().headOption.flatMap(e =>
       e.schema.getOrElse(defaultFrame(e).schema).fields
-        .find(_.name.equalsIgnoreCase(uniqueKey)).map(_.dataType))
+        .find(_.name.equalsIgnoreCase(name)).map(_.dataType))
 
   /** `read().filter(pred)`, but fragments whose zone map proves they
     * contain no matching row are skipped. Exactness argument:

@@ -523,6 +523,165 @@ object StreamingOps {
         ()
     }
 
+  /** The BANDED near-dup ingest — [[corpusIngestNearDupFragmentedSink]]
+    * with the per-trigger corpus-side cost made CORPUS-INDEPENDENT,
+    * closing the one unbounded per-trigger curve the r10 soak measured
+    * (ingest latency 6.4→8.7 s over 200 triggers from the O(corpus)
+    * map-side signature scan). Three structural changes:
+    *
+    *   1. **Banding is persisted, not recomputed.** Signatures band
+    *      ONCE at sign time into `bandStore` — a
+    *      [[graft.runtime.BucketedFragmentStore]] routed by `band_key`
+    *      ([[graft.ext.IngestOps.bandRowsOf]] rows) — so a trigger
+    *      never re-hashes or even re-reads the corpus signature table:
+    *      [[graft.runtime.BucketedFragmentStore.readRouted]] unions
+    *      only the buckets the batch's band keys hash into
+    *      (≤ min(batch·bands, buckets)), and candidate toks come from
+    *      key-routed point reads of `sigStore`, bounded by the
+    *      candidate count. With a `rebucketBytesPerBucket` cadence
+    *      keeping buckets bounded, per-trigger probe I/O is
+    *      ∝ batch·bands — flat as the corpus grows.
+    *   2. **Repair runs at construction, not per trigger.** The old
+    *      per-trigger id anti-join (itself O(corpus ids)) is now a
+    *      one-time migration/crash-recovery pass
+    *      ([[repairNearDupSideTables]]); in steady state each trigger
+    *      writes its own survivors' signatures and band rows (sigs
+    *      BEFORE bands, so a band row always has its verify row), and a
+    *      replayed trigger self-heals: its rows, unsigned by the crash,
+    *      re-survive the check and re-write identical rows that
+    *      last-writer-wins absorbs.
+    *   3. **Deletion goes through [[nearDupForget]]** (band rows route
+    *      by band_key, so tombstoning them needs the stored signature —
+    *      the helper recomputes the rows from `sigStore` and deletes
+    *      across all three tables in the crash-safe order).
+    *
+    * Same LSH operating point, verified-Jaccard metric, pinned
+    * `hotShingles`, one-stream-per-model, and append-only-id contracts
+    * as the un-banded sink; the survivor set is identical (spec-gated
+    * against it).
+    */
+  def corpusIngestNearDupBandedSink(docs: DataFrame,
+                                    frag: graft.runtime.KeyedFragmentStore,
+                                    sigStore: graft.runtime.BucketedFragmentStore,
+                                    bandStore: graft.runtime.BucketedFragmentStore,
+                                    threshold: Double,
+                                    numHashes: Int = 32, bands: Int = 8,
+                                    shingleK: Int = 1,
+                                    hotShingles: Seq[String] = Nil,
+                                    compactEvery: Long = 0L,
+                                    rebucketBytesPerBucket: Long = 0L): DataStreamWriter[Row] = {
+    require(bandStore.routeCol == "band_key",
+      s"bandStore must route on band_key, not '${bandStore.routeCol}'")
+    repairNearDupSideTables(frag, sigStore, bandStore, numHashes, bands,
+      shingleK, hotShingles)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val survivors = graft.ext.IngestOps.appendDedupNearDupRouted(
+          keys => bandStore.readRouted(keys),
+          ids => sigStore.readWhere(col("doc_id").isin(ids: _*)),
+          batch, threshold, numHashes, bands, shingleK,
+          hotShingles = hotShingles)
+        // pin ONE evaluation: three stores consume the survivor set, and
+        // re-planning it would re-run the banded probe per consumer
+        val pinned = survivors.localCheckpoint(true)
+        if (!pinned.isEmpty) {
+          frag.upsert(pinned)
+          val signed = graft.ext.IngestOps.minHashSigsOf(pinned, numHashes,
+            shingleK, hotShingles = hotShingles).localCheckpoint(true)
+          val tomb = pinned.select(col("doc_id"))
+            .join(signed.select("doc_id"), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"),
+              array().cast("array<string>").as("toks"),
+              array().cast("array<bigint>").as("sig"))
+          // sigs BEFORE bands: a stored band row must always find its
+          // verify row; the reverse crash order would leave candidates
+          // that silently drop out of the verify join
+          sigStore.upsert(signed.unionByName(tomb))
+          bandStore.upsert(graft.ext.IngestOps.bandRowsOf(signed, bands,
+            numHashes / bands))
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          cadenceFold(frag); cadenceFold(sigStore); cadenceFold(bandStore)
+          if (rebucketBytesPerBucket > 0L) {
+            sigStore.maybeRebucket(rebucketBytesPerBucket)
+            bandStore.maybeRebucket(rebucketBytesPerBucket)
+            ()
+          }
+        }
+        ()
+    }
+  }
+
+  /** One-time (construction / migration / crash-recovery) repair of the
+    * banded sink's side tables: sign corpus rows the signature store is
+    * missing, then band signed rows the band store is missing. Both
+    * passes are id anti-joins — O(corpus), paid once, never per
+    * trigger. Idempotent.
+    */
+  def repairNearDupSideTables(frag: graft.runtime.KeyedFragmentStore,
+                              sigStore: graft.runtime.BucketedFragmentStore,
+                              bandStore: graft.runtime.BucketedFragmentStore,
+                              numHashes: Int = 32, bands: Int = 8,
+                              shingleK: Int = 1,
+                              hotShingles: Seq[String] = Nil): Unit = {
+    frag.read().foreach { corpus =>
+      val unsigned = sigStore.read() match {
+        case None     => corpus
+        case Some(ps) =>
+          corpus.join(ps.select("doc_id"), Seq("doc_id"), "left_anti")
+      }
+      if (!unsigned.isEmpty) {
+        val signed = graft.ext.IngestOps.minHashSigsOf(unsigned, numHashes,
+          shingleK, hotShingles = hotShingles)
+        val tomb = unsigned.select(col("doc_id"))
+          .join(signed.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            array().cast("array<string>").as("toks"),
+            array().cast("array<bigint>").as("sig"))
+        sigStore.upsert(signed.unionByName(tomb))
+      }
+    }
+    sigStore.read().foreach { sigs =>
+      val signed = sigs.filter(size(col("toks")) > 0)
+      val unbanded = bandStore.read() match {
+        case None     => signed
+        case Some(bs) =>
+          signed.join(bs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      }
+      if (!unbanded.isEmpty)
+        bandStore.upsert(graft.ext.IngestOps.bandRowsOf(unbanded, bands,
+          numHashes / bands))
+    }
+  }
+
+  /** Right-to-be-forgotten for the banded sink's table triple: delete
+    * `keys` from the corpus, signature store, and band store in one
+    * call. Band rows route by `band_key`, so their tombstones need the
+    * stored signatures — recomputed here from `sigStore` (banding is
+    * deterministic) BEFORE the signature rows go. Order: bands, sigs,
+    * corpus — a crash mid-way leaves the corpus row live and every
+    * retry finds it, so the delete re-applies; the reverse order would
+    * orphan band rows whose signatures are already gone.
+    */
+  def nearDupForget(frag: graft.runtime.KeyedFragmentStore,
+                    sigStore: graft.runtime.BucketedFragmentStore,
+                    bandStore: graft.runtime.BucketedFragmentStore,
+                    keys: DataFrame,
+                    numHashes: Int = 32, bands: Int = 8): Unit = {
+    val ks = keys.select(col("doc_id")).distinct().localCheckpoint(true)
+    sigStore.readWhere(col("doc_id").isin(
+        ks.collect().map(_.get(0)).toSeq: _*))
+      .foreach { sigRows =>
+        val bandRows = graft.ext.IngestOps.bandRowsOf(
+          sigRows.join(broadcast(ks), Seq("doc_id"), "left_semi"),
+          bands, numHashes / bands)
+        if (!bandRows.isEmpty)
+          bandStore.deleteKeys(bandRows.select(col("__bk"), col("band_key")))
+      }
+    sigStore.deleteKeys(ks)
+    frag.deleteKeys(ks)
+  }
+
   /** EMBEDDING-modality continuous ingest: the [[corpusIngestSink]]
     * bridge for vector corpora — each micro-batch drops vectors whose
     * cosine similarity to the materialized corpus reaches `threshold`

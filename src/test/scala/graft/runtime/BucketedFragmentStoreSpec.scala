@@ -328,6 +328,86 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(after.count() == n && after.select("v").distinct().count() == n)
   }
 
+  test("route-by-column store: probes route on routeCol, LWW stays on uniqueKey, meta pins the route") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "inv", "pk", buckets = 8,
+      routeCol = Some("rk"))
+    // an inverted-index shape: many pks share a route value
+    val batch = (0 until 60).map(i => (s"p$i", (i % 6).toLong, s"v$i"))
+      .toDF("pk", "rk", "v")
+    bs.upsert(batch)
+    // all rows of one route value live in ONE bucket (a key-equality
+    // probe on rk reads exactly it)
+    val (res, rep) = bs.readWhereReport(col("rk") === 3L)
+    assert(rep.probed.size == 1, rep.toString)
+    assert(res.get.count() == 10)
+    // LWW is still per-pk: re-upserting one pk (same rk — the contract)
+    // replaces, not duplicates
+    bs.upsert(Seq(("p3", 3L, "NEW")).toDF("pk", "rk", "v"))
+    assert(rowsOf(bs.read().get.filter(col("pk") === "p3")) == Set("p3|3|NEW"))
+    // readRouted unions only the target buckets; superset contract
+    val routed = bs.readRouted(Seq(1L, 4L)).get
+    assert(routed.filter(col("rk").isin(1L, 4L)).count() == 20)
+    // type-mismatched values decline to a full read — correct, not wrong
+    assert(bs.readRouted(Seq(1)).get.count() == 60)
+    // deleteKeys requires the route column (tombstones must co-locate)
+    intercept[IllegalArgumentException] { bs.deleteKeys(Seq("p5").toDF("pk")) }
+    bs.deleteKeys(Seq(("p5", 5L)).toDF("pk", "rk"))
+    assert(bs.read().get.filter(col("pk") === "p5").count() == 0)
+    // reopen restores the routing column from the meta; a conflicting
+    // apply is rejected like a conflicting bucket count
+    val reopened = BucketedFragmentStore.open(spark, dir, "inv", "pk")
+    assert(reopened.routeCol == "rk")
+    val (_, rep2) = reopened.readWhereReport(col("rk") === 3L)
+    assert(rep2.probed.size == 1)
+    intercept[IllegalArgumentException] {
+      BucketedFragmentStore(spark, dir, "inv", "pk", buckets = 8)
+    }
+    // rebucket carries the route: migration re-routes by rk
+    reopened.rebucket(4)
+    val (res3, rep3) = reopened.readWhereReport(col("rk") === 3L)
+    assert(rep3.probed.size == 1 && res3.get.count() == 10)
+    assert(BucketedFragmentStore.open(spark, dir, "inv", "pk").routeCol == "rk")
+  }
+
+  test("maybeRebucket shrink: halves under the byte floor, drain/journal protocol, hysteresis enforced") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 16)
+    bs.upsert((0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val before = rowsOf(bs.read().get)
+    // floor must sit at <= max/4 (a just-halved store would re-trip)
+    intercept[IllegalArgumentException] { bs.maybeRebucket(100L, 50L) }
+    // generous max, tiny floor: no pressure either way
+    assert(!bs.maybeRebucket(1L << 40, 1L))
+    assert(bs.buckets == 16 && bs.migrationStatus.isEmpty)
+    // huge floor (under max/4): opens a HALVING migration, one drain per
+    // tick, interleaved upserts stay correct
+    val max = 1L << 40
+    assert(bs.maybeRebucket(max, max / 4))
+    assert(bs.migrationStatus.exists(_._1 == 8), bs.migrationStatus.toString)
+    bs.upsert(Seq((500L, "mid")).toDF("id", "v"))
+    var guard = 0
+    while (bs.migrationStatus.nonEmpty && guard < 20) {
+      bs.maybeRebucket(max, max / 4); guard += 1
+    }
+    // 16 -> 8 -> (floor still holds) -> 4 -> 2 -> 1: shrink repeats
+    // until the floor releases or a single bucket remains; each step
+    // keeps content intact. Stop the cascade by dropping the floor.
+    assert(bs.buckets < 16, s"shrink must have committed, got ${bs.buckets}")
+    assert(rowsOf(bs.read().get) == before + "500|mid")
+    // kill-state: reopen mid-shrink resumes from the journal
+    val dir2 = freshDir()
+    val bs2 = BucketedFragmentStore(spark, dir2, "t", "id", buckets = 16)
+    bs2.upsert((0 until 80).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val want2 = rowsOf(bs2.read().get)
+    assert(bs2.maybeRebucket(max, max / 4)) // opens 16->8, drains one
+    assert(bs2.migrationStatus.exists(m => m._1 == 8 && m._2.size == 1))
+    val resumed = BucketedFragmentStore.open(spark, dir2, "t", "id")
+    assert(resumed.migrationStatus.exists(_._1 == 8), "journal must resume")
+    resumed.rebucket(8)
+    assert(resumed.buckets == 8 && rowsOf(resumed.read().get) == want2)
+  }
+
   test("rebucketStart rejects a conflicting target while a migration is open") {
     val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 4)
     bs.upsert(Seq((1L, "a")).toDF("id", "v"))

@@ -168,6 +168,125 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("banded near-dup sink: survivors ≡ un-banded sink; sigs+bands land in-trigger; replay absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.runtime.BucketedFragmentStore
+    val dirA = freshDir(); val dirB = freshDir()
+    // A: the r10 un-banded sink (the semantics oracle)
+    val fragA = new FragmentedTable(spark, dirA, "nd", "doc_id")
+    val sigsA = new FragmentedTable(spark, dirA, "nd__sigs", "doc_id")
+    // B: the banded sink under test
+    val fragB = new FragmentedTable(spark, dirB, "nd", "doc_id")
+    val sigB = BucketedFragmentStore(spark, dirB, "nd__sigs", "doc_id", buckets = 4)
+    val bandB = BucketedFragmentStore(spark, dirB, "nd__sigbands", "__bk",
+      buckets = 8, routeCol = Some("band_key"))
+    def ids(t: graft.runtime.KeyedFragmentStore): Set[Long] = t.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val inA = MemoryStream[(Long, String)]
+    val inB = MemoryStream[(Long, String)]
+    val qA = StreamingOps.corpusIngestNearDupFragmentedSink(
+      inA.toDF().toDF("doc_id", "text"), fragA, sigsA, threshold = 0.8).start()
+    val qB = StreamingOps.corpusIngestNearDupBandedSink(
+      inB.toDF().toDF("doc_id", "text"), fragB, sigB, bandB,
+      threshold = 0.8).start()
+    def both(rows: (Long, String)*): Unit = {
+      inA.addData(rows: _*); qA.processAllAvailable()
+      inB.addData(rows: _*); qB.processAllAvailable()
+    }
+    try {
+      both((1L, "a b c d e f g h i j"), (2L, "x y z w v u t s r q"), (9L, ""))
+      assert(ids(fragB) == ids(fragA) && ids(fragB) == Set(1L, 2L, 9L))
+      // banded sink signs ITS OWN survivors in-trigger (no one-trigger lag)
+      assert(ids(sigB) == Set(1L, 2L, 9L), ids(sigB).toString)
+      // empty text tokenizes to [""] — a degenerate but REAL signature
+      // (same in both sinks), so doc 9 bands like any other
+      assert(bandB.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L, 9L))
+      // near-dup of doc 1 dropped, novel doc kept — identical on both
+      both((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
+      assert(ids(fragB) == ids(fragA) && ids(fragB) == Set(1L, 2L, 9L, 12L))
+      assert(ids(sigB) == Set(1L, 2L, 9L, 12L))
+      // exact replay: absorbed by content, nothing new anywhere
+      val fragsBefore = fragB.fragmentCount()
+      both((11L, "a b c d e f g h i j k"), (12L, "p1 p2 p3 p4 p5 p6"))
+      assert(ids(fragB) == Set(1L, 2L, 9L, 12L))
+      assert(fragB.fragmentCount() == fragsBefore,
+        "replay must not write a corpus fragment")
+      // band rows: every signed doc carries exactly `bands` rows
+      val perDoc = bandB.read().get.groupBy("doc_id").count()
+        .select("count").as[Long].collect()
+      assert(perDoc.nonEmpty && perDoc.forall(_ == 8L), perDoc.toSeq.toString)
+    } finally { qA.stop(); qB.stop() }
+  }
+
+  test("banded near-dup sink: construction repair heals a sig-less corpus and a band-less sig table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.runtime.BucketedFragmentStore
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "mig", "doc_id")
+    // migration scenario: a corpus ingested by an un-banded deployment
+    frag.upsert(Seq((1L, "a b c d e f g h i j"), (2L, "m n o p q r s t u v"))
+      .toDF("doc_id", "text"))
+    val sigS = BucketedFragmentStore(spark, dir, "mig__sigs", "doc_id", buckets = 4)
+    val bandS = BucketedFragmentStore(spark, dir, "mig__sigbands", "__bk",
+      buckets = 8, routeCol = Some("band_key"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestNearDupBandedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigS, bandS, threshold = 0.8).start()
+    try {
+      // construction repaired BOTH side tables from the pre-existing corpus
+      assert(sigS.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L))
+      assert(bandS.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L))
+      // so a near-dup of the MIGRATED corpus is dropped on trigger 1
+      in.addData((21L, "a b c d e f g h i j k"), (22L, "fresh1 fresh2 fresh3"))
+      q.processAllAvailable()
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L, 22L))
+    } finally q.stop()
+    // crash-gap scenario: sigs written, bands lost (the sig-before-band
+    // order's only gap) — a NEW sink construction re-bands exactly the gap
+    bandS.deleteKeys(bandS.read().get.select("__bk", "band_key"))
+    assert(bandS.read().get.count() == 0)
+    StreamingOps.repairNearDupSideTables(frag, sigS, bandS)
+    assert(bandS.read().get.select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 22L), "repair must re-band the signed rows")
+  }
+
+  test("banded near-dup sink: nearDupForget deletes across the triple; forgotten content re-ingests") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.runtime.BucketedFragmentStore
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "fg", "doc_id")
+    val sigS = BucketedFragmentStore(spark, dir, "fg__sigs", "doc_id", buckets = 4)
+    val bandS = BucketedFragmentStore(spark, dir, "fg__sigbands", "__bk",
+      buckets = 8, routeCol = Some("band_key"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestNearDupBandedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigS, bandS, threshold = 0.8).start()
+    try {
+      in.addData((1L, "a b c d e f g h i j"), (2L, "z1 z2 z3 z4 z5"))
+      q.processAllAvailable()
+      // near-dup of 1 is dropped while 1 lives
+      in.addData((11L, "a b c d e f g h i j k"))
+      q.processAllAvailable()
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L))
+      // forget doc 1 across all three tables
+      StreamingOps.nearDupForget(frag, sigS, bandS, Seq(1L).toDF("doc_id"))
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet == Set(2L))
+      assert(sigS.read().get.select("doc_id").as[Long].collect().toSet == Set(2L))
+      assert(bandS.read().get.select("doc_id").as[Long].collect().toSet == Set(2L),
+        "band rows of the forgotten doc must tombstone out")
+      // the forgotten content's near-dup now re-ingests (witness gone)
+      in.addData((11L, "a b c d e f g h i j k"))
+      q.processAllAvailable()
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(2L, 11L), "no ghost witness may survive the forget")
+    } finally q.stop()
+  }
+
   test("near-dup fragmented sink: compaction cadence folds both tables to one fragment") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
