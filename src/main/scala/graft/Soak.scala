@@ -7,27 +7,32 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.nio.charset.StandardCharsets
 
 /** Sustained-ingest soak for the STATEFUL surfaces at the sf1 tier
-  * (VERDICT r9 task 5): hundreds of triggers through
-  * [[graft.streaming.StreamingOps.corpusIngestNearDupFragmentedSink]]
-  * over the LSM fragment store, recording the curves a steady-state
-  * deployment lives on — not just the end state:
+  * (VERDICT r9 task 5; r10 tasks 1+7): hundreds of triggers through
+  * [[graft.streaming.StreamingOps.corpusIngestNearDupBandedSink]] —
+  * the band-key-routed signature store whose whole point is a FLAT
+  * per-trigger cost — recording the curves a steady-state deployment
+  * lives on, and ENFORCING them:
   *
-  *  - read amplification: live fragment counts (corpus + signature
-  *    side-table) and the zone-probe scan fraction of a point read;
-  *  - compaction debt: the same counts THROUGH the cadence folds (the
-  *    tier policy must keep them bounded, not merely end bounded);
-  *  - ingest latency: per-trigger wall clock, whose mild upward drift
-  *    is the sink's documented O(corpus) map-side signature scan;
+  *  - read amplification: live fragment counts (corpus + both side
+  *    stores) and the zone-probe scan fraction of a point read;
+  *  - compaction debt: the same counts THROUGH the cadence folds;
+  *  - ingest latency: per-trigger wall clock. Under the r10 un-banded
+  *    sink this curve SLOPED (6.4→8.7 s over 200 triggers — the
+  *    O(corpus) map-side signature scan); the banded sink must hold it
+  *    flat, and the run FAILS if it does not;
   *  - dedup recall over time: every trigger injects known exact and
-  *    near duplicates of earlier docs under fresh ids — the fraction
-  *    dropped so far is the live recall of the side-table as it grows;
-  *  - deletion honor: periodically tombstoned keys must stay invisible
-  *    at every later checkpoint, and the final full fold purges them.
+  *    near duplicates of earlier docs under fresh ids;
+  *  - deletion honor: periodically forgotten keys
+  *    ([[graft.streaming.StreamingOps.nearDupForget]] across the
+  *    corpus/sig/band triple) must stay invisible at every later
+  *    checkpoint, and the final full fold purges them.
   *
-  * Emits one JSON object (default `soak_out.json`, override with
-  * argv(0)): a `checkpoints` series plus a `final` block after the
-  * full fold. Input: the sf1 synthesis (`dev/make_sf1.py`, default
-  * /tmp/sf1) or any dir with a `documents.parquet`.
+  * Checks are HARD FAILURES (r10 task 7): the JSON carries
+  * `"pass": true|false` plus every enforced bound, and a violated
+  * bound exits nonzero so a regression fails the round without a judge
+  * reading curves. Emits one JSON object (default `soak_out.json`,
+  * override with argv(0)). Input: the sf1 synthesis (`dev/make_sf1.py`,
+  * default /tmp/sf1) or any dir with a `documents.parquet`.
   */
 object Soak {
 
@@ -50,7 +55,10 @@ object Soak {
 
     val warehouse = Files.createTempDirectory("graft-soak").toString
     val frag = new graft.runtime.FragmentedTable(spark, warehouse, "corpus", "doc_id")
-    val sigs = new graft.runtime.FragmentedTable(spark, warehouse, "corpus__sigs", "doc_id")
+    val sigs = graft.runtime.BucketedFragmentStore(spark, warehouse,
+      "corpus__sigs", "doc_id", buckets = 2)
+    val bandStore = graft.runtime.BucketedFragmentStore(spark, warehouse,
+      "corpus__sigbands", "__bk", buckets = 4, routeCol = Some("band_key"))
 
     // the full doc stream, driver-sliced into deterministic triggers
     val all = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -62,9 +70,10 @@ object Soak {
       s"checkpoint every $checkpointEvery, deletions every $deleteEvery")
 
     val in = MemoryStream[(Long, String)]
-    val q = graft.streaming.StreamingOps.corpusIngestNearDupFragmentedSink(
-      in.toDF().toDF("doc_id", "text"), frag, sigs,
-      threshold = 0.9, compactEvery = 8L).start()
+    val q = graft.streaming.StreamingOps.corpusIngestNearDupBandedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigs, bandStore,
+      threshold = 0.9, compactEvery = 8L,
+      rebucketBytesPerBucket = 32L << 20).start()
 
     // injected-duplicate bookkeeping (driver-side, bounded: 10/trigger)
     val ExactBase = 100000000L
@@ -80,7 +89,8 @@ object Soak {
     val deletedIds = scala.collection.mutable.LinkedHashSet[Long]()
     var deletedRequested = 0L
 
-    final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int, sigFrags: Int,
+    final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int,
+                        sigFrags: Int, bandFrags: Int,
                         diskMb: Double, pointScan: Int, pointTotal: Int,
                         ingestMsAvg: Double,
                         exactInj: Long, exactDropped: Long,
@@ -118,7 +128,8 @@ object Soak {
       corpus.unpersist()
       val probeId = slices(0).head._1
       val (_, rep) = frag.readWhereReport(col("doc_id") === probeId)
-      cps += Cp(t, rows, frag.fragmentCount(), sigs.fragmentCount(), dirMb(),
+      cps += Cp(t, rows, frag.fragmentCount(),
+        sigs.fragmentCounts().sum, bandStore.fragmentCounts().sum, dirMb(),
         rep.scanned, rep.total,
         if (windowN == 0) 0 else math.round(windowMs / windowN * 10) / 10.0,
         exactInjected, exactDropped,
@@ -149,14 +160,12 @@ object Soak {
       q.processAllAvailable()
       windowMs += (System.nanoTime() - t0) / 1e6
       windowN += 1
-      // the forget cycle: tombstone 100 keys from an older range in
-      // BOTH tables (corpus first, so the sink's repair step cannot
-      // re-sign them in between)
+      // the forget cycle: tombstone 100 keys from an older range across
+      // the corpus/sig/band TRIPLE in one crash-ordered call
       if (t > 0 && t % deleteEvery == 0) {
         val victims = slices(t - deleteEvery).take(100).map(_._1)
-        val vdf = victims.toSeq.toDF("doc_id")
-        frag.deleteKeys(vdf)
-        sigs.deleteKeys(vdf)
+        graft.streaming.StreamingOps.nearDupForget(frag, sigs, bandStore,
+          victims.toSeq.toDF("doc_id"))
         deletedIds ++= victims
         deletedRequested += victims.length
       }
@@ -165,33 +174,80 @@ object Soak {
     q.stop()
 
     // end state: the explicit O(corpus) full fold purges tombstones and
-    // collapses each table to one fragment; deleted keys stay gone
-    frag.compact(); sigs.compact()
+    // collapses each table to one fragment per bucket; deleted keys stay gone
+    frag.compact(); sigs.compact(); bandStore.compact()
     val finalRows = frag.read().get.count()
     val finalDelVisible =
       if (deletedIds.isEmpty) 0L
       else frag.read().get.filter(col("doc_id").isInCollection(deletedIds)).count()
 
+    // ---- enforced bounds (r10 task 7: assertions, not curves) ----------
+    val FragBound = 20       // corpus live fragments at any checkpoint
+    val SideFragBound = 24   // per-bucket live fragments, either side store
+    val ExactRecallFloor = 0.99
+    val NearRecallFloor = 0.95
+    val SlopeBound = 1.25    // late/early ingest_ms ratio (the flat gate)
+    val last = cps.last
+    val exactRecall =
+      if (last.exactInj == 0) 1.0 else last.exactDropped.toDouble / last.exactInj
+    val nearRecall =
+      if (last.nearInj == 0) 1.0 else last.nearDropped.toDouble / last.nearInj
+    // skip the first checkpoint (JVM/codegen warmup); early = next 3,
+    // late = final 3
+    val series = cps.map(_.ingestMsAvg).toIndexedSeq
+    val (earlyMs, lateMs, slope) =
+      if (series.length < 7) (0.0, 0.0, 1.0) // too short to judge a slope
+      else {
+        val e = series.slice(1, 4).sum / 3.0
+        val l = series.takeRight(3).sum / 3.0
+        (e, l, if (e == 0) 1.0 else l / e)
+      }
+    val maxSideBucketFrags = (sigs.fragmentCounts() ++ bandStore.fragmentCounts())
+      .maxOption.getOrElse(0)
+    val checks: Seq[(String, Boolean, String)] = Seq(
+      ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
+        s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
+      ("side_frag_bound", maxSideBucketFrags <= SideFragBound,
+        s"max per-bucket $maxSideBucketFrags <= $SideFragBound"),
+      ("exact_recall", exactRecall >= ExactRecallFloor,
+        f"$exactRecall%.4f >= $ExactRecallFloor"),
+      ("near_recall", nearRecall >= NearRecallFloor,
+        f"$nearRecall%.4f >= $NearRecallFloor"),
+      ("deletions_invisible", cps.forall(_.delVisible == 0) && finalDelVisible == 0,
+        s"visible at checkpoints: ${cps.map(_.delVisible).max}, final: $finalDelVisible"),
+      ("ingest_flat", slope <= SlopeBound,
+        f"late $lateMs%.1f ms / early $earlyMs%.1f ms = $slope%.3f <= $SlopeBound"))
+    val pass = checks.forall(_._2)
+
     def j(cp: Cp): String =
       s"""{"t":${cp.t},"corpus_rows":${cp.corpusRows},"corpus_frags":${cp.corpusFrags},""" +
-      s""""sig_frags":${cp.sigFrags},"disk_mb":${cp.diskMb},""" +
+      s""""sig_frags":${cp.sigFrags},"band_frags":${cp.bandFrags},"disk_mb":${cp.diskMb},""" +
       s""""point_scan":${cp.pointScan},"point_total":${cp.pointTotal},""" +
       s""""ingest_ms_avg":${cp.ingestMsAvg},""" +
       s""""exact_injected":${cp.exactInj},"exact_dropped":${cp.exactDropped},""" +
       s""""near_injected":${cp.nearInj},"near_dropped":${cp.nearDropped},""" +
       s""""deleted_requested":${cp.delRequested},"deleted_visible":${cp.delVisible}}"""
+    val checksJson = checks.map { case (n, ok, detail) =>
+      s""""$n":{"pass":$ok,"bound":"$detail"}"""
+    }.mkString(",")
     val json =
-      s"""{"soak":"near_dup_ingest_sf1","sf_dir":"$sfDir","triggers":${slices.length},""" +
+      s"""{"soak":"near_dup_ingest_banded_sf1","sf_dir":"$sfDir","triggers":${slices.length},""" +
       s""""slice_size":$sliceSize,"compact_every":8,"delete_every":$deleteEvery,""" +
+      s""""pass":$pass,"checks":{$checksJson},""" +
       s""""checkpoints":[${cps.map(j).mkString(",")}],""" +
       s""""final":{"corpus_rows":$finalRows,"corpus_frags":${frag.fragmentCount()},""" +
-      s""""sig_frags":${sigs.fragmentCount()},"disk_mb":${dirMb()},""" +
-      s""""deleted_visible":$finalDelVisible}}"""
+      s""""sig_frags":${sigs.fragmentCounts().sum},"band_frags":${bandStore.fragmentCounts().sum},""" +
+      s""""sig_buckets":${sigs.buckets},"band_buckets":${bandStore.buckets},""" +
+      s""""disk_mb":${dirMb()},"deleted_visible":$finalDelVisible}}"""
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
     println(json)
     graft.runtime.Fs.deleteRecursive(Paths.get(warehouse))
     spark.stop()
+    if (!pass) {
+      checks.filterNot(_._2).foreach(c => println(s"[soak] FAILED ${c._1}: ${c._3}"))
+      sys.exit(2)
+    }
   }
 }

@@ -169,6 +169,12 @@ object IngestOps {
     * identical to [[appendDedupNearDupIndexed]] over the signatures the
     * stores hold — the LSH operating point, hot-shingle list, and
     * verified-Jaccard metric are unchanged.
+    *
+    * The returned frame is PINNED (localCheckpoint): the per-trigger
+    * pipeline runs each stage exactly once — the un-pinned form
+    * re-executed the batch prep three times (keys collect, candidate
+    * collect, final assembly) and re-ran the store probes per consumer
+    * action, which dominated trigger latency at small batch sizes.
     */
   def appendDedupNearDupRouted(bandProbe: Seq[Long] => Option[DataFrame],
                                toksProbe: Seq[Any] => Option[DataFrame],
@@ -178,11 +184,14 @@ object IngestOps {
                                hotShingles: Seq[String] = Nil): DataFrame = {
     val rows = numHashes / bands
     val spark = incoming.sparkSession
-    val exact = DedupOps.dedupExact(incoming, textCol, idCol)
+    // each stage pins before fan-out; everything downstream is a cheap
+    // map/collect over batch-sized pinned data
+    val exact = DedupOps.dedupExact(incoming, textCol, idCol).localCheckpoint(true)
     val inAll = DedupOps.minHashSigFrame(exact, numHashes, shingleK, textCol, idCol,
-      hotShingles)
+      hotShingles).localCheckpoint(true)
     val batch = DedupOps.removeNearDups(exact,
       DedupOps.pairsOfSigFrame(inAll, bands, rows, threshold), idCol)
+      .localCheckpoint(true)
     val inS = inAll.join(broadcast(batch.select(col(idCol).as("doc_id"))),
       Seq("doc_id"), "left_semi")
     val inBands = DedupOps.lshBands(inS, "sig", bands, rows)
@@ -220,7 +229,8 @@ object IngestOps {
           }
         }
     }
-    batch.join(broadcast(drops), Seq(idCol), "left_anti")
+    // pinned: the toks probe and verify run exactly once, here
+    batch.join(broadcast(drops), Seq(idCol), "left_anti").localCheckpoint(true)
   }
 
   /** Near-dup-aware incremental ingest — the production recipe for "new

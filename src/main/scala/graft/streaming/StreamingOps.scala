@@ -576,14 +576,13 @@ object StreamingOps {
       shingleK, hotShingles)
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val survivors = graft.ext.IngestOps.appendDedupNearDupRouted(
+        // already pinned by the routed append: three stores consume the
+        // survivor set without re-running the banded probe
+        val pinned = graft.ext.IngestOps.appendDedupNearDupRouted(
           keys => bandStore.readRouted(keys),
           ids => sigStore.readWhere(col("doc_id").isin(ids: _*)),
           batch, threshold, numHashes, bands, shingleK,
           hotShingles = hotShingles)
-        // pin ONE evaluation: three stores consume the survivor set, and
-        // re-planning it would re-run the banded probe per consumer
-        val pinned = survivors.localCheckpoint(true)
         if (!pinned.isEmpty) {
           frag.upsert(pinned)
           val signed = graft.ext.IngestOps.minHashSigsOf(pinned, numHashes,
@@ -601,7 +600,16 @@ object StreamingOps {
             numHashes / bands))
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          cadenceFold(frag); cadenceFold(sigStore); cadenceFold(bandStore)
+          cadenceFold(frag)
+          // bucketed side stores: per-bucket bound of 2 so EVERY tick
+          // tier-folds each active bucket's recent run (the unbanded
+          // sink's flat-table behavior, per bucket) while buckets under
+          // the bound cost a manifest read only. A laxer bound lets
+          // probe plans grow ~frags-per-bucket × buckets × 3 probes
+          // between folds — measured as a 3→10 s per-trigger ramp in
+          // the A/B sink bench.
+          sigStore.maybeCompact(2)
+          bandStore.maybeCompact(2)
           if (rebucketBytesPerBucket > 0L) {
             sigStore.maybeRebucket(rebucketBytesPerBucket)
             bandStore.maybeRebucket(rebucketBytesPerBucket)
