@@ -30,6 +30,18 @@ import java.nio.charset.StandardCharsets
   * The flag criterion lives in BASELINE.md: treat a cross-round delta
   * as real only if the row's spread is small and the host stamps show
   * an idle machine; otherwise re-measure before concluding anything.
+  * Since r11 the artifact SELF-ADJUDICATES (VERDICT r10 task 4):
+  *   - `host`, `spread`, and `flags` are emitted BEFORE the `queries`
+  *     map, so a tail-truncated capture keeps the noise instruments
+  *     for exactly the rows whose timings survived;
+  *   - when a reference timing file exists (`SPARK_GRAFT_BENCH_REF`,
+  *     default `dev/bench_ref.json` — written at each round's idle
+  *     closure), every row whose min exceeds 1.3× its reference gets a
+  *     flag applying BASELINE.md's criterion mechanically:
+  *     `contention` (host load ≥ 0.6× cpus at either stamp),
+  *     `noisy` (the row's own spread > 0.5), else `real`.
+  *     A flagged-`real` row is a genuine regression candidate; the
+  *     other two are self-identified measurement artifacts.
   *
   * Failures are NOT swallowed: a query that throws is recorded under
   * the `"errors"` map in the output JSON (name -> exception
@@ -135,11 +147,49 @@ object Bench {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val hostCpus = Runtime.getRuntime.availableProcessors
     val host = s"""{"load1_start":$loadStart,"load1_end":$loadEnd,""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors},"passes":$nPasses}"""
+      s""""cpus":$hostCpus,"passes":$nPasses}"""
+    // per-row verdicts vs a reference run (BASELINE.md's criterion,
+    // applied mechanically so a truncated driver tail needs no closure
+    // file as rebuttal)
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "dev/bench_ref.json")
+    val refTimes: Map[String, Double] = {
+      val p = Paths.get(refPath)
+      if (!Files.exists(p)) Map.empty
+      else scala.util.Try {
+        val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val m = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(body)
+        m.map(_.group(1).split(",").flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) => scala.util.Try(
+              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty)
+      }.getOrElse(Map.empty)
+    }
+    val contended = math.max(loadStart, loadEnd) >= 0.6 * hostCpus
+    val flags = timings.flatMap { case (name, t) =>
+      refTimes.get(name).collect {
+        case ref if ref > 0 && t > 1.3 * ref =>
+          val verdict =
+            if (contended) "contention"
+            else if (spreads.getOrElse(name, 0.0) > 0.5) "noisy"
+            else "real"
+          println(f"[bench] flag $name: $t%.2fs vs ref $ref%.2fs " +
+            f"(${t / ref}%.1fx) spread=${spreads.getOrElse(name, 0.0)}%.3f -> $verdict")
+          name -> verdict
+      }
+    }
+    val fl = flags.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // field order is deliberate: the noise instruments and verdicts come
+    // BEFORE the (large) queries map so tail truncation cannot strip them
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"host":$host,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
+      s""""host":$host,"ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
+      s""""flags":$fl,"errors":$errs,"spread":$sp,"queries":$qs}"""
     Files.write(
       Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
