@@ -136,6 +136,11 @@ object Soak {
         nearEligible, nearDropped,
         deletedRequested, delVisible)
       windowMs = 0.0; windowN = 0
+      // outside the timed window: nudge the GC-driven ContextCleaner so
+      // per-trigger broadcasts/shuffles release instead of accumulating
+      // (a large idle heap otherwise never collects, and the backlog
+      // reads as a latency ramp)
+      System.gc()
       println(s"[soak] ${cps.last}")
     }
 

@@ -170,11 +170,15 @@ object IngestOps {
     * stores hold — the LSH operating point, hot-shingle list, and
     * verified-Jaccard metric are unchanged.
     *
-    * The returned frame is PINNED (localCheckpoint): the per-trigger
-    * pipeline runs each stage exactly once — the un-pinned form
-    * re-executed the batch prep three times (keys collect, candidate
-    * collect, final assembly) and re-ran the store probes per consumer
-    * action, which dominated trigger latency at small batch sizes.
+    * The returned frame is PINNED (persist + materialize): the
+    * per-trigger pipeline runs each stage exactly once — the un-pinned
+    * form re-executed the batch prep three times (keys collect,
+    * candidate collect, final assembly) and re-ran the store probes per
+    * consumer action, which dominated trigger latency at small batch
+    * sizes. Intermediates unpersist before return; the CALLER must
+    * `unpersist()` the returned frame once consumed, or a long-running
+    * sink accumulates a block per trigger (persist keeps lineage, so a
+    * post-unpersist action merely recomputes — never breaks).
     */
   def appendDedupNearDupRouted(bandProbe: Seq[Long] => Option[DataFrame],
                                toksProbe: Seq[Any] => Option[DataFrame],
@@ -186,12 +190,12 @@ object IngestOps {
     val spark = incoming.sparkSession
     // each stage pins before fan-out; everything downstream is a cheap
     // map/collect over batch-sized pinned data
-    val exact = DedupOps.dedupExact(incoming, textCol, idCol).localCheckpoint(true)
+    val exact = DedupOps.dedupExact(incoming, textCol, idCol).persist()
     val inAll = DedupOps.minHashSigFrame(exact, numHashes, shingleK, textCol, idCol,
-      hotShingles).localCheckpoint(true)
+      hotShingles).persist()
     val batch = DedupOps.removeNearDups(exact,
       DedupOps.pairsOfSigFrame(inAll, bands, rows, threshold), idCol)
-      .localCheckpoint(true)
+      .persist()
     val inS = inAll.join(broadcast(batch.select(col(idCol).as("doc_id"))),
       Seq("doc_id"), "left_semi")
     val inBands = DedupOps.lshBands(inS, "sig", bands, rows)
@@ -229,8 +233,12 @@ object IngestOps {
           }
         }
     }
-    // pinned: the toks probe and verify run exactly once, here
-    batch.join(broadcast(drops), Seq(idCol), "left_anti").localCheckpoint(true)
+    // pinned + materialized: the toks probe and verify run exactly
+    // once, here; the batch-prep intermediates are then released
+    val survivors = batch.join(broadcast(drops), Seq(idCol), "left_anti").persist()
+    survivors.count()
+    exact.unpersist(false); inAll.unpersist(false); batch.unpersist(false)
+    survivors
   }
 
   /** Near-dup-aware incremental ingest — the production recipe for "new

@@ -210,21 +210,40 @@ object StructGate {
     def t(d: DataFrame) =
       d.select(col(idCol).as("__id"), tokensOf(col(textCol)).as("__toks"))
     val dropped = incoming.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
-    // witness search through the inverted-index shuffle (the
-    // jaccardPairs shape), NOT an all-pairs nested loop: a candidate
-    // witness must share ≥ 1 token (implied by jaccard ≥ threshold > 0),
-    // so posting-list equi-joins find every possible witness
+    // PREFIX-FILTERED witness search (the jaccardPairsPrefix lemma,
+    // cross-frame): under ONE global rarity order over both sides'
+    // tokens, two sets with Jaccard ≥ t must share a token inside each
+    // side's p = n − ⌈t·n⌉ + 1 rarest tokens — so joining PREFIXES
+    // loses no witness, and a Zipf-head token shared by every doc never
+    // enters the join (the r10 un-pruned form exploded ALL tokens and a
+    // hot token's posting list made the join |dropped|×|pool| on that
+    // key). Candidates are then verified with exact full-set Jaccard —
+    // the theorem proved is unchanged.
     val dT = t(dropped).withColumn("__n", size(col("__toks")))
     val pT = t(pool).withColumn("__n", size(col("__toks")))
-    val shared = dT.select(col("__id").as("__d"), col("__n").as("__dn"),
-        explode(col("__toks")).as("__t"))
-      .join(pT.select(col("__id").as("__p"), col("__n").as("__pn"),
-        explode(col("__toks")).as("__t")), Seq("__t"))
+    val dfRank = dT.select(explode(col("__toks")).as("__t"))
+      .unionAll(pT.select(explode(col("__toks")).as("__t")))
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    // exact-decimal ⌈t·n⌉ (see DedupOps.prefixCandidatesOf): double
+    // rounding may only LENGTHEN the prefix, never shorten it
+    val tDec = new java.math.BigDecimal(threshold)
+      .setScale(18, java.math.RoundingMode.DOWN)
+    def prefixIndex(tf: DataFrame, idAs: String): DataFrame =
+      tf.select(col("__id"), col("__n"), explode(col("__toks")).as("__t"))
+        .join(dfRank, Seq("__t"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__id").orderBy(col("__df"), col("__t"))))
+        .filter(col("__rn") <= col("__n") - ceil(col("__n") * lit(tDec)) + 1)
+        .select(col("__id").as(idAs), col("__t"))
+    val cand = prefixIndex(dT, "__d")
+      .join(prefixIndex(pT, "__p"), Seq("__t"))
       .filter(col("__d") =!= col("__p"))
-      .groupBy("__d", "__p", "__dn", "__pn").agg(count(lit(1)).as("__s"))
-    val witnessed = shared
-      .filter(col("__s").cast("double") /
-        (col("__dn") + col("__pn") - col("__s")) >= threshold)
+      .select("__d", "__p").distinct()
+    val witnessed = cand
+      .join(dT.select(col("__id").as("__d"), col("__toks").as("__dt")), Seq("__d"))
+      .join(pT.select(col("__id").as("__p"), col("__toks").as("__pt")), Seq("__p"))
+      .filter(size(array_intersect(col("__dt"), col("__pt"))).cast("double") /
+        size(array_union(col("__dt"), col("__pt"))) >= threshold)
       .select(col("__d").as(idCol)).distinct()
     survivors.agg((count(lit(1)) > 0).as("survivors_nonempty"),
         (count(lit(1)) === countDistinct(md5(col(textCol))))

@@ -586,7 +586,7 @@ object StreamingOps {
         if (!pinned.isEmpty) {
           frag.upsert(pinned)
           val signed = graft.ext.IngestOps.minHashSigsOf(pinned, numHashes,
-            shingleK, hotShingles = hotShingles).localCheckpoint(true)
+            shingleK, hotShingles = hotShingles).persist()
           val tomb = pinned.select(col("doc_id"))
             .join(signed.select("doc_id"), Seq("doc_id"), "left_anti")
             .select(col("doc_id"),
@@ -598,7 +598,13 @@ object StreamingOps {
           sigStore.upsert(signed.unionByName(tomb))
           bandStore.upsert(graft.ext.IngestOps.bandRowsOf(signed, bands,
             numHashes / bands))
+          signed.unpersist(false)
         }
+        // release the trigger's pinned blocks — a per-trigger block left
+        // persisted is a leak a 200-trigger soak measures as a latency
+        // ramp (cleanup is otherwise GC-driven and a large idle heap
+        // never collects)
+        pinned.unpersist(false)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           cadenceFold(frag)
           // bucketed side stores: per-bucket bound of 2 so EVERY tick
@@ -676,18 +682,20 @@ object StreamingOps {
                     bandStore: graft.runtime.BucketedFragmentStore,
                     keys: DataFrame,
                     numHashes: Int = 32, bands: Int = 8): Unit = {
-    val ks = keys.select(col("doc_id")).distinct().localCheckpoint(true)
-    sigStore.readWhere(col("doc_id").isin(
-        ks.collect().map(_.get(0)).toSeq: _*))
-      .foreach { sigRows =>
-        val bandRows = graft.ext.IngestOps.bandRowsOf(
-          sigRows.join(broadcast(ks), Seq("doc_id"), "left_semi"),
-          bands, numHashes / bands)
-        if (!bandRows.isEmpty)
-          bandStore.deleteKeys(bandRows.select(col("__bk"), col("band_key")))
-      }
-    sigStore.deleteKeys(ks)
-    frag.deleteKeys(ks)
+    val ks = keys.select(col("doc_id")).distinct().persist()
+    try {
+      sigStore.readWhere(col("doc_id").isin(
+          ks.collect().map(_.get(0)).toSeq: _*))
+        .foreach { sigRows =>
+          val bandRows = graft.ext.IngestOps.bandRowsOf(
+            sigRows.join(broadcast(ks), Seq("doc_id"), "left_semi"),
+            bands, numHashes / bands)
+          if (!bandRows.isEmpty)
+            bandStore.deleteKeys(bandRows.select(col("__bk"), col("band_key")))
+        }
+      sigStore.deleteKeys(ks)
+      frag.deleteKeys(ks)
+    } finally { ks.unpersist(false); () }
   }
 
   /** EMBEDDING-modality continuous ingest: the [[corpusIngestSink]]

@@ -122,4 +122,31 @@ class StructGateSpec extends SparkSpec {
         TextOps.distinctTokens _),
       except = Set("dropped_have_witness"))
   }
+
+  test("ingestNearDupGate prefix pruning: rare-token witness found under a flooding hot token") {
+    // every doc shares the Zipf-head token "the" ×2 (so it can never be
+    // a prefix token at t=0.9 — prefixes take the RAREST n−⌈tn⌉+1);
+    // the witness relationship rides the rare tail. The pruned search
+    // must still find the planted witness — and still fail a reject
+    // with no witness.
+    val pool = Seq(
+      (1L, "the w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (2L, "the z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      (3L, "the y1 y2 y3 y4 y5 y6 y7 y8 y9")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "the w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // near-dup of 1 (j=10/11)
+      (12L, "the q1 q2 q3 q4 q5 q6 q7 q8 q9")       // novel
+    ).toDF("doc_id", "text")
+    val survivors = IngestOps.appendDedupNearDup(pool, incoming, 0.9)
+    assert(survivors.select("doc_id").as[Long].collect().toSet == Set(12L))
+    allTrue(StructGate.ingestNearDupGate(survivors,
+      pool.unionByName(incoming), incoming, 0.9, TextOps.distinctTokens _))
+    // falsifiability under pruning: claim BOTH incoming docs were
+    // dropped — doc 12 has no witness anywhere, and the pruned search
+    // must say so rather than hallucinate one from the hot token
+    allTrue(StructGate.ingestNearDupGate(
+        survivors.limit(0), pool.unionByName(incoming), incoming, 0.9,
+        TextOps.distinctTokens _),
+      except = Set("survivors_nonempty", "dropped_have_witness"))
+  }
 }
