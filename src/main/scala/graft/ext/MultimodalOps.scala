@@ -234,7 +234,29 @@ object MultimodalOps {
     * through genuine PNG encode → [[ImageIoCodec]] decode — a match
     * proves bit-exact pixel recovery, not just plumbing.
     */
-  def withGeneratedPng(docs: DataFrame): DataFrame = {
+  def withGeneratedPng(docs: DataFrame): DataFrame =
+    withGeneratedImages(docs, "png")
+
+  /** [[withGeneratedPng]] generalized over the in-JVM codec formats —
+    * the format-dispatch breadth gate (VERDICT r10 task 6). Pixel
+    * content by format:
+    *
+    *  - `png` / `bmp`: RGB from [[genPixel]] — both encode losslessly,
+    *    so decode recovers every pixel bit-exactly and the analytic
+    *    RGB-luminance oracle applies unchanged;
+    *  - `gif`: INDEXED 256-gray palette (palette entry v = (v,v,v)),
+    *    sample v = low byte of [[genPixel]], written straight into the
+    *    raster — GIF's LZW is lossless over indexed data and `getRGB`
+    *    reads palette entries verbatim (no colorspace conversion, which
+    *    a TYPE_BYTE_GRAY image would apply), so luminance of pixel i is
+    *    EXACTLY v: analytically computable;
+    *  - `jpeg`: RGB from [[genPixel]] — lossy by design, so only the
+    *    decoded DIMENSIONS are oracle-exact; pixel statistics are
+    *    spec-bounded (mean-luma tolerance), not hash-pinned.
+    */
+  def withGeneratedImages(docs: DataFrame, format: String): DataFrame = {
+    require(Set("png", "bmp", "gif", "jpeg")(format),
+      s"unsupported generator format '$format'")
     val base = docs.select(col("doc_id"),
       ((col("doc_id") % 8 + 1) * 8).cast("int").as("w"),
       ((col("doc_id") % 6 + 1) * 8).cast("int").as("h"))
@@ -244,15 +266,32 @@ object MultimodalOps {
       StructField("media_meta", mediaMetaType)))
     base.mapPartitions { rows =>
       // encoder allocation is per-partition; images are built row-local
+      val grayPalette = if (format == "gif") {
+        val ramp = Array.tabulate(256)(_.toByte)
+        new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      } else null
       rows.map { r =>
         val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < w * h) { img.setRGB(i % w, i / w, genPixel(id, i)); i += 1 }
+        val img =
+          if (format == "gif") {
+            val im = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+            val raster = im.getRaster
+            var i = 0
+            while (i < w * h) {
+              raster.setSample(i % w, i / w, 0, genPixel(id, i) & 0xFF); i += 1
+            }
+            im
+          } else {
+            val im = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < w * h) { im.setRGB(i % w, i / w, genPixel(id, i)); i += 1 }
+            im
+          }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, bos.toByteArray, Row("png", w, h, null))
+        javax.imageio.ImageIO.write(img, format, bos)
+        Row(id, bos.toByteArray, Row(format, w, h, null))
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -1013,6 +1013,26 @@ object ExtQueries {
           round(element_at(col("features"), 1), 6).as("bin0"),
           round(element_at(col("features"), 6), 6).as("bin5"),
           round(element_at(col("features"), 16), 6).as("bin15"))),
+    // codec-format BREADTH gate (r10 task 6): the same real-decode
+    // contract across two MORE in-JVM formats — BMP (lossless RGB, so
+    // the PNG analytic oracle applies verbatim) and GIF (indexed
+    // 256-gray palette: LZW is lossless over indexed data and getRGB
+    // reads palette entries with no colorspace conversion, so pixel i's
+    // luminance is EXACTLY the generator's low byte). One row per
+    // (doc, format); a hash match proves the codec seam's format
+    // dispatch decodes each container bit-exactly, not just PNG.
+    // JPEG (lossy) rides MultimodalSpec with dims + tolerance bounds.
+    "q_ext_media_formats" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents.select("doc_id")
+      MultimodalOps.decodeImage(
+        MultimodalOps.withGeneratedImages(docs, "bmp")
+          .unionByName(MultimodalOps.withGeneratedImages(docs, "gif")))
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("decoded_width"), col("decoded_height"),
+          round(element_at(col("features"), 1), 6).as("bin0"),
+          round(element_at(col("features"), 6), 6).as("bin5"),
+          round(element_at(col("features"), 16), 6).as("bin15"))
+    }),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -1863,6 +1883,37 @@ object ExtQueries {
          |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / 192, 6) AS bin5,
          |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / 192, 6) AS bin15
          |FROM lum""".stripMargin),
+    // Format-breadth mirror: BMP reuses the RGB luminance CTE (lossless
+    // 24-bit, identical to the PNG gate); GIF's indexed-gray pixels make
+    // luminance exactly the generator's low byte, so its bins are
+    // (formula & 255) // 16 with no 299/587/114 arithmetic at all.
+    "q_ext_media_formats" ->
+      ("""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 8 + 1) * 8 AS INT) AS w,
+         |    CAST((doc_id % 6 + 1) * 8 AS INT) AS h
+         |  FROM documents
+         |),
+         |bmp AS (
+         |  SELECT doc_id, 'bmp' AS format, w, h,
+         |    list_transform(range(w*h), i ->
+         |      (299 * (((((doc_id*31 + i) % 16777216) * 2654435769) >> 16) & 255)
+         |     + 587 * (((((doc_id*31 + i) % 16777216) * 2654435769) >> 8) & 255)
+         |     + 114 * ((((doc_id*31 + i) % 16777216) * 2654435769) & 255)) // 1000 // 16) AS bins
+         |  FROM d
+         |),
+         |gif AS (
+         |  SELECT doc_id, 'gif' AS format, w, h,
+         |    list_transform(range(w*h), i ->
+         |      ((((doc_id*31 + i) % 16777216) * 2654435769) & 255) // 16) AS bins
+         |  FROM d
+         |),
+         |u AS (SELECT * FROM bmp UNION ALL SELECT * FROM gif)
+         |SELECT doc_id, format, w AS decoded_width, h AS decoded_height,
+         |  round(CAST(len(list_filter(bins, v -> v = 0)) AS DOUBLE) / (w*h), 6) AS bin0,
+         |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / (w*h), 6) AS bin5,
+         |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / (w*h), 6) AS bin15
+         |FROM u""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
     // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's

@@ -146,4 +146,62 @@ class MultimodalSpec extends SparkSpec {
     // format rides through untouched
     assert(Seq("jpeg", "png", "wav").contains(r.getAs[String]("fmt")))
   }
+
+  test("codec breadth: BMP/GIF decode bit-exactly, JPEG dims-exact with bounded luma drift, truncated JPEG falls back") {
+    import spark.implicits._
+    val docs = Seq(3L, 5L, 42L).toDF("doc_id")
+    def gp(d: Long, i: Int): Long = ((d * 31 + i) * 0x9E3779B9L) & 0xFFFFFFL
+    def expectedDims(d: Long): (Int, Int) =
+      (((d % 8 + 1) * 8).toInt, ((d % 6 + 1) * 8).toInt)
+    def rgbLuma(p: Long): Int =
+      ((299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)) / 1000).toInt
+    // BMP: lossless RGB — histogram matches the generator analytically
+    // GIF: indexed gray — luminance is exactly the generator's low byte
+    for ((fmt, lumaOf) <- Seq(
+        ("bmp", (p: Long) => rgbLuma(p)),
+        ("gif", (p: Long) => (p & 0xFF).toInt))) {
+      val rows = MultimodalOps.decodeImage(
+        MultimodalOps.withGeneratedImages(docs, fmt)).collect()
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        val d = r.getAs[Long]("doc_id")
+        val (w, h) = expectedDims(d)
+        assert(r.getAs[Int]("decoded_width") == w &&
+          r.getAs[Int]("decoded_height") == h, s"$fmt dims for $d")
+        val want = new Array[Double](16)
+        (0 until w * h).foreach(i => want(lumaOf(gp(d, i)) / 16) += 1.0 / (w * h))
+        val got = r.getSeq[Double](r.fieldIndex("features"))
+        assert(want.zip(got).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+          s"$fmt must round-trip bit-exactly for doc $d")
+      }
+    }
+    // JPEG: dims exact; pixels lossy but mean luminance stays close
+    val jrows = MultimodalOps.decodeImage(
+      MultimodalOps.withGeneratedImages(docs, "jpeg")).collect()
+    jrows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val (w, h) = expectedDims(d)
+      assert(r.getAs[Int]("decoded_width") == w && r.getAs[Int]("decoded_height") == h)
+      val got = r.getSeq[Double](r.fieldIndex("features"))
+      assert(math.abs(got.sum - 1.0) < 1e-9, "histogram mass")
+      val gotMean = got.zipWithIndex.map { case (m, b) => m * (b * 16 + 8) }.sum
+      val srcMean = (0 until w * h).map(i => rgbLuma(gp(d, i))).sum.toDouble / (w * h)
+      assert(math.abs(gotMean - srcMean) < 24.0,
+        s"jpeg mean luma drifted: $gotMean vs $srcMean")
+    }
+    // truncated JPEG: decode → NULLs (kept); decodeFeatures → byte fallback
+    val jpegBytes = MultimodalOps.withGeneratedImages(Seq(42L).toDF("doc_id"), "jpeg")
+      .select("media").head().getAs[Array[Byte]](0)
+    val cut = jpegBytes.take(jpegBytes.length * 3 / 5)
+    val corrupt = Seq((42L, cut, ("jpeg", 40, 40, null.asInstanceOf[Integer])))
+      .toDF("doc_id", "media", "media_meta")
+    val dec = MultimodalOps.decodeImage(corrupt).head()
+    assert(dec.isNullAt(dec.fieldIndex("decoded_width")) &&
+      dec.isNullAt(dec.fieldIndex("features")),
+      "truncated JPEG must map to NULLs, not throw and not fake pixels")
+    val feat = MultimodalOps.decodeFeatures(corrupt).head()
+    val fb = feat.getSeq[Double](feat.fieldIndex("features"))
+    assert(math.abs(fb.sum - 1.0) < 1e-9,
+      "truncated JPEG must featurize via the byte-histogram fallback")
+  }
 }
