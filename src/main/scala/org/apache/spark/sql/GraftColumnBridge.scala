@@ -43,7 +43,11 @@ object GraftColumnBridge {
     * with deliberately unmodelable predicates. A drift that breaks
     * COMPILATION (e.g. `Column.node` moving again) fails loudly at
     * build time, which is the desired failure mode for a private-API
-    * shim.
+    * shim. The SILENT drift mode — an internal function name change
+    * turning a modeled conjunct into None, costing pruning with no
+    * failure anywhere — is tripwired by ColumnBridgeSpec, which pins
+    * every claimed node type to its exact catalyst class and pins the
+    * validated Spark range; widen both together on a version bump.
     */
   def predicateConjuncts(c: Column): Seq[Option[Expression]] = split(c.node)
 
