@@ -72,7 +72,17 @@ object Bench {
     "q_ext_knn_sq", "q_ext_knn_ivfpq",
     // fragment-store family: store build + pruned/bucket-routed reads
     // must stay flat-ish as the corpus scales 10×
-    "q_ext_frag_skip", "q_ext_frag_delete", "q_ext_frag_bucketed")
+    "q_ext_frag_skip", "q_ext_frag_delete", "q_ext_frag_bucketed",
+    // r11 additions (VERDICT r10 task 3): the ingest compositions, the
+    // structurally-gated rows not already above (gate shape must not
+    // cliff at 10× — the r10 witness join did exactly that), and the
+    // six full model families so SQL-surface/model scale cliffs become
+    // round artifacts
+    "q_ext_ingest_dedup", "q_ext_ingest_neardup", "q_ext_ingest_neardup_exactmode",
+    "q_ext_knn_hnsw", "q_ext_knn_auto", "q_ext_knn_after_delete",
+    "q_ext_knn_pq_exactmode", "q_ext_knn_sq_exactmode",
+    "q_model_daily_incr", "q_model_pages_incr", "q_model_leads_incr",
+    "q_model_daily_sql_incr", "q_model_pages_sql_incr", "q_model_leads_sql_incr")
 
   def main(args: Array[String]): Unit = {
     val sf1 = sys.env.get("SPARK_GRAFT_SF").contains("1")
