@@ -38,10 +38,11 @@ import java.nio.charset.StandardCharsets
   *     default `dev/bench_ref.json` — written at each round's idle
   *     closure), every row whose min exceeds 1.3× its reference gets a
   *     flag applying BASELINE.md's criterion mechanically:
-  *     `contention` (host load ≥ 0.6× cpus at either stamp),
-  *     `noisy` (the row's own spread > 0.5), else `real`.
-  *     A flagged-`real` row is a genuine regression candidate; the
-  *     other two are self-identified measurement artifacts.
+  *     `contention` (host load ≥ cpus at either stamp — taints the
+  *     file), `subsecond` (min under 1 s: warmup-dominated, judge on
+  *     absolute delta), `noisy` (the row's own spread > 0.5), else
+  *     `real`. A flagged-`real` row is a genuine regression candidate;
+  *     the others are self-identified measurement artifacts.
   *
   * Failures are NOT swallowed: a query that throws is recorded under
   * the `"errors"` map in the output JSON (name -> exception
@@ -179,12 +180,16 @@ object Bench {
         }.toMap).getOrElse(Map.empty)
       }.getOrElse(Map.empty)
     }
-    val contended = math.max(loadStart, loadEnd) >= 0.6 * hostCpus
+    // BASELINE.md's criterion, verbatim: (3) loaded host taints the file;
+    // (2) spread only judges rows at/above 1 s (sub-second rows are
+    // warmup-dominated — judged on absolute deltas, flagged as such)
+    val contended = math.max(loadStart, loadEnd) >= hostCpus
     val flags = timings.flatMap { case (name, t) =>
       refTimes.get(name).collect {
         case ref if ref > 0 && t > 1.3 * ref =>
           val verdict =
             if (contended) "contention"
+            else if (t < 1.0) "subsecond"
             else if (spreads.getOrElse(name, 0.0) > 0.5) "noisy"
             else "real"
           println(f"[bench] flag $name: $t%.2fs vs ref $ref%.2fs " +
