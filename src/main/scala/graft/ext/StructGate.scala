@@ -209,34 +209,50 @@ object StructGate {
                         textCol: String = "text"): DataFrame = {
     def t(d: DataFrame) =
       d.select(col(idCol).as("__id"), tokensOf(col(textCol)).as("__toks"))
-    val dropped = incoming.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
-    // PREFIX-FILTERED witness search (the jaccardPairsPrefix lemma,
-    // cross-frame): under ONE global rarity order over both sides'
-    // tokens, two sets with Jaccard ≥ t must share a token inside each
-    // side's p = n − ⌈t·n⌉ + 1 rarest tokens — so joining PREFIXES
-    // loses no witness, and a Zipf-head token shared by every doc never
-    // enters the join (the r10 un-pruned form exploded ALL tokens and a
-    // hot token's posting list made the join |dropped|×|pool| on that
-    // key). Candidates are then verified with exact full-set Jaccard —
-    // the theorem proved is unchanged.
+    // PIN the gate's subject: the flag row references the survivor set
+    // from five subtrees (two survivor aggregates, the dropped
+    // anti-join, and the witness search's prefix + verify legs), and
+    // `survivors` is the FULL production ingest pipeline — un-pinned,
+    // one gate evaluation re-ran it ~5×, measured as ~2.5× the whole
+    // row's production cost at sf0.1. MEMORY_AND_DISK persist; Bench's
+    // between-row hygiene (or session teardown) releases it.
+    val sv = survivors.persist()
+    val dropped = incoming
+      .join(sv.select(col(idCol)), Seq(idCol), "left_anti").persist()
+    // ONE-SIDED PREFIX witness search. Pigeonhole: Jaccard(x,y) ≥ t
+    // forces |x∩y| ≥ ⌈t·|x|⌉, so ANY p = n − ⌈t·n⌉ + 1 tokens of a
+    // dropped doc x must contain a shared token (the complement has
+    // only ⌈t·n⌉ − 1 slots) — prefixing ONLY the dropped side is
+    // lossless, no ordering consistency with the pool needed. The
+    // pool side therefore never shuffles or rank-windows (an earlier
+    // two-sided form rank-windowed every pool posting — measured 2×
+    // the whole row's cost at sf0.1): one pool df aggregate picks the
+    // RAREST p tokens per dropped doc (pure fan-out heuristic — a
+    // Zipf-head token lands in a prefix only when a doc has almost no
+    // rare tokens), and pool postings stream map-side into a broadcast
+    // join with the (batch-sized) dropped prefixes. Tokens absent from
+    // the pool can be excluded from the ranking outright: a pool
+    // witness cannot share them, and if fewer than p pool-present
+    // tokens remain the prefix is all of them (still lossless).
+    // Candidates verify with exact full-set Jaccard — the theorem
+    // proved is unchanged.
     val dT = t(dropped).withColumn("__n", size(col("__toks")))
-    val pT = t(pool).withColumn("__n", size(col("__toks")))
-    val dfRank = dT.select(explode(col("__toks")).as("__t"))
-      .unionAll(pT.select(explode(col("__toks")).as("__t")))
+    val pT = t(pool)
+    val dfRank = pT.select(explode(col("__toks")).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__df"))
     // exact-decimal ⌈t·n⌉ (see DedupOps.prefixCandidatesOf): double
     // rounding may only LENGTHEN the prefix, never shorten it
     val tDec = new java.math.BigDecimal(threshold)
       .setScale(18, java.math.RoundingMode.DOWN)
-    def prefixIndex(tf: DataFrame, idAs: String): DataFrame =
-      tf.select(col("__id"), col("__n"), explode(col("__toks")).as("__t"))
-        .join(dfRank, Seq("__t"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("__id").orderBy(col("__df"), col("__t"))))
-        .filter(col("__rn") <= col("__n") - ceil(col("__n") * lit(tDec)) + 1)
-        .select(col("__id").as(idAs), col("__t"))
-    val cand = prefixIndex(dT, "__d")
-      .join(prefixIndex(pT, "__p"), Seq("__t"))
+    val dPrefix = dT
+      .select(col("__id"), col("__n"), explode(col("__toks")).as("__t"))
+      .join(dfRank, Seq("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__t"))))
+      .filter(col("__rn") <= col("__n") - ceil(col("__n") * lit(tDec)) + 1)
+      .select(col("__id").as("__d"), col("__t"))
+    val cand = pT.select(col("__id").as("__p"), explode(col("__toks")).as("__t"))
+      .join(broadcast(dPrefix), Seq("__t"))
       .filter(col("__d") =!= col("__p"))
       .select("__d", "__p").distinct()
     val witnessed = cand
@@ -245,10 +261,10 @@ object StructGate {
       .filter(size(array_intersect(col("__dt"), col("__pt"))).cast("double") /
         size(array_union(col("__dt"), col("__pt"))) >= threshold)
       .select(col("__d").as(idCol)).distinct()
-    survivors.agg((count(lit(1)) > 0).as("survivors_nonempty"),
+    sv.agg((count(lit(1)) > 0).as("survivors_nonempty"),
         (count(lit(1)) === countDistinct(md5(col(textCol))))
           .as("survivors_distinct_text"))
-      .crossJoin(survivors.join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
+      .crossJoin(sv.join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
         .agg((count(lit(1)) === 0).as("survivors_from_incoming")))
       .crossJoin(dropped.select(col(idCol)).join(witnessed, Seq(idCol), "left_anti")
         .agg((count(lit(1)) === 0).as("dropped_have_witness")))
