@@ -168,16 +168,24 @@ object Bench {
     val refTimes: Map[String, Double] = {
       val p = Paths.get(refPath)
       if (!Files.exists(p)) Map.empty
-      else scala.util.Try {
+      else scala.util.Try[Map[String, Double]] {
         val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        val m = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(body)
-        m.map(_.group(1).split(",").flatMap { kv =>
-          kv.split(":") match {
-            case Array(k, v) => scala.util.Try(
-              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
-            case _ => None
-          }
-        }.toMap).getOrElse(Map.empty)
+        // a reference from a DIFFERENT scale factor flags everything
+        // (sf1 rows are 10× the sf0.1 reference by design): only
+        // adjudicate same-sf runs
+        val refSf = """"sf"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(body).map(_.group(1))
+        if (!refSf.contains(sfDir)) Map.empty
+        else {
+          val m = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(body)
+          m.map(_.group(1).split(",").flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) => scala.util.Try(
+                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty)
+        }
       }.getOrElse(Map.empty)
     }
     // BASELINE.md's criterion, verbatim: (3) loaded host taints the file;
