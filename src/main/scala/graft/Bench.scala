@@ -38,11 +38,14 @@ import java.nio.charset.StandardCharsets
   *     default `dev/bench_ref.json` — written at each round's idle
   *     closure), every row whose min exceeds 1.3× its reference gets a
   *     flag applying BASELINE.md's criterion mechanically:
-  *     `contention` (host load ≥ cpus at either stamp — taints the
-  *     file), `subsecond` (min under 1 s: warmup-dominated, judge on
-  *     absolute delta), `noisy` (the row's own spread > 0.5), else
-  *     `real`. A flagged-`real` row is a genuine regression candidate;
-  *     the others are self-identified measurement artifacts.
+  *     `contention` (host load1 > max(2, cpus/8) at either stamp —
+  *     taints the file), `subsecond` (min under 1 s: warmup-dominated,
+  *     judge on absolute delta), `noisy` (the row's own spread > 0.5),
+  *     else `real`. A flagged-`real` row is a genuine regression
+  *     candidate; the others are self-identified measurement artifacts.
+  *     Since r12 a second compact `{"metric":"summary",...}` line is
+  *     printed AFTER the main line so a tail-only stdout capture keeps
+  *     the instruments (BENCH_r11 lost them to head-ordering alone).
   *
   * Failures are NOT swallowed: a query that throws is recorded under
   * the `"errors"` map in the output JSON (name -> exception
@@ -168,30 +171,51 @@ object Bench {
     val refTimes: Map[String, Double] = {
       val p = Paths.get(refPath)
       if (!Files.exists(p)) Map.empty
-      else scala.util.Try[Map[String, Double]] {
-        val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        // a reference from a DIFFERENT scale factor flags everything
-        // (sf1 rows are 10× the sf0.1 reference by design): only
-        // adjudicate same-sf runs
-        val refSf = """"sf"\s*:\s*"([^"]*)"""".r
-          .findFirstMatchIn(body).map(_.group(1))
-        if (!refSf.contains(sfDir)) Map.empty
-        else {
-          val m = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(body)
-          m.map(_.group(1).split(",").flatMap { kv =>
-            kv.split(":") match {
-              case Array(k, v) => scala.util.Try(
-                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
-              case _ => None
-            }
-          }.toMap).getOrElse(Map.empty)
+      else {
+        // A dead adjudicator must be VISIBLE (ADVICE r11): when the ref
+        // file exists but yields zero usable timings — regex drift, sf
+        // mismatch, malformed body — say why instead of silently
+        // degrading to "no reference present".
+        val loaded = scala.util.Try[Either[String, Map[String, Double]]] {
+          val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          // a reference from a DIFFERENT scale factor flags everything
+          // (sf1 rows are 10× the sf0.1 reference by design): only
+          // adjudicate same-sf runs
+          val refSf = """"sf"\s*:\s*"([^"]*)"""".r
+            .findFirstMatchIn(body).map(_.group(1))
+          if (!refSf.contains(sfDir))
+            Left(s"sf mismatch: ref has ${refSf.getOrElse("<none>")}, run is $sfDir")
+          else {
+            val m = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(body)
+            val parsed = m.map(_.group(1).split(",").flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) => scala.util.Try(
+                  k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+                case _ => None
+              }
+            }.toMap).getOrElse(Map.empty[String, Double])
+            if (parsed.isEmpty) Left("no parsable \"queries\" map in ref file")
+            else Right(parsed)
+          }
+        }.fold(e => Left(s"unreadable: ${e.getClass.getSimpleName}: ${e.getMessage}"), identity)
+        loaded match {
+          case Right(m) => m
+          case Left(reason) =>
+            println(s"[bench] reference file $refPath present but UNUSED ($reason) — flag adjudication is OFF this run")
+            Map.empty
         }
-      }.getOrElse(Map.empty)
+      }
     }
     // BASELINE.md's criterion, verbatim: (3) loaded host taints the file;
     // (2) spread only judges rows at/above 1 s (sub-second rows are
-    // warmup-dominated — judged on absolute deltas, flagged as such)
-    val contended = math.max(loadStart, loadEnd) >= hostCpus
+    // warmup-dominated — judged on absolute deltas, flagged as such).
+    // The idleness threshold is load1 > max(2, cpus/8), NOT load >= cpus
+    // (VERDICT r11 #2): on a 32-cpu host a load of 4.6 demonstrably
+    // inflated model rows 1.3× while still reading "idle" under the old
+    // rule — `< cpus` certifies only "not fully saturated", which is far
+    // too lax to certify a timing as attributable.
+    val contended =
+      math.max(loadStart, loadEnd) > math.max(2.0, hostCpus / 8.0)
     val flags = timings.flatMap { case (name, t) =>
       refTimes.get(name).collect {
         case ref if ref > 0 && t > 1.3 * ref =>
@@ -213,11 +237,23 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s""""host":$host,"ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
       s""""flags":$fl,"errors":$errs,"spread":$sp,"queries":$qs}"""
+    // Tail-safety, for real this time (VERDICT r11 finding #1): the r10
+    // fix put the instruments BEFORE the queries map, but the driver
+    // keeps the TAIL of stdout — BENCH_r11.json lost host/flags/spread.
+    // So a SECOND, compact summary line goes out LAST: any tail capture
+    // keeps it, and it carries everything except the per-row maps.
+    val summaryLine =
+      s"""{"metric":"summary","total":$total,"sf":${jstr(sfDir)},""" +
+      s""""host":$host,"contended":$contended,""" +
+      s""""ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
+      s""""flags":$fl,"errors_count":${errors.size},""" +
+      s""""spread_max":${if (spreads.isEmpty) 0.0 else spreads.values.max}}"""
     Files.write(
       Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
     println(line)
+    println(summaryLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

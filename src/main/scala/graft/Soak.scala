@@ -90,7 +90,7 @@ object Soak {
     var deletedRequested = 0L
 
     final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int,
-                        sigFrags: Int, bandFrags: Int,
+                        sigFrags: Int, bandFrags: Int, sideBucketMax: Int,
                         diskMb: Double, pointScan: Int, pointTotal: Int,
                         ingestMsAvg: Double,
                         exactInj: Long, exactDropped: Long,
@@ -128,8 +128,13 @@ object Soak {
       corpus.unpersist()
       val probeId = slices(0).head._1
       val (_, rep) = frag.readWhereReport(col("doc_id") === probeId)
+      // per-bucket max DURING the run (ADVICE r11 #1): measured after
+      // the final compact it is vacuously ~1 — the bound must gate the
+      // worst live state a reader could meet, i.e. every checkpoint
       cps += Cp(t, rows, frag.fragmentCount(),
-        sigs.fragmentCounts().sum, bandStore.fragmentCounts().sum, dirMb(),
+        sigs.fragmentCounts().sum, bandStore.fragmentCounts().sum,
+        (sigs.fragmentCounts() ++ bandStore.fragmentCounts())
+          .maxOption.getOrElse(0), dirMb(),
         rep.scanned, rep.total,
         if (windowN == 0) 0 else math.round(windowMs / windowN * 10) / 10.0,
         exactInjected, exactDropped,
@@ -207,13 +212,12 @@ object Soak {
         val l = series.takeRight(3).sum / 3.0
         (e, l, if (e == 0) 1.0 else l / e)
       }
-    val maxSideBucketFrags = (sigs.fragmentCounts() ++ bandStore.fragmentCounts())
-      .maxOption.getOrElse(0)
+    val maxSideBucketFrags = cps.map(_.sideBucketMax).maxOption.getOrElse(0)
     val checks: Seq[(String, Boolean, String)] = Seq(
       ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
         s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
       ("side_frag_bound", maxSideBucketFrags <= SideFragBound,
-        s"max per-bucket $maxSideBucketFrags <= $SideFragBound"),
+        s"max per-bucket across checkpoints $maxSideBucketFrags <= $SideFragBound"),
       ("exact_recall", exactRecall >= ExactRecallFloor,
         f"$exactRecall%.4f >= $ExactRecallFloor"),
       ("near_recall", nearRecall >= NearRecallFloor,
@@ -226,7 +230,8 @@ object Soak {
 
     def j(cp: Cp): String =
       s"""{"t":${cp.t},"corpus_rows":${cp.corpusRows},"corpus_frags":${cp.corpusFrags},""" +
-      s""""sig_frags":${cp.sigFrags},"band_frags":${cp.bandFrags},"disk_mb":${cp.diskMb},""" +
+      s""""sig_frags":${cp.sigFrags},"band_frags":${cp.bandFrags},""" +
+      s""""side_bucket_max":${cp.sideBucketMax},"disk_mb":${cp.diskMb},""" +
       s""""point_scan":${cp.pointScan},"point_total":${cp.pointTotal},""" +
       s""""ingest_ms_avg":${cp.ingestMsAvg},""" +
       s""""exact_injected":${cp.exactInj},"exact_dropped":${cp.exactDropped},""" +

@@ -214,8 +214,10 @@ object StructGate {
     // anti-join, and the witness search's prefix + verify legs), and
     // `survivors` is the FULL production ingest pipeline — un-pinned,
     // one gate evaluation re-ran it ~5×, measured as ~2.5× the whole
-    // row's production cost at sf0.1. MEMORY_AND_DISK persist; Bench's
-    // between-row hygiene (or session teardown) releases it.
+    // row's production cost at sf0.1. MEMORY_AND_DISK persist; the
+    // gate evaluates EAGERLY below and unpersists before returning, so
+    // repeated calls in a long-lived session leak no cached blocks
+    // (ADVICE r11 #2 — cleanup must not depend on Bench's hygiene).
     val sv = survivors.persist()
     val dropped = incoming
       .join(sv.select(col(idCol)), Seq(idCol), "left_anti").persist()
@@ -261,13 +263,20 @@ object StructGate {
       .filter(size(array_intersect(col("__dt"), col("__pt"))).cast("double") /
         size(array_union(col("__dt"), col("__pt"))) >= threshold)
       .select(col("__d").as(idCol)).distinct()
-    sv.agg((count(lit(1)) > 0).as("survivors_nonempty"),
+    val gate = sv.agg((count(lit(1)) > 0).as("survivors_nonempty"),
         (count(lit(1)) === countDistinct(md5(col(textCol))))
           .as("survivors_distinct_text"))
       .crossJoin(sv.join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
         .agg((count(lit(1)) === 0).as("survivors_from_incoming")))
       .crossJoin(dropped.select(col(idCol)).join(witnessed, Seq(idCol), "left_anti")
         .agg((count(lit(1)) === 0).as("dropped_have_witness")))
+    // evaluate now (1 flag row) so the pins release with the call
+    val rows = gate.collect()
+    val out = sv.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), gate.schema)
+    sv.unpersist()
+    dropped.unpersist()
+    out
   }
 
   /** Constant-true one-row oracle matching the pair gates' column set. */

@@ -676,6 +676,21 @@ object StreamingOps {
     * corpus — a crash mid-way leaves the corpus row live and every
     * retry finds it, so the delete re-applies; the reverse order would
     * orphan band rows whose signatures are already gone.
+    *
+    * '''API CONTRACT — the caller MUST retry until this method returns
+    * normally.''' This is a right-to-be-forgotten surface and a single
+    * crashed invocation deletes NOTHING durably: a crash after the band
+    * delete but before the sig/corpus deletes leaves the doc fully live
+    * in the corpus, and the next sink restart's
+    * [[repairNearDupSideTables]] — correctly — re-derives and re-inserts
+    * the just-deleted band rows from the still-live signature/corpus
+    * rows. That is the designed behavior (repair must heal exactly this
+    * half-state for docs that were never forgotten), which is why the
+    * forget obligation sits with the caller: re-issue the same key set
+    * until one call completes, after which every table in the triple has
+    * the tombstone and no repair can resurrect the doc. Idempotent —
+    * retrying a completed forget is a no-op. Gated by
+    * FragmentedSinkSpec's crash-between-deletes case.
     */
   def nearDupForget(frag: graft.runtime.KeyedFragmentStore,
                     sigStore: graft.runtime.BucketedFragmentStore,

@@ -287,6 +287,56 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("banded near-dup sink: forget crash between deletes + repair resurrects; RETRIED forget completes") {
+    // nearDupForget's scaladoc contract: a crash after the band delete
+    // but before the sig/corpus deletes leaves the doc fully live, a
+    // restart's repair re-inserts the half-deleted band rows (correct —
+    // the doc was never durably forgotten), and the caller's obligation
+    // is to RE-ISSUE the forget until one call returns. This pins all
+    // three legs: the half-state, the resurrection, and the retry.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.runtime.BucketedFragmentStore
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "fc", "doc_id")
+    val sigS = BucketedFragmentStore(spark, dir, "fc__sigs", "doc_id", buckets = 4)
+    val bandS = BucketedFragmentStore(spark, dir, "fc__sigbands", "__bk",
+      buckets = 8, routeCol = Some("band_key"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestNearDupBandedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigS, bandS, threshold = 0.8).start()
+    try {
+      in.addData((1L, "a b c d e f g h i j"), (2L, "z1 z2 z3 z4 z5"))
+      q.processAllAvailable()
+      // CRASH SIMULATION: replay exactly nearDupForget's first delete
+      // (band rows, derived from the stored signatures) and stop there
+      val sigRows = sigS.readWhere(col("doc_id") === 1L).get
+      val bandRows = graft.ext.IngestOps.bandRowsOf(sigRows, 8, 4)
+      bandS.deleteKeys(bandRows.select(col("__bk"), col("band_key")))
+      assert(bandS.read().get.filter(col("doc_id") === 1L).isEmpty,
+        "half-state: band rows gone while sig + corpus rows live")
+      // restart-path repair: doc 1 is still live in corpus+sigs, so the
+      // anti-join correctly re-bands it — the forget has NOT happened
+      StreamingOps.repairNearDupSideTables(frag, sigS, bandS)
+      assert(!bandS.read().get.filter(col("doc_id") === 1L).isEmpty,
+        "repair must re-insert band rows for a still-live doc")
+      // ... and the resurrected witness still suppresses near-dups
+      in.addData((11L, "a b c d e f g h i j k"))
+      q.processAllAvailable()
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L), "resurrected doc must keep suppressing its near-dups")
+      // the contract: re-issue the SAME forget; the retry completes the triple
+      StreamingOps.nearDupForget(frag, sigS, bandS, Seq(1L).toDF("doc_id"))
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet == Set(2L))
+      assert(sigS.read().get.select("doc_id").as[Long].collect().toSet == Set(2L))
+      assert(bandS.read().get.select("doc_id").as[Long].collect().toSet == Set(2L),
+        "retried forget must clear all three tables")
+      // a later repair finds nothing to resurrect
+      StreamingOps.repairNearDupSideTables(frag, sigS, bandS)
+      assert(bandS.read().get.select("doc_id").as[Long].collect().toSet == Set(2L),
+        "post-forget repair must not resurrect the forgotten doc")
+    } finally q.stop()
+  }
+
   test("near-dup fragmented sink: compaction cadence folds both tables to one fragment") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
