@@ -86,7 +86,12 @@ object Bench {
     "q_ext_knn_hnsw", "q_ext_knn_auto", "q_ext_knn_after_delete",
     "q_ext_knn_pq_exactmode", "q_ext_knn_sq_exactmode",
     "q_model_daily_incr", "q_model_pages_incr", "q_model_leads_incr",
-    "q_model_daily_sql_incr", "q_model_pages_sql_incr", "q_model_leads_sql_incr")
+    "q_model_daily_sql_incr", "q_model_pages_sql_incr", "q_model_leads_sql_incr",
+    // r12 additions (VERDICT r11 task 7): the real-codec media family —
+    // 10× docs means 10× encode/decode work, so a per-partition decode
+    // memory cliff or codec-path scale bomb becomes a round artifact
+    "q_ext_media_decode_real", "q_ext_media_resize_real", "q_ext_media_formats",
+    "q_ext_media_neardup", "q_ext_media_audio")
 
   def main(args: Array[String]): Unit = {
     val sf1 = sys.env.get("SPARK_GRAFT_SF").contains("1")

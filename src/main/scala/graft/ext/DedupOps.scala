@@ -652,12 +652,39 @@ object DedupOps {
     * candidates come from 4 equality joins, then exact hamming verify.
     */
   def simHashNearDupPairs(docs: DataFrame, maxDist: Int = 3,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(maxDist <= 3, "4-chunk pigeonhole only guarantees recall for maxDist <= 3")
-    val sigs = simHash(docs, textCol, idCol)
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    hammingNearDupPairsFromSigs(simHash(docs, textCol, idCol), maxDist, bands = 4)
+
+  /** The banded hamming search itself, generalized over ANY 64-bit
+    * signature frame — SimHash above and the perceptual image hash
+    * ([[graft.ext.MultimodalOps.perceptualHash]]) share this one shape.
+    * The signature splits into `bands` disjoint (64/bands)-bit chunks;
+    * two signatures within hamming `maxDist` differ in at most maxDist
+    * chunks, so with maxDist ≤ bands−1 they MUST agree on one
+    * (pigeonhole — recall 1.0 by construction, enforced here). Chunk
+    * agreement is an equi-join on (chunk index, chunk value) — never an
+    * all-pairs comparison — then candidates verify with exact
+    * `bit_count(xor)`. At 100 TB the chunk join shuffles 8-byte keys ∝
+    * corpus·bands; the quadratic term is confined to true hash-bucket
+    * collisions, the same contract as MinHash-LSH banding.
+    *
+    * NULL signatures (e.g. undecodable images) are excluded from pair
+    * generation — a row that cannot be hashed can neither witness nor
+    * be dropped.
+    */
+  def hammingNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int, bands: Int,
+                                  idCol: String = "doc_id",
+                                  sigCol: String = "sig"): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist <= bands - 1,
+      s"$bands-chunk pigeonhole only guarantees recall for maxDist <= ${bands - 1}")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val s = sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+    val chunks = s.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(i =>
+          shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_key") === col("y.chunk_key") &&

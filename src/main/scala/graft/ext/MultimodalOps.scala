@@ -359,6 +359,149 @@ object MultimodalOps {
     }(RowEncoder.encoderFor(inSchema))
   }
 
+  /** Media table whose blobs are 72×64 BLOCK-STRUCTURED images — a 9×8
+    * grid of 8×8-pixel constant gray blocks — built so the PERCEPTUAL
+    * hash pipeline gets an analytic oracle AND a guaranteed-robust
+    * JPEG re-encode, neither of which the noise-pixel generator
+    * ([[genPixel]]) can give (measured: noise images re-encode to
+    * dHash hamming up to 9, and different docs' rasters are shifted
+    * copies of one stream, colliding at hamming 0):
+    *
+    *  - block luma v(gx,gy) = 17 · (2·(m mod 8) + gx mod 2), where m is
+    *    the low hex digit of md5("id:gx:gy") — md5 decorrelates docs
+    *    (no affine shift structure) and IS DuckDB-expressible, so the
+    *    oracle recomputes every block, hence every expected hash bit;
+    *  - the gx-parity term forces adjacent-in-x blocks onto disjoint
+    *    odd/even level sets: they differ by ≥17 luma, so every dHash
+    *    gradient sign has a ±8 noise margin;
+    *  - blocks are exactly the dHash grid cells (72/9 = 64/8 = 8 px)
+    *    AND exactly JPEG's 8×8 DCT blocks: a constant block encodes to
+    *    its DC coefficient alone, whose quantization error (±4 luma at
+    *    the JDK's default quality) is inside the margin — so
+    *    PNG, BMP, and JPEG encodings of one doc dHash IDENTICALLY, by
+    *    construction rather than by luck (probe-verified).
+    */
+  def withGeneratedBlockImages(docs: DataFrame, format: String): DataFrame = {
+    require(Set("png", "bmp", "jpeg")(format),
+      s"unsupported block-generator format '$format'")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val im = new java.awt.image.BufferedImage(
+          72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val dig = md.digest(s"$id:$gx:$gy".getBytes("UTF-8"))
+            val v = 17 * (2 * ((dig(0) & 0xFF) % 8) + gx % 2)
+            val rgb = (v << 16) | (v << 8) | v
+            var y = gy * 8
+            while (y < gy * 8 + 8) {
+              var x = gx * 8
+              while (x < gx * 8 + 8) { im.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, format, bos)
+        Row(id, bos.toByteArray, Row(format, 72, 64, null))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** 64-bit difference hash (dHash) over a decoded ARGB raster: the
+    * luminance plane is box-filtered (area-average, ITU-R 601 luma —
+    * the same coefficients as [[lumaHistogram]]) onto a 9×8 grid, and
+    * bit (y·8+x) is set iff grid(y,x) < grid(y,x+1) — 64 horizontal
+    * gradient signs. The hash is a function of IMAGE CONTENT, not
+    * bytes: a re-encode (PNG↔BMP) reproduces it exactly, lossy JPEG
+    * and mild resampling perturb only the few bits whose neighboring
+    * cell averages were already close, so near-dup detection is a
+    * small-radius hamming search — the same shape as SimHash, and it
+    * reuses SimHash's chunk-banding for candidate generation
+    * ([[DedupOps.hammingNearDupPairsFromSigs]]). dHash over pHash
+    * (DCT): equal robustness to re-encode/resize at a fraction of the
+    * kernel cost, and no DCT basis to pin for cross-platform
+    * determinism.
+    */
+  def dhash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val gw = 9; val gh = 8
+    val grid = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      // cell (gx,gy) averages source rows [gy·h/gh, (gy+1)·h/gh) —
+      // floor-div boundaries, widened to at least one pixel so tiny
+      // sources (w < 9) sample rather than vanish
+      val y0 = gy * h / gh; val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / gh))
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / gw))
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = px(y * w + x)
+            s += (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+              114 * (p & 0xFF)) / 1000.0
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        grid(gy * gw + gx) = s / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var out = 0L; var b = 0
+    var yy = 0
+    while (yy < gh) {
+      var xx = 0
+      while (xx < 8) {
+        if (grid(yy * gw + xx) < grid(yy * gw + xx + 1)) out |= (1L << b)
+        b += 1; xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
+  /** Perceptual (visual) hash column over a media table: decode each
+    * payload through the [[ImageCodec]] seam and emit its [[dhash64]].
+    * Output: input columns minus the blob, plus `phash bigint` (NULL
+    * for payloads the codec rejects — kept, so corrupt blobs are
+    * countable and excluded from pair generation by the NULL filter
+    * downstream, never silently dropped here). Partition-local decode,
+    * map-only — the expensive pixel work never shuffles; only the
+    * 8-byte hash does.
+    */
+  def perceptualHash(media: DataFrame, codec: ImageCodec = ImageIoCodec,
+                     mediaCol: String = "media"): DataFrame = {
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == mediaCol) :+
+        StructField("phash", LongType))
+    val keepIdx = inSchema.fields.zipWithIndex
+      .filterNot(_._1.name == mediaCol).map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hashed = codec.decode(r.getAs[Array[Byte]](mediaIdx))
+          .map { case (w, h, px) => dhash64(w, h, px) }
+        Row.fromSeq(keepIdx.map(r.get).toSeq :+ hashed.orNull)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** STUB frame sampler: n evenly-spaced byte-slices stand in for video
     * frames (real impl: container demux + frame decode). Demonstrates
     * blob → array<binary> expansion without leaving the executor.

@@ -1033,6 +1033,39 @@ object ExtQueries {
           round(element_at(col("features"), 6), 6).as("bin5"),
           round(element_at(col("features"), 16), 6).as("bin15"))
     }),
+    // PERCEPTUAL image near-dup (VERDICT r11 task 3): each doc's
+    // block-fixture image is encoded THREE ways (PNG, BMP, JPEG —
+    // different bytes, same picture, invisible to byte-exact dedup),
+    // perceptual-hashed through real decode (withGeneratedBlockImages
+    // guarantees the three dHash identically: lossless twins
+    // bit-exactly, JPEG because block structure confines its error
+    // inside the gradient margin), banded SimHash-style into candidate
+    // pairs, and collapsed. The oracle is fully ANALYTIC: DuckDB
+    // recomputes every expected hash bit from the md5 block formula, so
+    // a hash match proves generator → real codec round-trip → luma box
+    // filter → gradient-sign extraction bit-for-bit, plus the collapse
+    // (3 variants → exactly 1 survivor per doc, n_survivors=0 or 2
+    // would hash-mismatch).
+    "q_ext_media_neardup" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id")
+      val variants = Seq("png" -> 1, "bmp" -> 2, "jpeg" -> 3).map { case (f, k) =>
+        MultimodalOps.withGeneratedBlockImages(docs, f)
+          .select((col("doc_id") * 10 + k).as("doc_id"), col("media"))
+      }.reduce(_.unionByName(_))
+      val hashed = MultimodalOps.perceptualHash(variants)
+      val pairs = DedupOps.hammingNearDupPairsFromSigs(
+        hashed, maxDist = 6, bands = 8, sigCol = "phash")
+      val surv = DedupOps.removeNearDups(hashed.select("doc_id"), pairs)
+        .select(((col("doc_id") - lit(1)) / 10).cast("long").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_survivors"))
+      val pngHash = hashed.filter(col("doc_id") % 10 === 1)
+        .select(((col("doc_id") - lit(1)) / 10).cast("long").as("doc_id"),
+          lpad(bin(col("phash")), 64, "0").as("phash_bits"))
+      docs.join(pngHash, Seq("doc_id"), "left")
+        .join(surv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("phash_bits"), lit(3).as("n_variants"),
+          coalesce(col("n_survivors"), lit(0)).as("n_survivors"))
+    }),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -1914,6 +1947,35 @@ object ExtQueries {
          |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / (w*h), 6) AS bin5,
          |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / (w*h), 6) AS bin15
          |FROM u""".stripMargin),
+    // Perceptual near-dup mirror: the block generator's luma formula is
+    // md5-derived (portable), so DuckDB recomputes all 72 block values
+    // per doc and from them every expected dHash gradient bit. The
+    // Spark side's phash renders as java's 64-char two's-complement
+    // binary string (MSB first), so list position p (0-based) carries
+    // bit 63-p; bit b = gy*8+gx compares block (gx,gy) with (gx+1,gy),
+    // i.e. 1-based list indices gy*9+gx+1 and gy*9+gx+2. Block value:
+    // 17 * (2*(low_hex_digit(md5('id:gx:gy')) % 8) + gx % 2) — the
+    // first BYTE of the digest mod 8 is its second hex digit mod 8.
+    // The collapse claim is analytic too: 3 encodings of one picture
+    // hash identically and distinct docs sit ≥ hamming 7 apart
+    // (md5-decorrelated; probe-measured floor 12), so survivors are
+    // exactly one per doc.
+    "q_ext_media_neardup" ->
+      ("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+         |v AS (
+         |  SELECT doc_id, list_transform(range(72), c ->
+         |    17 * (2 * ((strpos('0123456789abcdef',
+         |            substr(md5(doc_id || ':' || (c % 9) || ':' || (c // 9)), 2, 1)) - 1) % 8)
+         |          + (c % 9) % 2)) AS vs
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |  list_aggregate(list_transform(range(64), p ->
+         |    CASE WHEN vs[CAST((63 - p) // 8 * 9 + (63 - p) % 8 + 1 AS INT)]
+         |            < vs[CAST((63 - p) // 8 * 9 + (63 - p) % 8 + 2 AS INT)]
+         |         THEN '1' ELSE '0' END), 'string_agg', '') AS phash_bits,
+         |  3 AS n_variants, 1 AS n_survivors
+         |FROM v""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
     // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's

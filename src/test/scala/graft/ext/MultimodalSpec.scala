@@ -204,4 +204,57 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(fb.sum - 1.0) < 1e-9,
       "truncated JPEG must featurize via the byte-histogram fallback")
   }
+
+  test("perceptual hash: re-encoded twins collide, different pictures repel, corrupt → NULL, banding finds exactly the twins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(7L, 19L, 300L).toDF("doc_id")
+    // one doc's picture, three containers → one identical dHash. This is
+    // the property the q_ext_media_neardup oracle rides: the block
+    // fixture confines JPEG error inside the ±8 gradient margin, so even
+    // the lossy container hashes EQUAL, not merely near.
+    val perFmt = Seq("png", "bmp", "jpeg").map { f =>
+      MultimodalOps.perceptualHash(
+        MultimodalOps.withGeneratedBlockImages(docs, f))
+        .select(col("doc_id"), col("phash").as(s"phash_$f"))
+    }
+    val joined = perFmt.reduce(_.join(_, "doc_id")).collect()
+    assert(joined.length == 3)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("phash_png") == r.getAs[Long]("phash_bmp") &&
+        r.getAs[Long]("phash_png") == r.getAs[Long]("phash_jpeg"),
+        s"re-encoded twins must dHash identically for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // falsifiability, repel direction: DIFFERENT pictures must not sit
+    // within the pairing radius — else the collapse would merge
+    // unrelated images and the oracle's n_survivors=1 would flip
+    val hs = joined.map(_.getAs[Long]("phash_png"))
+    for (i <- hs.indices; j <- hs.indices if i < j)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 6,
+        "distinct docs' pictures must be farther than maxDist apart")
+    // corrupt payload → NULL phash, row kept, excluded from pairing
+    val corrupt = Seq((99L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val cr = MultimodalOps.perceptualHash(corrupt).head()
+    assert(cr.isNullAt(cr.fieldIndex("phash")),
+      "undecodable payload must yield NULL phash, not throw")
+    // banded search end-to-end: variants of the same doc pair up,
+    // nothing else does, and NULL sigs stay out
+    val variants = Seq("png" -> 1, "bmp" -> 2).map { case (f, k) =>
+      MultimodalOps.withGeneratedBlockImages(docs, f)
+        .select((col("doc_id") * 10 + k).as("doc_id"), col("media"))
+    }.reduce(_.unionByName(_))
+    val sigs = MultimodalOps.perceptualHash(variants)
+      .unionByName(Seq((999L, null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "phash"))
+    val pairs = graft.ext.DedupOps.hammingNearDupPairsFromSigs(
+      sigs, maxDist = 6, bands = 8, sigCol = "phash")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((71L, 72L), (191L, 192L), (3001L, 3002L)),
+      s"banding must find exactly the twin pairs, got $pairs")
+    // pigeonhole guard is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      graft.ext.DedupOps.hammingNearDupPairsFromSigs(sigs, maxDist = 8, bands = 8)
+    }
+  }
 }
