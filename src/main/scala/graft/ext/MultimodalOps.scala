@@ -122,6 +122,54 @@ object ImageIoCodec extends ImageCodec {
     }
 }
 
+/** Pluggable audio-decode seam — the [[ImageCodec]] analog for the
+  * non-image media path. Implementations must be Serializable (the
+  * instance ships in the `mapPartitions` closure) and decode on the
+  * executor only.
+  */
+trait AudioCodec extends Serializable {
+  /** (sampleRateHz, channels, interleaved PCM samples), or None if the
+    * payload is not decodable by this codec (corrupt bytes, wrong
+    * container, unsupported encoding).
+    */
+  def decode(payload: Array[Byte]): Option[(Float, Int, Array[Int])]
+}
+
+/** The JDK's own audio codec (`javax.sound.sampled`): real WAV/AIFF/AU
+  * container parsing with zero extra dependencies, headless-safe. Scope
+  * is deliberately the formats whose decode is EXACT — 16-bit signed
+  * PCM — so every downstream statistic is bit-reproducible; compressed
+  * or float encodings map to None (the not-decodable contract), same
+  * honesty rule as a corrupt payload.
+  */
+object WavCodec extends AudioCodec {
+  override def decode(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
+    if (payload == null || payload.isEmpty) None
+    // AudioSystem THROWS UnsupportedAudioFileException/EOF on garbage
+    // or truncated containers — a corrupt blob must map to None, never
+    // fail the task
+    else scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < n) { out(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF); i += 1 }
+          else
+            while (i < n) { out(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF); i += 1 }
+          Some((fmt.getSampleRate, fmt.getChannels, out))
+        }
+      } finally in.close()
+    }.toOption.flatten
+}
+
 object MultimodalOps {
 
   /** Typed metadata carried next to every media blob. */
@@ -498,6 +546,99 @@ object MultimodalOps {
         val hashed = codec.decode(r.getAs[Array[Byte]](mediaIdx))
           .map { case (w, h, px) => dhash64(w, h, px) }
         Row.fromSeq(keepIdx.map(r.get).toSeq :+ hashed.orNull)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Media table whose blobs are REAL WAV files (RIFF container written
+    * by `javax.sound.sampled` itself): a 16-bit signed PCM mono square
+    * wave at 8 kHz — amplitude A = (doc_id % 5 + 1)·4000, half-period 8
+    * samples (a 500 Hz tone), length (doc_id % 4 + 1)·800 samples
+    * (0.1–0.4 s). A SQUARE wave rather than a sine because every sample
+    * is EXACTLY ±A: RMS = A, peak = A, and mean = 0 over the
+    * whole-period length, all integer-analytic — a sine's rounded
+    * samples would hinge the oracle on cross-engine `sin()` ULP
+    * agreement, which IEEE does not promise. This exists to oracle-gate
+    * the real audio decode path: a match proves genuine WAV encode →
+    * [[WavCodec]] decode recovers every sample bit-exactly.
+    */
+  def withGeneratedWav(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = ((id % 4) + 1).toInt * 800
+        val amp = ((id % 5) + 1).toInt * 4000
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = if ((i / 8) % 2 == 0) amp else -amp
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, Row("wav", null, null, (n / 8): Integer))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL audio decode through the [[AudioCodec]] seam: partition-local
+    * batch execution. Output: input columns minus the blob, plus the
+    * TRUE `sample_rate`/`channels` read from the container, the
+    * interleaved `n_samples` count, `duration_ms` (frames / rate), and
+    * the amplitude statistics `rms`, `peak` (max |sample|), `mean` —
+    * the filterable features an audio-curation pipeline screens on
+    * (silence, clipping, level). Payloads the codec rejects yield NULL
+    * fields (kept, countable, never silently dropped) — the same
+    * corrupt-blob contract as [[decodeImage]].
+    */
+  def decodeAudio(media: DataFrame, codec: AudioCodec = WavCodec,
+                  mediaCol: String = "media"): DataFrame = {
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == mediaCol) ++ Seq(
+        StructField("sample_rate", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("n_samples", LongType),
+        StructField("duration_ms", DoubleType),
+        StructField("rms", DoubleType),
+        StructField("peak", IntegerType),
+        StructField("mean", DoubleType)))
+    val keepIdx = inSchema.fields.zipWithIndex
+      .filterNot(_._1.name == mediaCol).map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get).toSeq
+        codec.decode(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some((rate, ch, samples)) if samples.nonEmpty =>
+            var sum = 0L; var sq = 0.0; var peak = 0
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i)
+              sum += s; sq += s.toDouble * s
+              val a = math.abs(s); if (a > peak) peak = a
+              i += 1
+            }
+            val n = samples.length
+            // Seq[Any] is load-bearing: a bare Seq of mixed numerics
+            // weakly-conforms every element to Double, corrupting the
+            // Row's runtime types against the Int/Long schema fields
+            Row.fromSeq(kept ++ Seq[Any](rate.toInt, ch, n.toLong,
+              (n / ch).toDouble / rate * 1000.0,
+              math.sqrt(sq / n), peak, sum.toDouble / n))
+          case _ =>
+            Row.fromSeq(kept ++ Seq(null, null, null, null, null, null, null))
+        }
       }
     }(RowEncoder.encoderFor(outSchema))
   }

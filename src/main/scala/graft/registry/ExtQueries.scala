@@ -1033,6 +1033,18 @@ object ExtQueries {
           round(element_at(col("features"), 6), 6).as("bin5"),
           round(element_at(col("features"), 16), 6).as("bin15"))
     }),
+    // REAL audio codec seam (VERDICT r11 task 4): genuine WAV encode
+    // (RIFF written by javax.sound itself) → WavCodec decode → amplitude
+    // statistics, all integer-analytic by the square-wave construction
+    // (every sample ±A ⇒ rms = A, peak = A, mean = 0 over whole
+    // periods) — the corrupt-payload fallback rides MultimodalSpec.
+    "q_ext_media_audio" -> ((s, dir) =>
+      MultimodalOps.decodeAudio(
+        MultimodalOps.withGeneratedWav(Sources(s, dir).documents.select("doc_id")))
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"), col("peak"),
+          round(col("mean"), 6).as("mean"))),
     // PERCEPTUAL image near-dup (VERDICT r11 task 3): each doc's
     // block-fixture image is encoded THREE ways (PNG, BMP, JPEG —
     // different bytes, same picture, invisible to byte-exact dedup),
@@ -1947,6 +1959,18 @@ object ExtQueries {
          |  round(CAST(len(list_filter(bins, v -> v = 5)) AS DOUBLE) / (w*h), 6) AS bin5,
          |  round(CAST(len(list_filter(bins, v -> v = 15)) AS DOUBLE) / (w*h), 6) AS bin15
          |FROM u""".stripMargin),
+    // Audio mirror: the square-wave fixture makes every statistic a
+    // closed-form integer expression of doc_id — no per-sample work and
+    // no transcendental portability risk.
+    "q_ext_media_audio" ->
+      ("""SELECT doc_id,
+         |  8000 AS sample_rate, 1 AS channels,
+         |  CAST((doc_id % 4 + 1) * 800 AS BIGINT) AS n_samples,
+         |  round(CAST((doc_id % 4 + 1) * 800 AS DOUBLE) / 8, 6) AS duration_ms,
+         |  round(CAST((doc_id % 5 + 1) * 4000 AS DOUBLE), 6) AS rms,
+         |  CAST((doc_id % 5 + 1) * 4000 AS INT) AS peak,
+         |  0.0 AS mean
+         |FROM documents""".stripMargin),
     // Perceptual near-dup mirror: the block generator's luma formula is
     // md5-derived (portable), so DuckDB recomputes all 72 block values
     // per doc and from them every expected dHash gradient bit. The

@@ -205,6 +205,60 @@ class MultimodalSpec extends SparkSpec {
       "truncated JPEG must featurize via the byte-histogram fallback")
   }
 
+  test("audio codec: WAV round-trip recovers exact sample stats; corrupt/unsupported payloads → NULLs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(0L, 3L, 7L, 13L).toDF("doc_id")
+    val rows = MultimodalOps.decodeAudio(MultimodalOps.withGeneratedWav(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 4)
+    rows.foreach { case (id, r) =>
+      val n = ((id % 4) + 1) * 800
+      val amp = ((id % 5) + 1) * 4000
+      assert(r.getAs[Int]("sample_rate") == 8000 && r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Long]("n_samples") == n, s"doc $id sample count")
+      assert(r.getAs[Double]("duration_ms") == n / 8.0, s"doc $id duration")
+      // square wave: every sample ±amp, so the stats are EXACT equalities
+      assert(r.getAs[Double]("rms") == amp.toDouble, s"doc $id rms")
+      assert(r.getAs[Int]("peak") == amp && r.getAs[Double]("mean") == 0.0)
+    }
+    // stereo + big-endian WAV through the same seam: real AudioSystem
+    // write of 2-channel PCM; duration counts FRAMES, not samples
+    val stereoPcm = new Array[Byte](400 * 2 * 2)
+    (0 until 400).foreach { f =>
+      val l = 1000; val rgt = -2000
+      stereoPcm(4 * f) = (l & 0xFF).toByte; stereoPcm(4 * f + 1) = ((l >> 8) & 0xFF).toByte
+      stereoPcm(4 * f + 2) = (rgt & 0xFF).toByte; stereoPcm(4 * f + 3) = ((rgt >> 8) & 0xFF).toByte
+    }
+    val sf = new javax.sound.sampled.AudioFormat(4000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(stereoPcm), sf, 400L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val sRow = MultimodalOps.decodeAudio(
+      Seq((1L, bos.toByteArray)).toDF("doc_id", "media")).head()
+    assert(sRow.getAs[Int]("channels") == 2 && sRow.getAs[Long]("n_samples") == 800)
+    assert(sRow.getAs[Double]("duration_ms") == 100.0, "duration must count frames")
+    assert(sRow.getAs[Int]("peak") == 2000 && sRow.getAs[Double]("mean") == -500.0)
+    // corrupt payload and unsupported encoding (8-bit PCM) both → NULLs,
+    // rows kept — the pinned fallback contract
+    val eight = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](100)), eight, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val bad = MultimodalOps.decodeAudio(Seq(
+        (2L, "definitely not a riff container".getBytes("UTF-8")),
+        (3L, bos8.toByteArray)).toDF("doc_id", "media"))
+      .collect()
+    assert(bad.length == 2)
+    bad.foreach(r => assert(r.isNullAt(r.fieldIndex("sample_rate")) &&
+      r.isNullAt(r.fieldIndex("rms")),
+      "undecodable audio must yield NULLs, not throw and not fake stats"))
+  }
+
   test("perceptual hash: re-encoded twins collide, different pictures repel, corrupt → NULL, banding finds exactly the twins") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
