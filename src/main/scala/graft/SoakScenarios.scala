@@ -1,0 +1,540 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The r12 soak matrix beyond the banded near-dup sink (VERDICT r11
+  * tasks 6+8): the ANN-indexed embed ingest + indexed deletion sink,
+  * the quarantine dead-letter ingest, and the grow-then-shrink
+  * re-sharding soak. Same contract as [[Soak]]: every bound is IN the
+  * emitted JSON and a violated bound fails the run.
+  */
+private[graft] object SoakScenarios {
+  import SoakUtil._
+
+  private val ExactBase = 100000000L
+  private val NearBase = 200000000L
+  private val NullBase = 300000000L
+  private val EmptyBase = 400000000L
+
+  // ---------------------------------------------------------------- embed
+
+  /** ANN-indexed embedding ingest under sustained triggers:
+    * [[graft.streaming.StreamingOps.corpusIngestEmbedVectorIndexSink]]
+    * (IVF rung past the 1k exact floor) with the INDEXED deletion sink
+    * ([[graft.streaming.StreamingOps.keyDeletionFragmentedSink]])
+    * firing every 25 triggers. Injected exact copies (same vector, new
+    * id) and 5%-perturbed near copies (driver-verified cosine ≥ 0.996
+    * against threshold 0.995) of the previous trigger's vectors must be
+    * screened; deleted ids must be invisible in the corpus AND
+    * unsearchable through the index at every later checkpoint; the
+    * index must never lag the corpus (the sink's crash-repair
+    * invariant); per-trigger latency must stay flat.
+    */
+  def embed(spark: SparkSession, sfDir: String, outPath: String): Boolean = {
+    val nTriggers = sys.env.getOrElse("SPARK_GRAFT_SOAK_TRIGGERS", "100").toInt
+    val checkpointEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_CHECKPOINT", "10").toInt
+    val deleteEvery = 25
+    val threshold = 0.995
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val warehouse = Files.createTempDirectory("graft-soak-embed").toString
+    val frag = new graft.runtime.FragmentedTable(spark, warehouse, "vcorpus", "vec_id")
+    val idxPath = s"$warehouse/vcorpus.vecindex"
+    val profile = graft.ext.IndexProfile(exactFloor = 1000L)
+
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding")).orderBy("vec_id")
+      .as[(Long, Seq[Float])].collect()
+    val sliceSize = math.max(1, math.ceil(all.length.toDouble / nTriggers).toInt)
+    val slices = all.grouped(sliceSize).toArray
+    println(s"[soak-embed] ${all.length} vecs, ${slices.length} triggers of ~$sliceSize")
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingOps.corpusIngestEmbedVectorIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), frag, idxPath, profile,
+      threshold = threshold, compactEvery = 8L).start()
+    // the indexed deletion sink needs a live index handle; the handle is
+    // path-backed, but `load` needs the bootstrap trigger's files first
+    val delIn = MemoryStream[Long]
+    var delQ: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+
+    def perturb(v: Seq[Float]): Option[(Seq[Float], Double)] = {
+      val n2 = v.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+      if (n2 == 0) None
+      else {
+        val d = 0.05 * math.sqrt(n2)
+        val w = v.updated(0, (v.head + d).toFloat)
+        val dot = v.zip(w).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2)
+        val wn2 = w.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+        Some((w, dot / math.sqrt(n2 * wn2)))
+      }
+    }
+
+    // (copyId, sourceId) — recall over the source-live subset, same rule
+    // as the text soak (a copy of an already-screened source is one
+    // similarity hop from the retained witness); EXACT copies use the
+    // same rule here because the screen is an index probe, not a
+    // byte-hash
+    val exactPairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val nearPairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val deletedIds = scala.collection.mutable.LinkedHashSet[Long]()
+    val deletedVecs = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    var deletedRequested = 0L
+
+    final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int,
+                        diskMb: Double, ingestMsAvg: Double,
+                        exactElig: Long, exactDropped: Long,
+                        nearElig: Long, nearDropped: Long,
+                        delRequested: Long, delVisible: Long,
+                        delSearchable: Long, indexLag: Long)
+    val cps = scala.collection.mutable.ArrayBuffer[Cp]()
+    var windowMs = 0.0; var windowN = 0
+
+    def recall(corpusIds: Set[Long],
+               pairs: Seq[(Long, Long)]): (Long, Long) = {
+      val eligible = pairs.filter(p => corpusIds(p._2))
+      (eligible.length.toLong,
+        eligible.count(p => !corpusIds(p._1)).toLong)
+    }
+
+    def checkpoint(t: Int): Unit = {
+      val corpusIds = frag.read().get.select("vec_id").as[Long].collect().toSet
+      val (exactElig, exactDropped) = recall(corpusIds, exactPairs.toSeq)
+      val (nearElig, nearDropped) = recall(corpusIds, nearPairs.toSeq)
+      val delVisible = deletedIds.count(corpusIds).toLong
+      val idx = graft.ext.VectorIndex.load(spark, idxPath)
+      // sync: every corpus id must be indexed (tombstoned ids count as
+      // indexed — the repair-seam rule the sink itself anti-joins by)
+      val indexLag = frag.read().get.select("vec_id")
+        .join(idx.indexedIds.withColumnRenamed("vec_id", "vec_id"),
+          Seq("vec_id"), "left_anti").count()
+      // unsearchable: probing the index with a deleted id's OWN vector
+      // must never surface that id (any other hit is fine)
+      val recent = deletedVecs.takeRight(20)
+      val delSearchable = if (recent.isEmpty) 0L else {
+        val qdf = recent.toSeq.toDF("vec_id", "embedding")
+        idx.search(qdf, k = 1)
+          .filter(col("query_id") === col("corpus_id")).count()
+      }
+      cps += Cp(t, corpusIds.size.toLong, frag.fragmentCount(),
+        dirMb(warehouse),
+        if (windowN == 0) 0 else math.round(windowMs / windowN * 10) / 10.0,
+        exactElig, exactDropped, nearElig, nearDropped,
+        deletedRequested, delVisible, delSearchable, indexLag)
+      windowMs = 0.0; windowN = 0
+      System.gc()
+      println(s"[soak-embed] ${cps.last}")
+    }
+
+    slices.zipWithIndex.foreach { case (slice, t) =>
+      val injected: Seq[(Long, Seq[Float])] = if (t == 0) Nil else {
+        val prev = slices(t - 1)
+        val exact = prev.take(3).map { case (id, v) =>
+          exactPairs += ((ExactBase + id, id)); (ExactBase + id, v)
+        }
+        val near = prev.slice(3, 6).flatMap { case (id, v) =>
+          perturb(v) match {
+            case Some((w, cos)) if cos >= 0.996 =>
+              nearPairs += ((NearBase + id, id)); Some((NearBase + id, w))
+            case _ => None
+          }
+        }
+        (exact ++ near).toSeq
+      }
+      val t0 = System.nanoTime()
+      in.addData(slice.toSeq ++ injected)
+      q.processAllAvailable()
+      windowMs += (System.nanoTime() - t0) / 1e6
+      windowN += 1
+      if (t > 0 && t % deleteEvery == 0) {
+        if (delQ.isEmpty) {
+          val idx = graft.ext.VectorIndex.load(spark, idxPath)
+          delQ = Some(graft.streaming.StreamingOps.keyDeletionFragmentedSink(
+            delIn.toDF().toDF("vec_id"), frag, compactEvery = 0L,
+            index = Some(idx)).start())
+        }
+        val victims = slices(t - deleteEvery).take(50)
+        delIn.addData(victims.map(_._1).toSeq)
+        delQ.get.processAllAvailable()
+        deletedIds ++= victims.map(_._1)
+        deletedVecs ++= victims
+        deletedRequested += victims.length
+      }
+      if ((t + 1) % checkpointEvery == 0 || t == slices.length - 1) checkpoint(t)
+    }
+    q.stop(); delQ.foreach(_.stop())
+
+    val FragBound = 20
+    val ExactRecallFloor = 0.99
+    val NearRecallFloor = 0.95
+    val SlopeBound = 1.25
+    val last = cps.last
+    val exactRecall =
+      if (last.exactElig == 0) 1.0 else last.exactDropped.toDouble / last.exactElig
+    val nearRecall =
+      if (last.nearElig == 0) 1.0 else last.nearDropped.toDouble / last.nearElig
+    val (earlyMs, lateMs, slope) = slopeOf(cps.map(_.ingestMsAvg).toIndexedSeq)
+    val checks: Seq[(String, Boolean, String)] = Seq(
+      ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
+        s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
+      ("exact_recall", exactRecall >= ExactRecallFloor,
+        f"$exactRecall%.4f >= $ExactRecallFloor"),
+      ("near_recall", nearRecall >= NearRecallFloor,
+        f"$nearRecall%.4f >= $NearRecallFloor"),
+      ("deletions_invisible", cps.forall(_.delVisible == 0),
+        s"max visible ${cps.map(_.delVisible).max}"),
+      ("deletions_unsearchable", cps.forall(_.delSearchable == 0),
+        s"max searchable ${cps.map(_.delSearchable).max}"),
+      ("index_corpus_sync", cps.forall(_.indexLag == 0),
+        s"max lag ${cps.map(_.indexLag).max}"),
+      ("ingest_flat", slope <= SlopeBound,
+        f"late $lateMs%.1f ms / early $earlyMs%.1f ms = $slope%.3f <= $SlopeBound"))
+    val pass = checks.forall(_._2)
+
+    def j(cp: Cp): String =
+      s"""{"t":${cp.t},"corpus_rows":${cp.corpusRows},"corpus_frags":${cp.corpusFrags},""" +
+      s""""disk_mb":${cp.diskMb},"ingest_ms_avg":${cp.ingestMsAvg},""" +
+      s""""exact_eligible":${cp.exactElig},"exact_dropped":${cp.exactDropped},""" +
+      s""""near_eligible":${cp.nearElig},"near_dropped":${cp.nearDropped},""" +
+      s""""deleted_requested":${cp.delRequested},"deleted_visible":${cp.delVisible},""" +
+      s""""deleted_searchable":${cp.delSearchable},"index_lag":${cp.indexLag}}"""
+    val kind = graft.ext.VectorIndex.load(spark, idxPath).kind
+    val json =
+      s"""{"soak":"embed_indexed_ingest_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"triggers":${slices.length},""" +
+      s""""slice_size":$sliceSize,"threshold":$threshold,"index_kind":"$kind",""" +
+      s""""delete_every":$deleteEvery,"pass":$pass,"checks":{${checksJson(checks)}},""" +
+      s""""checkpoints":[${cps.map(j).mkString(",")}]}"""
+    writeJson(outPath, json)
+    graft.runtime.Fs.deleteRecursive(Paths.get(warehouse))
+    reportFailures(checks)
+    pass
+  }
+
+  // ----------------------------------------------------------- quarantine
+
+  /** Dead-letter ingest soak
+    * ([[graft.streaming.StreamingOps.corpusIngestQuarantineFragmentedSink]]):
+    * every trigger injects rows violating each validity check (null
+    * text, empty text) plus exact duplicates. Bounds: every injected
+    * invalid row is in the rejects table with exactly the FIRST failing
+    * check's name, no invalid row ever reaches the corpus, exact dedup
+    * holds, both tables hold fragment bounds, latency flat.
+    */
+  def quarantine(spark: SparkSession, sfDir: String, outPath: String): Boolean = {
+    val nTriggers = sys.env.getOrElse("SPARK_GRAFT_SOAK_TRIGGERS", "100").toInt
+    val checkpointEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_CHECKPOINT", "10").toInt
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val warehouse = Files.createTempDirectory("graft-soak-quar").toString
+    val frag = new graft.runtime.FragmentedTable(spark, warehouse, "qcorpus", "doc_id")
+    val rej = new graft.runtime.FragmentedTable(spark, warehouse,
+      "qcorpus__rejects", "doc_id")
+
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val sliceSize = math.max(1, math.ceil(all.length.toDouble / nTriggers).toInt)
+    val slices = all.grouped(sliceSize).toArray
+    println(s"[soak-quar] ${all.length} docs, ${slices.length} triggers of ~$sliceSize")
+
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestQuarantineFragmentedSink(
+      in.toDF().toDF("doc_id", "text"), frag, rej, Seq(
+        "text_not_null" -> col("text").isNotNull,
+        "text_nonempty" -> (length(col("text")) > 0)),
+      compactEvery = 8L).start()
+
+    var exactInjected = 0L; var nullInjected = 0L; var emptyInjected = 0L
+
+    final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int,
+                        rejectRows: Long, rejectFrags: Int, diskMb: Double,
+                        ingestMsAvg: Double,
+                        exactInj: Long, exactDropped: Long,
+                        rejNull: Long, rejEmpty: Long,
+                        reasonMismatch: Long, corpusInvalid: Long)
+    val cps = scala.collection.mutable.ArrayBuffer[Cp]()
+    var windowMs = 0.0; var windowN = 0
+
+    def checkpoint(t: Int): Unit = {
+      val corpus = frag.read().get.cache()
+      val corpusRows = corpus.count()
+      val exactDropped = exactInjected -
+        corpus.filter(col("doc_id") >= ExactBase && col("doc_id") < NearBase).count()
+      val corpusInvalid = corpus.filter(col("doc_id") >= NullBase).count()
+      corpus.unpersist()
+      val (rejRows, rejNull, rejEmpty, mismatch) = rej.read() match {
+        case None => (0L, 0L, 0L, 0L)
+        case Some(r0) =>
+          val r = r0.cache()
+          val out = (r.count(),
+            r.filter(col("doc_id") >= NullBase && col("doc_id") < EmptyBase &&
+              col("reject_reason") === "text_not_null").count(),
+            r.filter(col("doc_id") >= EmptyBase &&
+              col("reject_reason") === "text_nonempty").count(),
+            r.filter(col("doc_id") >= NullBase &&
+              ((col("doc_id") < EmptyBase && col("reject_reason") =!= "text_not_null") ||
+               (col("doc_id") >= EmptyBase && col("reject_reason") =!= "text_nonempty")))
+              .count())
+          r.unpersist(); out
+      }
+      cps += Cp(t, corpusRows, frag.fragmentCount(), rejRows,
+        rej.fragmentCount(), dirMb(warehouse),
+        if (windowN == 0) 0 else math.round(windowMs / windowN * 10) / 10.0,
+        exactInjected, exactDropped, rejNull, rejEmpty, mismatch, corpusInvalid)
+      windowMs = 0.0; windowN = 0
+      System.gc()
+      println(s"[soak-quar] ${cps.last}")
+    }
+
+    slices.zipWithIndex.foreach { case (slice, t) =>
+      val injected: Seq[(Long, String)] = if (t == 0) Nil else {
+        val prev = slices(t - 1)
+        val exact = prev.take(3).map { case (id, tx) => (ExactBase + id, tx) }
+        val nulls = prev.slice(3, 5).map { case (id, _) =>
+          (NullBase + id, null.asInstanceOf[String]) }
+        val empties = prev.slice(5, 7).map { case (id, _) => (EmptyBase + id, "") }
+        exactInjected += exact.length
+        nullInjected += nulls.length
+        emptyInjected += empties.length
+        (exact ++ nulls ++ empties).toSeq
+      }
+      val t0 = System.nanoTime()
+      in.addData(slice.toSeq ++ injected)
+      q.processAllAvailable()
+      windowMs += (System.nanoTime() - t0) / 1e6
+      windowN += 1
+      if ((t + 1) % checkpointEvery == 0 || t == slices.length - 1) checkpoint(t)
+    }
+    q.stop()
+
+    val FragBound = 20
+    val SlopeBound = 1.25
+    val last = cps.last
+    val exactRecall =
+      if (last.exactInj == 0) 1.0 else last.exactDropped.toDouble / last.exactInj
+    val (earlyMs, lateMs, slope) = slopeOf(cps.map(_.ingestMsAvg).toIndexedSeq)
+    val checks: Seq[(String, Boolean, String)] = Seq(
+      ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
+        s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
+      ("rejects_frag_bound", cps.forall(_.rejectFrags <= FragBound),
+        s"max ${cps.map(_.rejectFrags).max} <= $FragBound"),
+      ("rejects_complete",
+        last.rejNull == nullInjected && last.rejEmpty == emptyInjected,
+        s"null ${last.rejNull}/$nullInjected, empty ${last.rejEmpty}/$emptyInjected"),
+      ("reasons_exact", cps.forall(_.reasonMismatch == 0),
+        s"max mismatches ${cps.map(_.reasonMismatch).max}"),
+      ("corpus_clean", cps.forall(_.corpusInvalid == 0),
+        s"max invalid in corpus ${cps.map(_.corpusInvalid).max}"),
+      ("exact_recall", exactRecall >= 0.99, f"$exactRecall%.4f >= 0.99"),
+      ("ingest_flat", slope <= SlopeBound,
+        f"late $lateMs%.1f ms / early $earlyMs%.1f ms = $slope%.3f <= $SlopeBound"))
+    val pass = checks.forall(_._2)
+
+    def j(cp: Cp): String =
+      s"""{"t":${cp.t},"corpus_rows":${cp.corpusRows},"corpus_frags":${cp.corpusFrags},""" +
+      s""""reject_rows":${cp.rejectRows},"reject_frags":${cp.rejectFrags},""" +
+      s""""disk_mb":${cp.diskMb},"ingest_ms_avg":${cp.ingestMsAvg},""" +
+      s""""exact_injected":${cp.exactInj},"exact_dropped":${cp.exactDropped},""" +
+      s""""rejects_null":${cp.rejNull},"rejects_empty":${cp.rejEmpty},""" +
+      s""""reason_mismatch":${cp.reasonMismatch},"corpus_invalid":${cp.corpusInvalid}}"""
+    val json =
+      s"""{"soak":"quarantine_ingest_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"triggers":${slices.length},""" +
+      s""""slice_size":$sliceSize,"pass":$pass,"checks":{${checksJson(checks)}},""" +
+      s""""checkpoints":[${cps.map(j).mkString(",")}]}"""
+    writeJson(outPath, json)
+    graft.runtime.Fs.deleteRecursive(Paths.get(warehouse))
+    reportFailures(checks)
+    pass
+  }
+
+  // --------------------------------------------------------------- shrink
+
+  /** Grow-then-shrink re-sharding soak (VERDICT r11 task 8): the banded
+    * near-dup sink ingests 8k docs under TIGHT per-bucket byte caps so
+    * [[graft.runtime.BucketedFragmentStore.maybeRebucket]]'s DOUBLING
+    * trigger fires live (phase 1), then forgets ~90% of the corpus
+    * while small ingests continue so the HALVING trigger reclaims
+    * bucket count live (phase 2). The sink's own cadence plus a
+    * per-trigger background maintenance tick (the documented
+    * "call it where maybeCompact is called" deployment pattern) drive
+    * one drain step at a time, so every probe, recall injection, and
+    * deletion check runs MID-MIGRATION. Bounds: both side stores must
+    * grow to >= 2x their initial bucket count and end at <= half their
+    * peak; recall and deletion honor hold throughout.
+    */
+  def shrink(spark: SparkSession, sfDir: String, outPath: String): Boolean = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val warehouse = Files.createTempDirectory("graft-soak-shrink").toString
+    val frag = new graft.runtime.FragmentedTable(spark, warehouse, "corpus", "doc_id")
+    val sigs = graft.runtime.BucketedFragmentStore(spark, warehouse,
+      "corpus__sigs", "doc_id", buckets = 2)
+    val bandStore = graft.runtime.BucketedFragmentStore(spark, warehouse,
+      "corpus__sigbands", "__bk", buckets = 4, routeCol = Some("band_key"))
+
+    // per-store byte caps (band rows outweigh sig rows ~2:1 on this
+    // fixture): tuned so phase 1's ~8k docs trip >= 2 doublings per
+    // store and phase 2's 90% forget trips halvings back down
+    val SigMax = 48L << 10; val SigMin = 12L << 10
+    val BandMax = 96L << 10; val BandMin = 24L << 10
+
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    require(all.length >= 9000, s"shrink soak needs >= 9000 docs, got ${all.length}")
+    val phase1 = all.take(8000).grouped(100).toArray   // 80 triggers
+    val phase2 = all.slice(8000, 9000).grouped(25).toArray // 40 triggers
+    val forgetQueue = scala.collection.mutable.Queue[Long](all.take(7200).map(_._1): _*)
+    println(s"[soak-shrink] phase1 ${phase1.length} triggers of 100, " +
+      s"phase2 ${phase2.length} of 25 (+180 forgets each)")
+
+    val in = MemoryStream[(Long, String)]
+    // the sink's cadence knob covers both stores; per-store caps ride
+    // the background tick below
+    val q = graft.streaming.StreamingOps.corpusIngestNearDupBandedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigs, bandStore,
+      threshold = 0.9, compactEvery = 2L).start()
+
+    var exactInjected = 0L
+    val exactIds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val nearPairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val deletedIds = scala.collection.mutable.LinkedHashSet[Long]()
+    var deletedRequested = 0L
+
+    final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int,
+                        sigBuckets: Int, bandBuckets: Int,
+                        sigMigrating: Boolean, bandMigrating: Boolean,
+                        sigKb: Long, bandKb: Long, diskMb: Double,
+                        ingestMsAvg: Double,
+                        exactElig: Long, exactDropped: Long,
+                        nearElig: Long, nearDropped: Long,
+                        delRequested: Long, delVisible: Long)
+    val cps = scala.collection.mutable.ArrayBuffer[Cp]()
+    var windowMs = 0.0; var windowN = 0
+
+    def checkpoint(t: Int): Unit = {
+      val corpus = frag.read().get.cache()
+      val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+      corpus.unpersist()
+      def recallOf(pairs: Seq[(Long, Long)]): (Long, Long) = {
+        val eligible = pairs.filter(p => corpusIds(p._2) && !deletedIds(p._2))
+        (eligible.length.toLong, eligible.count(p => !corpusIds(p._1)).toLong)
+      }
+      val (exactElig, exactDropped) = recallOf(exactIds.toSeq)
+      val (nearElig, nearDropped) = recallOf(nearPairs.toSeq)
+      val delVisible = deletedIds.count(corpusIds).toLong
+      cps += Cp(t, corpusIds.size.toLong, frag.fragmentCount(),
+        sigs.buckets, bandStore.buckets,
+        sigs.migrationOpen, bandStore.migrationOpen,
+        sigs.liveBytesTotal() >> 10, bandStore.liveBytesTotal() >> 10,
+        dirMb(warehouse),
+        if (windowN == 0) 0 else math.round(windowMs / windowN * 10) / 10.0,
+        exactElig, exactDropped, nearElig, nearDropped,
+        deletedRequested, delVisible)
+      windowMs = 0.0; windowN = 0
+      System.gc()
+      println(s"[soak-shrink] ${cps.last}")
+    }
+
+    def runTrigger(t: Int, slice: Array[(Long, String)],
+                   prev: Option[Array[(Long, String)]]): Unit = {
+      val injected: Seq[(Long, String)] = prev.fold(Seq.empty[(Long, String)]) { p =>
+        val exact = p.take(5).map { case (id, tx) =>
+          exactIds += ((ExactBase + id, id)); (ExactBase + id, tx) }
+        val near = p.slice(5, 10).flatMap { case (id, tx) =>
+          val n = tx.trim.split("\\s+").distinct.length
+          if (n >= 9) { nearPairs += ((NearBase + id, id)); Some((NearBase + id, tx + s" xqzsoak$id")) }
+          else None
+        }
+        exactInjected += exact.length
+        (exact ++ near).toSeq
+      }
+      val t0 = System.nanoTime()
+      in.addData(slice.toSeq ++ injected)
+      q.processAllAvailable()
+      windowMs += (System.nanoTime() - t0) / 1e6
+      windowN += 1
+      // background maintenance tick — one drain step per store per
+      // trigger, so migrations progress while ingest continues
+      sigs.maybeRebucket(SigMax, SigMin)
+      bandStore.maybeRebucket(BandMax, BandMin)
+      ()
+    }
+
+    phase1.zipWithIndex.foreach { case (slice, t) =>
+      runTrigger(t, slice, if (t == 0) None else Some(phase1(t - 1)))
+      if ((t + 1) % 10 == 0) checkpoint(t)
+    }
+    phase2.zipWithIndex.foreach { case (slice, i) =>
+      val t = phase1.length + i
+      runTrigger(t, slice,
+        Some(if (i == 0) phase1.last else phase2(i - 1)))
+      // the delete-heavy phase: forget 180 older docs per trigger
+      val victims = (0 until 180).flatMap(_ =>
+        if (forgetQueue.nonEmpty) Some(forgetQueue.dequeue()) else None)
+      if (victims.nonEmpty) {
+        graft.streaming.StreamingOps.nearDupForget(frag, sigs, bandStore,
+          victims.toDF("doc_id"))
+        deletedIds ++= victims
+        deletedRequested += victims.length
+      }
+      if ((t + 1) % 5 == 0 || i == phase2.length - 1) checkpoint(t)
+    }
+    q.stop()
+    // drain any still-open migration to completion, then let the byte
+    // triggers finish reclaiming (each call does one bounded step)
+    var guard = 0
+    while ((sigs.maybeRebucket(SigMax, SigMin) |
+            bandStore.maybeRebucket(BandMax, BandMin)) && guard < 200) guard += 1
+    checkpoint(phase1.length + phase2.length)
+
+    val last = cps.last
+    val sigPeak = cps.map(_.sigBuckets).max
+    val bandPeak = cps.map(_.bandBuckets).max
+    val exactRecall =
+      if (last.exactElig == 0) 1.0 else last.exactDropped.toDouble / last.exactElig
+    val nearRecall =
+      if (last.nearElig == 0) 1.0 else last.nearDropped.toDouble / last.nearElig
+    val checks: Seq[(String, Boolean, String)] = Seq(
+      ("sig_grew", sigPeak >= 4, s"peak $sigPeak >= 2x initial 2"),
+      ("band_grew", bandPeak >= 8, s"peak $bandPeak >= 2x initial 4"),
+      ("sig_shrank", last.sigBuckets <= sigPeak / 2,
+        s"final ${last.sigBuckets} <= peak $sigPeak / 2"),
+      ("band_shrank", last.bandBuckets <= bandPeak / 2,
+        s"final ${last.bandBuckets} <= peak $bandPeak / 2"),
+      ("corpus_frag_bound", cps.forall(_.corpusFrags <= 20),
+        s"max ${cps.map(_.corpusFrags).max} <= 20"),
+      ("exact_recall", exactRecall >= 0.99, f"$exactRecall%.4f >= 0.99"),
+      ("near_recall", nearRecall >= 0.95, f"$nearRecall%.4f >= 0.95"),
+      ("deletions_invisible", cps.forall(_.delVisible == 0),
+        s"max visible ${cps.map(_.delVisible).max}"))
+    val pass = checks.forall(_._2)
+
+    def j(cp: Cp): String =
+      s"""{"t":${cp.t},"corpus_rows":${cp.corpusRows},"corpus_frags":${cp.corpusFrags},""" +
+      s""""sig_buckets":${cp.sigBuckets},"band_buckets":${cp.bandBuckets},""" +
+      s""""sig_migrating":${cp.sigMigrating},"band_migrating":${cp.bandMigrating},""" +
+      s""""sig_kb":${cp.sigKb},"band_kb":${cp.bandKb},"disk_mb":${cp.diskMb},""" +
+      s""""ingest_ms_avg":${cp.ingestMsAvg},""" +
+      s""""exact_eligible":${cp.exactElig},"exact_dropped":${cp.exactDropped},""" +
+      s""""near_eligible":${cp.nearElig},"near_dropped":${cp.nearDropped},""" +
+      s""""deleted_requested":${cp.delRequested},"deleted_visible":${cp.delVisible}}"""
+    val json =
+      s"""{"soak":"rebucket_grow_shrink_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
+      s""""phase1_triggers":${phase1.length},"phase2_triggers":${phase2.length},""" +
+      s""""sig_caps_kb":[${SigMax >> 10},${SigMin >> 10}],""" +
+      s""""band_caps_kb":[${BandMax >> 10},${BandMin >> 10}],""" +
+      s""""pass":$pass,"checks":{${checksJson(checks)}},""" +
+      s""""checkpoints":[${cps.map(j).mkString(",")}]}"""
+    writeJson(outPath, json)
+    graft.runtime.Fs.deleteRecursive(Paths.get(warehouse))
+    reportFailures(checks)
+    pass
+  }
+}

@@ -186,6 +186,28 @@ object IngestOps {
                                numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
                                textCol: String = "text", idCol: String = "doc_id",
                                hotShingles: Seq[String] = Nil): DataFrame = {
+    val (survivors, sigs) = appendDedupNearDupRoutedSigned(bandProbe, toksProbe,
+      incoming, threshold, numHashes, bands, shingleK, textCol, idCol, hotShingles)
+    sigs.unpersist(false)
+    survivors
+  }
+
+  /** [[appendDedupNearDupRouted]] that ALSO returns the survivors'
+    * signature frame ([[minHashSigsOf]] schema: doc_id, toks, sig) —
+    * both PINNED. The probe already signed every batch row; a sink that
+    * persists signatures (the banded sink's sig/band side stores) reuses
+    * them instead of re-tokenizing + re-hashing the survivors, cutting
+    * one full signature pass per trigger. Survivors with no signature
+    * (all-hot-shingle docs) are absent from the frame, exactly as
+    * [[minHashSigsOf]] omits them. The CALLER must `unpersist()` BOTH
+    * returned frames once consumed.
+    */
+  def appendDedupNearDupRoutedSigned(bandProbe: Seq[Long] => Option[DataFrame],
+                               toksProbe: Seq[Any] => Option[DataFrame],
+                               incoming: DataFrame, threshold: Double,
+                               numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                               textCol: String = "text", idCol: String = "doc_id",
+                               hotShingles: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val spark = incoming.sparkSession
     // each stage pins before fan-out; everything downstream is a cheap
@@ -229,7 +251,11 @@ object IngestOps {
                   col("toks").as("in_toks"))), Seq("in_id"))
                 .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
                   size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
-                .select(col("in_id").as(idCol)).distinct()
+                // no distinct: the drop set only feeds a broadcast
+                // anti-join, where duplicate ids are harmless — the
+                // dedup exchange was one more synchronous stage per
+                // trigger
+                .select(col("in_id").as(idCol))
           }
         }
     }
@@ -237,8 +263,15 @@ object IngestOps {
     // once, here; the batch-prep intermediates are then released
     val survivors = batch.join(broadcast(drops), Seq(idCol), "left_anti").persist()
     survivors.count()
+    // survivors' signatures, pinned BEFORE inAll is released (the sig
+    // lineage reaches through inS into inAll; materializing now means
+    // the unpersist below frees blocks without forcing a recompute)
+    val survivorSigs = inS.join(
+      broadcast(survivors.select(col(idCol).as("doc_id"))),
+      Seq("doc_id"), "left_semi").persist()
+    survivorSigs.count()
     exact.unpersist(false); inAll.unpersist(false); batch.unpersist(false)
-    survivors
+    (survivors, survivorSigs)
   }
 
   /** Near-dup-aware incremental ingest — the production recipe for "new

@@ -105,6 +105,17 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   /** The committed bucket count (pre-migration count while one is open). */
   def buckets: Int = layout.buckets
 
+  /** Whether a re-sharding migration is currently open (drain steps
+    * pending) — observability for maintenance cadences and soaks.
+    */
+  def migrationOpen: Boolean = layout.migration.isDefined
+
+  /** Total on-disk bytes of the live fragments across buckets (fs
+    * metadata only) — the volume signal [[maybeRebucket]] triggers on,
+    * exposed for cadence observability.
+    */
+  def liveBytesTotal(): Long = liveTables(layout).map(_._2.liveBytes()).sum
+
   /** Open migration's (targetCount, drained old buckets), if any. */
   def migrationStatus: Option[(Int, Set[Int])] =
     layout.migration.map(m => (m.newCount, m.done))
@@ -155,7 +166,14 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     val staged = Option(staging.toFile.list()).toSeq.flatten
       .exists(_.startsWith(s"$BucketCol="))
     if (!staged) { Fs.deleteRecursive(staging); return }
-    val back = spark.read.parquet(staging.toString)
+    // read back under the writer's schema + the bucket partition column
+    // (nullability relaxed — see FragmentedTable.relaxNullable): skips
+    // the partitioned-dir footer inference job per upsert
+    val backSchema = org.apache.spark.sql.types.StructType(
+      FragmentedTable.relaxNullable(df.schema).fields :+
+        org.apache.spark.sql.types.StructField(BucketCol,
+          org.apache.spark.sql.types.IntegerType, nullable = true))
+    val back = spark.read.schema(backSchema).parquet(staging.toString)
     val (tracked, aggs) = ZoneMap.aggPlan(back.schema, exclude = Set(BucketCol))
     val statRows = back.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*).collect()
     val fragSchema = org.apache.spark.sql.types.StructType(
@@ -396,7 +414,25 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * bytes bounded, probe I/O is ∝ the value count — independent of
     * store size.
     */
-  def readRouted(routeValues: Seq[Any]): Option[DataFrame] = {
+  def readRouted(routeValues: Seq[Any]): Option[DataFrame] =
+    readRoutedImpl(routeValues, exact = true)
+
+  /** [[readRouted]] with the per-bucket last-writer-wins merge SKIPPED
+    * ([[FragmentedTable.readSuperset]]): the raw fragment union minus
+    * tombstone marker rows, so superseded versions, tombstone-shadowed
+    * rows, and mid-migration duplicate copies all RESURFACE. Zero
+    * shuffles — no per-bucket window — which makes it the right probe
+    * for an LSH INDEX read whose contract is already "a superset is
+    * fine" (the banded ingest: every candidate id is re-verified against
+    * the exactly-merged signature store, so an extra stale candidate
+    * costs one verify row, never a wrong survivor). Never correct for a
+    * caller that treats rows as current truth.
+    */
+  def readRoutedSuperset(routeValues: Seq[Any]): Option[DataFrame] =
+    readRoutedImpl(routeValues, exact = false)
+
+  private def readRoutedImpl(routeValues: Seq[Any],
+                             exact: Boolean): Option[DataFrame] = {
     val st = layout
     if (routeValues.isEmpty)
       return unionSchema().map(s => spark.createDataFrame(
@@ -409,14 +445,24 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
         else Some(lits.map(routeOfLiteral(st, _)).toSet)
     }
     targets match {
-      case None => read()
+      case None if exact => read()
+      case None =>
+        val frames = liveTables(st).flatMap(_._2.readSuperset())
+        if (frames.nonEmpty)
+          Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+        else unionSchema().map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
       case Some(ts) =>
         val frames = liveTables(st).filter(t => ts(t._1)).flatMap {
-          case ((gen, _), t) => (t.read(), st.migration) match {
-            case (Some(df), Some(m)) if gen == m.newGen =>
-              Some(df.filter(newGenAuthority(st, m)))
-            case (f, _) => f
-          }
+          // superset mode needs no generation-authority filter either:
+          // a crash-window duplicate copy is just one more superset row
+          case ((gen, _), t) =>
+            if (!exact) t.readSuperset()
+            else (t.read(), st.migration) match {
+              case (Some(df), Some(m)) if gen == m.newGen =>
+                Some(df.filter(newGenAuthority(st, m)))
+              case (f, _) => f
+            }
         }
         if (frames.nonEmpty)
           Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))

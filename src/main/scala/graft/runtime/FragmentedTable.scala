@@ -78,7 +78,13 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val name = s"${table}__frag_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     batch.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$name")
-    val back = spark.read.parquet(s"$baseDir/$name")
+    // read back under the WRITER's schema, nullability relaxed to what
+    // any parquet read may legally produce: skips the per-write footer
+    // schema-inference job while keeping the zone map computed from the
+    // bytes readers will see
+    val back = spark.read
+      .schema(FragmentedTable.relaxNullable(batch.schema))
+      .parquet(s"$baseDir/$name")
     FragEntry(name, Some(ZoneMap.collect(back)), Some(back.schema.toDDL))
   }
 
@@ -144,6 +150,16 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
   private def merged(entries: Seq[(FragEntry, Int)],
                      purgeTombstones: Boolean = true,
                      frame: FragEntry => DataFrame = defaultFrame): DataFrame = {
+    // single live fragment (every post-compact read): a key appears at
+    // most once per fragment, so every row is its own winner — skip the
+    // union + per-key window shuffle entirely
+    if (entries.size == 1) {
+      val df = frame(entries.head._1)
+      return if (!df.columns.contains(DeletedCol)) df
+      else if (purgeTombstones)
+        df.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+      else df
+    }
     val unioned = entries.map { case (e, i) =>
       frame(e).withColumn("__frag_seq", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -184,8 +200,39 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     else Some(merged(entries.zipWithIndex, purgeTombstones = false))
   }
 
-  private def defaultFrame(e: FragEntry): DataFrame =
-    spark.read.parquet(s"$baseDir/${e.name}")
+  /** ZERO-SHUFFLE superset read: the raw union of the live fragments
+    * with tombstone MARKER rows removed but NOT applied — superseded key
+    * versions and tombstone-shadowed rows RESURFACE. For index-probe
+    * callers only (the banded LSH candidate read), where a superset is
+    * part of the read contract because every candidate is re-verified
+    * against an exactly-merged store downstream; never correct for a
+    * caller that treats rows as current truth.
+    */
+  private[runtime] def readSuperset(): Option[DataFrame] = {
+    val entries = readEntries()
+    if (entries.isEmpty) return None
+    val unioned = entries.map(defaultFrame)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    Some(if (unioned.columns.contains(DeletedCol))
+      unioned.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+    else unioned)
+  }
+
+  /** A fragment's DataFrame. The manifest-carried DDL (written from the
+    * fragment's own read-back schema, so it matches the bytes exactly)
+    * is passed as the user schema: parquet then skips footer-read
+    * schema inference, which otherwise costs one Spark JOB per fragment
+    * per read — measured as the dominant term of the banded ingest
+    * probe (~90 jobs/trigger, r12 BandedProfileSub). Unparseable DDL
+    * (none is expected — toDDL round-trips) falls back to inference.
+    */
+  private def defaultFrame(e: FragEntry): DataFrame = {
+    val path = s"$baseDir/${e.name}"
+    e.schema match {
+      case Some(st) => spark.read.schema(st).parquet(path)
+      case None     => spark.read.parquet(path)
+    }
+  }
 
   /** First-wins union schema over the live fragments (manifest DDL
     * when present, footer read otherwise), minus the tombstone marker;
@@ -283,9 +330,26 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     }
     // opaque conjuncts (None) still filter at execution time but can
     // never justify skipping a fragment
-    val conjuncts = org.apache.spark.sql.GraftColumnBridge
-      .predicateConjuncts(pred).flatten
+    val conjunctsAligned = org.apache.spark.sql.GraftColumnBridge
+      .predicateConjuncts(pred)
+    val conjuncts = conjunctsAligned.flatten
     val keyConj = conjuncts.filter(c => ZoneProbe.refsOnly(c, uniqueKey))
+    // key-only conjuncts PUSH BELOW the winner merge: a key-pure
+    // predicate holds for every version of a key or none, so filtering
+    // each fragment first removes all versions of non-matching keys
+    // (tombstones included — they carry the key) and no versions of
+    // matching ones; the merge over the survivors is the merge over the
+    // matching keys. This is what turns a point probe of a large bucket
+    // into a parquet scan with the key filter PUSHED (row-group
+    // skipping) instead of a whole-bucket shuffle through the window.
+    val keyPush: Option[Column] = {
+      val cols = conjunctsAligned
+        .zip(org.apache.spark.sql.GraftColumnBridge.conjunctColumns(pred))
+        .collect { case (Some(e), c) if ZoneProbe.refsOnly(e, uniqueKey) => c }
+      cols.reduceOption(_ && _)
+    }
+    def pushed(e: FragEntry): DataFrame =
+      keyPush.fold(frame(e))(frame(e).filter)
     val keyLive = entries.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, keyConj) }
     val report0 = PruneReport(entries.size, keyLive.size, 0)
     if (keyLive.isEmpty) return (Some(emptyResult), report0)
@@ -295,16 +359,16 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val candidates = keyLive.filter { case (e, _) => ZoneProbe.mayMatch(e.stats, conjuncts) }
     val report = report0.copy(scanned = candidates.size)
     if (candidates.size == keyLive.size)
-      return (Some(pad(merged(keyLive, frame = frame)).filter(pred)), report)
+      return (Some(pad(merged(keyLive, frame = pushed)).filter(pred)), report)
     if (candidates.isEmpty) return (Some(emptyResult), report)
     // winners over key-live fragments, key column only
     val winners = keyLive.map { case (e, i) =>
-      frame(e)
+      pushed(e)
         .select(qcol(uniqueKey).as("__w_key")).withColumn("__w_seq", lit(i))
     }.reduce(_ unionByName _)
       .groupBy(col("__w_key")).agg(max(col("__w_seq")).as("__max_seq"))
     val rows = candidates.map { case (e, i) =>
-      frame(e).withColumn("__frag_seq", lit(i))
+      pushed(e).withColumn("__frag_seq", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     // resolve the key via qcol like every other path — raw Dataset.apply
     // would parse a dotted key column as a nested-field reference
@@ -461,6 +525,27 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
 }
 
 object FragmentedTable {
+
+  /** `schema` with every field, array element, and map value marked
+    * nullable — the RELAXATION of the writer's schema that is safe as a
+    * parquet user schema regardless of how the writer's nullability
+    * flags mapped to required/optional in the file (claiming nullable
+    * over non-null bytes is always legal; the reverse is not). Used by
+    * the fragment read-backs so zone-map collection skips the footer
+    * schema-inference job.
+    */
+  private[runtime] def relaxNullable(schema: StructType): StructType =
+    relaxDt(schema).asInstanceOf[StructType]
+
+  private def relaxDt(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(dataType = relaxDt(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(relaxDt(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(relaxDt(m.keyType), relaxDt(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 
   /** Zone-map prune report: of `total` live fragments, `keyLive`
     * survived the key-predicate probe (and were read at least for their

@@ -569,7 +569,8 @@ object StreamingOps {
                                     shingleK: Int = 1,
                                     hotShingles: Seq[String] = Nil,
                                     compactEvery: Long = 0L,
-                                    rebucketBytesPerBucket: Long = 0L): DataStreamWriter[Row] = {
+                                    rebucketBytesPerBucket: Long = 0L,
+                                    rebucketMinBytesPerBucket: Long = 0L): DataStreamWriter[Row] = {
     require(bandStore.routeCol == "band_key",
       s"bandStore must route on band_key, not '${bandStore.routeCol}'")
     repairNearDupSideTables(frag, sigStore, bandStore, numHashes, bands,
@@ -577,33 +578,41 @@ object StreamingOps {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         // already pinned by the routed append: three stores consume the
-        // survivor set without re-running the banded probe
-        val pinned = graft.ext.IngestOps.appendDedupNearDupRouted(
-          keys => bandStore.readRouted(keys),
+        // survivor set without re-running the banded probe; the probe's
+        // own signature pass is handed back pinned, so the side-store
+        // writes never re-tokenize the survivors
+        val (pinned, signed) = graft.ext.IngestOps.appendDedupNearDupRoutedSigned(
+          // superset probe: zero-shuffle raw band read — stale/deleted
+          // band rows only add candidates the exact sig verify rejects
+          keys => bandStore.readRoutedSuperset(keys),
           ids => sigStore.readWhere(col("doc_id").isin(ids: _*)),
           batch, threshold, numHashes, bands, shingleK,
           hotShingles = hotShingles)
         if (!pinned.isEmpty) {
           frag.upsert(pinned)
-          val signed = graft.ext.IngestOps.minHashSigsOf(pinned, numHashes,
-            shingleK, hotShingles = hotShingles).persist()
-          val tomb = pinned.select(col("doc_id"))
-            .join(signed.select("doc_id"), Seq("doc_id"), "left_anti")
-            .select(col("doc_id"),
-              array().cast("array<string>").as("toks"),
-              array().cast("array<bigint>").as("sig"))
+          // signature-less survivors (all-hot-shingle docs) need
+          // convergence tombstones; when every survivor signed — the
+          // overwhelmingly common trigger — skip the anti-join + union
+          // entirely (both frames are pinned, so the counts are cheap)
+          val withTombs =
+            if (signed.count() == pinned.count()) signed
+            else signed.unionByName(pinned.select(col("doc_id"))
+              .join(signed.select("doc_id"), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"),
+                array().cast("array<string>").as("toks"),
+                array().cast("array<bigint>").as("sig")))
           // sigs BEFORE bands: a stored band row must always find its
           // verify row; the reverse crash order would leave candidates
           // that silently drop out of the verify join
-          sigStore.upsert(signed.unionByName(tomb))
+          sigStore.upsert(withTombs)
           bandStore.upsert(graft.ext.IngestOps.bandRowsOf(signed, bands,
             numHashes / bands))
-          signed.unpersist(false)
         }
         // release the trigger's pinned blocks — a per-trigger block left
         // persisted is a leak a 200-trigger soak measures as a latency
         // ramp (cleanup is otherwise GC-driven and a large idle heap
         // never collects)
+        signed.unpersist(false)
         pinned.unpersist(false)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           cadenceFold(frag)
@@ -617,8 +626,13 @@ object StreamingOps {
           sigStore.maybeCompact(2)
           bandStore.maybeCompact(2)
           if (rebucketBytesPerBucket > 0L) {
-            sigStore.maybeRebucket(rebucketBytesPerBucket)
-            bandStore.maybeRebucket(rebucketBytesPerBucket)
+            // the optional floor arms the HALVING trigger too, so a
+            // delete-heavy stream reclaims bucket count live (hysteresis
+            // floor <= max/4 enforced by the store)
+            sigStore.maybeRebucket(rebucketBytesPerBucket,
+              rebucketMinBytesPerBucket)
+            bandStore.maybeRebucket(rebucketBytesPerBucket,
+              rebucketMinBytesPerBucket)
             ()
           }
         }

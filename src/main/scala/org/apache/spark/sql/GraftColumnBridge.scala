@@ -51,9 +51,22 @@ object GraftColumnBridge {
     */
   def predicateConjuncts(c: Column): Seq[Option[Expression]] = split(c.node)
 
-  private def split(n: ColumnNode): Seq[Option[Expression]] = n match {
-    case NFn("and", Seq(l, r), _, _, _, _) => split(l) ++ split(r)
-    case other                             => Seq(toExpr(other))
+  /** The SAME top-level conjunct split as [[predicateConjuncts]] —
+    * index-aligned with it — but each conjunct handed back as an
+    * EXECUTABLE Column (its original ColumnNode re-wrapped, so filter
+    * semantics are exactly the conjunct's within the original
+    * predicate). Lets a consumer that proved a conjunct safe to push
+    * (e.g. key-only conjuncts below a last-writer-wins merge) apply it
+    * without a catalyst→Column round-trip.
+    */
+  def conjunctColumns(c: Column): Seq[Column] = splitNodes(c.node).map(Column(_))
+
+  private def split(n: ColumnNode): Seq[Option[Expression]] =
+    splitNodes(n).map(toExpr)
+
+  private def splitNodes(n: ColumnNode): Seq[ColumnNode] = n match {
+    case NFn("and", Seq(l, r), _, _, _, _) => splitNodes(l) ++ splitNodes(r)
+    case other                             => Seq(other)
   }
 
   private def toExpr(n: ColumnNode): Option[Expression] = n match {
