@@ -91,7 +91,7 @@ object Bench {
     // 10× docs means 10× encode/decode work, so a per-partition decode
     // memory cliff or codec-path scale bomb becomes a round artifact
     "q_ext_media_decode_real", "q_ext_media_resize_real", "q_ext_media_formats",
-    "q_ext_media_neardup", "q_ext_media_audio")
+    "q_ext_media_neardup", "q_ext_media_audio", "q_ext_media_video")
 
   def main(args: Array[String]): Unit = {
     val sf1 = sys.env.get("SPARK_GRAFT_SF").contains("1")

@@ -170,6 +170,65 @@ object WavCodec extends AudioCodec {
     }.toOption.flatten
 }
 
+/** Pluggable video-decode seam — the multi-frame analog of
+  * [[ImageCodec]]: a container holds an ordered frame sequence; the
+  * sampler asks for frame COUNT first, then decodes only the frames it
+  * selected (the demux-then-decode-selected shape a real video pipeline
+  * uses — decoding every frame of a corpus to sample two is the scale
+  * mistake). Implementations must be Serializable (the instance ships
+  * in the `mapPartitions` closure) and decode on the executor only.
+  */
+trait VideoCodec extends Serializable {
+  /** Number of frames, or None if the payload is not decodable. */
+  def frameCount(payload: Array[Byte]): Option[Int]
+
+  /** (width, height, row-major ARGB pixels) of frame `idx` (0-based),
+    * or None if the payload/frame is not decodable.
+    */
+  def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Int])]
+}
+
+/** The JDK's own multi-frame codec: ANIMATED GIF through
+  * `javax.imageio`'s ImageReader sequence API — real container demux
+  * (frame count from the stream directory) and real per-frame LZW
+  * decode, zero extra dependencies. Scope note: frames are read RAW
+  * (not composited onto prior frames), which is exact for full-frame
+  * sequences like [[MultimodalOps.withGeneratedGifVideo]]'s and for any
+  * writer that does not delta-optimize; delta-optimized GIFs would need
+  * disposal-method compositing — out of scope, documented, and
+  * irrelevant to the decode-seam contract this gates.
+  */
+object GifVideoCodec extends VideoCodec {
+
+  private def withReader[A](payload: Array[Byte])(
+      f: javax.imageio.ImageReader => A): Option[A] =
+    if (payload == null || payload.isEmpty) None
+    // reader lookup/parse THROWS on garbage — corrupt maps to None,
+    // never fails the task (same contract as the image/audio seams)
+    else scala.util.Try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some(f(r)) } finally r.dispose()
+        }
+      } finally iis.close()
+    }.toOption.flatten
+
+  override def frameCount(payload: Array[Byte]): Option[Int] =
+    withReader(payload)(_.getNumImages(true)).filter(_ > 0)
+
+  override def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Int])] =
+    withReader(payload) { r =>
+      val img = r.read(idx)
+      val w = img.getWidth; val h = img.getHeight
+      (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+    }
+}
+
 object MultimodalOps {
 
   /** Typed metadata carried next to every media blob. */
@@ -638,6 +697,118 @@ object MultimodalOps {
               math.sqrt(sq / n), peak, sum.toDouble / n))
           case _ =>
             Row.fromSeq(kept ++ Seq(null, null, null, null, null, null, null))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Media table whose blobs are REAL multi-frame videos: animated GIFs
+    * written by `javax.imageio`'s sequence writer, (doc_id % 5 + 2)
+    * full frames each, dims as [[withGeneratedImages]]. Frame f's
+    * indexed-gray raster is a DISJOINT window [f·w·h, (f+1)·w·h) of the
+    * QUADRATIC sample sequence v(x) = bits 16–23 of ((x² mod 2²⁴)·φ),
+    * x = doc_id·31 + f·w·h + i — so every sampled-frame statistic is
+    * analytically computable (GIF is lossless over indexed data and the
+    * 256-gray palette makes luminance EXACTLY the sample value, same
+    * argument as the still-GIF gate), while the engine must round-trip
+    * it through genuine multi-frame GIF encode → [[GifVideoCodec]]
+    * demux + per-frame decode. Quadratic-high-bits rather than
+    * [[genPixel]]'s low byte deliberately: the low byte of a LINEAR
+    * sequence is a bijection per 256 consecutive indices, which makes
+    * every frame's histogram identically uniform — a gate that could
+    * not see a frame-addressing bug. The quadratic's high bits vary per
+    * window (spec-pinned distinct first/last frames).
+    */
+  def withGeneratedGifVideo(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      val ramp = Array.tabulate(256)(_.toByte)
+      val grayPalette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = ((id % 8) + 1).toInt * 8
+        val h = ((id % 6) + 1).toInt * 8
+        val nFrames = ((id % 5) + 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val im = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = im.getRaster
+          var i = 0
+          while (i < w * h) {
+            val x = id * 31 + f.toLong * w * h + i
+            val v = ((((x * x) & 0xFFFFFFL) * 0x9E3779B9L) >> 16) & 0xFFL
+            raster.setSample(i % w, i / w, 0, v.toInt)
+            i += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        Row(id, bos.toByteArray, Row("gif", w, h, (nFrames * 40): Integer))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL frame sampling through the [[VideoCodec]] seam: per payload,
+    * read the frame COUNT from the container directory, pick `n`
+    * evenly-spaced frame indices by the pinned rule
+    * idx_k = ⌊k·(frames−1)/(n−1)⌋ (k = 0..n−1; all frames when the
+    * video has ≤ n), decode ONLY those, and emit one row per sampled
+    * frame with the true decoded dims and the shared 16-bin luminance
+    * histogram. Only selected frames are ever decoded — the
+    * demux-then-decode-selected shape that keeps corpus-scale frame
+    * sampling ∝ n, not ∝ total frames. Payloads the codec rejects
+    * yield ONE row with NULL frame fields (kept, countable, never
+    * silently dropped) — the corrupt-blob contract of every decode op
+    * here.
+    */
+  def sampleFrameStats(media: DataFrame, n: Int,
+                       codec: VideoCodec = GifVideoCodec,
+                       mediaCol: String = "media"): DataFrame = {
+    require(n >= 2, s"frame sampling needs n >= 2, got $n")
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == mediaCol) ++ Seq(
+        StructField("n_frames", IntegerType),
+        StructField("frame_idx", IntegerType),
+        StructField("decoded_width", IntegerType),
+        StructField("decoded_height", IntegerType),
+        StructField("features", ArrayType(DoubleType))))
+    val keepIdx = inSchema.fields.zipWithIndex
+      .filterNot(_._1.name == mediaCol).map(_._2)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val kept = keepIdx.map(r.get).toSeq
+        val payload = r.getAs[Array[Byte]](mediaIdx)
+        codec.frameCount(payload) match {
+          case Some(m) =>
+            val picks =
+              if (m <= n) 0 until m
+              else (0 until n).map(k => k * (m - 1) / (n - 1)).distinct
+            picks.map { idx =>
+              codec.decodeFrame(payload, idx) match {
+                case Some((w, h, px)) =>
+                  Row.fromSeq(kept ++ Seq[Any](m, idx, w, h,
+                    lumaHistogram(px).toSeq))
+                case None =>
+                  Row.fromSeq(kept ++ Seq[Any](m, idx, null, null, null))
+              }
+            }
+          case None =>
+            Seq(Row.fromSeq(kept ++ Seq(null, null, null, null, null)))
         }
       }
     }(RowEncoder.encoderFor(outSchema))

@@ -259,6 +259,57 @@ class MultimodalSpec extends SparkSpec {
       "undecodable audio must yield NULLs, not throw and not fake stats"))
   }
 
+  test("video codec: animated-GIF demux + sampled-frame decode recover the exact generator windows; corrupt → NULL row") {
+    import spark.implicits._
+    val docs = Seq(0L, 3L, 7L, 13L).toDF("doc_id")
+    val out = MultimodalOps.sampleFrameStats(
+      MultimodalOps.withGeneratedGifVideo(docs), n = 2).collect()
+    // n=2 sampling: exactly {first, last} per doc, frames = id%5+2 >= 2
+    assert(out.length == 8, out.mkString(","))
+    val byKey = out.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx")) -> r).toMap
+    Seq(0L, 3L, 7L, 13L).foreach { id =>
+      val m = ((id % 5) + 2).toInt
+      val w = ((id % 8) + 1).toInt * 8; val h = ((id % 6) + 1).toInt * 8
+      Seq(0, m - 1).foreach { f =>
+        val r = byKey((id, f))
+        assert(r.getAs[Int]("n_frames") == m, s"doc $id frame count")
+        assert(r.getAs[Int]("decoded_width") == w &&
+          r.getAs[Int]("decoded_height") == h, s"doc $id dims")
+        // indexed-gray GIF: luminance of sample i IS the quadratic
+        // sample at the frame's window offset — recompute bin 0
+        // exactly from the formula
+        val expBin0 = (0 until w * h).count { i =>
+          val x = id * 31 + f.toLong * w * h + i
+          (((((x * x) & 0xFFFFFFL) * 0x9E3779B9L) >> 16 & 0xFFL) / 16) == 0
+        }.toDouble / (w * h)
+        val got = r.getSeq[Double](r.fieldIndex("features"))
+        assert(math.abs(got.head - expBin0) < 1e-12,
+          s"doc $id frame $f bin0: got ${got.head}, expected $expBin0")
+      }
+      // frame addressing is real: first and last frame come from
+      // DISJOINT generator windows, so their histograms must differ
+      val f0 = byKey((id, 0)).getSeq[Double](byKey((id, 0)).fieldIndex("features"))
+      val fl = byKey((id, m - 1)).getSeq[Double](byKey((id, m - 1)).fieldIndex("features"))
+      assert(f0 != fl, s"doc $id: sampled frames must be distinct windows")
+    }
+    // n larger than the frame count decodes every frame, no duplicates
+    val allFrames = MultimodalOps.sampleFrameStats(
+      MultimodalOps.withGeneratedGifVideo(Seq(3L).toDF("doc_id")), n = 10)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(allFrames == (0 until ((3 % 5) + 2)), allFrames.toString)
+    // corrupt payload and a TRUNCATED gif both → one NULL row, kept
+    val goodBytes = MultimodalOps.withGeneratedGifVideo(Seq(7L).toDF("doc_id"))
+      .select("media").as[Array[Byte]].head()
+    val bad = MultimodalOps.sampleFrameStats(Seq(
+        (1L, "not a gif at all".getBytes("UTF-8")),
+        (2L, goodBytes.take(20))).toDF("doc_id", "media"), n = 2)
+      .collect()
+    assert(bad.length == 2)
+    bad.foreach(r => assert(r.isNullAt(r.fieldIndex("n_frames")),
+      "undecodable video must yield a NULL row, not throw and not fake frames"))
+  }
+
   test("perceptual hash: re-encoded twins collide, different pictures repel, corrupt → NULL, banding finds exactly the twins") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -328,6 +328,53 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(after.count() == n && after.select("v").distinct().count() == n)
   }
 
+  test("readRoutedSuperset: zero-merge raw union — superseded versions and tombstone-shadowed rows resurface, marker rows never do") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "sup", "pk", buckets = 4,
+      routeCol = Some("rk"))
+    bs.upsert(Seq(("a", 1L, "v1"), ("b", 2L, "w1")).toDF("pk", "rk", "v"))
+    bs.upsert(Seq(("a", 1L, "v2")).toDF("pk", "rk", "v")) // supersedes a=v1
+    bs.deleteKeys(Seq(("b", 2L)).toDF("pk", "rk"))        // tombstones b
+    // exact read: last-writer-wins + tombstones applied
+    assert(rowsOf(bs.read().get) == Set("a|1|v2"))
+    // superset read: BOTH versions of a resurface, b's shadowed row
+    // resurfaces, but the tombstone MARKER row itself is dropped (no
+    // __graft_deleted column leaks, no null-v marker row)
+    val sup = bs.readRoutedSuperset(Seq(1L, 2L)).get
+    assert(!sup.columns.contains("__graft_deleted"))
+    assert(sup.count() == 3, sup.collect().mkString(","))
+    assert(sup.filter(col("pk") === "a").count() == 2)
+    assert(rowsOf(sup.filter(col("pk") === "b")) == Set("b|2|w1"))
+    // type-mismatched route values decline to a full superset read —
+    // still superset-correct, never wrong
+    assert(bs.readRoutedSuperset(Seq(1)).get.count() == 3)
+    // empty store: None (same contract as readRouted)
+    val empty = BucketedFragmentStore(spark, freshDir(), "sup0", "pk",
+      buckets = 2, routeCol = Some("rk"))
+    assert(empty.readRoutedSuperset(Seq(1L)).isEmpty)
+  }
+
+  test("readWhere key-pushdown: key-only predicates prune below the merge without changing LWW or tombstone semantics") {
+    val dir = freshDir()
+    val bs = BucketedFragmentStore(spark, dir, "kp", "pk", buckets = 2)
+    bs.upsert((0 until 40).map(i => (i.toLong, s"v$i")).toDF("pk", "v"))
+    bs.upsert(Seq((7L, "NEW")).toDF("pk", "v"))   // supersede 7
+    bs.deleteKeys(Seq(9L).toDF("pk"))             // tombstone 9
+    bs.upsert((40 until 60).map(i => (i.toLong, s"v$i")).toDF("pk", "v"))
+    // multi-fragment buckets: the In conjunct pushes into every
+    // fragment scan; winners must still be the newest version, and the
+    // tombstoned key must stay gone
+    val hit = bs.readWhere(col("pk").isin(7L, 9L, 41L, 3L)).get
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(hit == Map(7L -> "NEW", 41L -> "v41", 3L -> "v3"), hit.toString)
+    // a mixed predicate (key conjunct + data conjunct): the data
+    // conjunct must NOT prune the merge — the newest version of 7
+    // fails v="v7" and 7 is correctly ABSENT, not resurrected
+    val mixed = bs.readWhere(col("pk").isin(7L, 8L) && col("v").startsWith("v")).get
+      .select("pk").as[Long].collect().toSet
+    assert(mixed == Set(8L), mixed.toString)
+  }
+
   test("route-by-column store: probes route on routeCol, LWW stays on uniqueKey, meta pins the route") {
     val dir = freshDir()
     val bs = BucketedFragmentStore(spark, dir, "inv", "pk", buckets = 8,
