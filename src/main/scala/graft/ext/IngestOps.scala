@@ -401,4 +401,53 @@ object IngestOps {
     val confirmedDup = exFp.join(broadcast(suspectFps), Seq("__fp")).distinct()
     batch.join(broadcast(confirmedDup), Seq("__fp"), "left_anti").drop("__fp")
   }
+
+  /** [[appendDedupExact]] with the corpus side behind a FINGERPRINT
+    * POINT-PROBE instead of a full corpus scan — the corpus-independent
+    * per-trigger shape for exact dedup (the banding move applied to the
+    * exact path): [[appendDedupExact]] re-scans the whole corpus every
+    * call to build its Bloom filter, an O(corpus) map-side cost per
+    * trigger that a 100 TB ingest cannot pay (measured as a 2.9 → 4.0 s
+    * latency ramp over the first 60 quarantine-soak triggers at sf1).
+    *
+    * `fpProbe(fps)` returns the stored fingerprint rows (schema ⊇
+    * (`fp`)) that MAY match the batch's fingerprints — a key-routed
+    * point read ([[graft.runtime.BucketedFragmentStore.readWhere]] with
+    * an IN over the batch's fps: bucket routing + the key-pushdown scan
+    * make its I/O ∝ batch, not store). A superset is fine; None means
+    * an empty store. The intersection is collected to the driver —
+    * bounded by the batch size — and applied as a literal filter.
+    * Within-batch dedup (lowest id per fingerprint) happens first,
+    * exactly as [[appendDedupExact]]. Null-text rows carry a null
+    * fingerprint and are KEPT (SQL join semantics never match null
+    * keys — the same contract as the Bloom path). The returned frame is
+    * PINNED (persist + materialize) so multi-store consumers run the
+    * probe once; the CALLER must `unpersist()` it once consumed.
+    */
+  def appendDedupExactRouted(fpProbe: Seq[Any] => Option[DataFrame],
+                             incoming: DataFrame,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val batch = DedupOps.dedupExact(incoming, textCol, idCol)
+      .withColumn("__fp", TextOps.fingerprint(col(textCol))).persist()
+    batch.count()
+    val fps = batch.select("__fp").na.drop().distinct()
+      .collect().map(_.getString(0)).toSeq
+    val hits: Seq[String] =
+      if (fps.isEmpty) Nil
+      else fpProbe(fps) match {
+        case None => Nil
+        case Some(ex) => ex.select(col("fp"))
+          .filter(col("fp").isin(fps: _*))
+          .distinct().collect().map(_.getString(0)).toSeq
+      }
+    val out =
+      if (hits.isEmpty) batch.drop("__fp")
+      else batch.filter(col("__fp").isNull || !col("__fp").isin(hits: _*))
+        .drop("__fp")
+    val pinned = out.persist()
+    pinned.count()
+    batch.unpersist(false)
+    pinned
+  }
 }

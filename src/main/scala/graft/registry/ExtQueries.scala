@@ -418,6 +418,26 @@ object ExtQueries {
       DedupOps.dedupExact(docs.unionByName(planted))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
     }),
+    // ROUTED exact-dedup ingest — the corpus-independent exact path the
+    // routed quarantine sink runs (r12): the even-id half persists its
+    // content fingerprints into a REAL fp-keyed BucketedFragmentStore,
+    // and the odd-id half is screened by POINT-PROBING exactly its own
+    // batch's fingerprints (bucket routing + key-pushdown scan — I/O ∝
+    // batch, never corpus). Output is identical to appendDedupExact
+    // over the same halves, which is what the SQL mirror computes.
+    "q_ext_ingest_exact_routed" -> ((s, dir) => {
+      val docs = Sources(s, dir).documents.select("doc_id", "lang", "text")
+      val wh = java.nio.file.Files.createTempDirectory("graft-fpq").toString
+      val fpStore = graft.runtime.BucketedFragmentStore(s, wh, "fps", "fp",
+        buckets = 4)
+      fpStore.upsert(docs.filter(col("doc_id") % 2 === 0)
+        .select(TextOps.fingerprint(col("text")).as("fp")).na.drop().distinct())
+      val out = IngestOps.appendDedupExactRouted(
+          fps => fpStore.readWhere(col("fp").isin(fps: _*)),
+          docs.filter(col("doc_id") % 2 =!= 0))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
+      out
+    }),
     "q_ext_dedup_neardup_corpus" -> ((s, dir) => {
       val docs = docsSub(s, dir)
       DedupOps.removeNearDups(docs, DedupOps.jaccardPairs(docs, 0.9))
@@ -1454,6 +1474,22 @@ object ExtQueries {
          |    ORDER BY doc_id) AS rn
          |  FROM all_docs
          |) WHERE rn = 1""".stripMargin),
+    // Routed exact-ingest mirror: survivors = incoming minus in-batch
+    // fingerprint dups (lowest id wins) minus fingerprints the existing
+    // half holds; null-text rows carry a null fp and are KEPT (join
+    // semantics never match null keys — the engine contract).
+    "q_ext_ingest_exact_routed" ->
+      (s"""WITH inc AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+         |keep AS (SELECT $fingerprintSql AS fp, min(doc_id) AS keep_id
+         |         FROM inc GROUP BY 1),
+         |batch AS (SELECT i.*, k.fp FROM inc i JOIN keep k
+         |          ON $fingerprintSql IS NOT DISTINCT FROM k.fp
+         |          AND i.doc_id = k.keep_id),
+         |exfp AS (SELECT DISTINCT $fingerprintSql AS fp FROM documents
+         |         WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+         |SELECT doc_id, lang, md5(text) AS content_md5
+         |FROM batch
+         |WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM exfp)""".stripMargin),
     "q_ext_dedup_neardup_corpus" ->
       (s"""WITH ${jaccardCtes(pruned = false)},
          |drops AS (

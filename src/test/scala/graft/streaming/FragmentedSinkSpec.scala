@@ -578,4 +578,68 @@ class FragmentedSinkSpec extends SparkSpec {
       assert(newestFragmentRows(dir, "qc") == 1L)
     } finally q.stop()
   }
+
+  test("routed quarantine sink: survivors+rejects ≡ un-routed sink; fp probe is point-read; crash-gap repair heals at construction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.runtime.BucketedFragmentStore
+    val dirA = freshDir(); val dirB = freshDir()
+    val checks = Seq(
+      "text_not_null" -> col("text").isNotNull,
+      "text_min_len" -> (length(col("text")) >= 5))
+    // A: the corpus-scan sink (the semantics oracle)
+    val fragA = new FragmentedTable(spark, dirA, "qc", "doc_id")
+    val rejA = new FragmentedTable(spark, dirA, "qc__rejects", "doc_id")
+    // B: the routed sink under test
+    val fragB = new FragmentedTable(spark, dirB, "qc", "doc_id")
+    val rejB = new FragmentedTable(spark, dirB, "qc__rejects", "doc_id")
+    val fpStore = BucketedFragmentStore(spark, dirB, "qc__fps", "fp", buckets = 4)
+    def ids(t: FragmentedTable): Set[Long] = t.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def rejMap(t: FragmentedTable): Map[Long, String] = t.read()
+      .map(_.select("doc_id", "reject_reason").as[(Long, String)].collect().toMap)
+      .getOrElse(Map.empty)
+    val inA = MemoryStream[(Long, String)]
+    val inB = MemoryStream[(Long, String)]
+    val qA = StreamingOps.corpusIngestQuarantineFragmentedSink(
+      inA.toDF().toDF("doc_id", "text"), fragA, rejA, checks).start()
+    val qB = StreamingOps.corpusIngestQuarantineRoutedSink(
+      inB.toDF().toDF("doc_id", "text"), fragB, rejB, checks, fpStore).start()
+    def both(rows: (Long, String)*): Unit = {
+      inA.addData(rows: _*); qA.processAllAvailable()
+      inB.addData(rows: _*); qB.processAllAvailable()
+    }
+    try {
+      both((1L, "alpha beta"), (2L, null: String), (3L, "abc"), (4L, "gamma delta"))
+      assert(ids(fragB) == ids(fragA) && ids(fragB) == Set(1L, 4L))
+      assert(rejMap(rejB) == rejMap(rejA))
+      // fp store carries exactly the live corpus fingerprints
+      assert(fpStore.read().get.count() == 2)
+      // cross-trigger exact dup (new id, same text) dropped via the
+      // POINT probe; novel doc kept — identical on both
+      both((11L, "alpha beta"), (12L, "epsilon zeta eta"))
+      assert(ids(fragB) == ids(fragA) && ids(fragB) == Set(1L, 4L, 12L))
+      // replay absorbed, no corpus fragment written
+      val fragsBefore = fragB.fragmentCount()
+      both((11L, "alpha beta"), (12L, "epsilon zeta eta"))
+      assert(ids(fragB) == Set(1L, 4L, 12L))
+      assert(fragB.fragmentCount() == fragsBefore,
+        "replay must not write a corpus fragment")
+      // null-text rows carry null fps and never poison the probe
+      assert(rejMap(rejB).get(2L).contains("text_not_null"))
+    } finally { qA.stop(); qB.stop() }
+    // CRASH GAP: corpus gained a row the fp store never saw (died
+    // between the two upserts) — a NEW sink's construction repair
+    // backfills, and a content duplicate of that row is then dropped
+    import spark.implicits._
+    fragB.upsert(Seq((21L, "orphan fingerprint row")).toDF("doc_id", "text"))
+    val inB2 = MemoryStream[(Long, String)]
+    val qB2 = StreamingOps.corpusIngestQuarantineRoutedSink(
+      inB2.toDF().toDF("doc_id", "text"), fragB, rejB, checks, fpStore).start()
+    try {
+      inB2.addData((22L, "orphan fingerprint row"), (23L, "fresh content here"))
+      qB2.processAllAvailable()
+      assert(ids(fragB) == Set(1L, 4L, 12L, 21L, 23L),
+        "repair must backfill the gap so the duplicate is dropped")
+    } finally qB2.stop()
+  }
 }
