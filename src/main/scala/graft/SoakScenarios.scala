@@ -44,7 +44,13 @@ private[graft] object SoakScenarios {
     val warehouse = Files.createTempDirectory("graft-soak-embed").toString
     val frag = new graft.runtime.FragmentedTable(spark, warehouse, "vcorpus", "vec_id")
     val idxPath = s"$warehouse/vcorpus.vecindex"
-    val profile = graft.ext.IndexProfile(exactFloor = 1000L)
+    // exactFloor = 0: the rung is SELECTED AT BOOTSTRAP from the first
+    // surviving batch (~200 rows), so any floor above that pins the
+    // BRUTE rung for the whole run — the first soak attempt did exactly
+    // that ("index_kind": "brute") and its O(corpus) scan was part of
+    // the latency ramp. Zero floor selects IVF from the start: the
+    // indexed path this scenario exists to soak.
+    val profile = graft.ext.IndexProfile(exactFloor = 0L)
 
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long"), col("embedding")).orderBy("vec_id")
@@ -398,8 +404,14 @@ private[graft] object SoakScenarios {
     // every doc unique (~2 KB of toks each), so phase 1's 8k docs put
     // several MB in each store and the data, not the metadata, drives
     // both triggers.
+    // measured on this fixture (first r12 shrink run): padded sigs
+    // ~0.94 KB/doc, band rows ~0.15 KB/doc — per-store caps so BOTH
+    // stores peak >= 8 buckets on phase 1's ~7.5 MB / ~1.2 MB and
+    // reclaim after the forget. (A nearly-empty store halves toward 1
+    // bucket at startup under any min floor — legitimate, and why the
+    // gates judge PEAK and FINAL, not the t=0 count.)
     val SigMax = 512L << 10; val SigMin = 128L << 10
-    val BandMax = 512L << 10; val BandMin = 128L << 10
+    val BandMax = 128L << 10; val BandMin = 32L << 10
 
     def padDoc(id: Long, tx: String): String =
       tx + (0 until 150).map(k => s" zpad${id}_$k").mkString
@@ -504,11 +516,22 @@ private[graft] object SoakScenarios {
         deletedIds ++= victims
         deletedRequested += victims.length
       }
+      // scheduled FULL compaction during the delete-heavy phase: the
+      // cadence's tiered-first folds keep manifests at <= 2 fragments
+      // without ever full-folding, so tombstone-shadowed bytes persist
+      // and liveBytes never reflects the deletions (the first r12 run
+      // measured sig_kb stuck at ~3.1 MB after a 90% forget — the
+      // halving trigger CORRECTLY never fired). Every LSM pairs
+      // delete-heavy workloads with scheduled major compaction; this is
+      // that, inside the streaming context.
+      if ((i + 1) % 10 == 0) { sigs.compact(); bandStore.compact() }
       if ((t + 1) % 5 == 0 || i == phase2.length - 1) checkpoint(t)
     }
     q.stop()
-    // drain any still-open migration to completion, then let the byte
-    // triggers finish reclaiming (each call does one bounded step)
+    // major-compact once more, then drain any still-open migration to
+    // completion and let the byte triggers finish reclaiming (each call
+    // does one bounded step)
+    sigs.compact(); bandStore.compact()
     var guard = 0
     while ((sigs.maybeRebucket(SigMax, SigMin) |
             bandStore.maybeRebucket(BandMax, BandMin)) && guard < 200) guard += 1

@@ -192,22 +192,38 @@ object IngestOps {
     survivors
   }
 
+  /** [[appendDedupNearDupRoutedSigned]]'s result with the row counts
+    * the pinning already computed: a sink consuming both frames can
+    * branch on emptiness and the tombstone condition (`nSigs ==
+    * nSurvivors`) without re-running count jobs against the persisted
+    * blocks — three driver round-trips per trigger that add up at
+    * high trigger rates.
+    */
+  final case class RoutedAppend(survivors: DataFrame, sigs: DataFrame,
+                                nSurvivors: Long, nSigs: Long) {
+    def unpersistAll(): Unit = {
+      sigs.unpersist(false); survivors.unpersist(false); ()
+    }
+  }
+
   /** [[appendDedupNearDupRouted]] that ALSO returns the survivors'
     * signature frame ([[minHashSigsOf]] schema: doc_id, toks, sig) —
-    * both PINNED. The probe already signed every batch row; a sink that
-    * persists signatures (the banded sink's sig/band side stores) reuses
-    * them instead of re-tokenizing + re-hashing the survivors, cutting
-    * one full signature pass per trigger. Survivors with no signature
-    * (all-hot-shingle docs) are absent from the frame, exactly as
-    * [[minHashSigsOf]] omits them. The CALLER must `unpersist()` BOTH
-    * returned frames once consumed.
+    * both PINNED — plus the counts the materialization already paid
+    * for. The probe already signed every batch row; a sink that
+    * persists signatures (the banded sink's sig/band side stores)
+    * reuses them instead of re-tokenizing + re-hashing the survivors,
+    * cutting one full signature pass per trigger. Survivors with no
+    * signature (all-hot-shingle docs) are absent from the frame,
+    * exactly as [[minHashSigsOf]] omits them. The CALLER must
+    * `unpersist()` both returned frames once consumed
+    * ([[RoutedAppend.unpersistAll]]).
     */
-  def appendDedupNearDupRoutedSigned(bandProbe: Seq[Long] => Option[DataFrame],
+  def appendDedupNearDupRoutedCounted(bandProbe: Seq[Long] => Option[DataFrame],
                                toksProbe: Seq[Any] => Option[DataFrame],
                                incoming: DataFrame, threshold: Double,
                                numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
                                textCol: String = "text", idCol: String = "doc_id",
-                               hotShingles: Seq[String] = Nil): (DataFrame, DataFrame) = {
+                               hotShingles: Seq[String] = Nil): RoutedAppend = {
     val rows = numHashes / bands
     val spark = incoming.sparkSession
     // each stage pins before fan-out; everything downstream is a cheap
@@ -262,16 +278,30 @@ object IngestOps {
     // pinned + materialized: the toks probe and verify run exactly
     // once, here; the batch-prep intermediates are then released
     val survivors = batch.join(broadcast(drops), Seq(idCol), "left_anti").persist()
-    survivors.count()
+    val nSurvivors = survivors.count()
     // survivors' signatures, pinned BEFORE inAll is released (the sig
     // lineage reaches through inS into inAll; materializing now means
     // the unpersist below frees blocks without forcing a recompute)
     val survivorSigs = inS.join(
       broadcast(survivors.select(col(idCol).as("doc_id"))),
       Seq("doc_id"), "left_semi").persist()
-    survivorSigs.count()
+    val nSigs = survivorSigs.count()
     exact.unpersist(false); inAll.unpersist(false); batch.unpersist(false)
-    (survivors, survivorSigs)
+    RoutedAppend(survivors, survivorSigs, nSurvivors, nSigs)
+  }
+
+  /** [[appendDedupNearDupRoutedCounted]] without the counts — kept for
+    * callers that only consume the frames.
+    */
+  def appendDedupNearDupRoutedSigned(bandProbe: Seq[Long] => Option[DataFrame],
+                               toksProbe: Seq[Any] => Option[DataFrame],
+                               incoming: DataFrame, threshold: Double,
+                               numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                               textCol: String = "text", idCol: String = "doc_id",
+                               hotShingles: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val r = appendDedupNearDupRoutedCounted(bandProbe, toksProbe, incoming,
+      threshold, numHashes, bands, shingleK, textCol, idCol, hotShingles)
+    (r.survivors, r.sigs)
   }
 
   /** Near-dup-aware incremental ingest — the production recipe for "new

@@ -492,9 +492,14 @@ class FragmentedSinkSpec extends SparkSpec {
       def indexIds: Set[Long] =
         idx.corpusFrame.select("vec_id").as[Long].collect().toSet
       val in = MemoryStream[(Long, Seq[Float])]
+      // compactEvery = 1: repair rides the compaction cadence since r12
+      // (the per-trigger corpus-vs-index anti-join was an O(corpus)
+      // cost the embed soak measured as a latency ramp) — every-trigger
+      // ticks keep this spec's crash-state heal observable on the very
+      // next trigger, as before
       val q = StreamingOps.corpusIngestEmbedVectorIndexSink(
         in.toDF().toDF("vec_id", "embedding"), frag, idxPath, profile,
-        threshold = 0.99).start()
+        threshold = 0.99, compactEvery = 1L).start()
       try {
         // bootstrap: the first survivors select and build the rung
         in.addData((1L, synthVec(1)), (2L, synthVec(2)), (3L, jig(synthVec(1), 0.01f)))
