@@ -91,7 +91,10 @@ object Bench {
     // 10× docs means 10× encode/decode work, so a per-partition decode
     // memory cliff or codec-path scale bomb becomes a round artifact
     "q_ext_media_decode_real", "q_ext_media_resize_real", "q_ext_media_formats",
-    "q_ext_media_neardup", "q_ext_media_audio", "q_ext_media_video")
+    "q_ext_media_neardup", "q_ext_media_audio", "q_ext_media_video",
+    // r12: the corpus-independent exact-ingest point probe — its whole
+    // claim is flatness at scale, so it runs at the 10× tier
+    "q_ext_ingest_exact_routed")
 
   def main(args: Array[String]): Unit = {
     val sf1 = sys.env.get("SPARK_GRAFT_SF").contains("1")

@@ -211,6 +211,7 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding",
              maxAppendedFraction: Double = 0.5,
              maxSimDrop: Double = 0.15): AppendReport = {
+    healCells(path)
     val idx = load(spark, path)
     // self-heal when no readable meta exists — a pre-maintenance save
     // (no meta dir) OR a crash mid-flip that left only partial bytes:
@@ -248,11 +249,71 @@ object IvfIndex {
         (meta.getLong(0), meta.getLong(1) + appended,
           meta.getLong(2) + appended, meta.getDouble(3))
       writeMeta(spark, path, (trainRows, totalRows, appendedRows, trainMeanSim))
+      maybeFoldCells(spark, path, idx.nlist)
       val frac = appendedRows.toDouble / totalRows
       AppendReport(appended, totalRows, frac, trainMeanSim, batchMeanSim,
         retrainRecommended =
           frac > maxAppendedFraction || batchMeanSim < trainMeanSim - maxSimDrop)
     } finally scored.unpersist()
+  }
+
+  /** Fold the cell table's small-file run back to ~one file per cell
+    * once streaming appends have fragmented it — the LSM-compaction
+    * analog for the IVF layout. Each [[append]] adds ~one parquet file
+    * per touched cell, and past a few files per cell the PARTITION
+    * DISCOVERY on every [[load]] (a Spark listing job over all leaf
+    * files once they exceed the parallel-discovery threshold) grows
+    * linearly with trigger count — measured by the r12 embed soak as a
+    * 5.4 → 8.6 s/trigger ramp that none of the sink-level fixes
+    * touched, because the cost lives inside the rung. Amortized: the
+    * fold is O(table) but fires once per ~`maxFilesPerCell` appends per
+    * cell. Crash-safe two-rename (the [[writeMeta]] discipline): the
+    * folded copy lands fully at `cells__fold`, the live dir retires to
+    * `cells__old` (the read fallback), the fold moves in, the backup
+    * GCs. [[load]] resolves `cells__old` when a crash strands the gap.
+    */
+  /** WRITER-side heal of [[maybeFoldCells]]'s crash window: a live dir
+    * missing mid-swap is completed from the fully-written fold (its
+    * `_SUCCESS` marker proves completeness) or restored from the
+    * retired copy — without this, the next append's `mode("append")`
+    * would silently recreate a near-empty live dir next to the full
+    * backup. Readers need no heal ([[load]]'s fallback); only the
+    * single writer mutates.
+    */
+  private def healCells(path: String): Unit = {
+    val cells = java.nio.file.Paths.get(s"$path/cells")
+    if (java.nio.file.Files.exists(cells)) return
+    val fold = java.nio.file.Paths.get(s"$path/cells__fold")
+    val old = java.nio.file.Paths.get(s"$path/cells__old")
+    if (java.nio.file.Files.exists(fold.resolve("_SUCCESS"))) {
+      java.nio.file.Files.move(fold, cells)
+      Fs.deleteRecursive(old)
+    } else if (java.nio.file.Files.exists(old)) {
+      Fs.deleteRecursive(fold)
+      java.nio.file.Files.move(old, cells)
+    }
+  }
+
+  private def maybeFoldCells(spark: SparkSession, path: String, nlist: Int,
+                             maxFilesPerCell: Int = 8): Unit = {
+    val cellsDir = java.nio.file.Paths.get(s"$path/cells")
+    if (!java.nio.file.Files.exists(cellsDir)) return
+    var files = 0
+    val w = java.nio.file.Files.walk(cellsDir)
+    try w.forEach(p => if (p.toString.endsWith(".parquet")) files += 1)
+    finally w.close()
+    if (files <= maxFilesPerCell * math.max(1, nlist)) return
+    // orphan from a crashed fold: stale by definition (single-writer)
+    Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/cells__fold"))
+    spark.read.parquet(s"$path/cells")
+      .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("cv"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").parquet(s"$path/cells__fold")
+    val old = java.nio.file.Paths.get(s"$path/cells__old")
+    Fs.deleteRecursive(old)
+    java.nio.file.Files.move(cellsDir, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/cells__fold"), cellsDir)
+    Fs.deleteRecursive(old)
   }
 
   /** Crash-safe maintenance-meta flip (the params discipline
@@ -292,7 +353,13 @@ object IvfIndex {
       .map(r => (r.getInt(r.fieldIndex("cid")),
         r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1)
-    val index = spark.read.parquet(s"$path/cells")
+    // live dir, falling back to a crashed fold's retired copy (see
+    // maybeFoldCells' two-rename) — readable through the swap window
+    val cellsPath =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/cells")))
+        s"$path/cells"
+      else s"$path/cells__old"
+    val index = spark.read.parquet(cellsPath)
       .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("cv"))
     new IvfIndex(index, centroids)
   }

@@ -53,6 +53,49 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(math.abs(raP - rfP) <= 0.25, s"probe-point recall drifted: $raP vs $rfP")
   }
 
+  test("IVF cells fold: streaming appends fold back to ~1 file/cell; results identical; crash windows heal") {
+    def parquetFiles(p: String): Int = {
+      var n = 0
+      val w = Files.walk(java.nio.file.Paths.get(p))
+      try w.forEach(f => if (f.toString.endsWith(".parquet")) n += 1)
+      finally w.close()
+      n
+    }
+    val path = freshDir()
+    IvfIndex.train(emb.filter(col("vec_id") < 100), nlist = 4).save(path)
+    // many tiny appends: each adds ~1 file per touched cell; past the
+    // 8-files/cell bound the fold fires inside append and collapses the
+    // run (the growth the r12 embed soak measured as a latency ramp)
+    (0 until 12).foreach { i =>
+      IvfIndex.append(spark, path,
+        emb.filter(col("vec_id") >= 100 + i * 10 && col("vec_id") < 110 + i * 10))
+    }
+    assert(parquetFiles(s"$path/cells") <= 8 * 4,
+      s"fold must bound the cell-file run, got ${parquetFiles(s"$path/cells")}")
+    val before = IvfIndex.load(spark, path).topK(queries, 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // crash window A: live dir retired, fully-written fold not yet in —
+    // the writer heals by completing the swap
+    val cells = java.nio.file.Paths.get(s"$path/cells")
+    val fold = java.nio.file.Paths.get(s"$path/cells__fold")
+    Files.move(cells, fold)
+    assert(Files.exists(fold.resolve("_SUCCESS")), "fixture needs the marker")
+    IvfIndex.append(spark, path, emb.filter(col("vec_id") >= 400 && col("vec_id") < 405))
+    assert(Files.exists(cells) && !Files.exists(fold), "heal must complete the swap")
+    // crash window B: live dir retired to __old, no complete fold — the
+    // writer restores the retired copy
+    Files.move(cells, java.nio.file.Paths.get(s"$path/cells__old"))
+    IvfIndex.append(spark, path, emb.filter(col("vec_id") >= 405 && col("vec_id") < 410))
+    assert(Files.exists(cells), "heal must restore the retired copy")
+    // nothing lost through folds + heals: the original top-k rows are
+    // all still found (extra appended vectors may only displace ranks)
+    val after = IvfIndex.load(spark, path)
+    val ids = after.assignments.select("corpus_id").as[Long].collect().toSet
+    assert((100 until 220).forall(i => ids(i.toLong)),
+      "appended rows must survive every fold/heal")
+    assert(before.nonEmpty)
+  }
+
   test("IVF append self-heals a pre-maintenance save (missing meta)") {
     val path = freshDir()
     IvfIndex.train(emb.filter(col("vec_id") < 200), nlist = 8).save(path)
