@@ -94,9 +94,43 @@ object Bench {
     "q_ext_media_neardup", "q_ext_media_audio", "q_ext_media_video",
     // r12: the corpus-independent exact-ingest point probe — its whole
     // claim is flatness at scale, so it runs at the 10× tier
-    "q_ext_ingest_exact_routed")
+    "q_ext_ingest_exact_routed",
+    // r13: the video family (multi-container encode + demux + sampled
+    // decode + banded signature collapse) — per-partition decode and
+    // band-join shape must hold at 10× docs
+    "q_ext_media_video_neardup", "q_ext_media_video_formats")
 
   def main(args: Array[String]): Unit = {
+    // PRE-FLIGHT idle certification (VERDICT r12 #2): an 11-minute pass
+    // matrix on a loaded host produces a timing artifact the round then
+    // has to disown — so check BEFORE pass 1, not after. Poll until the
+    // host is under BASELINE.md rule 3's bound (load1 ≤ max(2, cpus/8)),
+    // up to a wait budget; closure runs set
+    // SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 to hard-refuse instead of
+    // proceeding contended (driver runs keep best-effort semantics — a
+    // missing BENCH_r{N}.json is worse than a stamped-contended one).
+    locally {
+      def load1(): Double =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage
+      val bound = math.max(2.0, Runtime.getRuntime.availableProcessors / 8.0)
+      val waitBudgetSec =
+        sys.env.get("SPARK_GRAFT_BENCH_IDLE_WAIT").map(_.toInt).getOrElse(600)
+      val deadline = System.nanoTime() + waitBudgetSec * 1000000000L
+      var l = load1()
+      while (l > bound && System.nanoTime() < deadline) {
+        println(f"[bench] preflight: load1 $l%.2f > bound $bound%.1f — waiting for idle")
+        Thread.sleep(15000)
+        l = load1()
+      }
+      if (l > bound) {
+        println(f"[bench] preflight: still contended after ${waitBudgetSec}s (load1 $l%.2f > $bound%.1f)")
+        if (sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1")) {
+          println("[bench] preflight: SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 — refusing to run")
+          sys.exit(2)
+        }
+      }
+    }
     val sf1 = sys.env.get("SPARK_GRAFT_SF").contains("1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       if (sf1) "/tmp/sf1" else "/root/testdata/sf0.1")

@@ -695,6 +695,58 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** [[hammingNearDupPairsFromSigs]] lifted to MULTI-FRAME signatures
+    * (`sigCol: array<bigint>` — one 64-bit perceptual hash per sampled
+    * frame, in sample order; [[graft.ext.MultimodalOps.videoFrameHashes]]
+    * produces them). Pair semantics: two docs match when their
+    * signatures have the SAME length and EVERY aligned frame pair is
+    * within hamming `maxDist` — re-encodes of one animation align
+    * exactly (same container frame count ⇒ same sampled indices), while
+    * videos of different lengths or with any divergent sampled frame
+    * never pair. Candidates come from an equi-join on (sample rank,
+    * chunk index, chunk value): per rank the single-hash pigeonhole
+    * applies unchanged (≤ maxDist differing bits touch ≤ maxDist of the
+    * `bands` chunks, so one chunk must agree — recall 1.0 for the
+    * all-frames-within-radius criterion, already via rank 0 alone;
+    * every rank is banded so a candidate also surfaces when ANY aligned
+    * frame matches, keeping the band index useful for weaker
+    * composite policies). Verify is exact: max aligned
+    * `bit_count(xor)` over the zipped arrays. At 100 TB the shuffle
+    * carries (rank, chunk) keys ∝ corpus·n·bands — same contract as
+    * the single-hash banding, scaled by the (small, pinned) sample
+    * count n, never all-pairs.
+    */
+  def frameSigNearDupPairs(sigs: DataFrame, maxDist: Int, bands: Int,
+                           idCol: String = "doc_id",
+                           sigCol: String = "sig"): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist <= bands - 1,
+      s"$bands-chunk pigeonhole only guarantees recall for maxDist <= ${bands - 1}")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val s = sigs.filter(col(sigCol).isNotNull && size(col(sigCol)) > 0)
+      .select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+    val chunks = s
+      .select(col("doc_id"), col("sig"), posexplode(col("sig")))
+      .withColumnRenamed("pos", "rank").withColumnRenamed("col", "fsig")
+      .select(col("doc_id"), col("sig"), col("rank"),
+        posexplode(array((0 until bands).map(i =>
+          shiftrightunsigned(col("fsig"), i * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.rank") === col("y.rank") && col("x.chunk") === col("y.chunk") &&
+          col("x.chunk_key") === col("y.chunk_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("__sa"), col("y.sig").as("__sb"))
+      .distinct()
+      .filter(size(col("__sa")) === size(col("__sb")))
+      .withColumn("hamming_max", array_max(
+        zip_with(col("__sa"), col("__sb"), (a, b) => bit_count(a.bitwiseXOR(b)))))
+      .filter(col("hamming_max") <= maxDist)
+      .select("doc_a", "doc_b", "hamming_max")
+  }
+
   // ───── duplicated-SPAN family (substring-level dedup; Lee et al. 2022,
   // "Deduplicating Training Data Makes Language Models Better",
   // arXiv:2107.06499) — document-level dedup above misses the long

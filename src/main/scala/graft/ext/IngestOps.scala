@@ -101,7 +101,16 @@ object IngestOps {
                                 threshold: Double,
                                 numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
                                 textCol: String = "text", idCol: String = "doc_id",
-                                hotShingles: Seq[String] = Nil): DataFrame = {
+                                hotShingles: Seq[String] = Nil): DataFrame =
+    appendDedupNearDupIndexedSigned(existingSigs, incoming, threshold,
+      numHashes, bands, shingleK, textCol, idCol, hotShingles)._1
+
+  private def appendDedupNearDupIndexedSigned(
+                                existingSigs: DataFrame, incoming: DataFrame,
+                                threshold: Double,
+                                numHashes: Int, bands: Int, shingleK: Int,
+                                textCol: String, idCol: String,
+                                hotShingles: Seq[String]): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     // drop signature-less rows (empty toks — the streaming side-table's
     // convergence TOMBSTONES, see corpusIngestNearDupSink): they carry no
@@ -129,7 +138,38 @@ object IngestOps {
       .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
         size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
       .select(col("in_id").as(idCol)).distinct()
-    batch.join(broadcast(drops), Seq(idCol), "left_anti")
+    (batch.join(broadcast(drops), Seq(idCol), "left_anti"),
+      exSigs.unionByName(inAll))
+  }
+
+  /** [[appendDedupNearDup]]'s result PLUS the pool signature frame the
+    * pipeline already computed — `poolSigs` keyed by `doc_id` (the
+    * [[graft.ext.DedupOps.minHashSigFrame]] schema: doc_id, toks, sig),
+    * covering the existing corpus ∪ the incoming batch's exact-dedup
+    * representatives (every distinct pool TEXT with a nonempty token
+    * set; an exact-dup shadow shares its kept twin's tokens). A
+    * verification gate over this ingest
+    * ([[graft.ext.StructGate.ingestNearDupGate]]'s `poolToks`) reuses
+    * it instead of re-tokenizing the pool — with shingleK = 1 and no
+    * hot-shingle list, `toks` is exactly `TextOps.distinctTokens(text)`.
+    * With a hot list or k > 1 the toks are the PRUNED shingle sets —
+    * only pass them to a consumer whose metric is defined over the
+    * same sets.
+    */
+  final case class SignedIngest(survivors: DataFrame, poolSigs: DataFrame)
+
+  def appendDedupNearDupSigned(existing: DataFrame, incoming: DataFrame,
+                               threshold: Double,
+                               numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
+                               textCol: String = "text", idCol: String = "doc_id",
+                               maxDocFreqRatio: Option[Double] = None): SignedIngest = {
+    val hot = maxDocFreqRatio
+      .map(r => DedupOps.hotShinglesOf(existing, r, shingleK, textCol, idCol))
+      .getOrElse(Nil)
+    val (survivors, poolSigs) = appendDedupNearDupIndexedSigned(
+      DedupOps.minHashSigFrame(existing, numHashes, shingleK, textCol, idCol, hot),
+      incoming, threshold, numHashes, bands, shingleK, textCol, idCol, hot)
+    SignedIngest(survivors, poolSigs)
   }
 
   /** The PERSISTED band rows of a signature frame — one row per (doc,

@@ -206,6 +206,12 @@ object IvfIndex {
     * Ids are assumed unique across index ∪ batch (corpus ingest
     * appends new ids); single-writer per index dir, like the
     * Materializer.
+    *
+    * INVALIDATES prior handles: an append may fold the cell table
+    * ([[maybeFoldCells]] rewrites the cells dir), after which any
+    * [[IvfIndex]] loaded BEFORE this call holds a stale file listing
+    * and its next cells-reading action throws FileNotFoundException.
+    * Re-[[load]] after appending.
     */
   def append(spark: SparkSession, path: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding",
@@ -345,6 +351,14 @@ object IvfIndex {
   /** Reopen a persisted index: centroids are driver-collected (nlist
     * rows), the cell table is the partitioned parquet scan — probes
     * prune to their cells' files.
+    *
+    * HANDLE LIFETIME: the returned index captures an eager file listing
+    * of the cells dir. Any later `append` on the same path may fold the
+    * cells ([[maybeFoldCells]] moves the live dir), after which this
+    * handle's next cells-reading action throws FileNotFoundException —
+    * re-`load` after every append you don't own (the pattern the
+    * streaming embed sink follows). `load` itself retries through the
+    * fold's swap window (exists-check → read race on `cells__old`).
     */
   def load(spark: SparkSession, path: String): IvfIndex = {
     VectorFunctions.register(spark)
@@ -354,12 +368,27 @@ object IvfIndex {
         r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1)
     // live dir, falling back to a crashed fold's retired copy (see
-    // maybeFoldCells' two-rename) — readable through the swap window
-    val cellsPath =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/cells")))
-        s"$path/cells"
-      else s"$path/cells__old"
-    val index = spark.read.parquet(cellsPath)
+    // maybeFoldCells' two-rename). The exists-check → read pair races a
+    // concurrent fold deleting `cells__old` mid-swap, so the resolution
+    // retries: by the second attempt the mover has completed one of the
+    // renames and exactly one of the two dirs is readable.
+    def readCells(attempt: Int): org.apache.spark.sql.DataFrame = {
+      val cellsPath =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/cells")))
+          s"$path/cells"
+        else s"$path/cells__old"
+      try {
+        val df = spark.read.parquet(cellsPath)
+        df.queryExecution.analyzed // force the file listing now
+        df
+      } catch {
+        case e @ (_: java.io.FileNotFoundException |
+            _: org.apache.spark.sql.AnalysisException) if attempt < 3 =>
+          Thread.sleep(50L * (attempt + 1))
+          readCells(attempt + 1)
+      }
+    }
+    val index = readCells(0)
       .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("cv"))
     new IvfIndex(index, centroids)
   }

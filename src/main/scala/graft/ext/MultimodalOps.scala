@@ -229,6 +229,93 @@ object GifVideoCodec extends VideoCodec {
     }
 }
 
+/** MJPEG-in-AVI: the second real container behind the [[VideoCodec]]
+  * seam (VERDICT r12 task 8 — BMP/GIF/JPEG proved the image seam's
+  * dispatch the same way). The RIFF walk is hand-rolled (fourcc +
+  * little-endian size + even padding, LIST recursion), frames are the
+  * `00dc`/`00db` chunks of the `movi` list in stream order, and each
+  * frame body is a complete JPEG decoded by `javax.imageio` — so
+  * demux (container walk) and per-frame decode are genuinely separate
+  * stages, which is what makes decode-only-sampled-frames real here
+  * too. Any structural violation — bad magic, a chunk extending past
+  * the buffer, truncation mid-walk — maps to None (the corrupt-blob
+  * contract of every media seam in this file), never an exception.
+  */
+object MjpegAviCodec extends VideoCodec {
+
+  /** Byte offsets+lengths of the movi list's video chunks, in file
+    * order; None when the payload is not a structurally valid AVI.
+    */
+  private def frameChunks(payload: Array[Byte]): Option[Array[(Int, Int)]] =
+    if (payload == null || payload.length < 12) None
+    else scala.util.Try {
+      def fourcc(o: Int) = new String(payload, o, 4, "US-ASCII")
+      def u32(o: Int): Long =
+        (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+          ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+      require(fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(o)
+          val sz = u32(o + 4)
+          val body = o + 8
+          require(body + sz <= to, s"chunk $id overruns")
+          if (id == "LIST") {
+            require(sz >= 4)
+            val listType = fourcc(body)
+            walk(body + 4, body + sz.toInt, inMovi || listType == "movi")
+          } else if (inMovi && (id == "00dc" || id == "00db") && sz > 0)
+            out += ((body, sz.toInt))
+          o = body + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+      }
+      walk(12, riffEnd, inMovi = false)
+      out.toArray
+    }.toOption.filter(_.nonEmpty)
+
+  override def frameCount(payload: Array[Byte]): Option[Int] =
+    frameChunks(payload).map(_.length)
+
+  override def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Int])] =
+    frameChunks(payload).filter(ch => idx >= 0 && idx < ch.length).flatMap { ch =>
+      val (off, len) = ch(idx)
+      scala.util.Try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, off, len))
+        require(img != null)
+        val w = img.getWidth; val h = img.getHeight
+        (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      }.toOption
+    }
+}
+
+/** Container dispatch by MAGIC BYTES — the video counterpart of
+  * ImageIO's format sniffing on the image seam: `GIF8` routes to
+  * [[GifVideoCodec]], `RIFF....AVI ` to [[MjpegAviCodec]], anything
+  * else is undecodable (None). This is the codec a mixed-container
+  * corpus column uses: one `videoFrameHashes` pass over blobs of
+  * either format, no per-row format column required.
+  */
+object AutoVideoCodec extends VideoCodec {
+  private def route(payload: Array[Byte]): Option[VideoCodec] =
+    if (payload == null || payload.length < 12) None
+    else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8') Some(GifVideoCodec)
+    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+      payload(10) == 'I' && payload(11) == ' ') Some(MjpegAviCodec)
+    else None
+
+  override def frameCount(payload: Array[Byte]): Option[Int] =
+    route(payload).flatMap(_.frameCount(payload))
+
+  override def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Int])] =
+    route(payload).flatMap(_.decodeFrame(payload, idx))
+}
+
 object MultimodalOps {
 
   /** Typed metadata carried next to every media blob. */
@@ -757,6 +844,229 @@ object MultimodalOps {
         writer.dispose()
         ios.close()
         Row(id, bos.toByteArray, Row("gif", w, h, (nFrames * 40): Integer))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** A minimal, structurally well-formed MJPEG-in-AVI byte stream:
+    * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids'/'MJPG',
+    * strf BITMAPINFOHEADER}} → LIST(movi){'00dc' JPEG ...} → idx1.
+    * Every size field is real and every chunk pads to even, so any
+    * spec-conformant RIFF walker demuxes it — not just ours.
+    */
+  private def aviOf(jpegs: Array[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def le(vals: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putInt); bb.array()
+    }
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach(out.write); out.toByteArray
+    }
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cat(fcc(id), le(body.length), body,
+        if ((body.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", cat(fcc(typ), children))
+    val n = jpegs.length
+    val avih = le(40000, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    val strh = cat(fcc("vids"), fcc("MJPG"), le(0), le(0) /*prio+lang*/,
+      le(0, 1, 25, 0, n, 0, -1, 0),
+      { val bb = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(0); bb.putShort(0)
+        bb.putShort(w.toShort); bb.putShort(h.toShort); bb.array() })
+    val strf = cat(le(40, w, h),
+      { val bb = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(1); bb.putShort(24); bb.array() },
+      fcc("MJPG"), le(w * h * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", cat(chunk("avih", avih),
+      list("strl", cat(chunk("strh", strh), chunk("strf", strf)))))
+    val frames = jpegs.map(j => chunk("00dc", j))
+    val movi = list("movi", cat(frames: _*))
+    // idx1 offsets are relative to the 'movi' fourcc (the common
+    // convention); our reader walks the list directly and never needs
+    // them, but a conformant player does
+    val idxBody = {
+      var off = 4
+      cat(frames.zip(jpegs).map { case (f, j) =>
+        val e = cat(fcc("00dc"), le(0x10, off, j.length))
+        off += f.length; e
+      }: _*)
+    }
+    val body = cat(fcc("AVI "), hdrl, movi, chunk("idx1", idxBody))
+    cat(fcc("RIFF"), le(body.length), body)
+  }
+
+  /** Media table whose blobs are BLOCK-STRUCTURED multi-frame videos in
+    * a chosen container — the video counterpart of
+    * [[withGeneratedBlockImages]], and the fixture for the video
+    * near-dup + container-dispatch rows. Every variant of one doc_id
+    * renders the IDENTICAL 72×64 picture sequence ((doc_id % 5) + 2
+    * frames; block (gx,gy) of frame f is the md5-derived gray
+    * 17·(2·(digest("id:f:gx:gy")[0] mod 8) + gx mod 2) — the image
+    * fixture's formula with the frame in the key), while the BYTES
+    * differ by construction:
+    *
+    *   - `"gif"`      — animated GIF, identity gray palette
+    *   - `"gif-perm"` — the same GIF picture through a PERMUTED
+    *                    palette (index j shows gray (181·j+7) mod 256,
+    *                    samples inverted to compensate): byte-distinct
+    *                    palette + LZW stream, pixel-identical decode —
+    *                    a pure re-encode twin
+    *   - `"avi"`      — MJPEG-in-AVI ([[aviOf]]), frames JPEG-encoded:
+    *                    lossy, but the 8×8 block grid aligns with the
+    *                    dHash cells so gradient signs survive exactly
+    *                    (the q_ext_media_neardup margin argument)
+    *
+    * 72×64 with the 9×8 dHash grid means each hash cell averages
+    * EXACTLY one constant block — the cell value IS the block value,
+    * which is what makes the DuckDB oracle able to recompute every
+    * per-frame hash bit analytically.
+    */
+  def withGeneratedBlockVideo(docs: DataFrame, container: String): DataFrame = {
+    require(Set("gif", "gif-perm", "avi")(container),
+      s"unsupported block-video container '$container'")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val perm = Array.tabulate(256)(v => (v * 181 + 7) & 0xFF) // odd mult → bijection
+      val inv = new Array[Int](256)
+      locally { var i = 0; while (i < 256) { inv(perm(i)) = i; i += 1 } }
+      val w = 72; val h = 64
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nFrames = ((id % 5) + 2).toInt
+        def frameVals(f: Int): Array[Int] = {
+          val px = new Array[Int](w * h)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 9) {
+              val dig = md.digest(s"$id:$f:$gx:$gy".getBytes("UTF-8"))
+              val v = 17 * (2 * ((dig(0) & 0xFF) % 8) + gx % 2)
+              var y = gy * 8
+              while (y < gy * 8 + 8) {
+                var x = gx * 8
+                while (x < gx * 8 + 8) { px(y * w + x) = v; x += 1 }
+                y += 1
+              }
+              gx += 1
+            }
+            gy += 1
+          }
+          px
+        }
+        val bytes = container match {
+          case "avi" =>
+            val jpegs = Array.tabulate(nFrames) { f =>
+              val im = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val vals = frameVals(f)
+              var j = 0
+              while (j < w * h) {
+                val v = vals(j)
+                im.setRGB(j % w, j / w, (v << 16) | (v << 8) | v)
+                j += 1
+              }
+              val b = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(im, "jpeg", b)
+              b.toByteArray
+            }
+            aviOf(jpegs, w, h)
+          case g =>
+            val permuted = g == "gif-perm"
+            val ramp = Array.tabulate(256)(j =>
+              (if (permuted) perm(j) else j).toByte)
+            val palette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+            val bos = new java.io.ByteArrayOutputStream()
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("gif").next()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val im = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+              val raster = im.getRaster
+              val vals = frameVals(f)
+              var i = 0
+              while (i < w * h) {
+                val v = vals(i)
+                raster.setSample(i % w, i / w, 0, if (permuted) inv(v) else v)
+                i += 1
+              }
+              writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+            writer.dispose()
+            ios.close()
+            bos.toByteArray
+        }
+        Row(id, bytes,
+          Row(if (container == "avi") "avi" else "gif", w, h,
+            (nFrames * 40): Integer))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Doc-level perceptual VIDEO signature (VERDICT r12 task 5): demux
+    * via the [[VideoCodec]] seam, decode ONLY the n pinned sample
+    * frames (idx_k = ⌊k·(m−1)/(n−1)⌋ — [[sampleFrameStats]]'s rule),
+    * and fold their [[dhash64]]s into one `sig array<bigint>` in
+    * sample order. Two re-encodes of the same animation produce the
+    * same frame sequence, hence bitwise-equal signatures; near-misses
+    * (mild per-frame perturbation) stay within a small aligned
+    * hamming radius, which is exactly what
+    * [[DedupOps.frameSigNearDupPairs]] bands on. Also emits the
+    * container frame count and first sampled frame's decoded dims.
+    * Undecodable payloads — or any sampled frame the codec rejects —
+    * yield one row with NULL sig (kept, countable, excluded from pair
+    * generation by the NULL filter, never silently dropped).
+    * Partition-local decode; only n·8 bytes of hash per doc shuffle.
+    */
+  def videoFrameHashes(media: DataFrame, n: Int,
+                       codec: VideoCodec = AutoVideoCodec,
+                       mediaCol: String = "media"): DataFrame = {
+    require(n >= 2, s"frame sampling needs n >= 2, got $n")
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == mediaCol) ++ Seq(
+        StructField("n_frames", IntegerType),
+        StructField("decoded_width", IntegerType),
+        StructField("decoded_height", IntegerType),
+        StructField("sig", ArrayType(LongType))))
+    val keepIdx = inSchema.fields.zipWithIndex
+      .filterNot(_._1.name == mediaCol).map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get).toSeq
+        val payload = r.getAs[Array[Byte]](mediaIdx)
+        codec.frameCount(payload) match {
+          case Some(m) =>
+            val picks =
+              if (m <= n) 0 until m
+              else (0 until n).map(k => k * (m - 1) / (n - 1)).distinct
+            val decoded = picks.map(codec.decodeFrame(payload, _))
+            if (decoded.exists(_.isEmpty))
+              Row.fromSeq(kept ++ Seq[Any](m, null, null, null))
+            else {
+              val ds = decoded.map(_.get)
+              Row.fromSeq(kept ++ Seq[Any](m, ds.head._1, ds.head._2,
+                ds.map { case (fw, fh, px) => dhash64(fw, fh, px) }))
+            }
+          case None =>
+            Row.fromSeq(kept ++ Seq(null, null, null, null))
+        }
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -511,10 +511,17 @@ object ExtQueries {
       val docs = docsSub(s, dir)
       val existing = docs.filter(col("doc_id") % 20 === 0)
       val incoming = docs.filter(col("doc_id") % 20 =!= 0)
+      // Signed variant (VERDICT r12 #3): the gate reuses the pool
+      // signature frame the production pipeline already computed
+      // (shingleK=1, no hot list → toks == distinctTokens) instead of
+      // re-tokenizing corpus ∪ batch a second time inside the gate.
+      val signed = IngestOps.appendDedupNearDupSigned(
+        existing, incoming, threshold = 0.9)
       StructGate.ingestNearDupGate(
-        IngestOps.appendDedupNearDup(existing, incoming, threshold = 0.9),
+        signed.survivors,
         pool = docs, incoming = incoming, threshold = 0.9,
-        tokensOf = TextOps.distinctTokens _)
+        tokensOf = TextOps.distinctTokens _,
+        poolToks = Some(signed.poolSigs.select(col("doc_id"), col("toks"))))
     }),
     // EXACT-mode oracle for the near-dup ingest composition (the
     // q_ext_knn_pq_exactmode pattern): identical dedup-then-check recipe
@@ -1116,6 +1123,61 @@ object ExtQueries {
         .select(col("doc_id"), col("phash_bits"), lit(3).as("n_variants"),
           coalesce(col("n_survivors"), lit(0)).as("n_survivors"))
     }),
+    // VIDEO-level perceptual near-dup (VERDICT r12 task 5) folded with
+    // the second real container (task 8): each doc's block animation is
+    // encoded THREE byte-distinct ways — GIF, palette-permuted GIF (a
+    // pure re-encode: different palette table + LZW stream, identical
+    // decode), and MJPEG-in-AVI (different container AND lossy frames,
+    // routed by magic bytes through AutoVideoCodec) — then demuxed,
+    // per-sampled-frame dHashed (n=2: first + last), folded to a doc
+    // signature, banded on (sample rank, hash chunk), verified on max
+    // aligned hamming, and collapsed. Fully analytic oracle: each dHash
+    // cell is exactly one md5-derived 8×8 block (72×64 vs the 9×8
+    // grid), so DuckDB recomputes every frame-0 hash bit and the
+    // collapse count (3 encodings → exactly 1 survivor per doc;
+    // distinct docs are md5-decorrelated, aligned frames far apart).
+    "q_ext_media_video_neardup" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id")
+      val variants = Seq("gif" -> 1, "gif-perm" -> 2, "avi" -> 3).map { case (c, k) =>
+        MultimodalOps.withGeneratedBlockVideo(docs, c)
+          .select((col("doc_id") * 10 + k).as("doc_id"), col("media"))
+      }.reduce(_.unionByName(_))
+      val hashed = MultimodalOps.videoFrameHashes(variants, n = 2)
+      val pairs = DedupOps.frameSigNearDupPairs(hashed, maxDist = 6, bands = 8)
+      val surv = DedupOps.removeNearDups(hashed.select("doc_id"), pairs)
+        .select(((col("doc_id") - lit(1)) / 10).cast("long").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_survivors"))
+      val gifSig = hashed.filter(col("doc_id") % 10 === 1)
+        .select(((col("doc_id") - lit(1)) / 10).cast("long").as("doc_id"),
+          col("n_frames"),
+          lpad(bin(element_at(col("sig"), 1)), 64, "0").as("sig0_bits"))
+      docs.join(gifSig, Seq("doc_id"), "left")
+        .join(surv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("sig0_bits"),
+          lit(3).as("n_variants"),
+          coalesce(col("n_survivors"), lit(0)).as("n_survivors"))
+    }),
+    // Per-container decode proof for the video dispatch seam (VERDICT
+    // r12 task 8): the SAME block animation through BOTH containers,
+    // each demuxed + frame-decoded by its own codec via the magic-byte
+    // router, with every sampled frame's dHash recomputed analytically
+    // by the oracle — a hash match per container proves GIF LZW and
+    // AVI RIFF-walk + JPEG recover the same picture bit-for-bit at the
+    // gradient-sign level. Corrupt/truncated fallback rides
+    // MultimodalSpec.
+    "q_ext_media_video_formats" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id")
+      Seq("gif", "avi").map { c =>
+        MultimodalOps.videoFrameHashes(
+          MultimodalOps.withGeneratedBlockVideo(docs, c)
+            .select(col("doc_id"), lit(c).as("container"), col("media")),
+          n = 2)
+      }.reduce(_.unionByName(_))
+        .select(col("doc_id"), col("container"), col("n_frames"),
+          col("decoded_width"), col("decoded_height"),
+          lpad(bin(element_at(col("sig"), 1)), 64, "0").as("f0_bits"),
+          lpad(bin(element_at(col("sig"), 2)), 64, "0").as("flast_bits"))
+    }),
   )
 
   // ---- DuckDB mirrors ------------------------------------------------------
@@ -1141,6 +1203,25 @@ object ExtQueries {
 
   private val fingerprintSql =
     """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
+  // Shared by the video mirrors: the 72 block grays of one frame from
+  // the md5 formula (17·(2·(digest[0] mod 8) + gx mod 2), digest over
+  // "<id>:<frame>:<gx>:<gy>" — `keyPrefix` supplies "<id>:<frame>"),
+  // and the dHash gradient bits over such a 72-cell list rendered the
+  // way java's two's-complement bin() does (MSB first: string position
+  // p carries bit 63−p = gy·8+gx, comparing cells gy·9+gx+1 and +2,
+  // 1-based). Same derivation as the q_ext_media_neardup image mirror.
+  private def blockVsSql(keyPrefix: String): String =
+    s"""list_transform(range(72), c ->
+       |    17 * (2 * ((strpos('0123456789abcdef',
+       |            substr(md5($keyPrefix || ':' || (c % 9) || ':' || (c // 9)), 2, 1)) - 1) % 8)
+       |          + (c % 9) % 2))""".stripMargin
+
+  private def dhashBitsSql(vs: String): String =
+    s"""list_aggregate(list_transform(range(64), p ->
+       |    CASE WHEN $vs[CAST((63 - p) // 8 * 9 + (63 - p) % 8 + 1 AS INT)]
+       |            < $vs[CAST((63 - p) // 8 * 9 + (63 - p) % 8 + 2 AS INT)]
+       |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 
   // Shared by every token-Jaccard oracle (pairs, pruned pairs, greedy
   // near-dup corpus, CC near-dup corpus): the docsSub → tokenize →
@@ -2085,6 +2166,36 @@ object ExtQueries {
          |         THEN '1' ELSE '0' END), 'string_agg', '') AS phash_bits,
          |  3 AS n_variants, 1 AS n_survivors
          |FROM v""".stripMargin),
+    // Video near-dup mirror: frame 0's dHash bits re-derived from the
+    // md5 block formula exactly like the image mirror (each 9×8 grid
+    // cell IS one 8×8 block of the 72×64 frame), with the frame index
+    // in the digest key. Collapse is analytic: three encodings of one
+    // animation sign identically (lossless GIF twins bit-exactly, AVI's
+    // JPEG inside the 17-step gradient margin), distinct docs are
+    // md5-decorrelated — so survivors are exactly one per doc.
+    "q_ext_media_video_neardup" ->
+      (s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+         |v AS (SELECT doc_id, ${blockVsSql("doc_id || ':0'")} AS vs FROM d)
+         |SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+         |  ${dhashBitsSql("vs")} AS sig0_bits,
+         |  3 AS n_variants, 1 AS n_survivors
+         |FROM v""".stripMargin),
+    // Per-container mirror: both containers decode the same analytic
+    // picture, so each carries the same recomputed first/last-frame
+    // hash bits; last frame = m−1 under the pinned n=2 sampling rule.
+    "q_ext_media_video_formats" ->
+      (s"""WITH d AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS m
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |dc AS (SELECT doc_id, m, unnest(['gif','avi']) AS container FROM d),
+         |b AS (SELECT doc_id, m, container,
+         |  ${blockVsSql("doc_id || ':0'")} AS v0,
+         |  ${blockVsSql("doc_id || ':' || (m - 1)")} AS vl
+         |  FROM dc)
+         |SELECT doc_id, container, m AS n_frames,
+         |  72 AS decoded_width, 64 AS decoded_height,
+         |  ${dhashBitsSql("v0")} AS f0_bits,
+         |  ${dhashBitsSql("vl")} AS flast_bits
+         |FROM b""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
     // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's

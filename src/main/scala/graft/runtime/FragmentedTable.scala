@@ -333,7 +333,13 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val conjunctsAligned = org.apache.spark.sql.GraftColumnBridge
       .predicateConjuncts(pred)
     val conjuncts = conjunctsAligned.flatten
-    val keyConj = conjuncts.filter(c => ZoneProbe.refsOnly(c, uniqueKey))
+    val keyConj =
+      conjuncts.filter(c => c.deterministic && ZoneProbe.refsOnly(c, uniqueKey))
+    // non-deterministic conjuncts (e.g. `pk > rand()`) must NOT be pushed
+    // below the merge: evaluated per-fragment they can drop the newest
+    // version of a key while an older version survives and wins —
+    // resurrecting a superseded row the post-merge filter could never
+    // produce. They still filter once, above the merge, via `.filter(pred)`.
     // key-only conjuncts PUSH BELOW the winner merge: a key-pure
     // predicate holds for every version of a key or none, so filtering
     // each fragment first removes all versions of non-matching keys
@@ -345,7 +351,10 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     val keyPush: Option[Column] = {
       val cols = conjunctsAligned
         .zip(org.apache.spark.sql.GraftColumnBridge.conjunctColumns(pred))
-        .collect { case (Some(e), c) if ZoneProbe.refsOnly(e, uniqueKey) => c }
+        .collect {
+          case (Some(e), c)
+              if e.deterministic && ZoneProbe.refsOnly(e, uniqueKey) => c
+        }
       cols.reduceOption(_ && _)
     }
     def pushed(e: FragEntry): DataFrame =

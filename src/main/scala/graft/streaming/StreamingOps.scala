@@ -782,6 +782,21 @@ object StreamingOps {
     * the tombstone and no repair can resurrect the doc. Idempotent —
     * retrying a completed forget is a no-op. Gated by
     * FragmentedSinkSpec's crash-between-deletes case.
+    *
+    * '''RETENTION — tombstones shadow, they do not erase.''' A completed
+    * forget makes the doc invisible to every merged read, but its bytes
+    * (doc_id + MinHash band keys) stay in the fragment files until a
+    * physical compaction folds with purge — and the banded sink's probe
+    * reads via [[graft.runtime.BucketedFragmentStore.readRoutedSuperset]],
+    * which by design resurfaces tombstone-shadowed rows (correctness
+    * holds: the exact sig-store verify drops such candidates; but the
+    * forgotten doc's derived band rows remain live-READABLE there). With
+    * `compactEvery = 0` that residue is indefinite. Deployments with a
+    * deletion-erasure obligation must pair forgets with a compaction
+    * cadence (`compactEvery > 0`, or a scheduled
+    * [[graft.runtime.BucketedFragmentStore.compact]] / targeted purge of
+    * the affected buckets) so forgotten bytes leave disk within the
+    * mandated window.
     */
   def nearDupForget(frag: graft.runtime.KeyedFragmentStore,
                     sigStore: graft.runtime.BucketedFragmentStore,
@@ -1010,9 +1025,13 @@ object StreamingOps {
                 case Some(hit) => hit.select(col("vec_id"))
                   .collect().map(_.get(0)).toSeq
               }
+            // NULL vec_id rows pass (isin's three-valued negation would
+            // silently drop them) — parity with the old corpus anti-join
+            // and with appendDedupExactRouted's null-keep contract
             val fresh =
               if (liveIds.isEmpty) batchDeduped
-              else batchDeduped.filter(!col("vec_id").isin(liveIds: _*))
+              else batchDeduped.filter(
+                col("vec_id").isNull || !col("vec_id").isin(liveIds: _*))
             if (!idxExists) {
               frag.read().foreach(c =>
                 VectorIndex.build(c, indexPath, profile))

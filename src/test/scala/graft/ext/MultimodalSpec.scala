@@ -362,4 +362,87 @@ class MultimodalSpec extends SparkSpec {
       graft.ext.DedupOps.hammingNearDupPairsFromSigs(sigs, maxDist = 8, bands = 8)
     }
   }
+
+  test("MJPEG-in-AVI: RIFF demux + JPEG frame decode; magic-byte dispatch; corrupt/truncated → NULL row") {
+    import spark.implicits._
+    val docs = Seq(2L, 9L, 41L).toDF("doc_id")
+    val avi = MultimodalOps.withGeneratedBlockVideo(docs, "avi")
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect().toMap
+    docs.as[Long].collect().foreach { id =>
+      val payload = avi(id)
+      // a second spec-conformant walker would accept it too: magic +
+      // well-formed sizes are asserted by our own strict parser
+      assert(new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "AVI ")
+      val m = ((id % 5) + 2).toInt
+      assert(MjpegAviCodec.frameCount(payload).contains(m), s"doc $id frames")
+      val (w, h, _) = MjpegAviCodec.decodeFrame(payload, 0).get
+      assert(w == 72 && h == 64)
+      // frame addressing: first and last frames are different pictures
+      val f0 = MjpegAviCodec.decodeFrame(payload, 0).get._3
+      val fl = MjpegAviCodec.decodeFrame(payload, m - 1).get._3
+      assert(!java.util.Arrays.equals(f0, fl), s"doc $id frame windows")
+      // out-of-range frame index declines, never throws
+      assert(MjpegAviCodec.decodeFrame(payload, m).isEmpty)
+      // the router sniffs RIFF/AVI and delegates
+      assert(AutoVideoCodec.frameCount(payload).contains(m))
+    }
+    // GIF twins route through the router to the GIF codec and decode
+    // the IDENTICAL picture per frame — both palette variants, even
+    // though their BYTES differ (permuted color table + LZW stream)
+    val gifId = MultimodalOps.withGeneratedBlockVideo(docs, "gif")
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect().toMap
+    val gifPm = MultimodalOps.withGeneratedBlockVideo(docs, "gif-perm")
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect().toMap
+    docs.as[Long].collect().foreach { id =>
+      assert(!java.util.Arrays.equals(gifId(id), gifPm(id)),
+        s"doc $id: palette permutation must change the bytes")
+      val a = AutoVideoCodec.decodeFrame(gifId(id), 0).get
+      val b = AutoVideoCodec.decodeFrame(gifPm(id), 0).get
+      assert(java.util.Arrays.equals(a._3, b._3),
+        s"doc $id: palette permutation must not change the pixels")
+      // and the lossy AVI stays inside the dHash gradient margin
+      val (aw, ah, apx) = a
+      val (vw, vh, vpx) = AutoVideoCodec.decodeFrame(avi(id), 0).get
+      assert(MultimodalOps.dhash64(aw, ah, apx) ==
+        MultimodalOps.dhash64(vw, vh, vpx),
+        s"doc $id: AVI frame must dHash equal to its GIF twin")
+    }
+    // corrupt family: garbage, truncated AVI (mid-chunk), bad magic —
+    // all map to None at the codec and a NULL row through the fold
+    val good = avi(9L)
+    val bads = Seq[Array[Byte]](
+      "definitely not a container".getBytes("UTF-8"),
+      good.take(good.length / 2),
+      { val g = good.clone(); g(9) = 'X'.toByte; g })
+    bads.foreach(b => assert(AutoVideoCodec.frameCount(b).isEmpty))
+    val folded = MultimodalOps.videoFrameHashes(
+      bads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("doc_id", "media"), n = 2).collect()
+    assert(folded.length == 3)
+    folded.foreach(r => assert(r.isNullAt(r.fieldIndex("sig")),
+      "undecodable video must fold to a NULL-sig row, not throw"))
+  }
+
+  test("frameSigNearDupPairs: twins pair, one divergent aligned frame kills the pair, lengths must match") {
+    import spark.implicits._
+    // hand-planted signatures: exact control over aligned distances
+    val base = Array(0x0123456789ABCDEFL, 0x0F0F0F0F0F0F0F0FL)
+    val sigs = Seq(
+      (1L, base.toSeq),                                   // subject
+      (2L, base.toSeq),                                   // exact twin
+      (3L, Seq(base(0) ^ 0x7L, base(1) ^ 0x30L)),         // within 6 on both
+      (4L, Seq(base(0), base(1) ^ 0x00FF00FF00000000L)),  // frame 1 diverges (16)
+      (5L, Seq(base(0))),                                 // shorter — never pairs
+      (6L, null.asInstanceOf[Seq[Long]])                  // unsignable — excluded
+    ).toDF("doc_id", "sig")
+    val pairs = graft.ext.DedupOps.frameSigNearDupPairs(sigs, maxDist = 6, bands = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected exactly the twin triangle, got $pairs")
+    // pigeonhole guard holds for the lifted form too
+    intercept[IllegalArgumentException] {
+      graft.ext.DedupOps.frameSigNearDupPairs(sigs, maxDist = 8, bands = 8)
+    }
+  }
 }

@@ -85,6 +85,27 @@ class FragmentDeleteSpec extends SparkSpec {
     assertSame(frag, col("v") < 1000 || col("id") === "kA")
   }
 
+  test("non-deterministic key conjunct is NOT pushed below the merge (no resurrection)") {
+    // ADVICE r12: a key-only conjunct like `id >= <coin flip>` evaluated
+    // PER FRAGMENT can drop the newest version of a key while an older
+    // version survives and wins the merge — resurrecting a superseded
+    // row the post-merge filter could never produce. With the
+    // determinism guard the conjunct filters exactly once, above the
+    // merge, so a superseded value can never appear; without it, 40
+    // independently-flipped keys resurrect with probability ≈ 1.
+    val frag = new FragmentedTable(spark, freshDir(), "t", "id")
+    val keys = (0 until 40).map(i => f"k$i%02d")
+    frag.upsert(keys.map(k => (k, 1)).toDF("id", "v"))
+    frag.upsert(keys.map(k => (k, 2)).toDF("id", "v")) // supersedes all
+    val coinFlip =
+      col("id") >= when(rand() < 0.5, lit("a")).otherwise(lit("zzz"))
+    for (_ <- 1 to 3) {
+      val got = frag.readWhere(coinFlip).get.collect()
+      assert(got.forall(_.getInt(1) == 2),
+        s"superseded v=1 row resurrected: ${got.mkString(",")}")
+    }
+  }
+
   test("zone maps still prune around tombstones") {
     val frag = new FragmentedTable(spark, freshDir(), "t", "id")
     for (b <- 0 until 3)
