@@ -97,8 +97,10 @@ object Bench {
     "q_ext_ingest_exact_routed",
     // r13: the video family (multi-container encode + demux + sampled
     // decode + banded signature collapse) — per-partition decode and
-    // band-join shape must hold at 10× docs
-    "q_ext_media_video_neardup", "q_ext_media_video_formats")
+    // band-join shape must hold at 10× docs — and the image→ANN bridge
+    // (decode + index build amortized by the cache, 10× search fan-in)
+    "q_ext_media_video_neardup", "q_ext_media_video_formats",
+    "q_ext_media_knn")
 
   def main(args: Array[String]): Unit = {
     // PRE-FLIGHT idle certification (VERDICT r12 #2): an 11-minute pass
