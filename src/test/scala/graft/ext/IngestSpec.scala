@@ -213,4 +213,46 @@ class IngestSpec extends SparkSpec {
     assert(got == naive(ex, inc))
     assert(got.nonEmpty)
   }
+
+  test("routed exact dedup: isin and broadcast-join regimes agree, null-keep holds, plan flips at the threshold") {
+    // VERDICT r12 #5: micro-batches keep literal isin plans; above
+    // maxIsinFps the intersection must become a broadcast semi/anti
+    // join — same survivors either way, including null-fingerprint rows
+    val docs = graft.runtime.Sources(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft-fpreg").toString
+    val fpStore = graft.runtime.BucketedFragmentStore(spark, wh, "fps", "fp",
+      buckets = 4)
+    fpStore.upsert(docs.filter(col("doc_id") % 2 === 0)
+      .select(TextOps.fingerprint(col("text")).as("fp")).na.drop().distinct())
+    // plant guaranteed corpus dups: re-id'd copies of stored texts
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 2 === 0).limit(10)
+        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+      .unionByName(Seq((90001L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def run(threshold: Int) = IngestOps.appendDedupExactRouted(
+      fps => fpStore.readWhere(col("fp").isin(fps: _*)),
+      incoming, maxIsinFps = threshold)
+    val viaIsin = run(Int.MaxValue)
+    val viaJoin = run(0)
+    val a = viaIsin.select("doc_id").as[Long].collect().toSet
+    val b = viaJoin.select("doc_id").as[Long].collect().toSet
+    assert(a == b, s"regime disagreement: ${a.diff(b)} vs ${b.diff(a)}")
+    assert(a.contains(90001L), "null-text row must survive both regimes")
+    assert(a.size < incoming.count(), "the store must have dropped something")
+    // plan shape: inspect the pinned frames' cached subtrees — the join
+    // regime carries a broadcast anti-join, the literal regime must not
+    def cachedPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan.toString
+      }.mkString("\n")
+    val joinPlan = cachedPlan(viaJoin)
+    val isinPlan = cachedPlan(viaIsin)
+    assert(joinPlan.contains("LeftAnti"),
+      s"join regime must anti-join, got:\n${joinPlan.take(1500)}")
+    assert(!isinPlan.contains("LeftAnti"),
+      s"literal regime must not join, got:\n${isinPlan.take(1500)}")
+    viaIsin.unpersist(); viaJoin.unpersist()
+  }
 }
