@@ -56,10 +56,11 @@ object GateAbSub {
       val incoming = docs.filter(col("doc_id") % 20 =!= 0)
       val signed = graft.ext.IngestOps.appendDedupNearDupSigned(
         existing, incoming, 0.9)
-      graft.ext.StructGate.ingestNearDupGate(
+      try graft.ext.StructGate.ingestNearDupGate(
         signed.survivors, pool = docs, incoming = incoming, threshold = 0.9,
         tokensOf = graft.ext.TextOps.distinctTokens _,
         poolToks = Some(signed.poolSigs.select(col("doc_id"), col("toks"))))
+      finally signed.unpersistAll() // mirror the registered row exactly
     }
     def hygiene(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -79,10 +80,17 @@ object GateAbSub {
       val spread = math.round((ts.max - mn) / mn * 1000.0) / 1000.0
       f"""\"$name\":{\"min\":$mn%.3f,\"spread\":$spread,\"passes\":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
     }
+    def prodOnly(): org.apache.spark.sql.DataFrame = {
+      val docs = docsSub
+      val existing = docs.filter(col("doc_id") % 20 === 0)
+      val incoming = docs.filter(col("doc_id") % 20 =!= 0)
+      graft.ext.IngestOps.appendDedupNearDup(existing, incoming, 0.9)
+    }
+    val p = arm("prod_only", leak = false, prodOnly _)
     val a = arm("r11_leak", leak = true, rowR12 _)
-    val b = arm("r12_honest", leak = false, rowR12 _)
-    val c = arm("r13_trimmed", leak = false, rowR13 _)
-    println(s"""{"metric":"gate_ab","sf":"$sfDir","cpus":$cpus,$a,$b,$c}""")
+    val b = arm("r13_registered", leak = false, rowR12 _)
+    val c = arm("r13_signed_reuse", leak = false, rowR13 _)
+    println(s"""{"metric":"gate_ab","sf":"$sfDir","cpus":$cpus,$p,$a,$b,$c}""")
     spark.stop()
   }
 }

@@ -137,7 +137,10 @@ object IngestOps {
         Seq("in_id"))
       .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
         size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
-      .select(col("in_id").as(idCol)).distinct()
+      // no distinct: the drop set only feeds a broadcast anti-join,
+      // where duplicate ids are harmless — the dedup exchange was one
+      // more synchronous stage (the RoutedCounted lesson)
+      .select(col("in_id").as(idCol))
     (batch.join(broadcast(drops), Seq(idCol), "left_anti"),
       exSigs.unionByName(inAll))
   }
@@ -155,20 +158,59 @@ object IngestOps {
     * With a hot list or k > 1 the toks are the PRUNED shingle sets —
     * only pass them to a consumer whose metric is defined over the
     * same sets.
+    *
+    * Both frames come back PINNED and MATERIALIZED, each stage executed
+    * exactly once — the lazy [[appendDedupNearDupIndexed]] plan embeds
+    * the exact-dedup/signature subtrees three-plus times (Spark does no
+    * cross-join common-subexpression elimination), which an A/B at
+    * sf0.1 measured as ~2× the single-execution cost. The CALLER must
+    * `unpersist()` both frames once consumed ([[SignedIngest
+    * .unpersistAll]]) — same contract as [[RoutedAppend]].
     */
-  final case class SignedIngest(survivors: DataFrame, poolSigs: DataFrame)
+  final case class SignedIngest(survivors: DataFrame, poolSigs: DataFrame) {
+    def unpersistAll(): Unit = {
+      poolSigs.unpersist(false); survivors.unpersist(false); ()
+    }
+  }
 
   def appendDedupNearDupSigned(existing: DataFrame, incoming: DataFrame,
                                threshold: Double,
                                numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
                                textCol: String = "text", idCol: String = "doc_id",
                                maxDocFreqRatio: Option[Double] = None): SignedIngest = {
+    val rows = numHashes / bands
     val hot = maxDocFreqRatio
       .map(r => DedupOps.hotShinglesOf(existing, r, shingleK, textCol, idCol))
       .getOrElse(Nil)
-    val (survivors, poolSigs) = appendDedupNearDupIndexedSigned(
-      DedupOps.minHashSigFrame(existing, numHashes, shingleK, textCol, idCol, hot),
-      incoming, threshold, numHashes, bands, shingleK, textCol, idCol, hot)
+    // the RoutedCounted pinning discipline, applied to the full-frame
+    // corpus side: every stage materializes once, fans out from cache
+    val exSigs = DedupOps.minHashSigFrame(existing, numHashes, shingleK,
+      textCol, idCol, hot).persist()
+    val exact = DedupOps.dedupExact(incoming, textCol, idCol).persist()
+    val inAll = DedupOps.minHashSigFrame(exact, numHashes, shingleK, textCol,
+      idCol, hot).persist()
+    val batch = DedupOps.removeNearDups(exact,
+      DedupOps.pairsOfSigFrame(inAll, bands, rows, threshold), idCol).persist()
+    val inS = inAll.join(broadcast(batch.select(col(idCol).as("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val cand = DedupOps.lshBands(exSigs, "sig", bands, rows).as("x")
+      .join(broadcast(DedupOps.lshBands(inS, "sig", bands, rows).as("y")),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("ex_id"), col("y.doc_id").as("in_id"))
+      .distinct()
+    val drops = exSigs.select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
+      .join(broadcast(cand), Seq("ex_id"))
+      .join(broadcast(inS.select(col("doc_id").as("in_id"), col("toks").as("in_toks"))),
+        Seq("in_id"))
+      .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
+        size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
+      .select(col("in_id").as(idCol)) // no distinct: broadcast anti-join tolerates dups
+    val survivors = batch.join(broadcast(drops), Seq(idCol), "left_anti").persist()
+    survivors.count()
+    val poolSigs = exSigs.unionByName(inAll).persist()
+    poolSigs.count() // materialize BEFORE the sources release
+    exSigs.unpersist(false); exact.unpersist(false)
+    inAll.unpersist(false); batch.unpersist(false)
     SignedIngest(survivors, poolSigs)
   }
 

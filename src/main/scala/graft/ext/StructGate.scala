@@ -280,17 +280,31 @@ object StructGate {
       .join(broadcast(dPrefix), Seq("__t"))
       .filter(col("__d") =!= col("__p"))
       .select("__d", "__p").distinct()
+    // no distinct on the witness set: it only feeds the left_anti
+    // below, where duplicate ids are harmless — the dedup exchange was
+    // one more stage per evaluation (the drops-side lesson from the
+    // routed ingest, applied to the gate)
     val witnessed = cand
       .join(dT.select(col("__id").as("__d"), col("__toks").as("__dt")), Seq("__d"))
       .join(pT.select(col("__id").as("__p"), col("__toks").as("__pt")), Seq("__p"))
       .filter(size(array_intersect(col("__dt"), col("__pt"))).cast("double") /
         size(array_union(col("__dt"), col("__pt"))) >= threshold)
-      .select(col("__d").as(idCol)).distinct()
-    val gate = sv.agg((count(lit(1)) > 0).as("survivors_nonempty"),
+      .select(col("__d").as(idCol))
+    // ONE aggregate serves all three survivor flags (was three
+    // crossJoined subtrees — each its own broadcast + job chain): the
+    // membership anti-join folds into a broadcast left join against the
+    // (distinct, batch-sized) incoming ids, so `survivors_from_incoming`
+    // is a bool_and over the same pass that counts and distinct-hashes.
+    // Distinct incoming ids keep the join key unique — the row count
+    // the first two flags aggregate is exactly sv's.
+    val inIds = incoming.select(col(idCol)).distinct()
+      .withColumn("__from_in", lit(true))
+    val gate = sv.join(broadcast(inIds), Seq(idCol), "left")
+      .agg((count(lit(1)) > 0).as("survivors_nonempty"),
         (count(lit(1)) === countDistinct(md5(col(textCol))))
-          .as("survivors_distinct_text"))
-      .crossJoin(sv.join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
-        .agg((count(lit(1)) === 0).as("survivors_from_incoming")))
+          .as("survivors_distinct_text"),
+        coalesce(bool_and(col("__from_in").isNotNull), lit(true))
+          .as("survivors_from_incoming"))
       .crossJoin(dropped.select(col(idCol)).join(witnessed, Seq(idCol), "left_anti")
         .agg((count(lit(1)) === 0).as("dropped_have_witness")))
     // evaluate now (1 flag row) so the pins release with the call

@@ -528,17 +528,18 @@ object ExtQueries {
       val docs = docsSub(s, dir)
       val existing = docs.filter(col("doc_id") % 20 === 0)
       val incoming = docs.filter(col("doc_id") % 20 =!= 0)
-      // Signed variant (VERDICT r12 #3): the gate reuses the pool
-      // signature frame the production pipeline already computed
-      // (shingleK=1, no hot list → toks == distinctTokens) instead of
-      // re-tokenizing corpus ∪ batch a second time inside the gate.
-      val signed = IngestOps.appendDedupNearDupSigned(
-        existing, incoming, threshold = 0.9)
+      // Token REUSE from the production pipeline was implemented
+      // (appendDedupNearDupSigned + the gate's poolToks) and MEASURED
+      // SLOWER here — dev/gate_ab_r13.json: at this row's scale the
+      // cost is job/stage count and verify volume, not tokenize work,
+      // so the lazy production op + the gate's own pinned tokenize +
+      // exact-twin/length-filtered witness search is the honest fast
+      // shape. poolToks remains the right call for sinks whose sig
+      // frames are ALREADY pinned (RoutedAppend consumers).
       StructGate.ingestNearDupGate(
-        signed.survivors,
+        IngestOps.appendDedupNearDup(existing, incoming, threshold = 0.9),
         pool = docs, incoming = incoming, threshold = 0.9,
-        tokensOf = TextOps.distinctTokens _,
-        poolToks = Some(signed.poolSigs.select(col("doc_id"), col("toks"))))
+        tokensOf = TextOps.distinctTokens _)
     }),
     // EXACT-mode oracle for the near-dup ingest composition (the
     // q_ext_knn_pq_exactmode pattern): identical dedup-then-check recipe
