@@ -155,7 +155,8 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
   /** Stage once partitioned by bucket, zone-map in one grouped pass,
     * adopt per bucket — into the given generation/count.
     */
-  private def stageAndAdoptInto(df: DataFrame, gen: Int, count: Int): Unit = {
+  private def stageAndAdoptInto(df: DataFrame, gen: Int, count: Int,
+                                light: Boolean = false): Unit = {
     sweepStaging()
     val staging = Paths.get(baseDir,
       s"${table}__staging_" + java.util.UUID.randomUUID().toString.replace("-", ""))
@@ -163,21 +164,31 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
       .write.partitionBy(BucketCol).parquet(staging.toString)
     // an empty frame stages no partition dirs (just _SUCCESS): nothing
     // to adopt, and reading the empty dir would fail schema inference
-    val staged = Option(staging.toFile.list()).toSeq.flatten
-      .exists(_.startsWith(s"$BucketCol="))
-    if (!staged) { Fs.deleteRecursive(staging); return }
+    val stagedDirs = Option(staging.toFile.list()).toSeq.flatten
+      .filter(_.startsWith(s"$BucketCol="))
+    if (stagedDirs.isEmpty) { Fs.deleteRecursive(staging); return }
+    val fragSchema = FragmentedTable.relaxNullable(df.schema)
+    if (light) {
+      // LIGHT adopt (the L0 trade — see FragmentedTable.upsertLight):
+      // buckets come from the staging DIRECTORY listing, stats defer to
+      // the next fold; the whole upsert costs one Spark job
+      stagedDirs.foreach { d =>
+        val b = d.stripPrefix(s"$BucketCol=").toInt
+        bucketTable(gen, b).adopt(staging.resolve(d), None, Some(fragSchema))
+      }
+      Fs.deleteRecursive(staging)
+      return
+    }
     // read back under the writer's schema + the bucket partition column
     // (nullability relaxed — see FragmentedTable.relaxNullable): skips
     // the partitioned-dir footer inference job per upsert
     val backSchema = org.apache.spark.sql.types.StructType(
-      FragmentedTable.relaxNullable(df.schema).fields :+
+      fragSchema.fields :+
         org.apache.spark.sql.types.StructField(BucketCol,
           org.apache.spark.sql.types.IntegerType, nullable = true))
     val back = spark.read.schema(backSchema).parquet(staging.toString)
     val (tracked, aggs) = ZoneMap.aggPlan(back.schema, exclude = Set(BucketCol))
     val statRows = back.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*).collect()
-    val fragSchema = org.apache.spark.sql.types.StructType(
-      back.schema.fields.filterNot(_.name == BucketCol))
     statRows.foreach { r =>
       // partition values read back as Int or (inference off) String —
       // parse, don't cast
@@ -193,14 +204,15 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     * generation (next to any post-drain history), undrained keys in the
     * old (so the coming drain carries them over in order).
     */
-  private def routeWrite(df: DataFrame): Unit = lock.synchronized {
+  private def routeWrite(df: DataFrame, light: Boolean = false): Unit =
+    lock.synchronized {
     val st = layout
     st.migration match {
-      case None => stageAndAdoptInto(df, st.gen, st.buckets)
+      case None => stageAndAdoptInto(df, st.gen, st.buckets, light)
       case Some(m) if m.done.isEmpty =>
-        stageAndAdoptInto(df, st.gen, st.buckets)
+        stageAndAdoptInto(df, st.gen, st.buckets, light)
       case Some(m) if m.done.size == st.buckets =>
-        stageAndAdoptInto(df, m.newGen, m.newCount)
+        stageAndAdoptInto(df, m.newGen, m.newCount, light)
       case Some(m) =>
         // The split evaluates the batch TWICE (complementary filters); a
         // nondeterministic upstream frame (sampling, uuid(), rand-derived
@@ -213,8 +225,10 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
         val pinned = df.localCheckpoint(true)
         val oldB = bucketExprFor(st.buckets)
         val drained = m.done.toSeq
-        stageAndAdoptInto(pinned.filter(oldB.isin(drained: _*)), m.newGen, m.newCount)
-        stageAndAdoptInto(pinned.filter(!oldB.isin(drained: _*)), st.gen, st.buckets)
+        stageAndAdoptInto(pinned.filter(oldB.isin(drained: _*)),
+          m.newGen, m.newCount, light)
+        stageAndAdoptInto(pinned.filter(!oldB.isin(drained: _*)),
+          st.gen, st.buckets, light)
     }
   }
 
@@ -234,6 +248,21 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
     require(batch.columns.contains(routeCol),
       s"batch must carry the routing column '$routeCol'")
     routeWrite(batch)
+  }
+
+  /** [[upsert]] minus the per-bucket stats job — the batch-sized L0
+    * trade ([[FragmentedTable.upsertLight]]): fragments land stat-less
+    * (kept in every scan set until the next fold levels them) and the
+    * whole routed write costs exactly one Spark job.
+    */
+  override def upsertLight(batch: DataFrame): Unit = {
+    require(!batch.columns.contains(DeletedCol),
+      s"$DeletedCol is reserved for tombstone fragments")
+    require(!batch.columns.contains(BucketCol),
+      s"$BucketCol is reserved for bucket routing")
+    require(batch.columns.contains(routeCol),
+      s"batch must carry the routing column '$routeCol'")
+    routeWrite(batch, light = true)
   }
 
   def deleteKeys(keys: DataFrame): Unit = {

@@ -101,6 +101,27 @@ final class FragmentedTable(spark: SparkSession, baseDir: String,
     publishManifest(readEntries() :+ writeFragment(batch))
   }
 
+  /** [[upsert]] minus the zone-map job — the LSM L0 trade for
+    * high-frequency BATCH-SIZED appends: the fragment lands with
+    * `stats = None` (readers keep stat-less fragments in every scan
+    * set — pruning loss only, never correctness) and the writer-known
+    * schema DDL, so the write costs exactly ONE Spark job. The next
+    * fold/compaction absorbs the fragment into a stats-bearing run,
+    * exactly like L0 files leveling into indexed runs. Measured: the
+    * per-upsert ZoneMap job was one of three ~350 ms fixed-cost jobs
+    * per trigger in the banded sink's write path. Not for large or
+    * long-lived fragments — those want their zone maps at write time.
+    */
+  override def upsertLight(batch: DataFrame): Unit = lock.synchronized {
+    require(!batch.columns.contains(DeletedCol),
+      s"$DeletedCol is reserved for tombstone fragments")
+    val name = s"${table}__frag_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    batch.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$name")
+    publishManifest(readEntries() :+ FragEntry(name, None,
+      Some(FragmentedTable.relaxNullable(batch.schema).toDDL)))
+  }
+
   /** Register an ALREADY-WRITTEN parquet dir as this table's newest
     * fragment by MOVING it into place (same filesystem), with its zone
     * map supplied by the caller (e.g. computed in one grouped pass over

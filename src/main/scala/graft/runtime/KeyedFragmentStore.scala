@@ -21,6 +21,12 @@ trait KeyedFragmentStore {
   def readWhere(pred: Column): Option[DataFrame]
   /** Append the batch (at most one row per key) as new fragment(s). */
   def upsert(batch: DataFrame): Unit
+  /** [[upsert]] without the zone-map/stats job — the L0 trade for
+    * batch-sized high-frequency appends: the fragment lands stat-less
+    * (scanned unconditionally until the next fold levels it); the
+    * write costs one Spark job. Default: plain upsert.
+    */
+  def upsertLight(batch: DataFrame): Unit = upsert(batch)
   /** Tombstone the given keys. */
   def deleteKeys(keys: DataFrame): Unit
   /** Tombstone every current row matching `pred`. */

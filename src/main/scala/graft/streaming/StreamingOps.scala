@@ -389,17 +389,20 @@ object StreamingOps {
           }.otherwise(lit(null).cast("string"))
         val marked = batch.withColumn("reject_reason", reason)
         val rejects = marked.filter(col("reject_reason").isNotNull)
-        if (!rejects.isEmpty) rejectsFrag.upsert(rejects)
+        // batch-sized per-trigger fragments: ONE task, ONE file, no
+        // zone-map job (the L0 trade — see upsertLight; folds level
+        // them into stats-bearing runs at the cadence)
+        if (!rejects.isEmpty) rejectsFrag.upsertLight(rejects.coalesce(1))
         val valid = marked.filter(col("reject_reason").isNull).drop("reject_reason")
         val survivors = graft.ext.IngestOps.appendDedupExactRouted(
           fps => fpStore.readWhere(col("fp").isin(fps: _*)), valid)
         if (!survivors.isEmpty) {
           // corpus first (truth), then the index — see the scaladoc
-          frag.upsert(survivors)
+          frag.upsertLight(survivors.coalesce(1))
           val fps = survivors
             .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
             .na.drop().distinct()
-          if (!fps.isEmpty) fpStore.upsert(fps)
+          if (!fps.isEmpty) fpStore.upsertLight(fps.coalesce(1))
         }
         survivors.unpersist(false)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
@@ -666,7 +669,15 @@ object StreamingOps {
           hotShingles = hotShingles)
         val pinned = r.survivors; val signed = r.sigs
         if (r.nSurvivors > 0) {
-          frag.upsert(pinned)
+          // batch-sized fragments write as ONE task → ONE file per
+          // bucket: un-coalesced, each upsert staged a part-file per
+          // shuffle partition, so every fragment carried ~`partitions`
+          // tiny parquet files and every later probe/fold paid the
+          // per-file footer-open cost ~8× (the r13 profiling lever:
+          // trigger latency is job/file-count-dominated at this scale).
+          // Coalesce of a pinned frame is narrow — no shuffle. Drains,
+          // folds and rebuckets (store-sized) stay parallel.
+          frag.upsertLight(pinned.coalesce(1))
           // signature-less survivors (all-hot-shingle docs) need
           // convergence tombstones; when every survivor signed — the
           // overwhelmingly common trigger — skip the anti-join + union
@@ -681,10 +692,10 @@ object StreamingOps {
           // sigs BEFORE bands: a stored band row must always find its
           // verify row; the reverse crash order would leave candidates
           // that silently drop out of the verify join
-          sigStore.upsert(withTombs)
+          sigStore.upsertLight(withTombs.coalesce(1))
           if (r.nSigs > 0)
-            bandStore.upsert(graft.ext.IngestOps.bandRowsOf(signed, bands,
-              numHashes / bands))
+            bandStore.upsertLight(graft.ext.IngestOps.bandRowsOf(signed, bands,
+              numHashes / bands).coalesce(1))
         }
         // release the trigger's pinned blocks — a per-trigger block left
         // persisted is a leak a 200-trigger soak measures as a latency
@@ -1050,7 +1061,7 @@ object StreamingOps {
           // plan, so its lineage must not reach back to removed files.
           // Also saves re-running the whole dedup screen per consumer.
           val pinned = survivors.localCheckpoint()
-          frag.upsert(pinned)
+          frag.upsertLight(pinned.coalesce(1))
           if (!idxExists) { VectorIndex.build(pinned, indexPath, profile); () }
           else {
             val idx = VectorIndex.load(spark, indexPath)
