@@ -52,9 +52,15 @@ object Soak {
     // ("aqe": false); large maintenance ops (compaction, drains) are
     // batch-shaped and still fine without it at soak scale.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    // Few shuffle partitions for micro-batch triggers — the same
+    // deployment-tuning family as aqe=false: a 250-row exchange split
+    // 8 ways is 8 task launches for no parallelism benefit; 2 keeps
+    // shuffle stages two-task. Maintenance ops (folds, drains) are
+    // batch-shaped too at soak scale. Recorded in the artifact.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SOAK_SHUFFLE", "2")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -250,7 +256,7 @@ object Soak {
       s""""near_injected":${cp.nearInj},"near_dropped":${cp.nearDropped},""" +
       s""""deleted_requested":${cp.delRequested},"deleted_visible":${cp.delVisible}}"""
     val json =
-      s"""{"soak":"near_dup_ingest_banded_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"triggers":${slices.length},""" +
+      s"""{"soak":"near_dup_ingest_banded_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"triggers":${slices.length},""" +
       s""""slice_size":$sliceSize,"compact_every":8,"delete_every":$deleteEvery,""" +
       s""""pass":$pass,"checks":{${checksJson(checks)}},""" +
       s""""checkpoints":[${cps.map(j).mkString(",")}],""" +

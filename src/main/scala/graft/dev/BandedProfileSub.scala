@@ -112,7 +112,7 @@ object BandedProfileSub {
       lap(5)
       // === sink body (as BandedProfile) ===
       if (!pinned.isEmpty) {
-        frag.upsertLight(pinned.coalesce(1))
+        frag.upsert(pinned.coalesce(1))
         lap(6)
         // mirrors the r12 sink: reuse the probe's signatures (inS)
         // instead of re-tokenizing the survivors
@@ -125,7 +125,7 @@ object BandedProfileSub {
             .select(col("doc_id"),
               array().cast("array<string>").as("toks"),
               array().cast("array<bigint>").as("sig")))
-        sigStore.upsertLight(withTombs.coalesce(1))
+        sigStore.upsert(withTombs.coalesce(1))
         lap(7)
         bandStore.upsertLight(IngestOps.bandRowsOf(signed, 8, 4).coalesce(1))
         lap(8)

@@ -66,6 +66,17 @@ object DedupOps {
     docs.join(pairs.select(col(dropCol).as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** [[removeNearDups]] for BATCH-BOUNDED pair frames (the streaming
+    * sinks' within-batch leg): the drop set broadcasts un-deduped into
+    * the anti-join — duplicates are harmless there, and skipping the
+    * distinct exchange + the sort-merge plan saves two stages per
+    * trigger. Never for corpus-scale pair frames (unbounded broadcast).
+    */
+  private[ext] def removeNearDupsBroadcast(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id", dropCol: String = "doc_b"): DataFrame =
+    docs.join(broadcast(pairs.select(col(dropCol).as(idCol))),
+      Seq(idCol), "left_anti")
+
   /** Connected components over a near-dup pair frame: iterative min-label
     * propagation to a fixed point. Returns `(node, root)` for every node
     * that appears in a pair, where `root` is the smallest id in the

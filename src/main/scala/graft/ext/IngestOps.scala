@@ -318,58 +318,105 @@ object IngestOps {
       .persist()
     val inS = inAll.join(broadcast(batch.select(col(idCol).as("doc_id"))),
       Seq("doc_id"), "left_semi")
-    val inBands = DedupOps.lshBands(inS, "sig", bands, rows)
-    // O(batch·bands) driver keys — what routes the probe to buckets
-    val keys = inBands.select("band_key").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val noDrops = batch.select(col(idCol)).limit(0)
-    val drops = bandProbe(keys) match {
-      case None => noDrops
+    // ONE collect lands the whole batch-side working set on the driver:
+    // per surviving-batch doc its id, its token set (the verify's
+    // in-side), and its `bands` LSH keys (computed by the SAME Spark
+    // xxhash64 expression the stored band rows were written with —
+    // reproducing that hash driver-side would be a portability trap).
+    // Driver memory ∝ batch — the same boundedness contract the
+    // candidate collect below has always documented. This is the r13
+    // job-count move: the verify now runs IN SCALA over these rows, so
+    // the three cluster-side broadcast/join jobs it used to cost
+    // (in-toks broadcast, drops broadcast, survivor-ids broadcast) are
+    // gone; every local frame broadcasts job-free (LocalTableScan
+    // collects without a Spark job).
+    val packed = inS.select(col("doc_id"), col("toks"),
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              x => x.cast("string"))))).as("__bks"))
+      .collect()
+    val inToks: Map[Any, Set[String]] = packed.map(r =>
+      r.get(0) -> r.getSeq[String](1).toSet).toMap
+    val keys = packed.flatMap(_.getSeq[Long](2)).distinct.toSeq
+    val dropIds: Seq[Any] = bandProbe(keys) match {
+      case None => Nil
       case Some(exBands) =>
-        val cand = exBands
+        // (band, band_key) equi-join against the LOCAL batch bands —
+        // candidates collect once, bounded by the documented assumption
+        val inBandRows = packed.flatMap(r =>
+          r.getSeq[Long](2).zipWithIndex.map { case (bk, b) =>
+            org.apache.spark.sql.Row(r.get(0), b, bk) })
+        val inBandsLocal = spark.createDataFrame(
+          java.util.Arrays.asList(inBandRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("in_id",
+              inS.schema("doc_id").dataType),
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_key",
+              org.apache.spark.sql.types.LongType))))
+        val candRows = exBands
           .select(col("doc_id").as("ex_id"), col("band"), col("band_key"))
-          .join(broadcast(inBands.select(col("doc_id").as("in_id"),
-            col("band"), col("band_key"))), Seq("band", "band_key"))
-          .select("ex_id", "in_id").distinct()
-        // one materialization serves the id collection AND the verify
-        // join input (re-planning `cand` would re-run the band probe)
-        val candRows = cand.collect()
-        if (candRows.isEmpty) noDrops
+          .join(broadcast(inBandsLocal), Seq("band", "band_key"))
+          .select("ex_id", "in_id").distinct().collect()
+        if (candRows.isEmpty) Nil
         else {
-          val candLocal = spark.createDataFrame(
-            java.util.Arrays.asList(candRows: _*), cand.schema)
           val exIds = candRows.map(_.get(0)).distinct.toSeq
           toksProbe(exIds) match {
-            case None => noDrops
+            case None => Nil
             case Some(exSigRows) =>
-              exSigRows.filter(size(col("toks")) > 0)
-                .select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
-                .join(broadcast(candLocal), Seq("ex_id"))
-                .join(broadcast(inS.select(col("doc_id").as("in_id"),
-                  col("toks").as("in_toks"))), Seq("in_id"))
-                .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
-                  size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
-                // no distinct: the drop set only feeds a broadcast
-                // anti-join, where duplicate ids are harmless — the
-                // dedup exchange was one more synchronous stage per
-                // trigger
-                .select(col("in_id").as(idCol))
+              // exact verified Jaccard, computed on the driver over the
+              // candidate-bounded token sets — the METRIC is unchanged
+              // (toks are array_distinct'd sets on both sides; IEEE
+              // double division; >= threshold), equivalence spec-gated
+              // against the unbanded sink
+              val exToks: Map[Any, Set[String]] = exSigRows
+                .filter(size(col("toks")) > 0)
+                .select(col("doc_id"), col("toks")).collect()
+                .map(r => r.get(0) -> r.getSeq[String](1).toSet).toMap
+              candRows.iterator.flatMap { cr =>
+                (exToks.get(cr.get(0)), inToks.get(cr.get(1))) match {
+                  case (Some(a), Some(b)) =>
+                    val inter = a.intersect(b).size
+                    val union = a.size + b.size - inter
+                    if (union > 0 && inter.toDouble / union >= threshold)
+                      Some(cr.get(1))
+                    else None
+                  case _ => None
+                }
+              }.toSeq.distinct
           }
         }
     }
-    // pinned + materialized: the toks probe and verify run exactly
-    // once, here; the batch-prep intermediates are then released
-    val survivors = batch.join(broadcast(drops), Seq(idCol), "left_anti").persist()
-    val nSurvivors = survivors.count()
+    // pinned + materialized: survivors/sigs derive from LOCAL id sets,
+    // so their plans carry no cluster-side join machinery at all
+    val survivorIdsLocal = packed.map(_.get(0)).filterNot(dropIds.toSet)
+    def idFrame(ids: Seq[Any], name: String): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name,
+            inS.schema("doc_id").dataType))))
+    val survivors = (
+      if (dropIds.isEmpty) batch
+      else batch.join(broadcast(idFrame(dropIds, idCol)), Seq(idCol), "left_anti")
+    ).persist()
     // survivors' signatures, pinned BEFORE inAll is released (the sig
     // lineage reaches through inS into inAll; materializing now means
     // the unpersist below frees blocks without forcing a recompute)
     val survivorSigs = inS.join(
-      broadcast(survivors.select(col(idCol).as("doc_id"))),
+      broadcast(idFrame(survivorIdsLocal.toIndexedSeq, "doc_id")),
       Seq("doc_id"), "left_semi").persist()
-    val nSigs = survivorSigs.count()
+    // ONE job materializes BOTH pins and returns both counts (was two
+    // count jobs — each a ~300 ms fixed cost per trigger)
+    val cm = survivors.select(lit(1).as("__side"))
+      .union(survivorSigs.select(lit(2).as("__side")))
+      .groupBy("__side").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     exact.unpersist(false); inAll.unpersist(false); batch.unpersist(false)
-    RoutedAppend(survivors, survivorSigs, nSurvivors, nSigs)
+    RoutedAppend(survivors, survivorSigs,
+      cm.getOrElse(1, 0L), cm.getOrElse(2, 0L))
   }
 
   /** [[appendDedupNearDupRoutedCounted]] without the counts — kept for

@@ -398,11 +398,11 @@ object StreamingOps {
           fps => fpStore.readWhere(col("fp").isin(fps: _*)), valid)
         if (!survivors.isEmpty) {
           // corpus first (truth), then the index — see the scaladoc
-          frag.upsertLight(survivors.coalesce(1))
+          frag.upsert(survivors.coalesce(1))
           val fps = survivors
             .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
             .na.drop().distinct()
-          if (!fps.isEmpty) fpStore.upsertLight(fps.coalesce(1))
+          if (!fps.isEmpty) fpStore.upsert(fps.coalesce(1))
         }
         survivors.unpersist(false)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
@@ -677,7 +677,16 @@ object StreamingOps {
           // trigger latency is job/file-count-dominated at this scale).
           // Coalesce of a pinned frame is narrow — no shuffle. Drains,
           // folds and rebuckets (store-sized) stay parallel.
-          frag.upsertLight(pinned.coalesce(1))
+          //
+          // Zone-map policy (measured, r13): stores whose reads are
+          // KEY-PRUNED keep write-time stats (corpus readWhere probes,
+          // sigStore's per-trigger toks point read — stat-less L0
+          // fragments made those scan every live fragment, visible as
+          // point_scan climbing 0→8 in the soak); ONLY the band store
+          // writes light (upsertLight, no stats job) because its sole
+          // read path is readRoutedSuperset, which never consults zone
+          // maps by design.
+          frag.upsert(pinned.coalesce(1))
           // signature-less survivors (all-hot-shingle docs) need
           // convergence tombstones; when every survivor signed — the
           // overwhelmingly common trigger — skip the anti-join + union
@@ -692,7 +701,7 @@ object StreamingOps {
           // sigs BEFORE bands: a stored band row must always find its
           // verify row; the reverse crash order would leave candidates
           // that silently drop out of the verify join
-          sigStore.upsertLight(withTombs.coalesce(1))
+          sigStore.upsert(withTombs.coalesce(1))
           if (r.nSigs > 0)
             bandStore.upsertLight(graft.ext.IngestOps.bandRowsOf(signed, bands,
               numHashes / bands).coalesce(1))
@@ -702,26 +711,40 @@ object StreamingOps {
         // ramp (cleanup is otherwise GC-driven and a large idle heap
         // never collects)
         r.unpersistAll()
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          cadenceFold(frag)
-          // bucketed side stores: per-bucket bound of 2 so EVERY tick
-          // tier-folds each active bucket's recent run (the unbanded
-          // sink's flat-table behavior, per bucket) while buckets under
-          // the bound cost a manifest read only. A laxer bound lets
-          // probe plans grow ~frags-per-bucket × buckets × 3 probes
-          // between folds — measured as a 3→10 s per-trigger ramp in
-          // the A/B sink bench.
-          sigStore.maybeCompact(2)
-          bandStore.maybeCompact(2)
-          if (rebucketBytesPerBucket > 0L) {
-            // the optional floor arms the HALVING trigger too, so a
-            // delete-heavy stream reclaims bucket count live (hysteresis
-            // floor <= max/4 enforced by the store)
-            sigStore.maybeRebucket(rebucketBytesPerBucket,
-              rebucketMinBytesPerBucket)
-            bandStore.maybeRebucket(rebucketBytesPerBucket,
-              rebucketMinBytesPerBucket)
-            ()
+        if (compactEvery > 0) {
+          // STAGGERED maintenance (r13): each store folds once per
+          // compactEvery triggers, but at a DIFFERENT phase — the
+          // all-in-one tick was a 3–5 s spike every cycle that aliased
+          // whole soak checkpoint windows ±1.5 s; spreading it keeps
+          // every trigger near the mean with identical amortized work
+          // and identical per-bucket fragment-bound dynamics.
+          // Per-bucket bound of 2 so a due tick tier-folds each active
+          // bucket's recent run (the unbanded sink's flat-table
+          // behavior, per bucket) while buckets under the bound cost a
+          // manifest read only. A laxer bound lets probe plans grow
+          // ~frags-per-bucket × buckets × 3 probes between folds —
+          // measured as a 3→10 s per-trigger ramp in the A/B sink
+          // bench.
+          val phase = batchId % compactEvery
+          if (phase == compactEvery - 1) cadenceFold(frag)
+          if (phase == (compactEvery / 2) % compactEvery) {
+            sigStore.maybeCompact(2)
+            if (rebucketBytesPerBucket > 0L) {
+              // the optional floor arms the HALVING trigger too, so a
+              // delete-heavy stream reclaims bucket count live
+              // (hysteresis floor <= max/4 enforced by the store)
+              sigStore.maybeRebucket(rebucketBytesPerBucket,
+                rebucketMinBytesPerBucket)
+              ()
+            }
+          }
+          if (phase == (compactEvery / 4) % compactEvery) {
+            bandStore.maybeCompact(2)
+            if (rebucketBytesPerBucket > 0L) {
+              bandStore.maybeRebucket(rebucketBytesPerBucket,
+                rebucketMinBytesPerBucket)
+              ()
+            }
           }
         }
         ()
@@ -1061,7 +1084,7 @@ object StreamingOps {
           // plan, so its lineage must not reach back to removed files.
           // Also saves re-running the whole dedup screen per consumer.
           val pinned = survivors.localCheckpoint()
-          frag.upsertLight(pinned.coalesce(1))
+          frag.upsert(pinned.coalesce(1))
           if (!idxExists) { VectorIndex.build(pinned, indexPath, profile); () }
           else {
             val idx = VectorIndex.load(spark, indexPath)
