@@ -100,7 +100,13 @@ object Bench {
     // band-join shape must hold at 10× docs — and the image→ANN bridge
     // (decode + index build amortized by the cache, 10× search fan-in)
     "q_ext_media_video_neardup", "q_ext_media_video_formats",
-    "q_ext_media_knn")
+    "q_ext_media_knn",
+    // r14: the audio family (3-container encode + dispatch-validated
+    // decode + banded envelope collapse) and the media quarantine
+    // (per-row codec validation) — per-partition decode cost and the
+    // band-join shape must hold at 10× docs
+    "q_ext_media_audio_neardup", "q_ext_media_audio_formats",
+    "q_ext_media_quarantine")
 
   def main(args: Array[String]): Unit = {
     // PRE-FLIGHT idle certification (VERDICT r12 #2): an 11-minute pass
@@ -116,8 +122,13 @@ object Bench {
         java.lang.management.ManagementFactory.getOperatingSystemMXBean
           .getSystemLoadAverage
       val bound = math.max(2.0, Runtime.getRuntime.availableProcessors / 8.0)
-      val waitBudgetSec =
-        sys.env.get("SPARK_GRAFT_BENCH_IDLE_WAIT").map(_.toInt).getOrElse(600)
+      // malformed value → default, never a NumberFormatException: a
+      // crashed preflight IS the missing-artifact outcome this guard
+      // exists to avoid (ADVICE r13). getSystemLoadAverage returns -1
+      // on unsupported platforms, which passes every bound — acceptable:
+      // no load signal beats no artifact.
+      val waitBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_IDLE_WAIT")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(600)
       val deadline = System.nanoTime() + waitBudgetSec * 1000000000L
       var l = load1()
       while (l > bound && System.nanoTime() < deadline) {

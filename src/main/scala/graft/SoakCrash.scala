@@ -30,11 +30,22 @@ import scala.jdk.CollectionConverters._
   * actually logged mid-run.
   *
   * Output: one JSON object (argv(0), default soak_crash_out.json).
+  *
+  * Since r14 (VERDICT r13 task 7) the harness is SCENARIO-dispatched
+  * (`SPARK_GRAFT_CRASH_SCENARIO` = banded | quarantine | embed): the
+  * quarantine sink's corpus-first fp-store commit order and reject
+  * replay idempotence, and the embed sink's corpus-then-index appends,
+  * two-rename maintain() swaps, and index-first deletion order, make
+  * the same crash-equality claims as the banded sink — each scenario
+  * runs its own trigger stream through the kill loop and proves its
+  * own crash-vs-clean set equalities.
   */
 object SoakCrash {
 
   private[graft] val ExactBase = 100000000L
   private[graft] val NearBase = 200000000L
+  private[graft] val NullBase = 300000000L
+  private[graft] val EmptyBase = 400000000L
   private[graft] val DeleteEvery = 15
 
   private[graft] def loadSlices(spark: SparkSession, sfDir: String,
@@ -132,8 +143,177 @@ object SoakCrash {
     q.stop()
   }
 
+  // ------------------------------------------------ quarantine scenario
+  // (VERDICT r13 task 7): the routed quarantine sink's corpus-FIRST
+  // commit order (corpus truth, then fp index; construction repair
+  // backfills a lagging store) and reject-table replay idempotence make
+  // the same no-loss/no-phantom equality claims as the banded sink —
+  // killed here the same way. No forgets: the journal carries T lines
+  // only.
+
+  private[graft] def quarInjectionsFor(t: Int,
+      slices: Array[Array[(Long, String)]]): Seq[(Long, String)] =
+    if (t == 0) Nil
+    else {
+      val prev = slices(t - 1)
+      val exact = prev.take(3).map { case (id, tx) => (ExactBase + id, tx) }
+      val nulls = prev.slice(3, 5).map { case (id, _) =>
+        (NullBase + id, null.asInstanceOf[String]) }
+      val empties = prev.slice(5, 7).map { case (id, _) => (EmptyBase + id, "") }
+      (exact ++ nulls ++ empties).toSeq
+    }
+
+  private[graft] final case class QuarStores(frag: graft.runtime.FragmentedTable,
+      rej: graft.runtime.FragmentedTable,
+      fps: graft.runtime.BucketedFragmentStore)
+
+  private[graft] def openQuarStores(spark: SparkSession, wh: String): QuarStores =
+    QuarStores(new graft.runtime.FragmentedTable(spark, wh, "qcorpus", "doc_id"),
+      new graft.runtime.FragmentedTable(spark, wh, "qcorpus__rejects", "doc_id"),
+      graft.runtime.BucketedFragmentStore(spark, wh, "qcorpus__fps", "fp",
+        buckets = 4))
+
+  private[graft] def runQuarTriggers(spark: SparkSession, wh: String,
+      slices: Array[Array[(Long, String)]], from: Int, until: Int,
+      journal: Option[java.nio.file.Path]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val st = openQuarStores(spark, wh)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestQuarantineRoutedSink(
+      in.toDF().toDF("doc_id", "text"), st.frag, st.rej, Seq(
+        "text_not_null" -> col("text").isNotNull,
+        "text_nonempty" -> (length(col("text")) > 0)),
+      st.fps, compactEvery = 8L).start()
+    (from until until).foreach { t =>
+      in.addData(slices(t).toSeq ++ quarInjectionsFor(t, slices))
+      q.processAllAvailable()
+      journal.foreach(p => Files.write(p, s"T $t\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND, StandardOpenOption.DSYNC))
+    }
+    q.stop()
+  }
+
+  // ----------------------------------------------------- embed scenario
+  // (VERDICT r13 task 7): the embed sink's corpus-then-index append
+  // order (construction/cadence repair heals a lagging index), the
+  // two-rename maintain() swaps, and the INDEX-FIRST deletion order
+  // are all crash contracts — killed here with the same intent/DONE
+  // retry journal the banded forgets use.
+
+  private[graft] def loadVecSlices(spark: SparkSession, sfDir: String,
+      nTriggers: Int, sliceSize: Int): Array[Array[(Long, Seq[Float])]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding")).orderBy("vec_id")
+      .as[(Long, Seq[Float])].collect().take(nTriggers * sliceSize)
+      .grouped(sliceSize).toArray
+  }
+
+  // the embed soak's deterministic 5%-first-coordinate perturbation:
+  // keeps cosine ≥ ~0.9988, above the 0.995 screen threshold
+  private[graft] def perturb(v: Seq[Float]): Option[(Seq[Float], Double)] = {
+    val n2 = v.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+    if (n2 == 0) None
+    else {
+      val d = 0.05 * math.sqrt(n2)
+      val w = v.updated(0, (v.head + d).toFloat)
+      val dot = v.zip(w).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2)
+      val wn2 = w.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+      Some((w, dot / math.sqrt(n2 * wn2)))
+    }
+  }
+
+  private[graft] def embedInjectionsFor(t: Int,
+      slices: Array[Array[(Long, Seq[Float])]]): Seq[(Long, Seq[Float])] =
+    if (t == 0) Nil
+    else {
+      val prev = slices(t - 1)
+      val exact = prev.take(3).map { case (id, v) => (ExactBase + id, v) }
+      val near = prev.slice(3, 6).flatMap { case (id, v) =>
+        perturb(v) match {
+          case Some((w, cos)) if cos >= 0.996 => Some((NearBase + id, w))
+          case _ => None
+        }
+      }
+      (exact ++ near).toSeq
+    }
+
+  private[graft] def embedVictimsFor(t: Int,
+      slices: Array[Array[(Long, Seq[Float])]]): Seq[Long] =
+    if (t > 0 && t % DeleteEvery == 0) slices(t - DeleteEvery).take(30).map(_._1).toSeq
+    else Nil
+
+  private[graft] def embedIdxPath(wh: String): String = s"$wh/vcorpus.vecindex"
+
+  /** The indexed deletion, applied the way
+    * [[graft.streaming.StreamingOps.keyDeletionFragmentedSink]] applies
+    * it — index tombstone FIRST, then corpus, both idempotent — so the
+    * FI/FD retry journal can re-issue it across kills.
+    */
+  private[graft] def embedDelete(spark: SparkSession,
+      frag: graft.runtime.FragmentedTable, idxPath: String,
+      victims: Seq[Long]): Unit = {
+    import spark.implicits._
+    frag.read().foreach { cur =>
+      val live = victims.toDF("vec_id")
+        .join(cur.select("vec_id"), Seq("vec_id"), "left_semi")
+      if (!live.isEmpty) {
+        graft.ext.VectorIndex.load(spark, idxPath).delete(live, idCol = "vec_id")
+        frag.deleteKeys(live)
+      }
+    }
+  }
+
+  private[graft] def runEmbedTriggers(spark: SparkSession, wh: String,
+      slices: Array[Array[(Long, Seq[Float])]], from: Int, until: Int,
+      journal: Option[java.nio.file.Path]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val frag = new graft.runtime.FragmentedTable(spark, wh, "vcorpus", "vec_id")
+    val idxPath = embedIdxPath(wh)
+    def logLine(s: String): Unit = journal.foreach { p =>
+      Files.write(p, (s + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+        StandardOpenOption.DSYNC)
+    }
+    // deletion retry contract, same parse rules as the banded forgets
+    journal.filter(Files.exists(_)).foreach { p =>
+      val lines = Files.readAllLines(p).asScala
+      def nums(prefix: String): Seq[Int] = lines.collect {
+        case l if l.startsWith(prefix) =>
+          scala.util.Try(l.drop(prefix.length).trim.toInt).toOption
+      }.flatten.toSeq
+      val done = nums("FD ").toSet
+      nums("FI ").distinct.filterNot(done).foreach { t =>
+        embedDelete(spark, frag, idxPath, embedVictimsFor(t, slices))
+        logLine(s"FD $t")
+      }
+    }
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingOps.corpusIngestEmbedVectorIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), frag, idxPath,
+      graft.ext.IndexProfile(exactFloor = 0L),
+      threshold = 0.995, compactEvery = 8L).start()
+    (from until until).foreach { t =>
+      in.addData(slices(t).toSeq ++ embedInjectionsFor(t, slices))
+      q.processAllAvailable()
+      val victims = embedVictimsFor(t, slices)
+      if (victims.nonEmpty) {
+        logLine(s"FI $t")
+        embedDelete(spark, frag, idxPath, victims)
+        logLine(s"FD $t")
+      }
+      logLine(s"T $t")
+    }
+    q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("soak_crash_out.json")
+    val scenario = sys.env.getOrElse("SPARK_GRAFT_CRASH_SCENARIO", "banded")
+    require(Set("banded", "quarantine", "embed")(scenario),
+      s"unknown crash scenario '$scenario'")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val nTriggers = sys.env.getOrElse("SPARK_GRAFT_CRASH_TRIGGERS", "60").toInt
@@ -215,58 +395,125 @@ object SoakCrash {
     spark.sparkContext.setLogLevel("WARN")
     graft.runtime.Sources.bootstrap(spark)
     import spark.implicits._
-    val slices = loadSlices(spark, sfDir, nTriggers, sliceSize)
-    runTriggers(spark, whClean, slices, 0, slices.length, journal = None)
 
     def keySet(df: Option[DataFrame], key: String): Set[Any] =
       df.map(_.select(key).distinct().collect().map(_.get(0)).toSet)
         .getOrElse(Set.empty)
-    val crash = openStores(spark, whCrash)
-    val clean = openStores(spark, whClean)
-    val corpusCrash = keySet(crash.frag.read(), "doc_id")
-    val corpusClean = keySet(clean.frag.read(), "doc_id")
-    val sigsCrash = keySet(crash.sigs.read(), "doc_id")
-    val sigsClean = keySet(clean.sigs.read(), "doc_id")
-    val bandsCrash = keySet(crash.bands.read(), "__bk")
-    val bandsClean = keySet(clean.bands.read(), "__bk")
+    def matchCheck(name: String, crash: Set[Any], clean: Set[Any]) =
+      (name, crash == clean,
+        s"crash ${crash.size} vs clean ${clean.size}; " +
+          s"missing ${(clean -- crash).size}, extra ${(crash -- clean).size}")
 
-    // recall + deletion bookkeeping, recomputed offline from the slices
-    val allInjExact = (1 until slices.length)
-      .flatMap(t => injectionsFor(t, slices)).map(_._1)
-      .filter(id => id >= ExactBase && id < NearBase).toSet
-    val nearPairs = (1 until slices.length).flatMap { t =>
-      slices(t - 1).slice(5, 10)
-        .filter(_._2.trim.split("\\s+").distinct.length >= 9)
-        .map { case (id, _) => (NearBase + id, id) }
-    }.toSet
-    val deleted = (1 until slices.length)
-      .flatMap(t => victimsFor(t, slices)).toSet
-    val exactDropped = allInjExact.count(!corpusCrash(_))
-    val exactRecall =
-      if (allInjExact.isEmpty) 1.0 else exactDropped.toDouble / allInjExact.size
-    val eligible = nearPairs.filter(p => corpusCrash(p._2))
-    val nearDropped = eligible.count(p => !corpusCrash(p._1))
-    val nearRecall =
-      if (eligible.isEmpty) 1.0 else nearDropped.toDouble / eligible.size
-    val delVisible = Seq(corpusCrash, sigsCrash)
-      .map(_.count(a => deleted.contains(a.asInstanceOf[Long]))).sum +
-      bandsCrash.count { case s: String => deleted.exists(d => s.endsWith(s":$d")) case _ => false }
+    val scenarioChecks: Seq[(String, Boolean, String)] = scenario match {
+      case "banded" =>
+        val slices = loadSlices(spark, sfDir, nTriggers, sliceSize)
+        runTriggers(spark, whClean, slices, 0, slices.length, journal = None)
+        val crash = openStores(spark, whCrash)
+        val clean = openStores(spark, whClean)
+        val corpusCrash = keySet(crash.frag.read(), "doc_id")
+        val corpusClean = keySet(clean.frag.read(), "doc_id")
+        val sigsCrash = keySet(crash.sigs.read(), "doc_id")
+        val sigsClean = keySet(clean.sigs.read(), "doc_id")
+        val bandsCrash = keySet(crash.bands.read(), "__bk")
+        val bandsClean = keySet(clean.bands.read(), "__bk")
+        // recall + deletion bookkeeping, recomputed offline from the slices
+        val allInjExact = (1 until slices.length)
+          .flatMap(t => injectionsFor(t, slices)).map(_._1)
+          .filter(id => id >= ExactBase && id < NearBase).toSet
+        val nearPairs = (1 until slices.length).flatMap { t =>
+          slices(t - 1).slice(5, 10)
+            .filter(_._2.trim.split("\\s+").distinct.length >= 9)
+            .map { case (id, _) => (NearBase + id, id) }
+        }.toSet
+        val deleted = (1 until slices.length)
+          .flatMap(t => victimsFor(t, slices)).toSet
+        val exactDropped = allInjExact.count(!corpusCrash(_))
+        val exactRecall =
+          if (allInjExact.isEmpty) 1.0 else exactDropped.toDouble / allInjExact.size
+        val eligible = nearPairs.filter(p => corpusCrash(p._2))
+        val nearDropped = eligible.count(p => !corpusCrash(p._1))
+        val nearRecall =
+          if (eligible.isEmpty) 1.0 else nearDropped.toDouble / eligible.size
+        val delVisible = Seq(corpusCrash, sigsCrash)
+          .map(_.count(a => deleted.contains(a.asInstanceOf[Long]))).sum +
+          bandsCrash.count { case s: String => deleted.exists(d => s.endsWith(s":$d")) case _ => false }
+        Seq(
+          matchCheck("corpus_match", corpusCrash, corpusClean),
+          matchCheck("sigs_match", sigsCrash, sigsClean),
+          matchCheck("bands_match", bandsCrash, bandsClean),
+          ("exact_recall", exactRecall >= 0.99, f"$exactRecall%.4f >= 0.99"),
+          ("near_recall", nearRecall >= 0.95, f"$nearRecall%.4f >= 0.95"),
+          ("deletions_invisible", delVisible == 0,
+            s"visible rows across triple: $delVisible"))
 
-    val checks: Seq[(String, Boolean, String)] = Seq(
-      ("kills_logged", kills.size >= 10, s"${kills.size} >= 10"),
-      ("corpus_match", corpusCrash == corpusClean,
-        s"crash ${corpusCrash.size} rows vs clean ${corpusClean.size}; " +
-          s"missing ${(corpusClean -- corpusCrash).size}, extra ${(corpusCrash -- corpusClean).size}"),
-      ("sigs_match", sigsCrash == sigsClean,
-        s"crash ${sigsCrash.size} vs clean ${sigsClean.size}"),
-      ("bands_match", bandsCrash == bandsClean,
-        s"crash ${bandsCrash.size} vs clean ${bandsClean.size}"),
-      ("exact_recall", exactRecall >= 0.99, f"$exactRecall%.4f >= 0.99"),
-      ("near_recall", nearRecall >= 0.95, f"$nearRecall%.4f >= 0.95"),
-      ("deletions_invisible", delVisible == 0, s"visible rows across triple: $delVisible"))
+      case "quarantine" =>
+        val slices = loadSlices(spark, sfDir, nTriggers, sliceSize)
+        runQuarTriggers(spark, whClean, slices, 0, slices.length, journal = None)
+        val crash = openQuarStores(spark, whCrash)
+        val clean = openQuarStores(spark, whClean)
+        val corpusCrash = keySet(crash.frag.read(), "doc_id")
+        val corpusClean = keySet(clean.frag.read(), "doc_id")
+        // rejects must match INCLUDING the recorded reason, not just ids
+        def rejSet(st: QuarStores): Set[Any] = st.rej.read()
+          .map(_.select(col("doc_id"), col("reject_reason")).distinct()
+            .collect().map(r => (r.get(0), r.get(1)): Any).toSet)
+          .getOrElse(Set.empty)
+        val fpsCrash = keySet(crash.fps.read(), "fp")
+        val fpsClean = keySet(clean.fps.read(), "fp")
+        val corpusInvalid = corpusCrash.count(
+          a => a.asInstanceOf[Long] >= NullBase)
+        Seq(
+          matchCheck("corpus_match", corpusCrash, corpusClean),
+          matchCheck("rejects_match", rejSet(crash), rejSet(clean)),
+          matchCheck("fps_match", fpsCrash, fpsClean),
+          ("no_invalid_in_corpus", corpusInvalid == 0,
+            s"invalid rows in crash corpus: $corpusInvalid"))
+
+      case "embed" =>
+        val slices = loadVecSlices(spark, sfDir, nTriggers, sliceSize)
+        runEmbedTriggers(spark, whClean, slices, 0, slices.length, journal = None)
+        val crashFrag = new graft.runtime.FragmentedTable(spark, whCrash,
+          "vcorpus", "vec_id")
+        val cleanFrag = new graft.runtime.FragmentedTable(spark, whClean,
+          "vcorpus", "vec_id")
+        val corpusCrash = keySet(crashFrag.read(), "vec_id")
+        val corpusClean = keySet(cleanFrag.read(), "vec_id")
+        val idx = graft.ext.VectorIndex.load(spark, embedIdxPath(whCrash))
+        // sync: every crash-corpus id indexed (tombstoned counts as
+        // indexed — the sink's own repair rule)
+        val indexLag = crashFrag.read().map(_.select("vec_id")
+          .join(idx.indexedIds, Seq("vec_id"), "left_anti").count()).getOrElse(0L)
+        val deleted = (1 until slices.length)
+          .flatMap(t => embedVictimsFor(t, slices)).toSet
+        val delVisible = corpusCrash.count(
+          a => deleted.contains(a.asInstanceOf[Long]))
+        // unsearchable: probe the crash index with each deleted id's own
+        // vector; surfacing that id means the tombstone was lost
+        val byId = slices.flatten.toMap
+        val delVecs = deleted.toSeq.sorted.flatMap(id => byId.get(id).map(v => (id, v)))
+        val delSearchable = if (delVecs.isEmpty) 0L
+          else idx.search(delVecs.toDF("vec_id", "embedding"), k = 1)
+            .filter(col("query_id") === col("corpus_id")).count()
+        val allInjExact = (1 until slices.length)
+          .flatMap(t => embedInjectionsFor(t, slices)).map(_._1)
+          .filter(id => id >= ExactBase && id < NearBase).toSet
+        val exactDropped = allInjExact.count(!corpusCrash(_))
+        val exactRecall =
+          if (allInjExact.isEmpty) 1.0 else exactDropped.toDouble / allInjExact.size
+        Seq(
+          matchCheck("corpus_match", corpusCrash, corpusClean),
+          ("index_corpus_sync", indexLag == 0, s"lag $indexLag"),
+          ("exact_recall", exactRecall >= 0.99, f"$exactRecall%.4f >= 0.99"),
+          ("deletions_invisible", delVisible == 0, s"visible $delVisible"),
+          ("deletions_unsearchable", delSearchable == 0,
+            s"searchable $delSearchable"))
+    }
+
+    val checks: Seq[(String, Boolean, String)] =
+      ("kills_logged", kills.size >= 10, s"${kills.size} >= 10") +: scenarioChecks
     val pass = checks.forall(_._2)
     val json =
-      s"""{"soak":"crash_kill_banded_sf1","sf_dir":"$sfDir","triggers":${slices.length},""" +
+      s"""{"soak":"crash_kill_${scenario}_sf1","sf_dir":"$sfDir","triggers":$nTriggers,""" +
       s""""slice_size":$sliceSize,"delete_every":$DeleteEvery,"spawns":$spawn,""" +
       s""""pass":$pass,"checks":{${SoakUtil.checksJson(checks)}},""" +
       s""""kills":[${kills.mkString(",")}]}"""
@@ -286,6 +533,7 @@ object SoakCrash {
 object SoakCrashChild {
   def main(args: Array[String]): Unit = {
     val Array(wh, sfDir, nT, sz) = args.take(4)
+    val scenario = sys.env.getOrElse("SPARK_GRAFT_CRASH_SCENARIO", "banded")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -297,15 +545,27 @@ object SoakCrashChild {
     spark.sparkContext.setLogLevel("WARN")
     graft.runtime.Sources.bootstrap(spark)
     val journal = Paths.get(wh, "progress.journal")
-    val slices = SoakCrash.loadSlices(spark, sfDir, nT.toInt, sz.toInt)
     val from =
       if (!Files.exists(journal)) 0
       else Files.readAllLines(journal).asScala
         .collect { case l if l.startsWith("T ") =>
           scala.util.Try(l.drop(2).trim.toInt + 1).toOption }
         .flatten.maxOption.getOrElse(0)
-    println(s"[crash-child] resuming at trigger $from / ${slices.length}")
-    SoakCrash.runTriggers(spark, wh, slices, from, slices.length, Some(journal))
+    println(s"[crash-child] scenario=$scenario resuming at trigger $from")
+    scenario match {
+      case "quarantine" =>
+        val slices = SoakCrash.loadSlices(spark, sfDir, nT.toInt, sz.toInt)
+        SoakCrash.runQuarTriggers(spark, wh, slices, from, slices.length,
+          Some(journal))
+      case "embed" =>
+        val slices = SoakCrash.loadVecSlices(spark, sfDir, nT.toInt, sz.toInt)
+        SoakCrash.runEmbedTriggers(spark, wh, slices, from, slices.length,
+          Some(journal))
+      case _ =>
+        val slices = SoakCrash.loadSlices(spark, sfDir, nT.toInt, sz.toInt)
+        SoakCrash.runTriggers(spark, wh, slices, from, slices.length,
+          Some(journal))
+    }
     spark.stop()
   }
 }

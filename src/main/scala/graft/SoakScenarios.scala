@@ -104,12 +104,17 @@ private[graft] object SoakScenarios {
     // mean-of-window slope aliases "which window caught the retrain"
     // (r12 passed at 0.937 because a retrain landed EARLY; r13's faster
     // constant pushed it late and read 1.308 on byte-identical
-    // maintenance behavior). The flat gate's job is per-trigger GROWTH
-    // — an O(corpus) term in the trigger path shifts every trigger and
-    // therefore the MEDIAN; a bounded count of scheduled retrains does
-    // not — so the gate compares medians, and the window means stay in
-    // the artifact (plus the mean slope, reported not gated).
+    // maintenance behavior). Since r14 (VERDICT r13 #6 + ADVICE) the
+    // retrain-bearing triggers are tagged MECHANICALLY — maintain()
+    // bumps a durable counter at the index path, read back after every
+    // trigger — so the flatness gates run over the retrain-EXCLUDED
+    // series (median, mean, p90: a regression confined to <50% of
+    // triggers can no longer hide behind the median alone) and the
+    // retrain cost itself gets its own amortized bound instead of an
+    // asserted one.
     val trigMs = scala.collection.mutable.ArrayBuffer[Double]()
+    val trigRetrain = scala.collection.mutable.ArrayBuffer[Boolean]()
+    var lastMaintains = 0L
 
     def recall(corpusIds: Set[Long],
                pairs: Seq[(Long, Long)]): (Long, Long) = {
@@ -169,6 +174,9 @@ private[graft] object SoakScenarios {
       windowMs += ms
       windowN += 1
       trigMs += ms
+      val mc = graft.ext.VectorIndex.maintainCount(idxPath)
+      trigRetrain += (mc > lastMaintains)
+      lastMaintains = mc
       if (t > 0 && t % deleteEvery == 0) {
         if (delQ.isEmpty) {
           val idx = graft.ext.VectorIndex.load(spark, idxPath)
@@ -191,23 +199,61 @@ private[graft] object SoakScenarios {
     val ExactRecallFloor = 0.99
     val NearRecallFloor = 0.95
     val SlopeBound = 1.25
+    val P90SlopeBound = 1.5
     val last = cps.last
     val exactRecall =
       if (last.exactElig == 0) 1.0 else last.exactDropped.toDouble / last.exactElig
     val nearRecall =
       if (last.nearElig == 0) 1.0 else last.nearDropped.toDouble / last.nearElig
     val (earlyMs, lateMs, slope) = slopeOf(cps.map(_.ingestMsAvg).toIndexedSeq)
-    // gate on per-trigger MEDIANS (see trigMs note): early = triggers
-    // 10..39 (post-warmup, the cps(1..3) span), late = last 30
+    // Flatness over the retrain-EXCLUDED per-trigger series (see trigMs
+    // note): early = trigger positions 10..39 (post-warmup), late = the
+    // last 30 positions. A minimum run length keeps the windows
+    // disjoint and the gate non-vacuous (ADVICE r13); three statistics
+    // because each catches what the others can't — the median an
+    // every-trigger shift, the mean a minority-of-triggers growth term,
+    // the p90 a growing tail.
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else {
         val s = xs.sorted; val n = s.length
         if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
       }
-    val earlyMed = median(trigMs.slice(10, 40).toSeq)
-    val lateMed = median(trigMs.takeRight(30).toSeq)
-    val slopeMed = if (earlyMed == 0) 1.0 else lateMed / earlyMed
+    def p90(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else { val s = xs.sorted; s(math.min(s.length - 1, (s.length * 9) / 10)) }
+    val nTrig = trigMs.length
+    val idxed = trigMs.zip(trigRetrain).zipWithIndex
+      .map { case ((ms, rt), i) => (i, ms, rt) }
+    val earlyExcl = idxed.filter(t => t._1 >= 10 && t._1 < 40 && !t._3).map(_._2).toSeq
+    val lateExcl = idxed.filter(t => t._1 >= nTrig - 30 && !t._3).map(_._2).toSeq
+    def ratio(l: Double, e: Double) = if (e == 0) 1.0 else l / e
+    val slopeMed = ratio(median(lateExcl), median(earlyExcl))
+    val slopeMeanExcl = ratio(
+      if (lateExcl.isEmpty) 0 else lateExcl.sum / lateExcl.length,
+      if (earlyExcl.isEmpty) 0 else earlyExcl.sum / earlyExcl.length)
+    val slopeP90 = ratio(p90(lateExcl), p90(earlyExcl))
+    // the retrain cost itself, amortized: excess ms (over the non-
+    // retrain median) that retrain-bearing triggers added, per trigger,
+    // bounded RELATIVE to the steady-state trigger cost — a scheduled
+    // O(corpus) retrain is the documented trade, but its amortized
+    // share must stay a small fraction of the pipeline's work
+    val medExclAll = median(idxed.filterNot(_._3).map(_._2).toSeq)
+    val retrainExcessMs = idxed.filter(_._3)
+      .map(t => math.max(0.0, t._2 - medExclAll)).sum
+    val retrainAmortMs = if (nTrig == 0) 0.0 else retrainExcessMs / nTrig
+    val retrainAmortBound = 0.2 * medExclAll
+    val nRetrains = trigRetrain.count(identity)
     val checks: Seq[(String, Boolean, String)] = Seq(
+      ("flat_windows_meaningful", nTrig >= 80,
+        s"$nTrig triggers >= 80 (disjoint early/late windows)"),
+      ("ingest_flat_mean_excl", slopeMeanExcl <= SlopeBound,
+        f"retrain-excluded mean late/early = $slopeMeanExcl%.3f <= $SlopeBound " +
+          f"($nRetrains retrain-tagged triggers excluded)"),
+      ("ingest_flat_p90", slopeP90 <= P90SlopeBound,
+        f"retrain-excluded p90 late/early = $slopeP90%.3f <= $P90SlopeBound"),
+      ("retrain_amortized", retrainAmortMs <= retrainAmortBound,
+        f"$retrainAmortMs%.1f ms/trigger excess <= $retrainAmortBound%.1f " +
+          f"(20%% of non-retrain median $medExclAll%.1f; $nRetrains retrains)"),
       ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
         s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
       ("exact_recall", exactRecall >= ExactRecallFloor,
@@ -221,10 +267,9 @@ private[graft] object SoakScenarios {
       ("index_corpus_sync", cps.forall(_.indexLag == 0),
         s"max lag ${cps.map(_.indexLag).max}"),
       ("ingest_flat", slopeMed <= SlopeBound,
-        f"median late $lateMed%.1f ms / median early $earlyMed%.1f ms = " +
-          f"$slopeMed%.3f <= $SlopeBound (window-mean slope $slope%.3f, " +
-          f"late $lateMs%.1f / early $earlyMs%.1f — reported, not gated: " +
-          "scheduled O(corpus) retrains inside triggers alias window means)"))
+        f"retrain-excluded median late/early = $slopeMed%.3f <= $SlopeBound " +
+          f"(window-mean slope $slope%.3f, late $lateMs%.1f / early $earlyMs%.1f " +
+          "— reported only: window means still include retrain triggers)"))
     val pass = checks.forall(_._2)
 
     def j(cp: Cp): String =
@@ -238,7 +283,8 @@ private[graft] object SoakScenarios {
     val json =
       s"""{"soak":"embed_indexed_ingest_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"triggers":${slices.length},""" +
       s""""slice_size":$sliceSize,"threshold":$threshold,"index_kind":"$kind",""" +
-      s""""delete_every":$deleteEvery,"pass":$pass,"checks":{${checksJson(checks)}},""" +
+      s""""delete_every":$deleteEvery,"retrain_triggers":$nRetrains,""" +
+      f""""retrain_amort_ms":$retrainAmortMs%.1f,"pass":$pass,"checks":{${checksJson(checks)}},""" +
       s""""checkpoints":[${cps.map(j).mkString(",")}]}"""
     writeJson(outPath, json)
     graft.runtime.Fs.deleteRecursive(Paths.get(warehouse))

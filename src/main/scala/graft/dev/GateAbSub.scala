@@ -68,13 +68,17 @@ object GateAbSub {
       System.gc()
     }
     def arm(name: String, leak: Boolean, body: () => org.apache.spark.sql.DataFrame): String = {
+      // finally: the flag is process-global — a throwing pass must not
+      // leave every later ingestNearDupGate call in the JVM running
+      // lazily with all four pins leaked (ADVICE r13)
       graft.ext.StructGate.devLazyGateR11 = leak
-      val ts = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        body().write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      graft.ext.StructGate.devLazyGateR11 = false
+      val ts =
+        try (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          body().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        finally graft.ext.StructGate.devLazyGateR11 = false
       hygiene()
       val mn = ts.min
       val spread = math.round((ts.max - mn) / mn * 1000.0) / 1000.0

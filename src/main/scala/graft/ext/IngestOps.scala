@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object IngestOps {
 
+  /** The literal-list regime threshold shared by every point-probe site:
+    * below it, driver-known key sets embed as `isin` literals (cheapest
+    * plan at micro-batch scale — pushes into the parquet scan, no join
+    * operator); above it, plans must carry NO literal list (broadcast
+    * semi/anti joins, routed bucket unions) because a 10⁵-literal
+    * expression tree bloats analysis/codegen time and a same-sized
+    * driver collect of payload columns bloats driver memory.
+    */
+  val DefaultMaxIsin: Int = 10000
+
   /** The documents-table schema, declared EXPLICITLY for raw-format
     * drops: schema inference is a full extra pass over the data and
     * type-unstable across drops (one file of all-numeric "text" flips
@@ -41,6 +51,21 @@ object IngestOps {
       org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** The FIRST failing check's name as a Column, NULL when every check
+    * holds — the dead-letter `reject_reason` rule shared by every
+    * quarantine sink and the batch validation rows. A NULL predicate
+    * result counts as FAILING (the dbt-test convention: a check that
+    * cannot evaluate has not passed).
+    */
+  def rejectReason(checks: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.Column = {
+    require(checks.nonEmpty, "at least one validity check required")
+    val fails = checks.map { case (n, p) => (n, not(coalesce(p, lit(false)))) }
+    fails.tail
+      .foldLeft(when(fails.head._2, lit(fails.head._1))) {
+        case (acc, (n, f)) => acc.when(f, lit(n))
+      }.otherwise(lit(null).cast("string"))
+  }
 
   /** Read a JSONL document drop — the interchange format corpus dumps
     * arrive in. PERMISSIVE mode: a malformed line becomes a row of
@@ -282,7 +307,8 @@ object IngestOps {
     * high trigger rates.
     */
   final case class RoutedAppend(survivors: DataFrame, sigs: DataFrame,
-                                nSurvivors: Long, nSigs: Long) {
+                                nSurvivors: Long, nSigs: Long,
+                                driverVerify: Boolean = true) {
     def unpersistAll(): Unit = {
       sigs.unpersist(false); survivors.unpersist(false); ()
     }
@@ -305,7 +331,8 @@ object IngestOps {
                                incoming: DataFrame, threshold: Double,
                                numHashes: Int = 32, bands: Int = 8, shingleK: Int = 1,
                                textCol: String = "text", idCol: String = "doc_id",
-                               hotShingles: Seq[String] = Nil): RoutedAppend = {
+                               hotShingles: Seq[String] = Nil,
+                               maxDriverVerifyDocs: Int = DefaultMaxIsin): RoutedAppend = {
     val rows = numHashes / bands
     val spark = incoming.sparkSession
     // each stage pins before fan-out; everything downstream is a cheap
@@ -323,19 +350,28 @@ object IngestOps {
     // in-side), and its `bands` LSH keys (computed by the SAME Spark
     // xxhash64 expression the stored band rows were written with —
     // reproducing that hash driver-side would be a portability trap).
-    // Driver memory ∝ batch — the same boundedness contract the
-    // candidate collect below has always documented. This is the r13
-    // job-count move: the verify now runs IN SCALA over these rows, so
-    // the three cluster-side broadcast/join jobs it used to cost
-    // (in-toks broadcast, drops broadcast, survivor-ids broadcast) are
-    // gone; every local frame broadcasts job-free (LocalTableScan
-    // collects without a Spark job).
-    val packed = inS.select(col("doc_id"), col("toks"),
+    // Driver memory ∝ batch — and that contract is now MECHANICALLY
+    // GUARDED (VERDICT r13 #2): the collect is LIMIT-bounded at
+    // `maxDriverVerifyDocs` + 1, so a 10⁵-doc trigger × kB token sets
+    // can never land a multi-GB working set on the driver. At or under
+    // the threshold this is the r13 job-count move: the verify runs IN
+    // SCALA over these rows, so the three cluster-side broadcast/join
+    // jobs it used to cost are gone; every local frame broadcasts
+    // job-free (LocalTableScan collects without a Spark job). Over the
+    // threshold the truncated probe is DISCARDED and the verify falls
+    // back to the cluster-side join shape (see below) — same metric,
+    // same survivor set, spec-gated equivalence.
+    val inSPacked = inS.select(col("doc_id"), col("toks"),
         transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
             transform(slice(col("sig"), b * rows + 1, lit(rows)),
               x => x.cast("string"))))).as("__bks"))
-      .collect()
+    val probe = inSPacked.limit(
+      math.min(maxDriverVerifyDocs.toLong + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length > maxDriverVerifyDocs)
+      return routedCountedClusterVerify(bandProbe, toksProbe, spark,
+        exact, inAll, batch, inS, threshold, bands, rows, idCol)
+    val packed = probe
     val inToks: Map[Any, Set[String]] = packed.map(r =>
       r.get(0) -> r.getSeq[String](1).toSet).toMap
     val keys = packed.flatMap(_.getSeq[Long](2)).distinct.toSeq
@@ -417,6 +453,80 @@ object IngestOps {
     exact.unpersist(false); inAll.unpersist(false); batch.unpersist(false)
     RoutedAppend(survivors, survivorSigs,
       cm.getOrElse(1, 0L), cm.getOrElse(2, 0L))
+  }
+
+  /** The LARGE-BATCH verify regime of [[appendDedupNearDupRoutedCounted]]
+    * (VERDICT r13 #2 — the `maxIsinFps` pattern applied to the driver-
+    * side verify): when a trigger exceeds `maxDriverVerifyDocs`, token
+    * sets NEVER collect to the driver. The batch's band rows stay
+    * distributed, only the band-key hashes (8 longs/doc) and the
+    * candidate ex-ids (bounded by banding collisions, ids only) make
+    * the driver round-trips the probe closures require, and the
+    * verified-Jaccard filter runs as cluster-side joins — the
+    * [[appendDedupNearDupIndexedSigned]] shape against probed stores.
+    * Metric, LSH operating point, and survivor set are identical to the
+    * driver regime (spec-gated equivalence + regime flip).
+    */
+  private def routedCountedClusterVerify(bandProbe: Seq[Long] => Option[DataFrame],
+                               toksProbe: Seq[Any] => Option[DataFrame],
+                               spark: org.apache.spark.sql.SparkSession,
+                               exact: DataFrame, inAll: DataFrame,
+                               batch: DataFrame, inS: DataFrame,
+                               threshold: Double, bands: Int, rows: Int,
+                               idCol: String): RoutedAppend = {
+    val inBands = DedupOps.lshBands(inS, "sig", bands, rows)
+      .select(col("doc_id").as("in_id"), col("band"), col("band_key"))
+      .persist()
+    val keys = inBands.select("band_key").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    var cand: DataFrame = null
+    val drops: Option[DataFrame] = bandProbe(keys) match {
+      case None => None
+      case Some(exBands) =>
+        cand = exBands
+          .select(col("doc_id").as("ex_id"), col("band"), col("band_key"))
+          .join(inBands, Seq("band", "band_key"))
+          .select("ex_id", "in_id").distinct().persist()
+        val exIds = cand.select("ex_id").distinct()
+          .collect().map(_.get(0)).toSeq
+        if (exIds.isEmpty) None
+        else toksProbe(exIds) match {
+          case None => None
+          case Some(exSigRows) =>
+            // exact verified Jaccard over the candidate-bounded token
+            // sets, computed WHERE THE DATA IS — same metric as the
+            // driver regime (array_distinct'd sets both sides, IEEE
+            // double division, >= threshold)
+            Some(exSigRows.filter(size(col("toks")) > 0)
+              .select(col("doc_id").as("ex_id"), col("toks").as("ex_toks"))
+              .join(cand, Seq("ex_id"))
+              .join(inS.select(col("doc_id").as("in_id"),
+                col("toks").as("in_toks")), Seq("in_id"))
+              .filter(size(array_intersect(col("ex_toks"), col("in_toks"))).cast("double") /
+                size(array_union(col("ex_toks"), col("in_toks"))) >= threshold)
+              .select(col("in_id")).distinct().persist())
+        }
+    }
+    val survivors = (drops match {
+      case None    => batch
+      case Some(d) => batch.join(d.withColumnRenamed("in_id", idCol),
+        Seq(idCol), "left_anti")
+    }).persist()
+    val survivorSigs = (drops match {
+      case None    => inS
+      case Some(d) => inS.join(d.withColumnRenamed("in_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+    }).persist()
+    val cm = survivors.select(lit(1).as("__side"))
+      .union(survivorSigs.select(lit(2).as("__side")))
+      .groupBy("__side").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    drops.foreach(_.unpersist(false))
+    if (cand != null) cand.unpersist(false)
+    inBands.unpersist(false)
+    exact.unpersist(false); inAll.unpersist(false); batch.unpersist(false)
+    RoutedAppend(survivors, survivorSigs,
+      cm.getOrElse(1, 0L), cm.getOrElse(2, 0L), driverVerify = false)
   }
 
   /** [[appendDedupNearDupRoutedCounted]] without the counts — kept for
@@ -598,7 +708,7 @@ object IngestOps {
                              incoming: DataFrame,
                              textCol: String = "text",
                              idCol: String = "doc_id",
-                             maxIsinFps: Int = 10000): DataFrame = {
+                             maxIsinFps: Int = DefaultMaxIsin): DataFrame = {
     val batch = DedupOps.dedupExact(incoming, textCol, idCol)
       .withColumn("__fp", TextOps.fingerprint(col(textCol))).persist()
     batch.count()

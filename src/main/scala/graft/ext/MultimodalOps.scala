@@ -144,6 +144,18 @@ trait AudioCodec extends Serializable {
   */
 object WavCodec extends AudioCodec {
   override def decode(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
+    Pcm16Decode(payload)
+}
+
+/** The shared 16-bit-PCM-exact decode body behind every audio container
+  * codec here: `javax.sound.sampled` container parse (WAV RIFF walk,
+  * AIFF FORM walk, AU header — whichever provider the stream sniffs),
+  * then endianness-aware sample extraction. Kept separate so the
+  * per-container codecs below can VALIDATE magic bytes first and share
+  * the decode — the [[AutoVideoCodec]] structure applied to audio.
+  */
+private[ext] object Pcm16Decode {
+  def apply(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
     if (payload == null || payload.isEmpty) None
     // AudioSystem THROWS UnsupportedAudioFileException/EOF on garbage
     // or truncated containers — a corrupt blob must map to None, never
@@ -170,6 +182,62 @@ object WavCodec extends AudioCodec {
     }.toOption.flatten
 }
 
+/** Per-container audio codecs (VERDICT r13 task 4 — the audio analog of
+  * the [[GifVideoCodec]]/[[MjpegAviCodec]] pair): each validates ITS
+  * container's magic bytes before the shared PCM-exact decode, so a WAV
+  * blob handed to [[AiffCodec]] maps to None. That strictness is what
+  * makes [[AutoAudioCodec]]'s routing a provable seam
+  * (`q_ext_media_audio_formats`) instead of a convenience: a dispatch
+  * bug cannot hide behind a decoder that accepts everything.
+  */
+object RiffWavCodec extends AudioCodec {
+  private[ext] def matches(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+  override def decode(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
+    if (matches(payload)) Pcm16Decode(payload) else None
+}
+
+/** AIFF (`FORM….AIFF`, big-endian PCM). Scope is AIFF proper — AIFC
+  * (compressed variants) fails the magic check, same honesty rule as a
+  * corrupt payload.
+  */
+object AiffCodec extends AudioCodec {
+  private[ext] def matches(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+      p(8) == 'A' && p(9) == 'I' && p(10) == 'F' && p(11) == 'F'
+  override def decode(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
+    if (matches(payload)) Pcm16Decode(payload) else None
+}
+
+/** Sun/NeXT AU (`.snd` magic, big-endian PCM). */
+object AuCodec extends AudioCodec {
+  private[ext] def matches(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 &&
+      p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'
+  override def decode(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
+    if (matches(payload)) Pcm16Decode(payload) else None
+}
+
+/** Container dispatch by MAGIC BYTES — the audio counterpart of
+  * [[AutoVideoCodec]]: `RIFF….WAVE` routes to [[RiffWavCodec]],
+  * `FORM….AIFF` to [[AiffCodec]], `.snd` to [[AuCodec]], anything else
+  * is undecodable (None). The codec a mixed-container audio corpus
+  * column uses: one decode pass over blobs of any of the three formats,
+  * no per-row format column required.
+  */
+object AutoAudioCodec extends AudioCodec {
+  private[ext] def route(p: Array[Byte]): Option[AudioCodec] =
+    if (RiffWavCodec.matches(p)) Some(RiffWavCodec)
+    else if (AiffCodec.matches(p)) Some(AiffCodec)
+    else if (AuCodec.matches(p)) Some(AuCodec)
+    else None
+  override def decode(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
+    route(payload).flatMap(_.decode(payload))
+}
+
 /** Pluggable video-decode seam — the multi-frame analog of
   * [[ImageCodec]]: a container holds an ordered frame sequence; the
   * sampler asks for frame COUNT first, then decodes only the frames it
@@ -186,6 +254,17 @@ trait VideoCodec extends Serializable {
     * or None if the payload/frame is not decodable.
     */
   def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Int])]
+
+  /** Decode several frames in ONE container parse where the format
+    * allows (ADVICE r13: per-frame [[decodeFrame]] calls re-walk the
+    * container per frame — O(n·payload) redundant demux per row at
+    * corpus scale). Contract identical to mapping [[decodeFrame]] over
+    * `indices` — that mapping is the default; containers override with
+    * a single-walk implementation.
+    */
+  def decodeFrames(payload: Array[Byte],
+                   indices: Seq[Int]): Seq[Option[(Int, Int, Array[Int])]] =
+    indices.map(decodeFrame(payload, _))
 }
 
 /** The JDK's own multi-frame codec: ANIMATED GIF through
@@ -227,6 +306,19 @@ object GifVideoCodec extends VideoCodec {
       val w = img.getWidth; val h = img.getHeight
       (w, h, img.getRGB(0, 0, w, h, null, 0, w))
     }
+
+  // one reader (one stream-directory parse) serves every sampled frame
+  override def decodeFrames(payload: Array[Byte],
+                            indices: Seq[Int]): Seq[Option[(Int, Int, Array[Int])]] =
+    withReader(payload) { r =>
+      indices.map { idx =>
+        scala.util.Try {
+          val img = r.read(idx)
+          val w = img.getWidth; val h = img.getHeight
+          (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+        }.toOption
+      }
+    }.getOrElse(indices.map(_ => None))
 }
 
 /** MJPEG-in-AVI: the second real container behind the [[VideoCodec]]
@@ -279,16 +371,28 @@ object MjpegAviCodec extends VideoCodec {
   override def frameCount(payload: Array[Byte]): Option[Int] =
     frameChunks(payload).map(_.length)
 
+  private def decodeChunk(payload: Array[Byte],
+                          ch: (Int, Int)): Option[(Int, Int, Array[Int])] =
+    scala.util.Try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload, ch._1, ch._2))
+      require(img != null)
+      val w = img.getWidth; val h = img.getHeight
+      (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+    }.toOption
+
   override def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Int])] =
-    frameChunks(payload).filter(ch => idx >= 0 && idx < ch.length).flatMap { ch =>
-      val (off, len) = ch(idx)
-      scala.util.Try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload, off, len))
-        require(img != null)
-        val w = img.getWidth; val h = img.getHeight
-        (w, h, img.getRGB(0, 0, w, h, null, 0, w))
-      }.toOption
+    frameChunks(payload).filter(ch => idx >= 0 && idx < ch.length)
+      .flatMap(ch => decodeChunk(payload, ch(idx)))
+
+  // one RIFF walk serves every sampled frame (ADVICE r13: the per-frame
+  // form re-walked the container per decode)
+  override def decodeFrames(payload: Array[Byte],
+                            indices: Seq[Int]): Seq[Option[(Int, Int, Array[Int])]] =
+    frameChunks(payload) match {
+      case None => indices.map(_ => None)
+      case Some(ch) => indices.map(idx =>
+        if (idx >= 0 && idx < ch.length) decodeChunk(payload, ch(idx)) else None)
     }
 }
 
@@ -314,6 +418,13 @@ object AutoVideoCodec extends VideoCodec {
 
   override def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Int])] =
     route(payload).flatMap(_.decodeFrame(payload, idx))
+
+  override def decodeFrames(payload: Array[Byte],
+                            indices: Seq[Int]): Seq[Option[(Int, Int, Array[Int])]] =
+    route(payload) match {
+      case Some(c) => c.decodeFrames(payload, indices)
+      case None    => indices.map(_ => None)
+    }
 }
 
 object MultimodalOps {
@@ -737,6 +848,136 @@ object MultimodalOps {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Audio fixture for the perceptual near-dup + container-dispatch
+    * gates (VERDICT r13 tasks 3–4): per doc, 65 equal WINDOWS of a
+    * 16-bit PCM mono square wave at 8 kHz, window w's amplitude
+    * md5-derived — A_w = u·(1 + (first md5 byte of "id:w" mod 8)) with
+    * u = 34 — so DuckDB recomputes every window's exact mean |sample|
+    * (= A_w: square wave, whole periods per window) and from the
+    * A_w < A_{w+1} comparisons every signature bit
+    * ([[MultimodalOps.audioWindowSig]]). Window length L = (id%4+1)·16
+    * (a multiple of the 16-sample period), total 65·L samples.
+    *
+    * `container` picks the RE-ENCODING: "wav" (RIFF, little-endian),
+    * "aiff" (FORM, big-endian), "au" (.snd, big-endian) — three
+    * byte-distinct containers of the SAME samples — and "wav-half", the
+    * REQUANTIZED twin: every amplitude exactly halved (u = 17; A_w is
+    * always even so integer halving is exact), which scales every
+    * window mean by ½ and therefore preserves every comparison bit.
+    * Four encodings, one signature — invisible to byte-exact dedup,
+    * collapsed by the banded signature join.
+    */
+  def withGeneratedAudioVariants(docs: DataFrame, container: String): DataFrame = {
+    require(Set("wav", "aiff", "au", "wav-half")(container),
+      s"unsupported audio-generator container '$container'")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val windows = 65
+        val winLen = ((id % 4) + 1).toInt * 16
+        val n = windows * winLen
+        val unit = if (container == "wav-half") 17 else 34
+        val big = container == "aiff" || container == "au"
+        val pcm = new Array[Byte](n * 2)
+        var w = 0
+        while (w < windows) {
+          val dig = md.digest(s"$id:$w".getBytes("UTF-8"))
+          val amp = unit * (1 + (dig(0) & 0xFF) % 8)
+          var j = 0
+          while (j < winLen) {
+            val s = if ((j / 8) % 2 == 0) amp else -amp
+            val i = w * winLen + j
+            if (big) { pcm(2 * i) = ((s >> 8) & 0xFF).toByte; pcm(2 * i + 1) = (s & 0xFF).toByte }
+            else { pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte }
+            j += 1
+          }
+          w += 1
+        }
+        // the stream's declared endianness matches the byte layout we
+        // built, and each writer gets its container's canonical order —
+        // no reliance on writer-side conversion
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, big)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val ftype = container match {
+          case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+          case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+          case _      => javax.sound.sampled.AudioFileFormat.Type.WAVE
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, ftype, bos)
+        Row(id, bos.toByteArray,
+          Row(if (container == "wav-half") "wav" else container,
+            null, null, (n / 8): Integer))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Doc-level perceptual AUDIO signature (VERDICT r13 task 3 — the
+    * [[videoFrameHashes]] discipline on the audio seam): decode through
+    * the [[AudioCodec]] seam, split the interleaved samples into
+    * `windows` equal spans (window w = samples [⌊w·n/W⌋, ⌊(w+1)·n/W⌋)),
+    * take each window's mean |sample| (an energy envelope), and emit
+    * the W−1 delta-sign bits as one `sig bigint` — bit b set iff
+    * env_b < env_{b+1}, exactly [[dhash64]]'s gradient-sign rule on a
+    * 1-D envelope. Re-encodes of the same audio (container swap,
+    * endianness swap, uniform requantization) preserve the envelope's
+    * ORDER and therefore every bit; near-misses stay within a small
+    * hamming radius, which is what
+    * [[DedupOps.hammingNearDupPairsFromSigs]] bands on. Undecodable
+    * payloads — or clips shorter than `windows` samples — yield NULL
+    * fields (kept, countable, excluded from pair generation by the
+    * NULL filter, never silently dropped). Partition-local decode;
+    * only 8 bytes of signature per doc shuffle.
+    */
+  def audioWindowSig(media: DataFrame, windows: Int = 65,
+                     codec: AudioCodec = AutoAudioCodec,
+                     mediaCol: String = "media"): DataFrame = {
+    require(windows >= 2 && windows <= 65,
+      s"windows must be in [2, 65] (W-1 bits must fit a bigint), got $windows")
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == mediaCol) ++ Seq(
+        StructField("sample_rate", IntegerType),
+        StructField("n_samples", LongType),
+        StructField("sig", LongType)))
+    val keepIdx = inSchema.fields.zipWithIndex
+      .filterNot(_._1.name == mediaCol).map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get).toSeq
+        codec.decode(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some((rate, _, samples)) if samples.length >= windows =>
+            val n = samples.length
+            val env = new Array[Double](windows)
+            var w = 0
+            while (w < windows) {
+              val from = (w.toLong * n / windows).toInt
+              val to = ((w + 1).toLong * n / windows).toInt
+              var s = 0.0; var i = from
+              while (i < to) { s += math.abs(samples(i).toDouble); i += 1 }
+              env(w) = s / (to - from)
+              w += 1
+            }
+            var sig = 0L; var b = 0
+            while (b < windows - 1) {
+              if (env(b) < env(b + 1)) sig |= (1L << b)
+              b += 1
+            }
+            Row.fromSeq(kept ++ Seq[Any](rate.toInt, n.toLong, sig))
+          case _ =>
+            Row.fromSeq(kept ++ Seq(null, null, null))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** REAL audio decode through the [[AudioCodec]] seam: partition-local
     * batch execution. Output: input columns minus the blob, plus the
     * TRUE `sample_rate`/`channels` read from the container, the
@@ -1056,7 +1297,7 @@ object MultimodalOps {
             val picks =
               if (m <= n) 0 until m
               else (0 until n).map(k => k * (m - 1) / (n - 1)).distinct
-            val decoded = picks.map(codec.decodeFrame(payload, _))
+            val decoded = codec.decodeFrames(payload, picks)
             if (decoded.exists(_.isEmpty))
               Row.fromSeq(kept ++ Seq[Any](m, null, null, null))
             else {
@@ -1108,20 +1349,116 @@ object MultimodalOps {
             val picks =
               if (m <= n) 0 until m
               else (0 until n).map(k => k * (m - 1) / (n - 1)).distinct
-            picks.map { idx =>
-              codec.decodeFrame(payload, idx) match {
-                case Some((w, h, px)) =>
-                  Row.fromSeq(kept ++ Seq[Any](m, idx, w, h,
-                    lumaHistogram(px).toSeq))
-                case None =>
-                  Row.fromSeq(kept ++ Seq[Any](m, idx, null, null, null))
-              }
+            picks.zip(codec.decodeFrames(payload, picks)).map {
+              case (idx, Some((w, h, px))) =>
+                Row.fromSeq(kept ++ Seq[Any](m, idx, w, h,
+                  lumaHistogram(px).toSeq))
+              case (idx, None) =>
+                Row.fromSeq(kept ++ Seq[Any](m, idx, null, null, null))
             }
           case None =>
             Seq(Row.fromSeq(kept ++ Seq(null, null, null, null, null)))
         }
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Container CATEGORY by magic bytes — the dispatch rule
+    * [[mediaChecks]] validates against: video (GIF — stills are 1-frame
+    * videos — and RIFF-AVI), audio (RIFF-WAVE, FORM-AIFF, .snd), image
+    * (PNG, BMP, JPEG). None = no known container claims the bytes.
+    */
+  private[ext] def sniffCategory(p: Array[Byte]): Option[String] =
+    if (p == null || p.length < 4) None
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') Some("video")
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' ') Some("video")
+    else if (RiffWavCodec.matches(p) || AiffCodec.matches(p) || AuCodec.matches(p))
+      Some("audio")
+    else if ((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some("image")
+    else if (p(0) == 'B' && p(1) == 'M') Some("image")
+    else if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) Some("image")
+    else None
+
+  /** Codec-validation checks for a media ingest quarantine (VERDICT r13
+    * task 5) in the `checks` shape every quarantine sink takes
+    * (name → predicate that must HOLD; first failing name becomes
+    * `reject_reason`):
+    *
+    *   1. `media_present` — non-null, non-empty payload;
+    *   2. `known_container` — some container's magic bytes claim it
+    *      ([[sniffCategory]]);
+    *   3. `media_decodes` — the claimed container's own codec really
+    *      demuxes/decodes it ([[AutoVideoCodec.frameCount]] /
+    *      [[AutoAudioCodec]] / [[ImageIoCodec]]), so a truncated or
+    *      byte-corrupted payload behind a valid magic still rejects.
+    *
+    * With these composed into `corpusIngestQuarantineRoutedSink`,
+    * corrupt media lands in `__rejects` carrying the first failing
+    * check's name instead of silently featurizing as NULL rows
+    * downstream. The decode probe is a Scala UDF by necessity (the
+    * codec seams are JVM parsers, not Column expressions); its cost is
+    * one decode per INGESTED row, on the executor, partition-local.
+    */
+  def mediaChecks(mediaCol: String = "media"): Seq[(String, org.apache.spark.sql.Column)] = {
+    val knownUdf = udf((p: Array[Byte]) => sniffCategory(p).isDefined)
+    val decodesUdf = udf((p: Array[Byte]) => sniffCategory(p) match {
+      case Some("video") => AutoVideoCodec.frameCount(p).isDefined
+      case Some("audio") => AutoAudioCodec.decode(p).isDefined
+      case Some("image") => ImageIoCodec.decode(p).isDefined
+      case _             => false
+    })
+    Seq(
+      ("media_present", col(mediaCol).isNotNull && length(col(mediaCol)) > 0),
+      ("known_container", knownUdf(col(mediaCol))),
+      ("media_decodes", decodesUdf(col(mediaCol))))
+  }
+
+  /** The mixed-media fixture's class selector: `(⌊id/10⌋ + id) mod 6`.
+    * NOT a bare `id mod 6` — the registry's pairwise subset is the
+    * multiples of 10, on which `id mod 6` cycles through only {0, 2, 4}
+    * and half the corruption classes would never be exercised; this
+    * selector covers all six classes on both dense ids and multiples
+    * of 10 (a DuckDB oracle states it as `(doc_id // 10 + doc_id) % 6`).
+    */
+  def mixedMediaClass(id: Long): Long = (id / 10 + id) % 6
+
+  private def mixedMediaClassCol: org.apache.spark.sql.Column =
+    (expr("doc_id div 10") + col("doc_id")) % 6
+
+  /** Mixed valid/corrupt media fixture for the quarantine gate — the
+    * validation outcome is ANALYTIC BY CONSTRUCTION
+    * ([[mixedMediaClass]] picks the class), so a DuckDB oracle states
+    * each row's expected route and reason without re-implementing the
+    * codecs:
+    *
+    *   - 0: real WAV           → corpus
+    *   - 1: real animated GIF  → corpus
+    *   - 2: real PNG           → corpus
+    *   - 3: unknown magic ("XX"-prefixed md5 junk) → `known_container`
+    *   - 4: TRUNCATED AVI (valid RIFF/AVI magic, chunks cut mid-walk)
+    *        → `media_decodes`
+    *   - 5: TRUNCATED WAV (valid RIFF/WAVE magic, body gone)
+    *        → `media_decodes`
+    */
+  def withGeneratedMixedMedia(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    def ofClass(k: Int) = ids.filter(mixedMediaClassCol === k)
+    val valid = Seq(
+      withGeneratedAudioVariants(ofClass(0), "wav"),
+      withGeneratedBlockVideo(ofClass(1), "gif"),
+      withGeneratedBlockImages(ofClass(2), "png"))
+      .map(_.select(col("doc_id"), col("media")))
+    val junk = ofClass(3)
+      .select(col("doc_id"),
+        concat(lit("XX".getBytes("UTF-8")),
+          unhex(md5(col("doc_id").cast("string")))).as("media"))
+    val cutAvi = withGeneratedBlockVideo(ofClass(4), "avi")
+      .select(col("doc_id"), expr("substring(media, 1, 200)").as("media"))
+    val cutWav = withGeneratedAudioVariants(ofClass(5), "wav")
+      .select(col("doc_id"), expr("substring(media, 1, 16)").as("media"))
+    (valid ++ Seq(junk, cutAvi, cutWav)).reduce(_.unionByName(_))
   }
 
   /** STUB frame sampler: n evenly-spaced byte-slices stand in for video

@@ -298,6 +298,18 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
       }
       graft.runtime.Fs.deleteRecursive(Paths.get(deletedPath))
     }
+    // durable maintain counter (VERDICT r13 #6): a monotone count of
+    // completed maintain() calls, so a harness can MECHANICALLY tag
+    // which triggers carried a scheduled O(corpus) retrain instead of
+    // inferring it from latency shape. Written atomically (tmp + move),
+    // best-effort read (absent file = 0).
+    val mp = Paths.get(path, "maintains")
+    val next = VectorIndex.maintainCount(path) + 1
+    val tmp2 = Paths.get(path, "maintains__tmp_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp2, next.toString.getBytes("UTF-8"))
+    Files.move(tmp2, mp, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Driver-gateable measured recall@k vs the exact answer over this
@@ -316,6 +328,16 @@ object VectorIndex {
 
   val Brute = "brute"; val Ivf = "ivf"; val Sq = "sq"
   val IvfPq = "ivfpq"; val Hnsw = "hnsw"
+
+  /** Completed [[VectorIndex.maintain]] calls at `path` (0 when none /
+    * not yet created) — the mechanical retrain tag for soak harnesses.
+    */
+  def maintainCount(path: String): Long = {
+    val p = Paths.get(path, "maintains")
+    if (!Files.exists(p)) 0L
+    else scala.util.Try(
+      new String(Files.readAllBytes(p), "UTF-8").trim.toLong).getOrElse(0L)
+  }
 
   /** Unified drift summary over the per-rung append reports. */
   final case class AppendSummary(appended: Long, maintenanceRecommended: Boolean)

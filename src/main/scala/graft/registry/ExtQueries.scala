@@ -1196,6 +1196,78 @@ object ExtQueries {
           lpad(bin(element_at(col("sig"), 1)), 64, "0").as("f0_bits"),
           lpad(bin(element_at(col("sig"), 2)), 64, "0").as("flast_bits"))
     }),
+    // AUDIO-level perceptual near-dup (VERDICT r13 task 3) folded with
+    // the container seam (task 4): each doc's md5-derived square-wave
+    // clip is encoded FOUR byte-distinct ways — WAV (little-endian
+    // RIFF), AIFF (big-endian FORM), AU (big-endian .snd), and a
+    // REQUANTIZED WAV with every amplitude exactly halved — then
+    // decoded through AutoAudioCodec's magic-byte dispatch, folded to a
+    // 64-bit window-envelope delta-sign signature, banded, verified on
+    // hamming, and collapsed. Fully analytic oracle: window w's mean
+    // |sample| is EXACTLY its md5-derived amplitude (square wave, whole
+    // periods), so DuckDB recomputes every signature bit and the
+    // collapse count (4 encodings → exactly 1 survivor per doc;
+    // distinct docs are md5-decorrelated).
+    "q_ext_media_audio_neardup" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id")
+      val variants = Seq("wav" -> 1, "aiff" -> 2, "au" -> 3, "wav-half" -> 4)
+        .map { case (c, k) =>
+          MultimodalOps.withGeneratedAudioVariants(docs, c)
+            .select((col("doc_id") * 10 + k).as("doc_id"), col("media"))
+        }.reduce(_.unionByName(_))
+      val sigs = MultimodalOps.audioWindowSig(variants)
+      val pairs = DedupOps.hammingNearDupPairsFromSigs(sigs, maxDist = 6, bands = 8)
+      val surv = DedupOps.removeNearDups(sigs.select("doc_id"), pairs)
+        .select(((col("doc_id") - lit(1)) / 10).cast("long").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_survivors"))
+      val wavSig = sigs.filter(col("doc_id") % 10 === 1)
+        .select(((col("doc_id") - lit(1)) / 10).cast("long").as("doc_id"),
+          col("n_samples"),
+          lpad(bin(col("sig")), 64, "0").as("sig_bits"))
+      docs.join(wavSig, Seq("doc_id"), "left")
+        .join(surv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_samples"), col("sig_bits"),
+          lit(4).as("n_variants"),
+          coalesce(col("n_survivors"), lit(0)).as("n_survivors"))
+    }),
+    // Per-container decode proof for the audio dispatch seam (VERDICT
+    // r13 task 4 — the q_ext_media_video_formats discipline on audio):
+    // the SAME clip through all three containers, each decoded by its
+    // own magic-validated codec via AutoAudioCodec, with the envelope
+    // signature recomputed analytically per container — a hash match
+    // proves RIFF/FORM/.snd parsing and both endiannesses recover every
+    // sample's magnitude ordering bit-for-bit. Corrupt/truncated/
+    // wrong-magic fallback rides MultimodalSpec.
+    "q_ext_media_audio_formats" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id")
+      Seq("wav", "aiff", "au").map { c =>
+        MultimodalOps.audioWindowSig(
+          MultimodalOps.withGeneratedAudioVariants(docs, c)
+            .select(col("doc_id"), lit(c).as("container"), col("media")))
+      }.reduce(_.unionByName(_))
+        .select(col("doc_id"), col("container"), col("sample_rate"),
+          col("n_samples"), lpad(bin(col("sig")), 64, "0").as("sig_bits"))
+    }),
+    // Media-validation quarantine routing (VERDICT r13 task 5): the
+    // mixed valid/corrupt fixture through the SAME first-failing-check
+    // rule every quarantine sink applies (IngestOps.rejectReason ∘
+    // MultimodalOps.mediaChecks — real codec probes, not metadata
+    // trust). The oracle states each row's expected route/reason from
+    // the fixture's construction (doc_id mod 6 picks the class), so a
+    // hash match proves the validators fire exactly on the constructed
+    // corruptions — magic sniff, demux walk, and decode each catching
+    // their own class. The streaming composition (corrupt blobs →
+    // __rejects fragments) rides StreamingSpec.
+    "q_ext_media_quarantine" -> ((s, dir) => {
+      val media = MultimodalOps.withGeneratedMixedMedia(
+        docsSub(s, dir).select("doc_id"))
+      media.withColumn("reject_reason",
+          IngestOps.rejectReason(MultimodalOps.mediaChecks()))
+        .select(col("doc_id"),
+          when(col("reject_reason").isNull, lit("corpus"))
+            .otherwise(lit("rejects")).as("route"),
+          col("reject_reason"))
+    }),
     // VISUAL similarity search (VERDICT r12 task 6): decoded-raster
     // feature vectors indexed through the VectorIndex facade (exact
     // profile → brute rung) and queried k-NN — image in, nearest
@@ -1257,6 +1329,22 @@ object ExtQueries {
     s"""list_aggregate(list_transform(range(64), p ->
        |    CASE WHEN $vs[CAST((63 - p) // 8 * 9 + (63 - p) % 8 + 1 AS INT)]
        |            < $vs[CAST((63 - p) // 8 * 9 + (63 - p) % 8 + 2 AS INT)]
+       |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
+
+  // Audio mirrors: window w's amplitude is u·(1 + (first md5 byte of
+  // "id:w" mod 8)), and a whole-period square-wave window's mean
+  // |sample| IS that amplitude — so the envelope's 64 delta-sign bits
+  // (bit b: amp[b] < amp[b+1], 0-based; rendered MSB-first the way
+  // java's two's-complement bin() does, string position p = bit 63−p)
+  // are recomputable without decoding a single byte.
+  private val audioAmpsSql: String =
+    """list_transform(range(65), w ->
+      |    34 * (1 + (strpos('0123456789abcdef',
+      |            substr(md5(doc_id || ':' || w), 2, 1)) - 1) % 8))""".stripMargin
+
+  private def audioSigBitsSql(amps: String): String =
+    s"""list_aggregate(list_transform(range(64), p ->
+       |    CASE WHEN $amps[CAST(63 - p + 1 AS INT)] < $amps[CAST(63 - p + 2 AS INT)]
        |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 
   // Shared by every token-Jaccard oracle (pairs, pruned pairs, greedy
@@ -2232,6 +2320,41 @@ object ExtQueries {
          |  ${dhashBitsSql("v0")} AS f0_bits,
          |  ${dhashBitsSql("vl")} AS flast_bits
          |FROM b""".stripMargin),
+    // Audio near-dup mirror: signature bits from the md5 amplitude
+    // formula; collapse is analytic (four encodings of one clip — three
+    // containers + the exactly-halved requantization — share every
+    // envelope comparison; distinct docs are md5-decorrelated).
+    "q_ext_media_audio_neardup" ->
+      (s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+         |a AS (SELECT doc_id, $audioAmpsSql AS amps FROM d)
+         |SELECT doc_id,
+         |  CAST(65 * (doc_id % 4 + 1) * 16 AS BIGINT) AS n_samples,
+         |  ${audioSigBitsSql("amps")} AS sig_bits,
+         |  4 AS n_variants, 1 AS n_survivors
+         |FROM a""".stripMargin),
+    // Per-container audio mirror: all three containers decode the same
+    // clip, so each carries the same recomputed envelope signature.
+    "q_ext_media_audio_formats" ->
+      (s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+         |dc AS (SELECT doc_id, unnest(['wav','aiff','au']) AS container FROM d),
+         |a AS (SELECT doc_id, container, $audioAmpsSql AS amps FROM dc)
+         |SELECT doc_id, container, 8000 AS sample_rate,
+         |  CAST(65 * (doc_id % 4 + 1) * 16 AS BIGINT) AS n_samples,
+         |  ${audioSigBitsSql("amps")} AS sig_bits
+         |FROM a""".stripMargin),
+    // Quarantine mirror: route/reason stated from the fixture's
+    // construction ((doc_id // 10 + doc_id) mod 6 picks the corruption
+    // class — MultimodalOps.mixedMediaClass) — the Spark side must
+    // DERIVE the same answer by really validating the bytes (magic
+    // sniff, demux walk, codec decode).
+    "q_ext_media_quarantine" ->
+      ("""WITH d AS (SELECT doc_id, (doc_id // 10 + doc_id) % 6 AS cls
+         |           FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id,
+         |  CASE WHEN cls >= 3 THEN 'rejects' ELSE 'corpus' END AS route,
+         |  CASE WHEN cls = 3 THEN 'known_container'
+         |       WHEN cls >= 4 THEN 'media_decodes' END AS reject_reason
+         |FROM d""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
     // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's

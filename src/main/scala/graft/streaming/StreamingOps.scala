@@ -315,12 +315,8 @@ object StreamingOps {
     require(checks.nonEmpty, "at least one validity check required")
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val fails = checks.map { case (n, p) => (n, not(coalesce(p, lit(false)))) }
-        val reason = fails.tail
-          .foldLeft(when(fails.head._2, lit(fails.head._1))) {
-            case (acc, (n, f)) => acc.when(f, lit(n))
-          }.otherwise(lit(null).cast("string"))
-        val marked = batch.withColumn("reject_reason", reason)
+        val marked = batch.withColumn("reject_reason",
+          graft.ext.IngestOps.rejectReason(checks))
         val rejects = marked.filter(col("reject_reason").isNotNull)
         if (!rejects.isEmpty) rejectsFrag.upsert(rejects)
         val valid = marked.filter(col("reject_reason").isNull).drop("reject_reason")
@@ -382,20 +378,27 @@ object StreamingOps {
     }
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val fails = checks.map { case (n, p) => (n, not(coalesce(p, lit(false)))) }
-        val reason = fails.tail
-          .foldLeft(when(fails.head._2, lit(fails.head._1))) {
-            case (acc, (n, f)) => acc.when(f, lit(n))
-          }.otherwise(lit(null).cast("string"))
-        val marked = batch.withColumn("reject_reason", reason)
+        val marked = batch.withColumn("reject_reason",
+          graft.ext.IngestOps.rejectReason(checks))
         val rejects = marked.filter(col("reject_reason").isNotNull)
         // batch-sized per-trigger fragments: ONE task, ONE file, no
         // zone-map job (the L0 trade — see upsertLight; folds level
         // them into stats-bearing runs at the cadence)
         if (!rejects.isEmpty) rejectsFrag.upsertLight(rejects.coalesce(1))
         val valid = marked.filter(col("reject_reason").isNull).drop("reject_reason")
+        // The probe switches regimes WITH the dedup (ADVICE r13: the
+        // maxIsinFps switch bounded only the second filter while this
+        // closure still embedded the full literal list in the probe
+        // plan): micro-batches keep the isin — it pushes into the
+        // parquet scan — and large batches take the routed bucket
+        // union, whose matching appendDedupExactRouted's semi-join
+        // regime performs without any literal list.
         val survivors = graft.ext.IngestOps.appendDedupExactRouted(
-          fps => fpStore.readWhere(col("fp").isin(fps: _*)), valid)
+          fps =>
+            if (fps.size <= graft.ext.IngestOps.DefaultMaxIsin)
+              fpStore.readWhere(col("fp").isin(fps: _*))
+            else fpStore.readRouted(fps),
+          valid)
         if (!survivors.isEmpty) {
           // corpus first (truth), then the index — see the scaladoc
           frag.upsert(survivors.coalesce(1))
@@ -664,7 +667,17 @@ object StreamingOps {
           // superset probe: zero-shuffle raw band read — stale/deleted
           // band rows only add candidates the exact sig verify rejects
           keys => bandStore.readRoutedSuperset(keys),
-          ids => sigStore.readWhere(col("doc_id").isin(ids: _*)),
+          // exact LWW merge (signatures are truth). Micro-batches keep
+          // the isin literal — it pushes into the parquet scan, so the
+          // verify's collect is candidate-bounded; above the literal
+          // threshold switch to the routed bucket union so a large
+          // candidate set never bloats the probe PLAN (ADVICE r13 —
+          // the maxIsinFps regime rule applied at the probe site; the
+          // cluster-side verify regime does its own id matching)
+          ids =>
+            if (ids.size <= graft.ext.IngestOps.DefaultMaxIsin)
+              sigStore.readWhere(col("doc_id").isin(ids: _*))
+            else sigStore.readRouted(ids),
           batch, threshold, numHashes, bands, shingleK,
           hotShingles = hotShingles)
         val pinned = r.survivors; val signed = r.sigs

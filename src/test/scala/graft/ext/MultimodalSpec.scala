@@ -445,4 +445,131 @@ class MultimodalSpec extends SparkSpec {
       graft.ext.DedupOps.frameSigNearDupPairs(sigs, maxDist = 8, bands = 8)
     }
   }
+
+  test("audio containers: WAV/AIFF/AU byte-distinct, magic-validated codecs + router recover identical samples; requantized twin halves exactly; corrupt → NULL") {
+    import spark.implicits._
+    val docs = Seq(3L, 10L, 47L).toDF("doc_id")
+    def blobs(c: String): Map[Long, Array[Byte]] =
+      MultimodalOps.withGeneratedAudioVariants(docs, c)
+        .select("doc_id", "media").as[(Long, Array[Byte])].collect().toMap
+    val wav = blobs("wav"); val aiff = blobs("aiff")
+    val au = blobs("au"); val half = blobs("wav-half")
+    docs.as[Long].collect().foreach { id =>
+      // three genuinely different byte streams of one clip
+      assert(!java.util.Arrays.equals(wav(id), aiff(id)))
+      assert(!java.util.Arrays.equals(wav(id), au(id)))
+      assert(!java.util.Arrays.equals(aiff(id), au(id)))
+      // each per-container codec accepts ITS container, rejects the others
+      assert(RiffWavCodec.decode(wav(id)).isDefined)
+      assert(RiffWavCodec.decode(aiff(id)).isEmpty && RiffWavCodec.decode(au(id)).isEmpty)
+      assert(AiffCodec.decode(aiff(id)).isDefined)
+      assert(AiffCodec.decode(wav(id)).isEmpty && AiffCodec.decode(au(id)).isEmpty)
+      assert(AuCodec.decode(au(id)).isDefined)
+      assert(AuCodec.decode(wav(id)).isEmpty && AuCodec.decode(aiff(id)).isEmpty)
+      // the router recovers IDENTICAL samples from all three — both
+      // endiannesses and all three header walks, bit-exact
+      val sw = AutoAudioCodec.decode(wav(id)).get
+      val sa = AutoAudioCodec.decode(aiff(id)).get
+      val su = AutoAudioCodec.decode(au(id)).get
+      assert(sw._1 == 8000f && sw._2 == 1)
+      val n = 65 * ((id % 4) + 1).toInt * 16
+      assert(sw._3.length == n, s"doc $id samples")
+      assert(java.util.Arrays.equals(sw._3, sa._3), s"doc $id aiff samples")
+      assert(java.util.Arrays.equals(sw._3, su._3), s"doc $id au samples")
+      // requantized twin: every sample exactly halved (amps are even)
+      val sh = AutoAudioCodec.decode(half(id)).get
+      assert(sw._3.zip(sh._3).forall { case (a, b) => a == 2 * b },
+        s"doc $id requantized twin must be an exact half")
+    }
+    // corrupt family: garbage, truncated WAV, broken WAVE magic — all
+    // map to None at the router and NULL rows through audioWindowSig
+    val good = wav(10L)
+    val bads = Seq[Array[Byte]](
+      "definitely not audio".getBytes("UTF-8"),
+      good.take(16),
+      { val g = good.clone(); g(9) = 'X'.toByte; g })
+    bads.foreach(b => assert(AutoAudioCodec.decode(b).isEmpty))
+    val folded = MultimodalOps.audioWindowSig(
+      bads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("doc_id", "media")).collect()
+    assert(folded.length == 3)
+    folded.foreach(r => assert(r.isNullAt(r.fieldIndex("sig")),
+      "undecodable audio must fold to a NULL-sig row, not throw"))
+  }
+
+  test("audioWindowSig: bits match the envelope formula; planted divergent windows break the pair, sub-step drift does not") {
+    import spark.implicits._
+    // hand-built WAVs from an EXPLICIT amplitude-per-window array, so
+    // the expected signature is computable in the test itself
+    val winLen = 16
+    def wavOf(amps: Array[Int]): Array[Byte] = {
+      val n = amps.length * winLen
+      val pcm = new Array[Byte](n * 2)
+      for (w <- amps.indices; j <- 0 until winLen) {
+        val s = if ((j / 8) % 2 == 0) amps(w) else -amps(w)
+        val i = w * winLen + j
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def expectedSig(amps: Array[Int]): Long =
+      (0 until amps.length - 1).foldLeft(0L)((acc, b) =>
+        if (amps(b) < amps(b + 1)) acc | (1L << b) else acc)
+    val base = Array.tabulate(65)(w => 34 * (1 + (w * 3) % 8))
+    // FALSIFIABILITY: drift smaller than the inter-level step (amps are
+    // multiples of 34) flips no comparison; re-leveling a window RUN
+    // flips many
+    val drift = base.clone(); drift(30) += 2
+    val divergent = base.clone()
+    for (w <- 20 until 28) divergent(w) = 34 * (1 + ((w * 3 + 4) % 8))
+    assert(java.lang.Long.bitCount(
+      expectedSig(base) ^ expectedSig(divergent)) > 6,
+      "the planted divergence must exceed the verify radius")
+    val sigRows = MultimodalOps.audioWindowSig(Seq(
+        (1L, wavOf(base)), (2L, wavOf(drift)), (3L, wavOf(divergent)))
+      .toDF("doc_id", "media"))
+    val got = sigRows.select("doc_id", "sig").as[(Long, Long)].collect().toMap
+    // the decode → windowing → envelope → bit pipeline matches the
+    // formula exactly (this is the same derivation the DuckDB oracle
+    // of q_ext_media_audio_neardup recomputes)
+    assert(got(1L) == expectedSig(base), f"base sig ${got(1L)}%x")
+    assert(got(2L) == expectedSig(base), "sub-step drift must not move a bit")
+    assert(got(3L) == expectedSig(divergent))
+    val pairs = graft.ext.DedupOps.hammingNearDupPairsFromSigs(
+        sigRows, maxDist = 6, bands = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"drift pairs, divergence must not: $pairs")
+  }
+
+  test("mediaChecks: every corruption class rejects with its own first-failing check; null/empty payloads fail presence") {
+    import spark.implicits._
+    val media = MultimodalOps.withGeneratedMixedMedia(
+      spark.range(0, 12).select(col("id").as("doc_id")))
+    val got = media.withColumn("r",
+        IngestOps.rejectReason(MultimodalOps.mediaChecks()))
+      .select("doc_id", "r").as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 12L).toSet, "one row per doc")
+    // every class must actually occur in this id range
+    assert((0L until 12L).map(MultimodalOps.mixedMediaClass).toSet == (0L to 5L).toSet)
+    got.foreach { case (id, r) =>
+      MultimodalOps.mixedMediaClass(id) match {
+        case 3L      => assert(r == "known_container", s"doc $id: $r")
+        case 4L | 5L => assert(r == "media_decodes", s"doc $id: $r")
+        case _       => assert(r == null, s"doc $id must pass, got $r")
+      }
+    }
+    val degenerate = Seq((100L, null.asInstanceOf[Array[Byte]]),
+        (101L, Array.emptyByteArray)).toDF("doc_id", "media")
+      .withColumn("r", IngestOps.rejectReason(MultimodalOps.mediaChecks()))
+      .select("r").as[String].collect()
+    assert(degenerate.forall(_ == "media_present"), degenerate.toSeq.toString)
+  }
 }

@@ -584,6 +584,56 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("routed quarantine sink with media checks: corrupt blobs land in rejects with the failing validator's name, none reach the corpus") {
+    // VERDICT r13 task 5: codec validation composed into the quarantine
+    // ingest — a multimodal corpus row (text + media blob) whose blob
+    // fails magic sniff / demux / decode must dead-letter with the
+    // FIRST failing check's name instead of silently featurizing as
+    // NULLs downstream; valid rows continue into the routed dedup.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.MultimodalOps
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "mc", "doc_id")
+    val rej = new FragmentedTable(spark, dir, "mc__rejects", "doc_id")
+    val fpStore = graft.runtime.BucketedFragmentStore(spark, dir, "mc__fps",
+      "fp", buckets = 2)
+    // fixture: MultimodalOps.mixedMediaClass picks the class (0 wav /
+    // 1 gif video / 2 png → valid; 3 unknown magic / 4 truncated avi /
+    // 5 truncated wav → corrupt); text rides along as the dedup-key
+    // column. Expected sets derive from the same class function.
+    val rows = MultimodalOps.withGeneratedMixedMedia(
+        spark.range(0, 12).select(col("id").as("doc_id")))
+      .withColumn("text", concat(lit("media doc "), col("doc_id")))
+      .select("doc_id", "text", "media")
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    val cls = (0L until 12L).map(id => id -> MultimodalOps.mixedMediaClass(id)).toMap
+    val expCorpus = cls.filter(_._2 <= 2).keySet
+    val expReasons = cls.collect {
+      case (id, 3L) => id -> "known_container"
+      case (id, c) if c >= 4L => id -> "media_decodes"
+    }
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val q = StreamingOps.corpusIngestQuarantineRoutedSink(
+      in.toDF().toDF("doc_id", "text", "media"), frag, rej,
+      MultimodalOps.mediaChecks(), fpStore).start()
+    def ids(t: FragmentedTable): Set[Long] = t.read()
+      .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    try {
+      in.addData(rows.take(6).toSeq); q.processAllAvailable()
+      in.addData(rows.drop(6).toSeq); q.processAllAvailable()
+      assert(ids(frag) == expCorpus,
+        s"only decodable media in the corpus: ${ids(frag)} vs $expCorpus")
+      val reasons = rej.read().get.select("doc_id", "reject_reason")
+        .as[(Long, String)].collect().toMap
+      assert(reasons == expReasons, s"$reasons vs $expReasons")
+      // replay: rejects re-upsert their own ids (identical rows), valid
+      // rows content-dedup — nothing changes anywhere
+      in.addData(rows.take(6).toSeq); q.processAllAvailable()
+      assert(ids(frag) == expCorpus)
+      assert(ids(rej) == expReasons.keySet)
+    } finally q.stop()
+  }
+
   test("routed quarantine sink: survivors+rejects ≡ un-routed sink; fp probe is point-read; crash-gap repair heals at construction") {
     implicit val sqlCtx = spark.sqlContext
     import graft.runtime.BucketedFragmentStore
