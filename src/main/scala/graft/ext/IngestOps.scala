@@ -369,7 +369,7 @@ object IngestOps {
     val probe = inSPacked.limit(
       math.min(maxDriverVerifyDocs.toLong + 1, Int.MaxValue.toLong).toInt).collect()
     if (probe.length > maxDriverVerifyDocs)
-      return routedCountedClusterVerify(bandProbe, toksProbe, spark,
+      return routedCountedClusterVerify(bandProbe, toksProbe,
         exact, inAll, batch, inS, threshold, bands, rows, idCol)
     val packed = probe
     val inToks: Map[Any, Set[String]] = packed.map(r =>
@@ -469,7 +469,6 @@ object IngestOps {
     */
   private def routedCountedClusterVerify(bandProbe: Seq[Long] => Option[DataFrame],
                                toksProbe: Seq[Any] => Option[DataFrame],
-                               spark: org.apache.spark.sql.SparkSession,
                                exact: DataFrame, inAll: DataFrame,
                                batch: DataFrame, inS: DataFrame,
                                threshold: Double, bands: Int, rows: Int,

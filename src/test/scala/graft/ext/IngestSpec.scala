@@ -245,12 +245,26 @@ class IngestSpec extends SparkSpec {
       incoming, threshold = 0.9, maxDriverVerifyDocs = maxDocs)
     val viaDriver = run(1 << 20)
     val viaCluster = run(0)
+    // the large-batch PROBE variant the sinks switch to above
+    // DefaultMaxIsin: the routed bucket union (readRouted — no isin
+    // literal in the probe plan) must be interchangeable with the
+    // filtered point read, in both verify regimes
+    def runRoutedProbe(maxDocs: Int) = IngestOps.appendDedupNearDupRoutedCounted(
+      keys => bandStore.readRoutedSuperset(keys),
+      ids => sigStore.readRouted(ids),
+      incoming, threshold = 0.9, maxDriverVerifyDocs = maxDocs)
+    val viaRoutedProbeD = runRoutedProbe(1 << 20)
+    val viaRoutedProbeC = runRoutedProbe(0)
     assert(viaDriver.driverVerify, "small batch must take the driver regime")
     assert(!viaCluster.driverVerify, "over-threshold batch must take the cluster regime")
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").as[Long].collect().toSet
     val a = ids(viaDriver.survivors); val b = ids(viaCluster.survivors)
     assert(a == b, s"regime disagreement: ${a.diff(b)} vs ${b.diff(a)}")
+    assert(ids(viaRoutedProbeD.survivors) == a &&
+      ids(viaRoutedProbeC.survivors) == a,
+      "routed-bucket probe must be interchangeable with the point read")
+    viaRoutedProbeD.unpersistAll(); viaRoutedProbeC.unpersistAll()
     assert(a == Set(12L, 14L) || a == Set(13L, 14L),
       s"corpus dup 11 dropped, one of the in-batch pair kept: $a")
     assert(ids(viaDriver.sigs) == ids(viaCluster.sigs) &&
