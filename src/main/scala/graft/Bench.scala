@@ -106,7 +106,7 @@ object Bench {
     // (per-row codec validation) — per-partition decode cost and the
     // band-join shape must hold at 10× docs
     "q_ext_media_audio_neardup", "q_ext_media_audio_formats",
-    "q_ext_media_quarantine")
+    "q_ext_media_quarantine", "q_ext_media_ingest_neardup")
 
   def main(args: Array[String]): Unit = {
     // PRE-FLIGHT idle certification (VERDICT r12 #2): an 11-minute pass

@@ -615,6 +615,94 @@ object IngestOps {
       incoming, threshold, numHashes, bands, shingleK, textCol, idCol, hot)
   }
 
+  /** The PERSISTED hamming band rows of a 64-bit perceptual-signature
+    * frame ([[MultimodalOps.perceptualHash]]'s `phash`,
+    * [[MultimodalOps.audioWindowSig]]'s `sig`,
+    * [[graft.ext.DedupOps.simHash]]) — the media analog of
+    * [[bandRowsOf]]: one row per (doc, chunk) with
+    * `(__bk "chunk:doc", band_key, doc_id, sig)`. The band key encodes
+    * BOTH the chunk index and its bit value
+    * (`chunk · 2^width + chunkValue`), so probes equi-join on one
+    * column, and the FULL signature rides along so the hamming verify
+    * needs no second store read (it is 8 bytes — the reason the text
+    * path's separate toks store has no analog here). NULL-signature
+    * rows (undecodable media) produce no band rows.
+    */
+  def bandRowsOfSigs(sigs: DataFrame, bands: Int,
+                     idCol: String = "doc_id",
+                     sigCol: String = "sig"): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sigCol).as("sig"),
+        posexplode(array((0 until bands).map(i =>
+          lit(i.toLong * (mask + 1)) +
+            shiftrightunsigned(col(sigCol), i * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "band_key")
+      .select(concat_ws(":", col("chunk"), col("doc_id")).as("__bk"),
+        col("band_key"), col("doc_id"), col("sig"))
+  }
+
+  /** Perceptual-signature incremental ingest with the corpus behind a
+    * band-key POINT PROBE — [[appendDedupNearDupRouted]]'s shape for
+    * the MEDIA modality (images via dHash, audio via the window
+    * envelope, any 64-bit SimHash-style signature): within-batch
+    * hamming collapse first ([[DedupOps.hammingNearDupPairsFromSigs]] +
+    * keep-lowest), then every surviving signed doc is band-probed
+    * against the stored [[bandRowsOfSigs]] rows and dropped when any
+    * stored signature verifies within `maxDist` (exact
+    * `bit_count(xor)`, the same metric the batch collapse used).
+    * Pigeonhole recall is 1.0 for `maxDist <= bands - 1` — a true
+    * near-dup ALWAYS shares at least one unchanged chunk. NULL-sig
+    * rows (undecodable media) ride through: they carry no dedup
+    * signal, and dropping them silently would un-count corrupt blobs.
+    *
+    * `bandProbe(keys)` must be an EXACT routed read
+    * ([[graft.runtime.BucketedFragmentStore.readRouted]], LWW-merged) —
+    * unlike the text path, the verify reads the signature FROM the
+    * band row, so a stale superset row could re-assert a deleted doc's
+    * signature and wrongly drop its re-ingest. Per-trigger cost:
+    * batch-side banding, one id-sized keys collect (8 longs/doc), one
+    * routed probe whose I/O is ∝ matching band values, a
+    * candidate-bounded verify join — corpus never rescans. The
+    * returned frame is PINNED; the caller must `unpersist()` it.
+    */
+  def appendDedupHammingRouted(bandProbe: Seq[Long] => Option[DataFrame],
+                               incoming: DataFrame, maxDist: Int,
+                               bands: Int = 8,
+                               idCol: String = "doc_id",
+                               sigCol: String = "sig"): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist <= bands - 1,
+      s"$bands-chunk pigeonhole only guarantees recall for maxDist <= ${bands - 1}")
+    val batch = DedupOps.removeNearDups(incoming,
+      DedupOps.hammingNearDupPairsFromSigs(incoming, maxDist, bands, idCol, sigCol),
+      idCol).persist()
+    batch.count()
+    val inBands = bandRowsOfSigs(batch, bands, idCol, sigCol)
+      .select(col("band_key"), col("doc_id").as("in_id"), col("sig").as("in_sig"))
+      .persist()
+    val keys = inBands.select("band_key").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val out = (if (keys.isEmpty) None else bandProbe(keys)) match {
+      case None => batch
+      case Some(ex) =>
+        val drops = ex
+          .select(col("band_key"), col("sig").as("ex_sig"))
+          .join(inBands, Seq("band_key"))
+          .filter(bit_count(col("ex_sig").bitwiseXOR(col("in_sig"))) <= maxDist)
+          .select(col("in_id").as(idCol)).distinct()
+        batch.join(broadcast(drops), Seq(idCol), "left_anti")
+    }
+    val pinned = out.persist()
+    pinned.count()
+    inBands.unpersist(false)
+    batch.unpersist(false)
+    pinned
+  }
+
   /** Embedding-modality incremental ingest: drop every incoming vector
     * whose cosine similarity to ANY materialized vector reaches the
     * threshold (within-batch greedy removal first, lowest id wins).

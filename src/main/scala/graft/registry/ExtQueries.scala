@@ -1268,6 +1268,34 @@ object ExtQueries {
             .otherwise(lit("rejects")).as("route"),
           col("reject_reason"))
     }),
+    // Incremental MEDIA ingest against a persisted perceptual-signature
+    // index — appendDedupNearDupRouted's corpus-independent shape for
+    // the media modality: the existing corpus is each doc's PNG render
+    // persisted as hamming band rows (bandRowsOfSigs through a
+    // band_key-routed store, probed by readRouted); the incoming batch
+    // is a BMP re-encode of every existing picture (byte-distinct,
+    // pixel-identical — hamming 0) plus one genuinely new md5-
+    // decorrelated picture per doc. Survivors must be EXACTLY the new
+    // pictures — the oracle states them from the construction.
+    "q_ext_media_ingest_neardup" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id")
+      def sigsOf(ids: DataFrame, fmt: String) =
+        MultimodalOps.perceptualHash(
+          MultimodalOps.withGeneratedBlockImages(ids, fmt))
+          .select(col("doc_id"), col("phash").as("sig"))
+      val wh = java.nio.file.Files.createTempDirectory("graft-mband").toString
+      val bandStore = graft.runtime.BucketedFragmentStore(s, wh, "mbands",
+        "__bk", buckets = 4, routeCol = Some("band_key"))
+      bandStore.upsert(IngestOps.bandRowsOfSigs(sigsOf(docs, "png"), bands = 8))
+      val twins = sigsOf(docs, "bmp")
+        .select((col("doc_id") * 10 + 1).as("doc_id"), col("sig"))
+      val novel = sigsOf(docs.select((col("doc_id") + 3).as("doc_id")), "png")
+        .select(((col("doc_id") - 3) * 10 + 2).as("doc_id"), col("sig"))
+      IngestOps.appendDedupHammingRouted(
+          keys => bandStore.readRouted(keys),
+          twins.unionByName(novel), maxDist = 6)
+        .select(col("doc_id"))
+    }),
     // VISUAL similarity search (VERDICT r12 task 6): decoded-raster
     // feature vectors indexed through the VectorIndex facade (exact
     // profile → brute rung) and queried k-NN — image in, nearest
@@ -2355,6 +2383,13 @@ object ExtQueries {
          |  CASE WHEN cls = 3 THEN 'known_container'
          |       WHEN cls >= 4 THEN 'media_decodes' END AS reject_reason
          |FROM d""".stripMargin),
+    // Media-ingest mirror: survivors stated from the construction —
+    // lossless re-encodes hash identically (hamming 0, dropped against
+    // the stored index), md5-decorrelated new pictures never band-match
+    // within the verify radius (kept).
+    "q_ext_media_ingest_neardup" ->
+      ("""SELECT doc_id * 10 + 2 AS doc_id
+         |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
     // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's

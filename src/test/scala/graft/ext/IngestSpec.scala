@@ -290,6 +290,36 @@ class IngestSpec extends SparkSpec {
     viaDriver.unpersistAll(); viaCluster.unpersistAll()
   }
 
+  test("hamming-routed media dedup: stored near-dups drop, far sigs keep, NULL sigs ride through, within-batch collapses first") {
+    // hand-planted 64-bit signatures: exact control over every distance
+    val base = 0x0123456789ABCDEFL
+    val exBands = IngestOps.bandRowsOfSigs(
+      Seq((100L, base), (200L, 0x7777000011112222L)).toDF("doc_id", "sig"),
+      bands = 8)
+    // each signed doc carries exactly `bands` rows, sig riding along
+    assert(exBands.count() == 16 &&
+      exBands.filter(col("sig") === base).count() == 8)
+    val incoming = Seq[(Long, java.lang.Long)](
+      (1L, base ^ 0x7L),                // hamming 3 from stored 100 → dropped
+      (2L, base ^ 0x00FF00FF00FF00FFL), // ≥ 29 from everything → kept
+      (3L, (base ^ 0x7L) ^ 0x30L),      // hamming 2 from 1 → in-batch dropped
+      (4L, null)                        // undecodable media: rides through
+    ).toDF("doc_id", "sig")
+    val probe: Seq[Long] => Option[org.apache.spark.sql.DataFrame] =
+      keys => Some(exBands.filter(col("band_key").isin(keys: _*)))
+    val out = IngestOps.appendDedupHammingRouted(probe, incoming, maxDist = 6)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    out.unpersist()
+    // empty corpus: within-batch collapse still applies, nothing else drops
+    val out2 = IngestOps.appendDedupHammingRouted(_ => None, incoming, maxDist = 6)
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    out2.unpersist()
+    // pigeonhole guard holds for the routed form too
+    intercept[IllegalArgumentException] {
+      IngestOps.appendDedupHammingRouted(_ => None, incoming, maxDist = 8)
+    }
+  }
+
   test("routed exact dedup: isin and broadcast-join regimes agree, null-keep holds, plan flips at the threshold") {
     // VERDICT r12 #5: micro-batches keep literal isin plans; above
     // maxIsinFps the intersection must become a broadcast semi/anti
