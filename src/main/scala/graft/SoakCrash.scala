@@ -404,9 +404,14 @@ object SoakCrash {
         s"crash ${crash.size} vs clean ${clean.size}; " +
           s"missing ${(clean -- crash).size}, extra ${(crash -- clean).size}")
 
+    // actual trigger count: when the source parquet holds fewer rows
+    // than nTriggers*sliceSize, loadSlices returns fewer slices — the
+    // artifact must report what RAN, not what was requested (ADVICE r14)
+    var slicesRan = 0
     val scenarioChecks: Seq[(String, Boolean, String)] = scenario match {
       case "banded" =>
         val slices = loadSlices(spark, sfDir, nTriggers, sliceSize)
+        slicesRan = slices.length
         runTriggers(spark, whClean, slices, 0, slices.length, journal = None)
         val crash = openStores(spark, whCrash)
         val clean = openStores(spark, whClean)
@@ -448,6 +453,7 @@ object SoakCrash {
 
       case "quarantine" =>
         val slices = loadSlices(spark, sfDir, nTriggers, sliceSize)
+        slicesRan = slices.length
         runQuarTriggers(spark, whClean, slices, 0, slices.length, journal = None)
         val crash = openQuarStores(spark, whCrash)
         val clean = openQuarStores(spark, whClean)
@@ -471,6 +477,7 @@ object SoakCrash {
 
       case "embed" =>
         val slices = loadVecSlices(spark, sfDir, nTriggers, sliceSize)
+        slicesRan = slices.length
         runEmbedTriggers(spark, whClean, slices, 0, slices.length, journal = None)
         val crashFrag = new graft.runtime.FragmentedTable(spark, whCrash,
           "vcorpus", "vec_id")
@@ -513,7 +520,8 @@ object SoakCrash {
       ("kills_logged", kills.size >= 10, s"${kills.size} >= 10") +: scenarioChecks
     val pass = checks.forall(_._2)
     val json =
-      s"""{"soak":"crash_kill_${scenario}_sf1","sf_dir":"$sfDir","triggers":$nTriggers,""" +
+      s"""{"soak":"crash_kill_${scenario}_sf1","sf_dir":"$sfDir","triggers":$slicesRan,""" +
+      s""""triggers_requested":$nTriggers,""" +
       s""""slice_size":$sliceSize,"delete_every":$DeleteEvery,"spawns":$spawn,""" +
       s""""pass":$pass,"checks":{${SoakUtil.checksJson(checks)}},""" +
       s""""kills":[${kills.mkString(",")}]}"""

@@ -114,7 +114,10 @@ private[graft] object SoakScenarios {
     // asserted one.
     val trigMs = scala.collection.mutable.ArrayBuffer[Double]()
     val trigRetrain = scala.collection.mutable.ArrayBuffer[Boolean]()
-    var lastMaintains = 0L
+    // seed from the path's durable counter, not 0: a pre-existing index
+    // with maintains > 0 would otherwise falsely tag trigger 0 as
+    // retrain-bearing and exclude it from the flatness windows (ADVICE r14)
+    var lastMaintains = graft.ext.VectorIndex.maintainCount(idxPath)
 
     def recall(corpusIds: Set[Long],
                pairs: Seq[(Long, Long)]): (Long, Long) = {
@@ -244,8 +247,15 @@ private[graft] object SoakScenarios {
     val retrainAmortBound = 0.2 * medExclAll
     val nRetrains = trigRetrain.count(identity)
     val checks: Seq[(String, Boolean, String)] = Seq(
-      ("flat_windows_meaningful", nTrig >= 80,
-        s"$nTrig triggers >= 80 (disjoint early/late windows)"),
+      // the trigger count alone is not enough: if every trigger in a
+      // window happened to be retrain-tagged, the excluded series would
+      // be empty, median/mean/p90 would read 0, and the three flatness
+      // gates would pass vacuously (ADVICE r14) — so also require a
+      // minimum retrain-EXCLUDED population per window
+      ("flat_windows_meaningful",
+        nTrig >= 80 && earlyExcl.size >= 10 && lateExcl.size >= 10,
+        s"$nTrig triggers >= 80, retrain-excluded early=${earlyExcl.size} " +
+          s"late=${lateExcl.size} both >= 10"),
       ("ingest_flat_mean_excl", slopeMeanExcl <= SlopeBound,
         f"retrain-excluded mean late/early = $slopeMeanExcl%.3f <= $SlopeBound " +
           f"($nRetrains retrain-tagged triggers excluded)"),

@@ -163,6 +163,9 @@ object ExtQueries {
   // the index out from under a still-referenced frame, or out from under
   // a concurrent call's in-flight train). Growth is one small dir per
   // cold build — the explicit cost the cold row exists to measure.
+  // shared by every per-invocation store dir in this registry (cold ANN
+  // builds, the routed-ingest fp/band warehouses): repeated bench/verify
+  // runs must not accumulate orphaned stores under /tmp (ADVICE r14)
   private val ivfColdDirs = scala.collection.mutable.ListBuffer[String]()
   private lazy val ivfColdCleanup = sys.addShutdownHook {
     ivfColdDirs.synchronized(ivfColdDirs.toList)
@@ -444,7 +447,9 @@ object ExtQueries {
     // over the same halves, which is what the SQL mirror computes.
     "q_ext_ingest_exact_routed" -> ((s, dir) => {
       val docs = Sources(s, dir).documents.select("doc_id", "lang", "text")
+      ivfColdCleanup
       val wh = java.nio.file.Files.createTempDirectory("graft-fpq").toString
+      ivfColdDirs.synchronized { ivfColdDirs += wh }
       val fpStore = graft.runtime.BucketedFragmentStore(s, wh, "fps", "fp",
         buckets = 4)
       fpStore.upsert(docs.filter(col("doc_id") % 2 === 0)
@@ -1283,7 +1288,9 @@ object ExtQueries {
         MultimodalOps.perceptualHash(
           MultimodalOps.withGeneratedBlockImages(ids, fmt))
           .select(col("doc_id"), col("phash").as("sig"))
+      ivfColdCleanup
       val wh = java.nio.file.Files.createTempDirectory("graft-mband").toString
+      ivfColdDirs.synchronized { ivfColdDirs += wh }
       val bandStore = graft.runtime.BucketedFragmentStore(s, wh, "mbands",
         "__bk", buckets = 4, routeCol = Some("band_key"))
       bandStore.upsert(IngestOps.bandRowsOfSigs(sigsOf(docs, "png"), bands = 8))

@@ -654,6 +654,14 @@ object StreamingOps {
                                     rebucketMinBytesPerBucket: Long = 0L): DataStreamWriter[Row] = {
     require(bandStore.routeCol == "band_key",
       s"bandStore must route on band_key, not '${bandStore.routeCol}'")
+    // the large-batch probe regime (> DefaultMaxIsin) switches the exact
+    // sig read to sigStore.readRouted(docIds) — which prunes buckets by
+    // sigStore.routeCol. A store routed on anything but doc_id would
+    // silently probe the wrong buckets, miss candidates, and ADMIT
+    // near-duplicates (only above the isin threshold, so micro-batch
+    // tests never see it). Fail fast instead (ADVICE r14).
+    require(sigStore.routeCol == "doc_id",
+      s"sigStore must route on doc_id, not '${sigStore.routeCol}'")
     repairNearDupSideTables(frag, sigStore, bandStore, numHashes, bands,
       shingleK, hotShingles)
     docs.writeStream.outputMode("append").foreachBatch {
