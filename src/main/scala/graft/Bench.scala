@@ -108,6 +108,45 @@ object Bench {
     "q_ext_media_audio_neardup", "q_ext_media_audio_formats",
     "q_ext_media_quarantine", "q_ext_media_ingest_neardup")
 
+  /** Host-throughput canary (VERDICT r14 task 3): a fixed, deterministic,
+    * Spark-free, single-threaded 64-bit-mix loop (splitmix64 finalizer)
+    * timed at artifact start and end. Guest load averages demonstrably
+    * cannot see the VM's deliverable per-core throughput decaying (the
+    * four r14 idle closures read 147.8→186.7 s with UNIFORM per-row
+    * drift and load stamps under the bound every time) — the canary
+    * turns that host sag into a normalizable number: flag logic divides
+    * each row's ratio-to-reference by the canary ratio (this run's
+    * canary / the reference run's canary) before classifying `real`.
+    * Single-threaded on purpose: per-core throughput is what steals
+    * uniformly from every row; an all-core canary would confound with
+    * scheduler noise. Min of 2 timed passes after a JIT warmup pass so
+    * the number is the loop's floor, not its compilation.
+    */
+  private def canarySec(): Double = {
+    def pass(n: Long): Long = {
+      var acc = 0L; var i = 0L
+      while (i < n) {
+        var z = i + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      acc
+    }
+    // quiesce: a warm Spark JVM keeps background GC/cleaner threads busy
+    // enough to inflate a 1 s single-thread loop ~13% (measured); drain
+    // before timing so the canary reads the HOST, not the JVM's backlog
+    System.gc(); Thread.sleep(200)
+    val n = 1200000000L
+    var sink = pass(n / 16) // JIT warmup, result consumed below
+    val t = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); sink ^= pass(n); (System.nanoTime() - t0) / 1e9
+    }.min
+    if (sink == 42L) println("[bench] canary sink") // defeat dead-code elim
+    math.round(t * 10000.0) / 10000.0
+  }
+
   def main(args: Array[String]): Unit = {
     // PRE-FLIGHT idle certification (VERDICT r12 #2): an 11-minute pass
     // matrix on a loaded host produces a timing artifact the round then
@@ -183,6 +222,7 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val canaryStart = canarySec()
     val loadStart = load1()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -206,6 +246,7 @@ object Bench {
       hygiene()
     }
     val loadEnd = load1()
+    val canaryEnd = canarySec()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -218,21 +259,35 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val hostCpus = Runtime.getRuntime.availableProcessors
     val host = s"""{"load1_start":$loadStart,"load1_end":$loadEnd,""" +
-      s""""cpus":$hostCpus,"passes":$nPasses}"""
+      s""""cpus":$hostCpus,"passes":$nPasses,""" +
+      s""""canary_start":$canaryStart,"canary_end":$canaryEnd}"""
     // per-row verdicts vs a reference run (BASELINE.md's criterion,
     // applied mechanically so a truncated driver tail needs no closure
     // file as rebuttal)
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "dev/bench_ref.json")
-    val refTimes: Map[String, Double] = {
+    val (refTimes: Map[String, Double], refCanary: Option[Double]) = {
       val p = Paths.get(refPath)
-      if (!Files.exists(p)) Map.empty
+      if (!Files.exists(p)) (Map.empty[String, Double], None)
       else {
         // A dead adjudicator must be VISIBLE (ADVICE r11): when the ref
         // file exists but yields zero usable timings — regex drift, sf
         // mismatch, malformed body — say why instead of silently
         // degrading to "no reference present".
-        val loaded = scala.util.Try[Either[String, Map[String, Double]]] {
+        val loaded = scala.util.Try[Either[String, (Map[String, Double], Option[Double])]] {
           val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          // the ref run's own canary readings (absent in pre-r15 refs →
+          // normalization off, factor 1.0)
+          def num(field: String): Option[Double] =
+            (""""""" + field + """"\s*:\s*([0-9.eE+-]+)""").r
+              .findFirstMatchIn(body).flatMap(m =>
+                scala.util.Try(m.group(1).toDouble).toOption)
+          // min of the pair: a genuinely decayed host inflates BOTH
+          // readings, while warm-JVM one-sided noise (measured ~15% on
+          // the end reading) only inflates one
+          val cRef = (num("canary_start"), num("canary_end")) match {
+            case (Some(a), Some(b)) if a > 0 && b > 0 => Some(math.min(a, b))
+            case _ => None
+          }
           // a reference from a DIFFERENT scale factor flags everything
           // (sf1 rows are 10× the sf0.1 reference by design): only
           // adjudicate same-sf runs
@@ -250,17 +305,31 @@ object Bench {
               }
             }.toMap).getOrElse(Map.empty[String, Double])
             if (parsed.isEmpty) Left("no parsable \"queries\" map in ref file")
-            else Right(parsed)
+            else Right((parsed, cRef))
           }
         }.fold(e => Left(s"unreadable: ${e.getClass.getSimpleName}: ${e.getMessage}"), identity)
         loaded match {
-          case Right(m) => m
+          case Right(mc) => mc
           case Left(reason) =>
             println(s"[bench] reference file $refPath present but UNUSED ($reason) — flag adjudication is OFF this run")
-            Map.empty
+            (Map.empty[String, Double], None)
         }
       }
     }
+    // host-throughput normalization (VERDICT r14 task 3): this run's
+    // per-core throughput relative to the reference run's, from the two
+    // canary pairs. factor > 1 means THIS host delivers less compute per
+    // second than the host the reference was measured on — every row's
+    // ratio-to-ref is divided by it before the 1.3× criterion applies,
+    // so uniform host sag stops masquerading as uniform regression.
+    // Clamped to ≥ 1.0: a FASTER host must not excuse a slower row.
+    val thisCanary = math.min(canaryStart, canaryEnd)
+    val hostFactor = refCanary match {
+      case Some(rc) if rc > 0 => math.max(1.0, thisCanary / rc)
+      case _ => 1.0
+    }
+    if (refCanary.isDefined)
+      println(f"[bench] canary: this run ${thisCanary}%.3fs vs ref ${refCanary.get}%.3fs -> host factor $hostFactor%.3f")
     // BASELINE.md's criterion, verbatim: (3) loaded host taints the file;
     // (2) spread only judges rows at/above 1 s (sub-second rows are
     // warmup-dominated — judged on absolute deltas, flagged as such).
@@ -271,27 +340,42 @@ object Bench {
     // too lax to certify a timing as attributable.
     val contended =
       math.max(loadStart, loadEnd) > math.max(2.0, hostCpus / 8.0)
+    // the criterion applies to the HOST-NORMALIZED time (t / hostFactor):
+    // a row is flagged only if it is slow even after discounting measured
+    // per-core throughput sag (canary ratio). hostFactor is 1.0 when the
+    // ref predates canaries or the host is at/above ref throughput.
     val flags = timings.flatMap { case (name, t) =>
       refTimes.get(name).collect {
-        case ref if ref > 0 && t > 1.3 * ref =>
+        case ref if ref > 0 && t / hostFactor > 1.3 * ref =>
           val verdict =
             if (contended) "contention"
             else if (t < 1.0) "subsecond"
             else if (spreads.getOrElse(name, 0.0) > 0.5) "noisy"
             else "real"
           println(f"[bench] flag $name: $t%.2fs vs ref $ref%.2fs " +
-            f"(${t / ref}%.1fx) spread=${spreads.getOrElse(name, 0.0)}%.3f -> $verdict")
+            f"(${t / ref}%.1fx raw, ${t / hostFactor / ref}%.1fx host-normalized) " +
+            f"spread=${spreads.getOrElse(name, 0.0)}%.3f -> $verdict")
           name -> verdict
       }
     }
     val fl = flags.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // flagged rows WITH magnitudes (VERDICT r14 task 7): the driver keeps
+    // only the stdout tail, and BENCH_r14 lost the one real-flagged row's
+    // value to truncation — so the tail-safe summary line carries
+    // {row, value, ref, spread, verdict} for every flag, self-sizing.
+    val flaggedArr = flags.map { case (name, verdict) =>
+      s"""{"row":${jstr(name)},"value":${timings(name)},""" +
+      s""""ref":${refTimes.getOrElse(name, 0.0)},""" +
+      s""""spread":${spreads.getOrElse(name, 0.0)},"verdict":${jstr(verdict)}}"""
+    }.mkString("[", ",", "]")
     val total = timings.values.sum
     // field order is deliberate: the noise instruments and verdicts come
     // BEFORE the (large) queries map so tail truncation cannot strip them
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""host":$host,"ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
-      s""""flags":$fl,"errors":$errs,"spread":$sp,"queries":$qs}"""
+      s""""host":$host,"host_factor":$hostFactor,""" +
+      s""""ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
+      s""""flags":$fl,"flagged":$flaggedArr,"errors":$errs,"spread":$sp,"queries":$qs}"""
     // Tail-safety, for real this time (VERDICT r11 finding #1): the r10
     // fix put the instruments BEFORE the queries map, but the driver
     // keeps the TAIL of stdout — BENCH_r11.json lost host/flags/spread.
@@ -299,9 +383,9 @@ object Bench {
     // keeps it, and it carries everything except the per-row maps.
     val summaryLine =
       s"""{"metric":"summary","total":$total,"sf":${jstr(sfDir)},""" +
-      s""""host":$host,"contended":$contended,""" +
+      s""""host":$host,"contended":$contended,"host_factor":$hostFactor,""" +
       s""""ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
-      s""""flags":$fl,"errors_count":${errors.size},""" +
+      s""""flags":$fl,"flagged":$flaggedArr,"errors_count":${errors.size},""" +
       s""""spread_max":${if (spreads.isEmpty) 0.0 else spreads.values.max}}"""
     Files.write(
       Paths.get("bench_out.json"),
