@@ -106,7 +106,11 @@ object Bench {
     // (per-row codec validation) — per-partition decode cost and the
     // band-join shape must hold at 10× docs
     "q_ext_media_audio_neardup", "q_ext_media_audio_formats",
-    "q_ext_media_quarantine", "q_ext_media_ingest_neardup")
+    "q_ext_media_quarantine", "q_ext_media_ingest_neardup",
+    // r15: the end-to-end media ingest composition (decode-once
+    // validate → quarantine → hamming-routed dedup) — per-row decode
+    // cost and the band probe shape must hold at 10× docs
+    "q_ext_media_ingest_compose")
 
   /** Host-throughput canary (VERDICT r14 task 3): a fixed, deterministic,
     * Spark-free, single-threaded 64-bit-mix loop (splitmix64 finalizer)

@@ -674,6 +674,33 @@ object IngestOps {
                                bands: Int = 8,
                                idCol: String = "doc_id",
                                sigCol: String = "sig"): DataFrame = {
+    val r = appendDedupHammingRoutedCounted(bandProbe, incoming, maxDist,
+      bands, idCol, sigCol)
+    // legacy single-frame contract: release the intermediate pins now.
+    // NOTE (measured, r15): unpersisting an ancestor pin cascades into
+    // dependents' cached data, so the returned frame RECOMPUTES on each
+    // later action — fine for one-shot consumers (the registry rows);
+    // sinks that commit the survivors to multiple stores must use the
+    // Counted variant and release via unpersistAll() AFTER the commits.
+    r.pins.filterNot(_ eq r.survivors).foreach(_.unpersist(false))
+    r.survivors
+  }
+
+  /** [[appendDedupHammingRouted]]'s result with its pinned lineage held
+    * open: `survivors` stays cache-backed (decode/probe work is never
+    * re-paid) until the caller finishes committing and calls
+    * [[HammingRoutedResult.unpersistAll]].
+    */
+  final case class HammingRoutedResult(survivors: DataFrame,
+                                       pins: Seq[DataFrame]) {
+    def unpersistAll(): Unit = pins.foreach(_.unpersist(false))
+  }
+
+  def appendDedupHammingRoutedCounted(bandProbe: Seq[Long] => Option[DataFrame],
+                                      incoming: DataFrame, maxDist: Int,
+                                      bands: Int = 8,
+                                      idCol: String = "doc_id",
+                                      sigCol: String = "sig"): HammingRoutedResult = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxDist <= bands - 1,
       s"$bands-chunk pigeonhole only guarantees recall for maxDist <= ${bands - 1}")
@@ -698,9 +725,68 @@ object IngestOps {
     }
     val pinned = out.persist()
     pinned.count()
-    inBands.unpersist(false)
-    batch.unpersist(false)
-    pinned
+    HammingRoutedResult(pinned, Seq(pinned, inBands, batch))
+  }
+
+  /** The media ingest composition, ONE batch: quarantine →
+    * hamming-routed near-dup → (rejects, survivors) — the per-trigger
+    * core of [[graft.streaming.StreamingOps.corpusIngestMediaSink]],
+    * factored out so the oracle-gated batch row and the streaming sink
+    * run the SAME code (survivor equivalence is by construction, not by
+    * spec). One decode per row, mechanically: the
+    * [[MultimodalOps.mediaValidateAndSig]] pass (validation verdicts +
+    * perceptual signature from a single codec decode) is PINNED before
+    * the split, so the rejects write, the dedup probe, and the corpus
+    * commit all read the cached verdicts instead of re-running the UDF
+    * per action (the r14 "decodes every valid blob twice" finding,
+    * closed).
+    *
+    * Checks, in first-failing order (the quarantine convention):
+    * `media_present` (non-null, non-empty payload), `known_container`
+    * (some codec's magic claims it), `media_decodes` (the claimed codec
+    * really demuxes/decodes — [[MultimodalOps.mediaChecks]] semantics).
+    * Valid rows with NULL signatures (decodable but signal-less) ride
+    * into the survivor set undeduped — [[appendDedupHammingRouted]]'s
+    * contract.
+    *
+    * Returns a [[MediaIngestResult]] whose `rejects`/`survivors` are
+    * pinned and materialized with their whole lineage held open (an
+    * ancestor unpersist cascades into dependents' cached data —
+    * measured: releasing the validate pin re-decoded 3× per downstream
+    * action); the caller commits both frames, then releases every pin
+    * with ONE `unpersistAll()`. Survivor schema = input columns +
+    * `media_category` + `sig` (the corpus stores the signature so
+    * band-row repair after a crash needs no re-decode).
+    */
+  def mediaIngestBatch(bandProbe: Seq[Long] => Option[DataFrame],
+                       batch: DataFrame, maxDist: Int,
+                       bands: Int = 8,
+                       mediaCol: String = "media",
+                       idCol: String = "doc_id"): MediaIngestResult = {
+    val marked = MultimodalOps.mediaValidateAndSig(batch, mediaCol)
+      .withColumn("reject_reason", rejectReason(Seq(
+        ("media_present",
+          col(mediaCol).isNotNull && length(col(mediaCol)) > 0),
+        ("known_container", col("media_category").isNotNull),
+        ("media_decodes", col("media_ok")))))
+      .persist()
+    marked.count() // decode happens HERE, exactly once per row
+    val rejects = marked.filter(col("reject_reason").isNotNull)
+      .select(col(idCol), col(mediaCol), col("reject_reason"))
+      .persist()
+    rejects.count()
+    val valid = marked.filter(col("reject_reason").isNull)
+      .drop("reject_reason", "media_ok")
+    val r = appendDedupHammingRoutedCounted(bandProbe, valid, maxDist,
+      bands, idCol)
+    MediaIngestResult(rejects, r.survivors, Seq(rejects, marked) ++ r.pins)
+  }
+
+  /** [[mediaIngestBatch]]'s commit set, lineage pinned end-to-end. */
+  final case class MediaIngestResult(rejects: DataFrame,
+                                     survivors: DataFrame,
+                                     pins: Seq[DataFrame]) {
+    def unpersistAll(): Unit = pins.foreach(_.unpersist(false))
   }
 
   /** Embedding-modality incremental ingest: drop every incoming vector

@@ -935,6 +935,31 @@ object MultimodalOps {
     * NULL filter, never silently dropped). Partition-local decode;
     * only 8 bytes of signature per doc shuffle.
     */
+  /** The audio envelope-signature kernel shared by [[audioWindowSig]]
+    * and [[mediaValidateAndSig]]: W equal spans' mean |sample|, then
+    * the W−1 delta-sign bits ([[dhash64]]'s gradient-sign rule on a
+    * 1-D envelope). Requires `samples.length >= windows`.
+    */
+  private[ext] def envelopeSig64(samples: Array[Int], windows: Int): Long = {
+    val n = samples.length
+    val env = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      val from = (w.toLong * n / windows).toInt
+      val to = ((w + 1).toLong * n / windows).toInt
+      var s = 0.0; var i = from
+      while (i < to) { s += math.abs(samples(i).toDouble); i += 1 }
+      env(w) = s / (to - from)
+      w += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < windows - 1) {
+      if (env(b) < env(b + 1)) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   def audioWindowSig(media: DataFrame, windows: Int = 65,
                      codec: AudioCodec = AutoAudioCodec,
                      mediaCol: String = "media"): DataFrame = {
@@ -954,23 +979,8 @@ object MultimodalOps {
         val kept = keepIdx.map(r.get).toSeq
         codec.decode(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some((rate, _, samples)) if samples.length >= windows =>
-            val n = samples.length
-            val env = new Array[Double](windows)
-            var w = 0
-            while (w < windows) {
-              val from = (w.toLong * n / windows).toInt
-              val to = ((w + 1).toLong * n / windows).toInt
-              var s = 0.0; var i = from
-              while (i < to) { s += math.abs(samples(i).toDouble); i += 1 }
-              env(w) = s / (to - from)
-              w += 1
-            }
-            var sig = 0L; var b = 0
-            while (b < windows - 1) {
-              if (env(b) < env(b + 1)) sig |= (1L << b)
-              b += 1
-            }
-            Row.fromSeq(kept ++ Seq[Any](rate.toInt, n.toLong, sig))
+            Row.fromSeq(kept ++ Seq[Any](rate.toInt, samples.length.toLong,
+              envelopeSig64(samples, windows)))
           case _ =>
             Row.fromSeq(kept ++ Seq(null, null, null))
         }
@@ -1413,6 +1423,74 @@ object MultimodalOps {
       ("media_present", col(mediaCol).isNotNull && length(col(mediaCol)) > 0),
       ("known_container", knownUdf(col(mediaCol))),
       ("media_decodes", decodesUdf(col(mediaCol))))
+  }
+
+  /** ONE-decode validation + perceptual signature for a media ingest
+    * path (VERDICT r14 task 1's decode-once fix: [[mediaChecks]]'s
+    * `media_decodes` fully decodes to return a boolean and downstream
+    * featurization then decodes the SAME payload again — two decodes
+    * per ingested row in a composed sink). This op sniffs the container
+    * category, decodes through the claimed codec ONCE, and emits in the
+    * same pass:
+    *
+    *   - `media_category string` — [[sniffCategory]]'s claim (NULL when
+    *     no container's magic matches: the `known_container` reject);
+    *   - `media_ok boolean` — the claimed codec really demuxes/decodes
+    *     it, with semantics IDENTICAL to [[mediaChecks]]'s
+    *     `media_decodes` (video: container directory walks +
+    *     frame count reads; audio/image: full decode succeeds) —
+    *     spec-gated equivalent on the mixed fixture;
+    *   - `sig bigint` — the modality's 64-bit perceptual signature, fed
+    *     straight to [[graft.ext.IngestOps.bandRowsOfSigs]] hamming
+    *     routing: image → [[dhash64]] of the decoded raster (exactly
+    *     [[perceptualHash]]), audio → [[envelopeSig64]] over the
+    *     decoded samples (exactly [[audioWindowSig]], 65 windows),
+    *     video → [[dhash64]] of decoded frame 0 (the cheap first-rung
+    *     video signature: re-encodes preserve every frame, so frame 0's
+    *     hash survives; the precise rung is [[videoFrameHashes]] +
+    *     aligned frame-sig banding). NULL when the payload is invalid
+    *     OR decodes but carries no signal (audio shorter than 65
+    *     samples, a video whose frame 0 fails decode) — NULL-sig valid
+    *     rows ride into the corpus with no dedup signal, the
+    *     [[graft.ext.IngestOps.appendDedupHammingRouted]] contract.
+    *
+    * Partition-local, map-only, one codec decode per row; the payload
+    * column rides through untouched (the sink stores it).
+    */
+  def mediaValidateAndSig(media: DataFrame,
+                          mediaCol: String = "media"): DataFrame = {
+    val inSchema = media.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("media_category", StringType),
+      StructField("media_ok", BooleanType, nullable = false),
+      StructField("sig", LongType)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](mediaIdx)
+        val cat = if (payload == null || payload.isEmpty) None
+                  else sniffCategory(payload)
+        val (ok, sig): (Boolean, Any) = cat match {
+          case Some("image") => ImageIoCodec.decode(payload) match {
+            case Some((w, h, px)) => (true, dhash64(w, h, px))
+            case None             => (false, null)
+          }
+          case Some("audio") => AutoAudioCodec.decode(payload) match {
+            case Some((_, _, samples)) =>
+              (true, if (samples.length >= 65) envelopeSig64(samples, 65) else null)
+            case None => (false, null)
+          }
+          case Some("video") => AutoVideoCodec.frameCount(payload) match {
+            case Some(_) =>
+              (true, AutoVideoCodec.decodeFrame(payload, 0)
+                .map { case (w, h, px) => dhash64(w, h, px) }.orNull)
+            case None => (false, null)
+          }
+          case _ => (false, null)
+        }
+        Row.fromSeq(r.toSeq ++ Seq[Any](cat.orNull, ok, sig))
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** The mixed-media fixture's class selector: `(⌊id/10⌋ + id) mod 6`.

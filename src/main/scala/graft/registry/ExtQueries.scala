@@ -1303,6 +1303,49 @@ object ExtQueries {
           twins.unionByName(novel), maxDist = 6)
         .select(col("doc_id"))
     }),
+    // The END-TO-END media ingest composition (VERDICT r14 task 1):
+    // quarantine → hamming-routed near-dup → route, through
+    // IngestOps.mediaIngestBatch — the EXACT code corpusIngestMediaSink
+    // runs per trigger (equivalence by construction). The incoming
+    // batch exercises every path against a persisted PNG corpus index:
+    // BMP re-encodes (+1: valid, hamming-0 against the store → DROPPED,
+    // absent from output), novel pictures (+2 → corpus), XX-junk
+    // (+3 → known_container), truncated WAV (+4: valid RIFF/WAVE magic,
+    // body cut → media_decodes), NULL payloads (+5 → media_present).
+    // Every route is construction-stated, so the oracle needs no codec.
+    "q_ext_media_ingest_compose" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id")
+      def pics(ids: DataFrame, fmt: String) =
+        MultimodalOps.withGeneratedBlockImages(ids, fmt)
+          .select(col("doc_id"), col("media"))
+      ivfColdCleanup
+      val wh = java.nio.file.Files.createTempDirectory("graft-mcomp").toString
+      ivfColdDirs.synchronized { ivfColdDirs += wh }
+      val bandStore = graft.runtime.BucketedFragmentStore(s, wh, "mbands",
+        "__bk", buckets = 4, routeCol = Some("band_key"))
+      bandStore.upsert(IngestOps.bandRowsOfSigs(
+        MultimodalOps.perceptualHash(pics(docs, "png"))
+          .select(col("doc_id"), col("phash").as("sig")), bands = 8))
+      val twins = pics(docs, "bmp")
+        .select((col("doc_id") * 10 + 1).as("doc_id"), col("media"))
+      val novel = pics(docs.select((col("doc_id") + 3).as("doc_id")), "png")
+        .select(((col("doc_id") - 3) * 10 + 2).as("doc_id"), col("media"))
+      val junk = docs.select((col("doc_id") * 10 + 3).as("doc_id"))
+        .select(col("doc_id"), concat(lit("XX".getBytes("UTF-8")),
+          unhex(md5(col("doc_id").cast("string")))).as("media"))
+      val cutWav = MultimodalOps.withGeneratedAudioVariants(
+          docs.select((col("doc_id") * 10 + 4).as("doc_id")), "wav")
+        .select(col("doc_id"), expr("substring(media, 1, 16)").as("media"))
+      val nulls = docs.select((col("doc_id") * 10 + 5).as("doc_id"),
+        lit(null).cast("binary").as("media"))
+      val r = IngestOps.mediaIngestBatch(
+        keys => bandStore.readRouted(keys),
+        Seq(twins, novel, junk, cutWav, nulls).reduce(_.unionByName(_)),
+        maxDist = 6)
+      r.survivors.select(col("doc_id"), lit("corpus").as("route"))
+        .unionByName(r.rejects.select(col("doc_id"),
+          col("reject_reason").as("route")))
+    }),
     // VISUAL similarity search (VERDICT r12 task 6): decoded-raster
     // feature vectors indexed through the VectorIndex facade (exact
     // profile → brute rung) and queried k-NN — image in, nearest
@@ -2397,6 +2440,17 @@ object ExtQueries {
     "q_ext_media_ingest_neardup" ->
       ("""SELECT doc_id * 10 + 2 AS doc_id
          |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    // Composition mirror: every incoming row's route stated from the
+    // construction — re-encodes (+1) hamming-drop against the stored
+    // index and are ABSENT, novel pictures (+2) survive to the corpus,
+    // and the three corruption classes reject with their exact
+    // first-failing check name.
+    "q_ext_media_ingest_compose" ->
+      ("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id * 10 + 2 AS doc_id, 'corpus' AS route FROM d
+         |UNION ALL SELECT doc_id * 10 + 3, 'known_container' FROM d
+         |UNION ALL SELECT doc_id * 10 + 4, 'media_decodes' FROM d
+         |UNION ALL SELECT doc_id * 10 + 5, 'media_present' FROM d""".stripMargin),
     // sampleFrames slices bytes at offset floor(len*i/n), width 64; on the
     // hex string that is substr(hx, 2*floor(n*i/4)+1, 128). floor (not a
     // bare INT cast) mirrors Spark's truncating double→int cast — DuckDB's
