@@ -110,7 +110,9 @@ object Bench {
     // r15: the end-to-end media ingest composition (decode-once
     // validate → quarantine → hamming-routed dedup) — per-row decode
     // cost and the band probe shape must hold at 10× docs
-    "q_ext_media_ingest_compose")
+    "q_ext_media_ingest_compose",
+    // r15: the simhash-routed text tier — flatness at 10x is its claim
+    "q_ext_ingest_simhash_routed")
 
   /** Host-throughput canary (VERDICT r14 task 3): a fixed, deterministic,
     * Spark-free, single-threaded 64-bit-mix loop (splitmix64 finalizer)

@@ -728,6 +728,40 @@ object IngestOps {
     HammingRoutedResult(pinned, Seq(pinned, inBands, batch))
   }
 
+  /** Cheap-signature routed TEXT tier (VERDICT r14 task 5): SimHash the
+    * batch (64 bits over the distinct-token set — [[DedupOps.simHash]]'s
+    * exact expression) and point-probe a persisted [[bandRowsOfSigs]]
+    * store through [[appendDedupHammingRouted]] — the toks-store-free
+    * ingest shape the media path uses, now on text. 8 bytes of state
+    * per corpus doc (vs the MinHash path's full token arrays + 32-hash
+    * signatures), pigeonhole recall 1.0 at `maxDist ≤ bands−1`,
+    * hamming-0 on any whitespace re-serialization (tokens are
+    * whitespace-split and de-duplicated, so spacing never moves a bit).
+    *
+    * WHICH RUNG: this is the standard cheap FIRST rung for crawl-scale
+    * text — near-free state, catches re-crawls/re-serializations and
+    * small token edits (maxDist ≈ 3). Its miss class is REORDER-heavy
+    * and paraphrase-ish duplication (SimHash is token-set-based but
+    * weight-blind): corpora needing Jaccard-verified resemblance keep
+    * the MinHash/toks-store path ([[appendDedupNearDupRouted]]) as the
+    * second rung — precise threshold semantics at ~40× the per-doc
+    * state. Run the SimHash rung first; route its survivors into the
+    * MinHash rung only where the corpus's duplication profile needs it.
+    *
+    * Output keeps the computed `sig` column (the corpus stores it, so
+    * band-row repair after a crash re-bands without re-tokenizing).
+    */
+  def appendDedupSimHashRouted(bandProbe: Seq[Long] => Option[DataFrame],
+                               incoming: DataFrame, maxDist: Int = 3,
+                               bands: Int = 8,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val signed = incoming.withColumn("sig",
+      DedupOps.simhash64(transform(
+        TextOps.distinctTokens(col(textCol)), t => xxhash64(t))))
+    appendDedupHammingRouted(bandProbe, signed, maxDist, bands, idCol)
+  }
+
   /** The media ingest composition, ONE batch: quarantine →
     * hamming-routed near-dup → (rejects, survivors) — the per-trigger
     * core of [[graft.streaming.StreamingOps.corpusIngestMediaSink]],

@@ -460,6 +460,35 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), md5(col("text")).as("content_md5"))
       out
     }),
+    // SimHash ROUTED text ingest (VERDICT r14 task 5) — the cheap
+    // 8-bytes-per-doc first rung: the base docs' 64-bit SimHash
+    // signatures persist as hamming band rows (bandRowsOfSigs through a
+    // band_key-routed store) and the incoming batch point-probes them
+    // (appendDedupSimHashRouted). Incoming = a whitespace
+    // re-serialization of every base doc (byte-distinct, token-set
+    // identical → SimHash hamming 0 → DROPPED; absent from output) plus
+    // one md5-token synthetic doc per base doc (decorrelated token set,
+    // never within the hamming-3 verify radius → KEPT). Survivors are
+    // construction-stated; planted small-hamming falsifiability rides
+    // IngestSpec.
+    "q_ext_ingest_simhash_routed" -> ((s, dir) => {
+      val docs = docsSub(s, dir).select("doc_id", "text")
+      ivfColdCleanup
+      val wh = java.nio.file.Files.createTempDirectory("graft-shq").toString
+      ivfColdDirs.synchronized { ivfColdDirs += wh }
+      val bandStore = graft.runtime.BucketedFragmentStore(s, wh, "shbands",
+        "__bk", buckets = 4, routeCol = Some("band_key"))
+      bandStore.upsert(IngestOps.bandRowsOfSigs(DedupOps.simHash(docs), bands = 8))
+      val twins = docs.select((col("doc_id") * 10 + 1).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"))
+      val novel = docs.select((col("doc_id") * 10 + 2).as("doc_id"),
+        concat_ws(" ", (0 to 7).map(i =>
+          md5(concat(col("doc_id").cast("string"), lit(s"#$i")))): _*).as("text"))
+      IngestOps.appendDedupSimHashRouted(
+          keys => bandStore.readRouted(keys),
+          twins.unionByName(novel), maxDist = 3)
+        .select(col("doc_id"))
+    }),
     "q_ext_dedup_neardup_corpus" -> ((s, dir) => {
       val docs = docsSub(s, dir)
       DedupOps.removeNearDups(docs, DedupOps.jaccardPairs(docs, 0.9))
@@ -1773,6 +1802,13 @@ object ExtQueries {
          |SELECT doc_id, lang, md5(text) AS content_md5
          |FROM batch
          |WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM exfp)""".stripMargin),
+    // SimHash-routed mirror: survivors stated from the construction —
+    // whitespace re-serializations (+1) are SimHash hamming-0 against
+    // the stored base signatures (dropped, absent), md5-token synthetic
+    // docs (+2) never verify within hamming 3 (kept).
+    "q_ext_ingest_simhash_routed" ->
+      ("""SELECT doc_id * 10 + 2 AS doc_id
+         |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     "q_ext_dedup_neardup_corpus" ->
       (s"""WITH ${jaccardCtes(pruned = false)},
          |drops AS (

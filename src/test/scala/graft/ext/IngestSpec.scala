@@ -320,6 +320,49 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("simhash-routed text tier: whitespace twins drop, survivors equal the exhaustive screen, planted radius is live") {
+    // 40 tokens: enough majority-vote margin that a 2-token append
+    // moves only a few bits (small sets flip ~8+ bits per edit — the
+    // 9-token draft of this fixture measured d=8 for ONE added token)
+    val longBase = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val existing = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, longBase)).toDF("doc_id", "text")
+    val exSigs = DedupOps.simHash(existing)
+    val exBands = IngestOps.bandRowsOfSigs(exSigs, bands = 8)
+    val probe: Seq[Long] => Option[org.apache.spark.sql.DataFrame] =
+      keys => Some(exBands.filter(col("band_key").isin(keys: _*)))
+    val incoming = Seq(
+      (11L, "alpha  beta gamma  delta "),   // whitespace re-serialization of 1
+      (12L, "totally different words entirely right here"),
+      (13L, longBase + " extra more") // 2-token append: measured d=2
+    ).toDF("doc_id", "text")
+    // INDEPENDENT oracle: exhaustive (no banding, no routing) hamming of
+    // every incoming sig against every stored sig
+    val inSigs = DedupOps.simHash(incoming)
+    val dist = inSigs.as("i").join(exSigs.as("e"))
+      .select(col("i.doc_id").as("in_id"), col("e.doc_id").as("ex_id"),
+        bit_count(col("i.sig").bitwiseXOR(col("e.sig"))).as("d"))
+      .as[(Long, Long, Int)].collect()
+    // the planted twin must be EXACTLY hamming 0 (tokens are
+    // whitespace-split + distinct: spacing can never move a bit) …
+    assert(dist.find(t => t._1 == 11L && t._2 == 1L).get._3 == 0)
+    // … and the 1-token addition must land INSIDE the radius, so the
+    // verify distance is doing work, not just the hamming-0 fast case
+    val d13 = dist.find(t => t._1 == 13L && t._2 == 2L).get._3
+    assert(d13 > 0 && d13 <= 3, s"fixture must plant a 0<d<=3 near-dup, got $d13")
+    val expected = Set(11L, 12L, 13L) --
+      dist.filter(_._3 <= 3).map(_._1).toSet
+    val out = IngestOps.appendDedupSimHashRouted(probe, incoming, maxDist = 3)
+    assert(out.select("doc_id").as[Long].collect().toSet == expected)
+    // the computed sig rides in the output (the corpus stores it, so
+    // crash repair re-bands without re-tokenizing)
+    val outSig = out.select("doc_id", "sig").as[(Long, Long)].collect().toMap
+    val fresh = inSigs.as[(Long, Long)].collect().toMap
+    assert(outSig == fresh.view.filterKeys(expected).toMap)
+    out.unpersist()
+  }
+
   test("routed exact dedup: isin and broadcast-join regimes agree, null-keep holds, plan flips at the threshold") {
     // VERDICT r12 #5: micro-batches keep literal isin plans; above
     // maxIsinFps the intersection must become a broadcast semi/anti
