@@ -71,8 +71,9 @@ object Soak {
       case "embed"      => SoakScenarios.embed(spark, sfDir, outPath)
       case "quarantine" => SoakScenarios.quarantine(spark, sfDir, outPath)
       case "shrink"     => SoakScenarios.shrink(spark, sfDir, outPath)
+      case "media"      => SoakScenarios.media(spark, sfDir, outPath)
       case other => sys.error(s"unknown soak scenario '$other' " +
-        "(neardup | embed | quarantine | shrink)")
+        "(neardup | embed | quarantine | shrink | media)")
     }
     spark.stop()
     if (!pass) sys.exit(2)

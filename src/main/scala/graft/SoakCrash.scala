@@ -312,7 +312,7 @@ object SoakCrash {
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("soak_crash_out.json")
     val scenario = sys.env.getOrElse("SPARK_GRAFT_CRASH_SCENARIO", "banded")
-    require(Set("banded", "quarantine", "embed")(scenario),
+    require(Set("banded", "quarantine", "embed", "media")(scenario),
       s"unknown crash scenario '$scenario'")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -475,6 +475,48 @@ object SoakCrash {
           ("no_invalid_in_corpus", corpusInvalid == 0,
             s"invalid rows in crash corpus: $corpusInvalid"))
 
+      case "media" =>
+        val slices = SoakMedia.loadIdSlices(spark, sfDir, nTriggers, sliceSize)
+        slicesRan = slices.length
+        SoakMedia.runTriggers(spark, whClean, slices, 0, slices.length,
+          journal = None)
+        val crash = SoakMedia.openStores(spark, whCrash)
+        val clean = SoakMedia.openStores(spark, whClean)
+        val corpusCrash = keySet(crash.frag.read(), "doc_id")
+        val corpusClean = keySet(clean.frag.read(), "doc_id")
+        val bandsCrash = keySet(crash.bands.read(), "__bk")
+        val bandsClean = keySet(clean.bands.read(), "__bk")
+        // rejects must match INCLUDING the recorded first-failing reason
+        def rejSet(st: SoakMedia.MediaStores): Set[Any] = st.rej.read()
+          .map(_.select(col("doc_id"), col("reject_reason")).distinct()
+            .collect().map(r => (r.get(0), r.get(1)): Any).toSet)
+          .getOrElse(Set.empty)
+        // recall + deletion bookkeeping, recomputed offline from the ids
+        val nearPairs = (1 until slices.length)
+          .flatMap(t => SoakMedia.nearPairsFor(t, slices)).toSet
+        val deleted = (1 until slices.length)
+          .flatMap(t => SoakMedia.victimsFor(t, slices)).toSet
+        val eligible = nearPairs.filter(p => corpusCrash(p._2))
+        val nearDropped = eligible.count(p => !corpusCrash(p._1))
+        val nearRecall =
+          if (eligible.isEmpty) 1.0 else nearDropped.toDouble / eligible.size
+        val corpusInvalid = corpusCrash.count(
+          a => a.asInstanceOf[Long] >= SoakMedia.JunkBase)
+        val bandDocsCrash = keySet(crash.bands.read(), "doc_id")
+        val delVisible =
+          corpusCrash.count(a => deleted.contains(a.asInstanceOf[Long])) +
+          bandDocsCrash.count(a => deleted.contains(a.asInstanceOf[Long]))
+        Seq(
+          matchCheck("corpus_match", corpusCrash, corpusClean),
+          matchCheck("rejects_match", rejSet(crash), rejSet(clean)),
+          matchCheck("bands_match", bandsCrash, bandsClean),
+          ("near_recall", nearRecall >= 0.99,
+            f"$nearRecall%.4f >= 0.99 (${eligible.size} source-live pairs)"),
+          ("no_invalid_in_corpus", corpusInvalid == 0,
+            s"invalid rows in crash corpus: $corpusInvalid"),
+          ("deletions_invisible", delVisible == 0,
+            s"visible rows across corpus+bands: $delVisible"))
+
       case "embed" =>
         val slices = loadVecSlices(spark, sfDir, nTriggers, sliceSize)
         slicesRan = slices.length
@@ -568,6 +610,10 @@ object SoakCrashChild {
       case "embed" =>
         val slices = SoakCrash.loadVecSlices(spark, sfDir, nT.toInt, sz.toInt)
         SoakCrash.runEmbedTriggers(spark, wh, slices, from, slices.length,
+          Some(journal))
+      case "media" =>
+        val slices = SoakMedia.loadIdSlices(spark, sfDir, nT.toInt, sz.toInt)
+        SoakMedia.runTriggers(spark, wh, slices, from, slices.length,
           Some(journal))
       case _ =>
         val slices = SoakCrash.loadSlices(spark, sfDir, nT.toInt, sz.toInt)

@@ -451,6 +451,179 @@ private[graft] object SoakScenarios {
     pass
   }
 
+  // ---------------------------------------------------------------- media
+
+  /** The end-to-end MEDIA ingest sink under sustained triggers
+    * (VERDICT r14 task 1's "done" bar):
+    * [[graft.streaming.StreamingOps.corpusIngestMediaSink]] fed
+    * deterministic per-trigger PNG corpora with injected BMP re-encodes
+    * (hamming-0 near-dups the routed band probe must drop), the three
+    * quarantine classes (junk magic / NULL payload / truncated WAV —
+    * each must land in `__rejects` with its exact first-failing
+    * reason), and a [[graft.streaming.StreamingOps.mediaForget]] cycle
+    * every 25 triggers. Enforced: reject exactness, near-dup recall
+    * over source-live pairs, deletions invisible in corpus AND band
+    * store, fragment bounds, FLAT per-trigger latency (media decode is
+    * per-batch work; the probe is corpus-independent).
+    */
+  def media(spark: SparkSession, sfDir: String, outPath: String): Boolean = {
+    val nTriggers = sys.env.getOrElse("SPARK_GRAFT_SOAK_TRIGGERS", "100").toInt
+    val checkpointEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_CHECKPOINT", "10").toInt
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val warehouse = Files.createTempDirectory("graft-soak-media").toString
+    val st = SoakMedia.openStores(spark, warehouse)
+
+    val allIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).orderBy("doc_id").as[Long].collect()
+    val sliceSize = math.max(1, math.ceil(allIds.length.toDouble / nTriggers).toInt)
+    val slices = allIds.grouped(sliceSize).toArray
+    println(s"[soak-media] ${allIds.length} docs, ${slices.length} triggers of ~$sliceSize")
+
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingOps.corpusIngestMediaSink(
+      in.toDF().toDF("doc_id", "media"), st.frag, st.rej, st.bands,
+      maxDist = 6, compactEvery = 8L).start()
+
+    val nearPairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val deletedIds = scala.collection.mutable.LinkedHashSet[Long]()
+    var junkInjected = 0L; var nullInjected = 0L; var cutInjected = 0L
+
+    final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int,
+                        rejectRows: Long, rejectFrags: Int,
+                        bandBucketMax: Int, diskMb: Double,
+                        ingestMsAvg: Double,
+                        nearElig: Long, nearDropped: Long,
+                        rejJunk: Long, rejNull: Long, rejCut: Long,
+                        reasonMismatch: Long, corpusInvalid: Long,
+                        delVisible: Long)
+    val cps = scala.collection.mutable.ArrayBuffer[Cp]()
+    var windowMs = 0.0; var windowN = 0
+
+    def checkpoint(t: Int): Unit = {
+      val corpus = st.frag.read().get.cache()
+      val corpusRows = corpus.count()
+      val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+      val corpusInvalid = corpus.filter(col("doc_id") >= SoakMedia.JunkBase).count()
+      corpus.unpersist()
+      val eligible = nearPairs.filter(p => corpusIds(p._2))
+      val nearDropped = eligible.count(p => !corpusIds(p._1)).toLong
+      val bandDocIds =
+        st.bands.read().map(_.select("doc_id").as[Long].collect().toSet)
+          .getOrElse(Set.empty)
+      val delVisible = deletedIds.count(corpusIds).toLong +
+        deletedIds.count(bandDocIds).toLong
+      val (rejRows, rejJunk, rejNull, rejCut, mismatch) = st.rej.read() match {
+        case None => (0L, 0L, 0L, 0L, 0L)
+        case Some(r0) =>
+          val r = r0.cache()
+          val out = (r.count(),
+            r.filter(col("doc_id") >= SoakMedia.JunkBase &&
+              col("doc_id") < SoakMedia.NullBase &&
+              col("reject_reason") === "known_container").count(),
+            r.filter(col("doc_id") >= SoakMedia.NullBase &&
+              col("doc_id") < SoakMedia.CutBase &&
+              col("reject_reason") === "media_present").count(),
+            r.filter(col("doc_id") >= SoakMedia.CutBase &&
+              col("reject_reason") === "media_decodes").count(),
+            r.filter(col("doc_id") >= SoakMedia.JunkBase &&
+              ((col("doc_id") < SoakMedia.NullBase &&
+                 col("reject_reason") =!= "known_container") ||
+               (col("doc_id") >= SoakMedia.NullBase &&
+                 col("doc_id") < SoakMedia.CutBase &&
+                 col("reject_reason") =!= "media_present") ||
+               (col("doc_id") >= SoakMedia.CutBase &&
+                 col("reject_reason") =!= "media_decodes")))
+              .count())
+          r.unpersist(); out
+      }
+      cps += Cp(t, corpusRows, st.frag.fragmentCount(), rejRows,
+        st.rej.fragmentCount(),
+        st.bands.fragmentCounts().maxOption.getOrElse(0), dirMb(warehouse),
+        if (windowN == 0) 0 else math.round(windowMs / windowN * 10) / 10.0,
+        eligible.length.toLong, nearDropped,
+        rejJunk, rejNull, rejCut, mismatch, corpusInvalid, delVisible)
+      windowMs = 0.0; windowN = 0
+      System.gc()
+      println(s"[soak-media] ${cps.last}")
+    }
+
+    slices.zipWithIndex.foreach { case (slice, t) =>
+      // media generation happens OUTSIDE the timed window (fixture
+      // manufacture, not sink work); injection bookkeeping mirrors it
+      val base = SoakMedia.pics(spark, slice.toSeq, "png")
+      val injected = SoakMedia.injectionsFor(spark, t, slices)
+      if (t > 0) {
+        nearPairs ++= SoakMedia.nearPairsFor(t, slices)
+        junkInjected += 2; nullInjected += 1; cutInjected += 2
+      }
+      val t0 = System.nanoTime()
+      in.addData(base ++ injected)
+      q.processAllAvailable()
+      windowMs += (System.nanoTime() - t0) / 1e6
+      windowN += 1
+      val victims = SoakMedia.victimsFor(t, slices)
+      if (victims.nonEmpty) {
+        graft.streaming.StreamingOps.mediaForget(st.frag, st.bands,
+          victims.toDF("doc_id"))
+        deletedIds ++= victims
+      }
+      if ((t + 1) % checkpointEvery == 0 || t == slices.length - 1) checkpoint(t)
+    }
+    q.stop()
+
+    val FragBound = 20
+    val SideFragBound = 24
+    val SlopeBound = 1.25
+    val last = cps.last
+    val nearRecall =
+      if (last.nearElig == 0) 1.0 else last.nearDropped.toDouble / last.nearElig
+    val (earlyMs, lateMs, slope) = slopeOf(cps.map(_.ingestMsAvg).toIndexedSeq)
+    val checks: Seq[(String, Boolean, String)] = Seq(
+      ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
+        s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
+      ("rejects_frag_bound", cps.forall(_.rejectFrags <= FragBound),
+        s"max ${cps.map(_.rejectFrags).max} <= $FragBound"),
+      ("band_frag_bound", cps.map(_.bandBucketMax).max <= SideFragBound,
+        s"max per-bucket ${cps.map(_.bandBucketMax).max} <= $SideFragBound"),
+      ("rejects_complete",
+        last.rejJunk == junkInjected && last.rejNull == nullInjected &&
+          last.rejCut == cutInjected,
+        s"junk ${last.rejJunk}/$junkInjected, null ${last.rejNull}/$nullInjected, " +
+          s"cut ${last.rejCut}/$cutInjected"),
+      ("reasons_exact", cps.forall(_.reasonMismatch == 0),
+        s"max mismatches ${cps.map(_.reasonMismatch).max}"),
+      ("corpus_clean", cps.forall(_.corpusInvalid == 0),
+        s"max invalid in corpus ${cps.map(_.corpusInvalid).max}"),
+      ("near_recall", nearRecall >= 0.99,
+        f"$nearRecall%.4f >= 0.99 (${last.nearElig} source-live pairs)"),
+      ("deletions_invisible", cps.forall(_.delVisible == 0),
+        s"max visible (corpus+bands) ${cps.map(_.delVisible).max}"),
+      ("ingest_flat", slope <= SlopeBound,
+        f"late $lateMs%.1f ms / early $earlyMs%.1f ms = $slope%.3f <= $SlopeBound"))
+    val pass = checks.forall(_._2)
+
+    def j(cp: Cp): String =
+      s"""{"t":${cp.t},"corpus_rows":${cp.corpusRows},"corpus_frags":${cp.corpusFrags},""" +
+      s""""reject_rows":${cp.rejectRows},"reject_frags":${cp.rejectFrags},""" +
+      s""""band_bucket_max":${cp.bandBucketMax},"disk_mb":${cp.diskMb},""" +
+      s""""ingest_ms_avg":${cp.ingestMsAvg},""" +
+      s""""near_elig":${cp.nearElig},"near_dropped":${cp.nearDropped},""" +
+      s""""rej_junk":${cp.rejJunk},"rej_null":${cp.rejNull},"rej_cut":${cp.rejCut},""" +
+      s""""reason_mismatch":${cp.reasonMismatch},"corpus_invalid":${cp.corpusInvalid},""" +
+      s""""del_visible":${cp.delVisible}}"""
+    val json =
+      s"""{"soak":"media_ingest_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"triggers":${slices.length},""" +
+      s""""slice_size":$sliceSize,"delete_every":${SoakMedia.DeleteEvery},""" +
+      s""""pass":$pass,"checks":{${checksJson(checks)}},""" +
+      s""""checkpoints":[${cps.map(j).mkString(",")}]}"""
+    writeJson(outPath, json)
+    graft.runtime.Fs.deleteRecursive(Paths.get(warehouse))
+    reportFailures(checks)
+    pass
+  }
+
   // --------------------------------------------------------------- shrink
 
   /** Grow-then-shrink re-sharding soak (VERDICT r11 task 8): the banded
