@@ -18,6 +18,8 @@ instead of exploding it:
   only documents/embeddings; Sources just needs the files present).
 
 Usage: python3 dev/make_sf1.py [outdir]   (default /tmp/sf1)
+       SF1_REPLICAS=40 python3 dev/make_sf1.py /tmp/sf4   (4x sf1 — the
+       r15 decade-stretch soak input: same shape, 4x the docs)
 """
 import sys, os, shutil
 import numpy as np
@@ -26,7 +28,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SF1_REPLICAS", "10"))
 
 os.makedirs(OUT, exist_ok=True)
 
