@@ -107,7 +107,7 @@ private[graft] object SoakMedia {
     * given warehouse, journaling progress + forget intents when a
     * journal path is supplied (the crash harness's T/FI/FD protocol;
     * un-DONE forget intents re-issue FIRST on resume — the
-    * caller-must-retry contract of [[graft.streaming.StreamingOps.mediaForget]]).
+    * caller-must-retry contract of [[graft.streaming.StreamingOps.sigBandForget]]).
     */
   def runTriggers(spark: SparkSession, wh: String,
                   slices: Array[Array[Long]], from: Int, until: Int,
@@ -128,7 +128,7 @@ private[graft] object SoakMedia {
       }.flatten.toSeq
       val done = nums("FD ").toSet
       nums("FI ").distinct.filterNot(done).foreach { t =>
-        graft.streaming.StreamingOps.mediaForget(st.frag, st.bands,
+        graft.streaming.StreamingOps.sigBandForget(st.frag, st.bands,
           victimsFor(t, slices).toDF("doc_id"))
         logLine(s"FD $t")
       }
@@ -144,7 +144,7 @@ private[graft] object SoakMedia {
       val victims = victimsFor(t, slices)
       if (victims.nonEmpty) {
         logLine(s"FI $t")
-        graft.streaming.StreamingOps.mediaForget(st.frag, st.bands,
+        graft.streaming.StreamingOps.sigBandForget(st.frag, st.bands,
           victims.toDF("doc_id"))
         logLine(s"FD $t")
       }

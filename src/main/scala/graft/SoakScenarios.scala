@@ -460,7 +460,7 @@ private[graft] object SoakScenarios {
     * (hamming-0 near-dups the routed band probe must drop), the three
     * quarantine classes (junk magic / NULL payload / truncated WAV —
     * each must land in `__rejects` with its exact first-failing
-    * reason), and a [[graft.streaming.StreamingOps.mediaForget]] cycle
+    * reason), and a [[graft.streaming.StreamingOps.sigBandForget]] cycle
     * every 25 triggers. Enforced: reject exactness, near-dup recall
     * over source-live pairs, deletions invisible in corpus AND band
     * store, fragment bounds, FLAT per-trigger latency (media decode is
@@ -565,7 +565,7 @@ private[graft] object SoakScenarios {
       windowN += 1
       val victims = SoakMedia.victimsFor(t, slices)
       if (victims.nonEmpty) {
-        graft.streaming.StreamingOps.mediaForget(st.frag, st.bands,
+        graft.streaming.StreamingOps.sigBandForget(st.frag, st.bands,
           victims.toDF("doc_id"))
         deletedIds ++= victims
       }

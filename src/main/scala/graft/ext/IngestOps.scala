@@ -756,10 +756,27 @@ object IngestOps {
                                bands: Int = 8,
                                textCol: String = "text",
                                idCol: String = "doc_id"): DataFrame = {
+    val r = appendDedupSimHashRoutedCounted(bandProbe, incoming, maxDist,
+      bands, textCol, idCol)
+    r.pins.filterNot(_ eq r.survivors).foreach(_.unpersist(false))
+    r.survivors
+  }
+
+  /** [[appendDedupSimHashRouted]] with the pinned lineage held open —
+    * the sink form ([[graft.streaming.StreamingOps.corpusIngestSimHashBandedSink]]
+    * commits survivors to two stores; the Counted result keeps the
+    * probe's work cache-backed across both commits, released by ONE
+    * `unpersistAll()` after).
+    */
+  def appendDedupSimHashRoutedCounted(bandProbe: Seq[Long] => Option[DataFrame],
+                                      incoming: DataFrame, maxDist: Int = 3,
+                                      bands: Int = 8,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id"): HammingRoutedResult = {
     val signed = incoming.withColumn("sig",
       DedupOps.simhash64(transform(
         TextOps.distinctTokens(col(textCol)), t => xxhash64(t))))
-    appendDedupHammingRouted(bandProbe, signed, maxDist, bands, idCol)
+    appendDedupHammingRoutedCounted(bandProbe, signed, maxDist, bands, idCol)
   }
 
   /** The media ingest composition, ONE batch: quarantine →

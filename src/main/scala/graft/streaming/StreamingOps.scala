@@ -844,7 +844,7 @@ object StreamingOps {
     * values), a candidate-bounded `bit_count(xor)` verify — the corpus
     * never rescans. Same one-stream-per-model and
     * unique-ids-within-a-batch contracts as every ingest sink;
-    * deletions go through [[mediaForget]].
+    * deletions go through [[sigBandForget]].
     */
   def corpusIngestMediaSink(docs: DataFrame,
                             frag: graft.runtime.KeyedFragmentStore,
@@ -857,7 +857,7 @@ object StreamingOps {
       s"bandStore must route on band_key, not '${bandStore.routeCol}'")
     require(maxDist <= bands - 1,
       s"$bands-chunk pigeonhole only guarantees recall for maxDist <= ${bands - 1}")
-    repairMediaBandStore(frag, bandStore, bands)
+    repairSigBandStore(frag, bandStore, bands)
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val r = graft.ext.IngestOps.mediaIngestBatch(
@@ -892,14 +892,16 @@ object StreamingOps {
     }
   }
 
-  /** One-time (construction / migration / crash-recovery) repair of the
-    * media sink's band store: band rows for every corpus doc the store
+  /** One-time (construction / migration / crash-recovery) repair of a
+    * sig-banded sink's band store ([[corpusIngestMediaSink]] and
+    * [[corpusIngestSimHashBandedSink]] share it — any corpus carrying a
+    * 64-bit `sig` column): band rows for every corpus doc the store
     * is missing, recomputed from the corpus's STORED `sig` column — one
-    * O(corpus) id anti-join, zero re-decode, paid once. NULL-sig corpus
-    * rows (signal-less media) produce no band rows, matching their
-    * ingest behavior. Idempotent.
+    * O(corpus) id anti-join, zero re-decode/re-tokenize, paid once.
+    * NULL-sig corpus rows (signal-less media) produce no band rows,
+    * matching their ingest behavior. Idempotent.
     */
-  def repairMediaBandStore(frag: graft.runtime.KeyedFragmentStore,
+  def repairSigBandStore(frag: graft.runtime.KeyedFragmentStore,
                            bandStore: graft.runtime.BucketedFragmentStore,
                            bands: Int = 8): Unit =
     frag.read().foreach { corpus =>
@@ -913,7 +915,61 @@ object StreamingOps {
         bandStore.upsert(graft.ext.IngestOps.bandRowsOfSigs(unbanded, bands))
     }
 
-  /** Right-to-be-forgotten for the media sink's corpus + band pair.
+  /** TEXT ingest through the cheap SimHash rung (VERDICT r14 task 5,
+    * sink form): per trigger, sign the batch with the 64-bit
+    * distinct-token SimHash and drop rows whose signature
+    * hamming-verifies within `maxDist` against the persisted
+    * [[graft.ext.IngestOps.bandRowsOfSigs]] store
+    * ([[graft.ext.IngestOps.appendDedupSimHashRoutedCounted]]);
+    * survivors commit corpus-FIRST (with the `sig` column riding — 8
+    * bytes/doc is the ENTIRE dedup state), then their band rows. This
+    * is the toks-store-free first rung for crawl-scale text: catches
+    * re-crawls, re-serializations (hamming 0 under any whitespace
+    * change) and ≤`maxDist`-ish token edits at ~1/40th the per-doc
+    * state of [[corpusIngestNearDupBandedSink]], which remains the
+    * precise Jaccard-verified second rung. Same crash discipline as
+    * the media sink (shared [[repairSigBandStore]] construction repair
+    * from the stored sig column and [[sigBandForget]] deletion);
+    * replayed triggers are hamming-0 dups of their own previous append
+    * and are absorbed.
+    */
+  def corpusIngestSimHashBandedSink(docs: DataFrame,
+                                    frag: graft.runtime.KeyedFragmentStore,
+                                    bandStore: graft.runtime.BucketedFragmentStore,
+                                    maxDist: Int = 3,
+                                    bands: Int = 8,
+                                    compactEvery: Long = 0L): DataStreamWriter[Row] = {
+    require(bandStore.routeCol == "band_key",
+      s"bandStore must route on band_key, not '${bandStore.routeCol}'")
+    require(maxDist <= bands - 1,
+      s"$bands-chunk pigeonhole only guarantees recall for maxDist <= ${bands - 1}")
+    repairSigBandStore(frag, bandStore, bands)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val r = graft.ext.IngestOps.appendDedupSimHashRoutedCounted(
+          keys => bandStore.readRouted(keys), batch, maxDist, bands)
+        if (!r.survivors.isEmpty) {
+          frag.upsert(r.survivors.coalesce(1))
+          val bandRows = graft.ext.IngestOps.bandRowsOfSigs(
+            r.survivors.select("doc_id", "sig"), bands)
+          if (!bandRows.isEmpty) bandStore.upsert(bandRows.coalesce(1))
+        }
+        r.unpersistAll()
+        if (compactEvery > 0) {
+          val phase = batchId % compactEvery
+          if (phase == compactEvery - 1) cadenceFold(frag)
+          if (phase == (compactEvery / 2) % compactEvery) {
+            bandStore.maybeCompact(2)
+            ()
+          }
+        }
+        ()
+    }
+  }
+
+  /** Right-to-be-forgotten for a sig-banded sink's corpus + band pair
+    * (shared by [[corpusIngestMediaSink]] and
+    * [[corpusIngestSimHashBandedSink]]).
     * Band rows route by `band_key`, which encodes the signature's chunk
     * values — so their tombstones are recomputed from the corpus's
     * stored `sig` column (banding is deterministic, no re-decode)
@@ -925,7 +981,7 @@ object StreamingOps {
     * retention note as [[nearDupForget]] — pair forgets with a
     * compaction cadence where erasure is mandated. Idempotent.
     */
-  def mediaForget(frag: graft.runtime.KeyedFragmentStore,
+  def sigBandForget(frag: graft.runtime.KeyedFragmentStore,
                   bandStore: graft.runtime.BucketedFragmentStore,
                   keys: DataFrame,
                   bands: Int = 8): Unit = {

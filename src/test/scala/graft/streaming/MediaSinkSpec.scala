@@ -108,7 +108,7 @@ class MediaSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("mediaForget: bands-then-corpus, re-ingested twin is KEPT, retry idempotent") {
+  test("sigBandForget: bands-then-corpus, re-ingested twin is KEPT, retry idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val (frag, rej, bands) = stores(freshDir())
     val in = MemoryStream[(Long, Array[Byte])]
@@ -117,12 +117,12 @@ class MediaSinkSpec extends SparkSpec {
     try {
       in.addData(pics(Seq(10L, 20L), "png"))
       q.processAllAvailable()
-      StreamingOps.mediaForget(frag, bands, Seq(10L).toDF("doc_id"))
+      StreamingOps.sigBandForget(frag, bands, Seq(10L).toDF("doc_id"))
       assert(ids(frag) == Set(20L), ids(frag).toString)
       assert(bands.read().get.select("doc_id").distinct()
         .as[Long].collect().toSet == Set(20L), "band tombstones must land")
       // retrying a completed forget is a no-op
-      StreamingOps.mediaForget(frag, bands, Seq(10L).toDF("doc_id"))
+      StreamingOps.sigBandForget(frag, bands, Seq(10L).toDF("doc_id"))
       assert(ids(frag) == Set(20L))
       // the forgotten doc's twin re-ingests as a NEW doc — deletion honored
       in.addData(pics(Seq(10L), "bmp").map { case (id, m) => (id + 100, m) })
