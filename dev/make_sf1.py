@@ -40,8 +40,21 @@ for r in range(REPLICAS):
     d = docs.copy()
     d["doc_id"] = d["doc_id"] + r * stride
     if r > 0:
-        d["text"] = d["text"].map(
-            lambda t, r=r: (t + f" zrepl{r}tok") if isinstance(t, str) else t)
+        if os.environ.get("SF1_DISTINCT") == "1":
+            # DISTINCT replicas (r15 decade-stretch soak input): one
+            # appended token keeps long docs ABOVE a 0.9 Jaccard vs
+            # their other-replica twins (n/(n+2) ≥ 0.9 from n ≥ 18), so
+            # the banded sink dedups replicas away and the corpus never
+            # grows. Appending ~n/8 replica-tagged tokens caps cross-
+            # replica Jaccard at ~0.8 < 0.9 — every replica SURVIVES and
+            # the corpus/band stores genuinely grow ∝ replicas.
+            d["text"] = d["text"].map(
+                lambda t, r=r: (t + " " + " ".join(
+                    f"zr{r}t{i}" for i in range(len(t.split()) // 8 + 1)))
+                if isinstance(t, str) else t)
+        else:
+            d["text"] = d["text"].map(
+                lambda t, r=r: (t + f" zrepl{r}tok") if isinstance(t, str) else t)
     parts.append(d)
 import pandas as pd
 alld = pd.concat(parts, ignore_index=True)
