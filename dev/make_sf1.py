@@ -41,16 +41,22 @@ for r in range(REPLICAS):
     d["doc_id"] = d["doc_id"] + r * stride
     if r > 0:
         if os.environ.get("SF1_DISTINCT") == "1":
-            # DISTINCT replicas (r15 decade-stretch soak input): one
-            # appended token keeps long docs ABOVE a 0.9 Jaccard vs
-            # their other-replica twins (n/(n+2) ≥ 0.9 from n ≥ 18), so
-            # the banded sink dedups replicas away and the corpus never
-            # grows. Appending ~n/8 replica-tagged tokens caps cross-
-            # replica Jaccard at ~0.8 < 0.9 — every replica SURVIVES and
-            # the corpus/band stores genuinely grow ∝ replicas.
+            # DISTINCT replicas (r15 decade-stretch soak input). Two
+            # wrong drafts taught the requirements: (a) one appended
+            # token keeps long docs ABOVE 0.9 Jaccard vs their replica
+            # twins — the sink dedups replicas away and the corpus never
+            # grows (observed: 3.4k survivors at trigger 129); (b)
+            # appending ~n/8 tokens lands replicas at J≈0.6–0.75 — BELOW
+            # threshold but sharing minhash bands with probability
+            # 0.13–0.32/band, so every doc drags ~#replicas candidate
+            # rows through the verify and per-trigger cost ramps with
+            # the replica count, a FAMILY-size pathology, not a corpus-
+            # size test. Tagging EVERY token with the replica id keeps
+            # within-replica dup structure EXACTLY (same transformation
+            # both sides) and makes cross-replica J = 0 — the honest
+            # corpus-size-scaling input.
             d["text"] = d["text"].map(
-                lambda t, r=r: (t + " " + " ".join(
-                    f"zr{r}t{i}" for i in range(len(t.split()) // 8 + 1)))
+                lambda t, r=r: " ".join(f"{tok}~r{r}" for tok in t.split())
                 if isinstance(t, str) else t)
         else:
             d["text"] = d["text"].map(
