@@ -365,15 +365,29 @@ object Bench {
       }
     }
     val fl = flags.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    // flagged rows WITH magnitudes (VERDICT r14 task 7): the driver keeps
-    // only the stdout tail, and BENCH_r14 lost the one real-flagged row's
-    // value to truncation — so the tail-safe summary line carries
-    // {row, value, ref, spread, verdict} for every flag, self-sizing.
-    val flaggedArr = flags.map { case (name, verdict) =>
-      s"""{"row":${jstr(name)},"value":${timings(name)},""" +
-      s""""ref":${refTimes.getOrElse(name, 0.0)},""" +
-      s""""spread":${spreads.getOrElse(name, 0.0)},"verdict":${jstr(verdict)}}"""
-    }.mkString("[", ",", "]")
+    // flagged rows WITH magnitudes (VERDICT r14 task 7), ranked so the
+    // verdicts a human must adjudicate come first: real, then noisy,
+    // then contention, then subsecond; within a verdict, worst
+    // ratio-to-ref first. The MAIN line (file-backed, no truncation
+    // risk) carries the full array; the stdout summary line carries a
+    // CAPPED prefix (VERDICT r15 finding #1: a ~19-flag contended run
+    // grew the summary past the driver's 2000-byte tail window and
+    // truncated away the run's total/host/canary — the r14 fix for one
+    // lost magnitude cost the whole run's summary).
+    val flaggedRanked: Seq[(String, String)] = flags.toSeq.sortBy {
+      case (name, verdict) =>
+        (BenchLines.verdictRank(verdict),
+         -(timings(name) / math.max(refTimes.getOrElse(name, 0.0), 1e-9)))
+    }
+    def flaggedJson(entries: Seq[(String, String)]): String =
+      entries.map { case (name, verdict) =>
+        s"""{"row":${jstr(name)},"value":${timings(name)},""" +
+        s""""ref":${refTimes.getOrElse(name, 0.0)},""" +
+        s""""spread":${spreads.getOrElse(name, 0.0)},"verdict":${jstr(verdict)}}"""
+      }.mkString("[", ",", "]")
+    val flaggedArr = flaggedJson(flaggedRanked)
+    val flaggedCapped = flaggedJson(flaggedRanked.take(BenchLines.SummaryFlagCap))
+    val flaggedDropped = math.max(0, flaggedRanked.size - BenchLines.SummaryFlagCap)
     val total = timings.values.sum
     // field order is deliberate: the noise instruments and verdicts come
     // BEFORE the (large) queries map so tail truncation cannot strip them
@@ -387,18 +401,40 @@ object Bench {
     // keeps the TAIL of stdout — BENCH_r11.json lost host/flags/spread.
     // So a SECOND, compact summary line goes out LAST: any tail capture
     // keeps it, and it carries everything except the per-row maps.
+    // Since r16 the flagged array here is capped (real-first) with an
+    // explicit flagged_dropped count, and a THIRD size-bounded line
+    // follows so even a pathological flag storm cannot starve the tail
+    // window of the run's totals.
     val summaryLine =
       s"""{"metric":"summary","total":$total,"sf":${jstr(sfDir)},""" +
       s""""host":$host,"contended":$contended,"host_factor":$hostFactor,""" +
       s""""ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
-      s""""flags":$fl,"flagged":$flaggedArr,"errors_count":${errors.size},""" +
+      s""""flags":$fl,"flagged":$flaggedCapped,""" +
+      s""""flagged_dropped":$flaggedDropped,"errors_count":${errors.size},""" +
       s""""spread_max":${if (spreads.isEmpty) 0.0 else spreads.values.max}}"""
+    // The LAST line is the guaranteed carrier (VERDICT r15 task 1): a
+    // fixed-field, byte-bounded digest of everything adjudication needs
+    // — total, host stamps, canary pair, contended verdict, flag counts,
+    // and the single worst real-verdict row. BenchLinesSpec pins the
+    // byte budget against worst-case field magnitudes.
+    val tailLine = BenchLines.tailLine(
+      total = total, rows = timings.size, errorsCount = errors.size,
+      contended = contended, hostFactor = hostFactor,
+      canaryStart = canaryStart, canaryEnd = canaryEnd,
+      loadStart = loadStart, loadEnd = loadEnd,
+      flagCounts = flags.values.groupBy(identity).map { case (k, v) => k -> v.size },
+      worstReal = flaggedRanked.headOption.filter(_._2 == "real").map {
+        case (name, _) =>
+          (name, timings(name), refTimes.getOrElse(name, 0.0),
+           spreads.getOrElse(name, 0.0))
+      })
     Files.write(
       Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
     println(line)
     println(summaryLine)
+    println(tailLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,90 @@
+package graft
+
+/** Builders for the size-sensitive pieces of `graft.Bench`'s output
+  * protocol. Factored out of the `main` so their byte budgets are
+  * unit-testable (BenchLinesSpec) — twice in a row a driver round lost
+  * its primary perf evidence to stdout tail truncation (BENCH_r14: one
+  * flagged row's magnitude; BENCH_r15: the entire summary head — total,
+  * host stamps, canary pair, `contended` — because the r14 fix put every
+  * flagged row's magnitudes into the summary line and a ~19-flag
+  * contended run outgrew the driver's 2000-byte tail window).
+  *
+  * The protocol is three stdout lines, least-durable first:
+  *   1. `{"metric":"total",...}` — everything, including the per-row
+  *      maps; also written to `bench_out.json` (file-backed, safe).
+  *   2. `{"metric":"summary",...}` — per-row maps dropped, flagged
+  *      array CAPPED at [[SummaryFlagCap]] (real-verdict rows first)
+  *      with an explicit `flagged_dropped` count.
+  *   3. `{"metric":"tail",...}` — fixed-field digest built here, byte
+  *      budget [[TailByteBudget]], printed LAST so any tail capture ≥
+  *      ~500 bytes keeps the run's totals no matter how many rows
+  *      flagged.
+  */
+object BenchLines {
+
+  /** Max flagged-row entries carried verbatim in the summary line.
+    * 8 entries ≈ 8×130 B ≈ 1 kB — inside a 2000-byte tail window even
+    * with the rest of the summary around it, and real verdicts sort
+    * first so what is dropped is the subsecond/noise tail.
+    */
+  val SummaryFlagCap = 8
+
+  /** Byte budget for the final tail line, asserted by BenchLinesSpec
+    * against worst-case field magnitudes. 500 B leaves ≥ 1500 B of a
+    * 2000-byte tail window for the summary line above it.
+    */
+  val TailByteBudget = 500
+
+  /** Ranking for the capped summary array and the worst-real pick:
+    * verdicts a human must adjudicate first.
+    */
+  def verdictRank(verdict: String): Int = verdict match {
+    case "real"       => 0
+    case "noisy"      => 1
+    case "contention" => 2
+    case "subsecond"  => 3
+    case _            => 4
+  }
+
+  private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+  private def r4(v: Double): Double = math.round(v * 10000.0) / 10000.0
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    } + "\""
+
+  /** The final, guaranteed-to-survive stdout line. Fixed fields only;
+    * doubles rounded (3–4 decimals is far beyond timing resolution);
+    * the single worst real-verdict row inlined with its magnitudes
+    * (row name truncated defensively — registered names are ≤ 40
+    * chars, the cap only guards a future rename).
+    *
+    * @param flagCounts verdict -> count (missing verdicts omitted)
+    * @param worstReal  (row, value, ref, spread) of the highest-ratio
+    *                   real-verdict flag, if any
+    */
+  def tailLine(
+      total: Double, rows: Int, errorsCount: Int, contended: Boolean,
+      hostFactor: Double, canaryStart: Double, canaryEnd: Double,
+      loadStart: Double, loadEnd: Double,
+      flagCounts: Map[String, Int],
+      worstReal: Option[(String, Double, Double, Double)]): String = {
+    val counts = Seq("real", "noisy", "contention", "subsecond")
+      .flatMap(v => flagCounts.get(v).map(n => s"""${jstr(v)}:$n"""))
+      .mkString("{", ",", "}")
+    val worst = worstReal.map { case (row, value, ref, spread) =>
+      s"""{"row":${jstr(row.take(48))},"value":${r3(value)},""" +
+      s""""ref":${r3(ref)},"spread":${r3(spread)}}"""
+    }.getOrElse("null")
+    s"""{"metric":"tail","total":${r3(total)},"rows":$rows,""" +
+    s""""errors_count":$errorsCount,"contended":$contended,""" +
+    s""""host_factor":${r4(hostFactor)},""" +
+    s""""canary_start":${r4(canaryStart)},"canary_end":${r4(canaryEnd)},""" +
+    s""""load1_start":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
+    s""""flag_counts":$counts,"worst_real":$worst}"""
+  }
+}

@@ -556,7 +556,15 @@ private[graft] object SoakScenarios {
       val injected = SoakMedia.injectionsFor(spark, t, slices)
       if (t > 0) {
         nearPairs ++= SoakMedia.nearPairsFor(t, slices)
-        junkInjected += 2; nullInjected += 1; cutInjected += 2
+        // expected reject counts derive from what injectionsFor actually
+        // slices out of prev (ADVICE r15): with SPARK_GRAFT_SOAK_TRIGGERS
+        // small enough that a slice holds < 8 ids, the defensive
+        // prev.slice(...) bounds inject FEWER rows than the old fixed
+        // 2/1/2 constants counted, and rejects_complete false-failed
+        val prev = slices(t - 1)
+        junkInjected += prev.slice(3, 5).length
+        nullInjected += prev.slice(5, 6).length
+        cutInjected += prev.slice(6, 8).length
       }
       val t0 = System.nanoTime()
       in.addData(base ++ injected)

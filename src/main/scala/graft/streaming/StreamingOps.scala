@@ -399,15 +399,18 @@ object StreamingOps {
               fpStore.readWhere(col("fp").isin(fps: _*))
             else fpStore.readRouted(fps),
           valid)
-        if (!survivors.isEmpty) {
-          // corpus first (truth), then the index — see the scaladoc
-          frag.upsert(survivors.coalesce(1))
-          val fps = survivors
-            .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
-            .na.drop().distinct()
-          if (!fps.isEmpty) fpStore.upsert(fps.coalesce(1))
-        }
-        survivors.unpersist(false)
+        // finally: a failing commit must not leak the trigger's pinned
+        // lineage across in-process query restarts (ADVICE r15)
+        try {
+          if (!survivors.isEmpty) {
+            // corpus first (truth), then the index — see the scaladoc
+            frag.upsert(survivors.coalesce(1))
+            val fps = survivors
+              .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
+              .na.drop().distinct()
+            if (!fps.isEmpty) fpStore.upsert(fps.coalesce(1))
+          }
+        } finally { survivors.unpersist(false); () }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           cadenceFold(frag); cadenceFold(rejectsFrag)
           fpStore.maybeCompact(2)
@@ -689,7 +692,9 @@ object StreamingOps {
           batch, threshold, numHashes, bands, shingleK,
           hotShingles = hotShingles)
         val pinned = r.survivors; val signed = r.sigs
-        if (r.nSurvivors > 0) {
+        // finally (ADVICE r15): a failing commit must not leak the
+        // trigger's pinned blocks across in-process query restarts
+        try { if (r.nSurvivors > 0) {
           // batch-sized fragments write as ONE task → ONE file per
           // bucket: un-coalesced, each upsert staged a part-file per
           // shuffle partition, so every fragment carried ~`partitions`
@@ -726,12 +731,12 @@ object StreamingOps {
           if (r.nSigs > 0)
             bandStore.upsertLight(graft.ext.IngestOps.bandRowsOf(signed, bands,
               numHashes / bands).coalesce(1))
-        }
+        } }
         // release the trigger's pinned blocks — a per-trigger block left
         // persisted is a leak a 200-trigger soak measures as a latency
         // ramp (cleanup is otherwise GC-driven and a large idle heap
         // never collects)
-        r.unpersistAll()
+        finally r.unpersistAll()
         if (compactEvery > 0) {
           // STAGGERED maintenance (r13): each store folds once per
           // compactEvery triggers, but at a DIFFERENT phase — the
@@ -862,23 +867,27 @@ object StreamingOps {
       (batch: DataFrame, batchId: Long) =>
         val r = graft.ext.IngestOps.mediaIngestBatch(
           keys => bandStore.readRouted(keys), batch, maxDist, bands)
-        // batch-sized fragments commit as ONE task → ONE file (the L0
-        // trade every sink here makes); rejects write light — their only
-        // read path is ops inspection, never a key-pruned probe
-        if (!r.rejects.isEmpty) rejectsFrag.upsertLight(r.rejects.coalesce(1))
-        if (!r.survivors.isEmpty) {
-          // corpus first (truth), then the band index — see the scaladoc
-          frag.upsert(r.survivors.coalesce(1))
-          val bandRows = graft.ext.IngestOps.bandRowsOfSigs(
-            r.survivors.select("doc_id", "sig"), bands)
-          // plain upsert (stats-bearing): the probe is readRouted —
-          // exact LWW point reads, the zone-mapped shape
-          if (!bandRows.isEmpty) bandStore.upsert(bandRows.coalesce(1))
-        }
         // release the trigger's pinned lineage only AFTER both commits —
         // an earlier ancestor unpersist cascades into the survivor cache
-        // and re-decodes the batch per commit (the decode-once claim)
-        r.unpersistAll()
+        // and re-decodes the batch per commit (the decode-once claim) —
+        // but ALWAYS release (ADVICE r15: a failing commit outside
+        // try/finally leaked the pinned batch with its full media
+        // payloads, accumulating across in-process query restarts)
+        try {
+          // batch-sized fragments commit as ONE task → ONE file (the L0
+          // trade every sink here makes); rejects write light — their
+          // only read path is ops inspection, never a key-pruned probe
+          if (!r.rejects.isEmpty) rejectsFrag.upsertLight(r.rejects.coalesce(1))
+          if (!r.survivors.isEmpty) {
+            // corpus first (truth), then the band index — see scaladoc
+            frag.upsert(r.survivors.coalesce(1))
+            val bandRows = graft.ext.IngestOps.bandRowsOfSigs(
+              r.survivors.select("doc_id", "sig"), bands)
+            // plain upsert (stats-bearing): the probe is readRouted —
+            // exact LWW point reads, the zone-mapped shape
+            if (!bandRows.isEmpty) bandStore.upsert(bandRows.coalesce(1))
+          }
+        } finally r.unpersistAll()
         if (compactEvery > 0) {
           // staggered maintenance, the banded sink's pattern
           val phase = batchId % compactEvery
@@ -895,24 +904,35 @@ object StreamingOps {
   /** One-time (construction / migration / crash-recovery) repair of a
     * sig-banded sink's band store ([[corpusIngestMediaSink]] and
     * [[corpusIngestSimHashBandedSink]] share it — any corpus carrying a
-    * 64-bit `sig` column): band rows for every corpus doc the store
-    * is missing, recomputed from the corpus's STORED `sig` column — one
-    * O(corpus) id anti-join, zero re-decode/re-tokenize, paid once.
-    * NULL-sig corpus rows (signal-less media) produce no band rows,
-    * matching their ingest behavior. Idempotent.
+    * 64-bit `sig` column): the band rows the store is missing,
+    * recomputed from the corpus's STORED `sig` column — one O(corpus)
+    * anti-join, zero re-decode/re-tokenize, paid once.
+    *
+    * Granularity is the band ROW (`__bk` = "chunk:doc"), not the doc
+    * (ADVICE r15): [[graft.runtime.BucketedFragmentStore.upsert]]
+    * adopts per bucket, so a kill -9 mid-upsert can leave a doc with a
+    * PARTIAL band-row set. A doc-granularity repair skipped any doc
+    * with ≥1 surviving band row, and the doc's own replay hamming-0
+    * drops against that surviving row — the missing chunk rows were
+    * never rewritten and pigeonhole recall (`maxDist ≤ bands-1` needs
+    * all `bands` chunks indexed) silently degraded forever. Anti-join
+    * on `__bk` backfills exactly the missing chunk rows; re-upserting
+    * an existing `__bk` is LWW-idempotent. NULL-sig corpus rows
+    * (signal-less media) produce no band rows, matching their ingest
+    * behavior. Idempotent.
     */
   def repairSigBandStore(frag: graft.runtime.KeyedFragmentStore,
                            bandStore: graft.runtime.BucketedFragmentStore,
                            bands: Int = 8): Unit =
     frag.read().foreach { corpus =>
       val signed = corpus.select("doc_id", "sig").filter(col("sig").isNotNull)
-      val unbanded = bandStore.read() match {
-        case None     => signed
+      val expected = graft.ext.IngestOps.bandRowsOfSigs(signed, bands)
+      val missing = bandStore.read() match {
+        case None     => expected
         case Some(bs) =>
-          signed.join(bs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          expected.join(bs.select("__bk"), Seq("__bk"), "left_anti")
       }
-      if (!unbanded.isEmpty)
-        bandStore.upsert(graft.ext.IngestOps.bandRowsOfSigs(unbanded, bands))
+      if (!missing.isEmpty) bandStore.upsert(missing)
     }
 
   /** TEXT ingest through the cheap SimHash rung (VERDICT r14 task 5,
@@ -948,13 +968,16 @@ object StreamingOps {
       (batch: DataFrame, batchId: Long) =>
         val r = graft.ext.IngestOps.appendDedupSimHashRoutedCounted(
           keys => bandStore.readRouted(keys), batch, maxDist, bands)
-        if (!r.survivors.isEmpty) {
-          frag.upsert(r.survivors.coalesce(1))
-          val bandRows = graft.ext.IngestOps.bandRowsOfSigs(
-            r.survivors.select("doc_id", "sig"), bands)
-          if (!bandRows.isEmpty) bandStore.upsert(bandRows.coalesce(1))
-        }
-        r.unpersistAll()
+        // finally: a failing commit must not leak the trigger's pinned
+        // lineage across in-process query restarts (ADVICE r15)
+        try {
+          if (!r.survivors.isEmpty) {
+            frag.upsert(r.survivors.coalesce(1))
+            val bandRows = graft.ext.IngestOps.bandRowsOfSigs(
+              r.survivors.select("doc_id", "sig"), bands)
+            if (!bandRows.isEmpty) bandStore.upsert(bandRows.coalesce(1))
+          }
+        } finally r.unpersistAll()
         if (compactEvery > 0) {
           val phase = batchId % compactEvery
           if (phase == compactEvery - 1) cadenceFold(frag)
@@ -984,12 +1007,23 @@ object StreamingOps {
   def sigBandForget(frag: graft.runtime.KeyedFragmentStore,
                   bandStore: graft.runtime.BucketedFragmentStore,
                   keys: DataFrame,
-                  bands: Int = 8): Unit = {
+                  bands: Int = 8,
+                  maxIsin: Int = graft.ext.IngestOps.DefaultMaxIsin): Unit = {
     val ks = keys.select(col("doc_id")).distinct().persist()
     try {
-      frag.readWhere(col("doc_id").isin(
-          ks.collect().map(_.get(0)).toSeq: _*))
-        .foreach { corpusRows =>
+      // isin-regime switch (VERDICT r15 task 3): a forget batch is
+      // request-bounded, but the guard is mechanical like every other
+      // probe site — below `maxIsin` the literal list pushes into
+      // the fragment scan; above it, a 10⁵-key GDPR batch would bloat
+      // the probe PLAN, so switch to the broadcast-semi-join cluster
+      // fallback (O(corpus) scan, literal-free plan). Regime equality
+      // is pinned by MediaSinkSpec across a tiny threshold.
+      val ids = ks.collect().map(_.get(0)).toSeq
+      val corpusHits =
+        if (ids.size <= maxIsin)
+          frag.readWhere(col("doc_id").isin(ids: _*))
+        else frag.read().map(_.join(broadcast(ks), Seq("doc_id"), "left_semi"))
+      corpusHits.foreach { corpusRows =>
           val bandRows = graft.ext.IngestOps.bandRowsOfSigs(
             corpusRows.select("doc_id", "sig")
               .join(broadcast(ks), Seq("doc_id"), "left_semi"), bands)
@@ -1043,12 +1077,22 @@ object StreamingOps {
                     sigStore: graft.runtime.BucketedFragmentStore,
                     bandStore: graft.runtime.BucketedFragmentStore,
                     keys: DataFrame,
-                    numHashes: Int = 32, bands: Int = 8): Unit = {
+                    numHashes: Int = 32, bands: Int = 8,
+                    maxIsin: Int = graft.ext.IngestOps.DefaultMaxIsin): Unit = {
     val ks = keys.select(col("doc_id")).distinct().persist()
     try {
-      sigStore.readWhere(col("doc_id").isin(
-          ks.collect().map(_.get(0)).toSeq: _*))
-        .foreach { sigRows =>
+      // isin-regime switch (VERDICT r15 task 3): mirror of the ingest
+      // verify closure's rule — small forget batches push the literal
+      // into the scan, large ones take the routed bucket union (the
+      // sig store is doc_id-routed, same as the ingest probe at the
+      // appendDedupNearDupRoutedCounted call site). Regime equality is
+      // pinned by FragmentedSinkSpec across a tiny threshold.
+      val ids = ks.collect().map(_.get(0)).toSeq
+      val sigHits =
+        if (ids.size <= maxIsin)
+          sigStore.readWhere(col("doc_id").isin(ids: _*))
+        else sigStore.readRouted(ids)
+      sigHits.foreach { sigRows =>
           val bandRows = graft.ext.IngestOps.bandRowsOf(
             sigRows.join(broadcast(ks), Seq("doc_id"), "left_semi"),
             bands, numHashes / bands)
@@ -1229,7 +1273,8 @@ object StreamingOps {
                                        indexPath: String,
                                        profile: graft.ext.IndexProfile,
                                        threshold: Double,
-                                       compactEvery: Long = 0L): DataStreamWriter[Row] = {
+                                       compactEvery: Long = 0L,
+                                       maxIsin: Int = graft.ext.IngestOps.DefaultMaxIsin): DataStreamWriter[Row] = {
     // Repair runs at CONSTRUCTION and then only on the compaction
     // cadence — not per trigger. The r12 embed soak measured the
     // per-trigger form (corpus↔indexedIds anti-join, O(corpus)) as a
@@ -1256,23 +1301,45 @@ object StreamingOps {
             // id-level replay absorption as a POINT PROBE: batch ids are
             // bounded by contract, so collect them and key-probe the
             // corpus (bucket routing + key-pushdown scan — I/O ∝ batch)
-            // instead of anti-joining the whole corpus per trigger
+            // instead of anti-joining the whole corpus per trigger.
+            // The collect is LIMIT-bounded to decide the regime
+            // (VERDICT r15 task 3): at or below DefaultMaxIsin the
+            // result IS the full id set and drives the literal probe;
+            // one row over means a huge batch, which switches to the
+            // broadcast-semi-join cluster fallback so the probe plan
+            // never embeds 10⁵ literals. Regime equality is pinned by
+            // StreamingSpec across a tiny `maxIsin`.
             val batchIds = batchDeduped.select(col("vec_id"))
-              .collect().map(_.get(0)).toSeq
-            val liveIds: Seq[Any] =
-              if (batchIds.isEmpty) Nil
-              else frag.readWhere(col("vec_id").isin(batchIds: _*)) match {
-                case None => Nil
-                case Some(hit) => hit.select(col("vec_id"))
-                  .collect().map(_.get(0)).toSeq
-              }
-            // NULL vec_id rows pass (isin's three-valued negation would
-            // silently drop them) — parity with the old corpus anti-join
-            // and with appendDedupExactRouted's null-keep contract
+              .where(col("vec_id").isNotNull).distinct()
+              .limit(maxIsin + 1).collect().map(_.get(0)).toSeq
             val fresh =
-              if (liveIds.isEmpty) batchDeduped
-              else batchDeduped.filter(
-                col("vec_id").isNull || !col("vec_id").isin(liveIds: _*))
+              if (batchIds.isEmpty) batchDeduped
+              else if (batchIds.size <= maxIsin) {
+                val liveIds: Seq[Any] =
+                  frag.readWhere(col("vec_id").isin(batchIds: _*)) match {
+                    case None => Nil
+                    case Some(hit) => hit.select(col("vec_id"))
+                      .collect().map(_.get(0)).toSeq
+                  }
+                // NULL vec_id rows pass (isin's three-valued negation
+                // would silently drop them) — parity with the corpus
+                // anti-join and appendDedupExactRouted's null-keep rule
+                if (liveIds.isEmpty) batchDeduped
+                else batchDeduped.filter(
+                  col("vec_id").isNull || !col("vec_id").isin(liveIds: _*))
+              } else frag.read() match {
+                // cluster fallback: O(corpus) scan, literal-free plan —
+                // live ids come off a broadcast semi-join, and the
+                // anti-join keeps NULL vec_id rows by join semantics
+                // (no equality match → row kept)
+                case None => batchDeduped
+                case Some(corpus) =>
+                  val live = corpus.select(col("vec_id")).join(
+                    broadcast(batchDeduped.select(col("vec_id"))
+                      .where(col("vec_id").isNotNull).distinct()),
+                    Seq("vec_id"), "left_semi")
+                  batchDeduped.join(live, Seq("vec_id"), "left_anti")
+              }
             if (!idxExists) {
               frag.read().foreach(c =>
                 VectorIndex.build(c, indexPath, profile))
@@ -1284,7 +1351,9 @@ object StreamingOps {
               .select(col("query_id").as("vec_id")).distinct()
             fresh.join(broadcast(hits), Seq("vec_id"), "left_anti")
         }
-        if (!survivors.isEmpty) {
+        // finally (ADVICE r15): a failing commit must not leak the
+        // trigger's pinned batch across in-process query restarts
+        try { if (!survivors.isEmpty) {
           // pin the batch: the survivors plan embeds index state (the
           // tombstone anti-join inside search) whose files a resurrect
           // maintain below DELETES — the index append re-executes the
@@ -1314,8 +1383,7 @@ object StreamingOps {
             if (idx.append(pinned).maintenanceRecommended ||
                 (cadenceTick && idx.maintenanceDue())) idx.maintain()
           }
-        }
-        batchDeduped.unpersist(false)
+        } } finally { batchDeduped.unpersist(false); () }
         if (cadenceTick) cadenceFold(frag)
         ()
     }

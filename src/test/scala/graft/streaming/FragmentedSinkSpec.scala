@@ -287,6 +287,68 @@ class FragmentedSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupForget: routed-bucket regime above maxIsin matches the literal regime") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.runtime.BucketedFragmentStore
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "fgr", "doc_id")
+    val sigS = BucketedFragmentStore(spark, dir, "fgr__sigs", "doc_id", buckets = 4)
+    val bandS = BucketedFragmentStore(spark, dir, "fgr__sigbands", "__bk",
+      buckets = 8, routeCol = Some("band_key"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestNearDupBandedSink(
+      in.toDF().toDF("doc_id", "text"), frag, sigS, bandS, threshold = 0.8).start()
+    try {
+      in.addData((1L, "a b c d e f g h i j"), (2L, "z1 z2 z3 z4 z5"),
+        (3L, "q1 q2 q3 q4 q5 q6"))
+      q.processAllAvailable()
+      // 3 keys > maxIsin=1 forces sigStore.readRouted; absent key 99
+      // rides along (a GDPR batch routinely names never-ingested docs)
+      StreamingOps.nearDupForget(frag, sigS, bandS,
+        Seq(1L, 3L, 99L).toDF("doc_id"), maxIsin = 1)
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet == Set(2L))
+      assert(sigS.read().get.select("doc_id").as[Long].collect().toSet == Set(2L))
+      assert(bandS.read().get.select("doc_id").as[Long].collect().toSet == Set(2L),
+        "band rows must tombstone out in the routed regime too")
+      // witness gone: the forgotten content's near-dup re-ingests
+      in.addData((11L, "a b c d e f g h i j k"))
+      q.processAllAvailable()
+      assert(frag.read().get.select("doc_id").as[Long].collect().toSet
+        == Set(2L, 11L))
+    } finally q.stop()
+  }
+
+  test("facade embed sink: cluster-fallback replay regime (maxIsin=0) matches the point-probe") {
+    import graft.ext.VectorFixtures.synthVec
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val frag = new FragmentedTable(spark, dir, "vvecs_fb", "vec_id")
+    val idxPath = s"$dir/vvecs_fb.vecindex"
+    def corpus: Set[Long] = frag.read()
+      .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val in = MemoryStream[(Long, Seq[Float])]
+    // maxIsin = 0: every non-empty batch exceeds the literal budget, so
+    // the replay probe always takes the broadcast-semi-join fallback —
+    // behavior must match the point-probe regime the sibling test pins
+    val q = StreamingOps.corpusIngestEmbedVectorIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), frag, idxPath,
+      graft.ext.IndexProfile(exactFloor = 0L), threshold = 0.99,
+      maxIsin = 0).start()
+    try {
+      in.addData((1L, synthVec(1)), (2L, synthVec(2)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L), corpus.toString)
+      // replayed id absorbed by the fallback anti-join; novel id kept
+      in.addData((1L, synthVec(1)), (3L, synthVec(60)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 3L), corpus.toString)
+      // full-trigger replay: nothing re-enters
+      in.addData((1L, synthVec(1)), (3L, synthVec(60)))
+      q.processAllAvailable()
+      assert(corpus == Set(1L, 2L, 3L), corpus.toString)
+    } finally q.stop()
+  }
+
   test("banded near-dup sink: forget crash between deletes + repair resurrects; RETRIED forget completes") {
     // nearDupForget's scaladoc contract: a crash after the band delete
     // but before the sig/corpus deletes leaves the doc fully live, a

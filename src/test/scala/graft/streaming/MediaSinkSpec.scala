@@ -189,6 +189,53 @@ class MediaSinkSpec extends SparkSpec {
     assert(sigWav == aSig)
   }
 
+  test("partial band-row crash window: construction repair backfills at band-ROW granularity") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val (frag, rej, bands) = stores(dir)
+    // corpus committed with sigs; the band upsert died mid per-bucket
+    // adopt (kill -9): doc 10 kept only 3 of its 8 chunk rows, doc 20
+    // kept none — the ADVICE r15 scenario. A doc-granularity repair
+    // skipped doc 10 forever (its doc_id was "present"), and its
+    // replay hamming-0-dropped against the surviving row, so the
+    // missing chunk rows were never rewritten and pigeonhole recall
+    // (maxDist ≤ bands−1 needs all chunks indexed) silently degraded.
+    val signed = MultimodalOps.mediaValidateAndSig(
+      pics(Seq(10L, 20L), "png").toDF("doc_id", "media")).drop("media_ok")
+    frag.upsert(signed)
+    val allRows = IngestOps.bandRowsOfSigs(signed.select("doc_id", "sig"), 8)
+    bands.upsert(allRows.filter(col("doc_id") === 10L).limit(3))
+    assert(bands.read().get.count() == 3L)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.corpusIngestMediaSink(
+      in.toDF().toDF("doc_id", "media"), frag, rej, bands, maxDist = 6).start()
+    try {
+      val counts = bands.read().get.groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(counts == Map(10L -> 8L, 20L -> 8L), counts.toString)
+    } finally q.stop()
+  }
+
+  test("sigBandForget: broadcast-semi-join regime above maxIsin matches the literal regime") {
+    implicit val sqlCtx = spark.sqlContext
+    val (frag, rej, bands) = stores(freshDir())
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.corpusIngestMediaSink(
+      in.toDF().toDF("doc_id", "media"), frag, rej, bands, maxDist = 6).start()
+    try {
+      in.addData(pics(Seq(10L, 20L, 30L), "png"))
+      q.processAllAvailable()
+      // 3 keys > maxIsin=1 forces the cluster-fallback (broadcast
+      // semi-join) regime; the absent key 99 must not disturb it
+      StreamingOps.sigBandForget(frag, bands,
+        Seq(10L, 20L, 99L).toDF("doc_id"), maxIsin = 1)
+      assert(ids(frag) == Set(30L), ids(frag).toString)
+      assert(bands.read().get.select("doc_id").distinct()
+        .as[Long].collect().toSet == Set(30L),
+        "band tombstones must land in the fallback regime too")
+    } finally q.stop()
+  }
+
   test("media sink refuses a band store not routed by band_key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = freshDir()
