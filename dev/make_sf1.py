@@ -14,8 +14,20 @@ instead of exploding it:
 - embeddings: each replica adds a small deterministic per-replica
   jitter and renormalizes - same geometry, no exact cross-replica
   twins.
-- all other tables are hard-linked unchanged (the sweep families read
-  only documents/embeddings; Sources just needs the files present).
+- events: replicated with id offsets that are multiples of
+  lcm(3..13)=360360, so every RefShapes `eid % k` derivation produces
+  the SAME value domains per replica (the model pipelines see 10x rows
+  with an unchanged distribution, not a new workload), AND with
+  timestamps offset by r*(span+1day) per replica: 10x HISTORY at the
+  same event rate, not 10x density. Keeping timestamps identical
+  would square every time-containment interaction - the first smoke
+  measured q_ext_interval_join at 112x cost for 10x input because
+  every replica's 72h windows contained every replica's events; the
+  time offset zeroes cross-replica containment exactly the way the
+  replica token zeroes cross-replica Jaccard (VERDICT r15 task 6).
+- all other tables are hard-linked unchanged (those families read
+  only documents/embeddings/events; Sources just needs the files
+  present).
 
 Usage: python3 dev/make_sf1.py [outdir]   (default /tmp/sf1)
        SF1_REPLICAS=40 python3 dev/make_sf1.py /tmp/sf4   (4x sf1 — the
@@ -88,9 +100,43 @@ pq.write_table(pa.Table.from_pandas(alle, preserve_index=False),
                f"{OUT}/embeddings.parquet")
 print(f"embeddings: {len(emb)} -> {len(alle)} rows")
 
+# events: replicate with id offsets, keep timestamps/values/props.
+# Offset is a multiple of lcm(3,4,5,6,7,8,9,11,13)=360360 and larger
+# than any sf0.1 id, so replica ids never collide AND every
+# RefShapes modulo-derived column (useragent, refr_medium, ...) is
+# byte-identical across replicas - same distribution, 10x the rows.
+# pyarrow-native (no pandas) to preserve the stored timestamp type.
+ev = pq.read_table(f"{SRC}/events.parquet")
+OFFSET = 720720
+assert max(ev["event_id"].to_pylist()) < OFFSET and \
+       max(ev["user_id"].to_pylist()) < OFFSET
+import pyarrow.compute as pc
+ts_us = pc.cast(ev["ts"], pa.int64())
+span_us = pc.max(ts_us).as_py() - pc.min(ts_us).as_py() + 86_400_000_000
+ts_type = ev.schema.field("ts").type
+parts = []
+for r in range(REPLICAS):
+    t = ev
+    if r > 0:
+        t = t.set_column(t.schema.get_field_index("event_id"), "event_id",
+                         pc.add(t["event_id"], r * OFFSET))
+        t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
+                         pc.add(t["user_id"], r * OFFSET))
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pc.cast(pc.add(ts_us, r * span_us), ts_type))
+    parts.append(t)
+allev = pa.concat_tables(parts)
+# the pre-r16 synthesizer HARD-LINKED events.parquet from SRC: writing
+# through that link would truncate the read-only fixture's inode, so
+# unlink before writing
+if os.path.exists(f"{OUT}/events.parquet"):
+    os.remove(f"{OUT}/events.parquet")
+pq.write_table(allev, f"{OUT}/events.parquet")
+print(f"events: {ev.num_rows} -> {allev.num_rows} rows")
+
 # everything else: hard-link unchanged
 for f in os.listdir(SRC):
-    if f in ("documents.parquet", "embeddings.parquet"):
+    if f in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         continue
     dst = os.path.join(OUT, f)
     if os.path.exists(dst):

@@ -112,7 +112,23 @@ object Bench {
     // cost and the band probe shape must hold at 10× docs
     "q_ext_media_ingest_compose",
     // r15: the simhash-routed text tier — flatness at 10x is its claim
-    "q_ext_ingest_simhash_routed")
+    "q_ext_ingest_simhash_routed",
+    // r16 additions (VERDICT r15 task 6): make_sf1 now replicates the
+    // EVENTS table 10× (id offsets ≡ 0 mod lcm(3..13) keep every
+    // RefShapes modulo-derived domain byte-identical per replica), so
+    // the model families' FULL builds — the dbt-equivalent headline
+    // surface — and the event-derived analytics rows finally run on a
+    // genuinely 10× input instead of a hard-linked sf0.1 one. The
+    // _incr rows above predate this and measured gate shape only.
+    "q_model_daily", "q_model_pages", "q_model_leads",
+    "q_model_daily_sql", "q_model_pages_sql", "q_model_leads_sql",
+    "q_ext_sessionize", "q_ext_sessionize_sql", "q_ext_funnel",
+    "q_ext_retention", "q_ext_session_window", "q_ext_sliding_window",
+    "q_ext_interval_join", "q_ext_asof_attrib", "q_ext_locf",
+    "q_ext_interpolate",
+    // the reference-mandated global ROW_NUMBER (single-partition window,
+    // PlanAudit-flagged) — the one known scale cliff worth a 10× number
+    "q_w2_global_id")
 
   /** Host-throughput canary (VERDICT r14 task 3): a fixed, deterministic,
     * Spark-free, single-threaded 64-bit-mix loop (splitmix64 finalizer)
@@ -150,6 +166,50 @@ object Bench {
       val t0 = System.nanoTime(); sink ^= pass(n); (System.nanoTime() - t0) / 1e9
     }.min
     if (sink == 42L) println("[bench] canary sink") // defeat dead-code elim
+    math.round(t * 10000.0) / 10000.0
+  }
+
+  /** I/O-throughput canary (VERDICT r15 task 7): the CPU canary is
+    * pure-compute by design and therefore BLIND to storage-path
+    * contention — page-cache pressure, dirty-writeback throttling,
+    * neighbor I/O — which steals from parquet-scan/write-heavy rows
+    * while the splitmix64 loop reads normal. This second normalizer
+    * writes a fixed 256 MB (8 MB chunks), fsyncs once, reads it back,
+    * and deletes — against the WORKING directory, the same filesystem
+    * the bench's store writes land on. Min of 2 timed passes after a
+    * warmup pass (page cache + JIT). Flag normalization divides by the
+    * max of the two canary ratios (BASELINE.md rule 3a): a host sagging
+    * on either axis discounts every row before `real` classification.
+    * Neither canary sees allocator/GC contention inside OTHER JVMs
+    * sharing the host — that confound class still needs a re-measure.
+    */
+  private def ioCanarySec(): Double = {
+    val path = Paths.get("bench_io_canary.tmp")
+    val chunk = new Array[Byte](8 << 20)
+    java.util.Arrays.fill(chunk, 0x5A.toByte)
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(path,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < 32) { ch.write(java.nio.ByteBuffer.wrap(chunk)); i += 1 }
+        ch.force(false)
+      } finally ch.close()
+      var acc = 0L
+      val in = java.nio.channels.FileChannel.open(path, StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(8 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { acc += n; buf.clear(); n = in.read(buf) }
+      } finally in.close()
+      if (acc == 42L) println("[bench] io canary sink") // defeat DCE
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // page-cache/JIT warmup
+    val t = (1 to 2).map(_ => pass()).min
+    Files.deleteIfExists(path)
     math.round(t * 10000.0) / 10000.0
   }
 
@@ -229,6 +289,7 @@ object Bench {
         .getSystemLoadAverage
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val canaryStart = canarySec()
+    val ioCanaryStart = ioCanarySec()
     val loadStart = load1()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -253,6 +314,7 @@ object Bench {
     }
     val loadEnd = load1()
     val canaryEnd = canarySec()
+    val ioCanaryEnd = ioCanarySec()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -266,23 +328,26 @@ object Bench {
     val hostCpus = Runtime.getRuntime.availableProcessors
     val host = s"""{"load1_start":$loadStart,"load1_end":$loadEnd,""" +
       s""""cpus":$hostCpus,"passes":$nPasses,""" +
-      s""""canary_start":$canaryStart,"canary_end":$canaryEnd}"""
+      s""""canary_start":$canaryStart,"canary_end":$canaryEnd,""" +
+      s""""io_canary_start":$ioCanaryStart,"io_canary_end":$ioCanaryEnd}"""
     // per-row verdicts vs a reference run (BASELINE.md's criterion,
     // applied mechanically so a truncated driver tail needs no closure
     // file as rebuttal)
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "dev/bench_ref.json")
-    val (refTimes: Map[String, Double], refCanary: Option[Double]) = {
+    val (refTimes: Map[String, Double], refCanary: Option[Double],
+         refIoCanary: Option[Double]) = {
       val p = Paths.get(refPath)
-      if (!Files.exists(p)) (Map.empty[String, Double], None)
+      if (!Files.exists(p)) (Map.empty[String, Double], None, None)
       else {
         // A dead adjudicator must be VISIBLE (ADVICE r11): when the ref
         // file exists but yields zero usable timings — regex drift, sf
         // mismatch, malformed body — say why instead of silently
         // degrading to "no reference present".
-        val loaded = scala.util.Try[Either[String, (Map[String, Double], Option[Double])]] {
+        val loaded = scala.util.Try[Either[String, (Map[String, Double], Option[Double], Option[Double])]] {
           val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
           // the ref run's own canary readings (absent in pre-r15 refs →
-          // normalization off, factor 1.0)
+          // normalization off, factor 1.0; io pair absent in pre-r16
+          // refs → the io normalizer alone stays off)
           def num(field: String): Option[Double] =
             (""""""" + field + """"\s*:\s*([0-9.eE+-]+)""").r
               .findFirstMatchIn(body).flatMap(m =>
@@ -290,10 +355,13 @@ object Bench {
           // min of the pair: a genuinely decayed host inflates BOTH
           // readings, while warm-JVM one-sided noise (measured ~15% on
           // the end reading) only inflates one
-          val cRef = (num("canary_start"), num("canary_end")) match {
-            case (Some(a), Some(b)) if a > 0 && b > 0 => Some(math.min(a, b))
-            case _ => None
-          }
+          def minPair(a: Option[Double], b: Option[Double]): Option[Double] =
+            (a, b) match {
+              case (Some(x), Some(y)) if x > 0 && y > 0 => Some(math.min(x, y))
+              case _ => None
+            }
+          val cRef = minPair(num("canary_start"), num("canary_end"))
+          val ioRef = minPair(num("io_canary_start"), num("io_canary_end"))
           // a reference from a DIFFERENT scale factor flags everything
           // (sf1 rows are 10× the sf0.1 reference by design): only
           // adjudicate same-sf runs
@@ -311,31 +379,44 @@ object Bench {
               }
             }.toMap).getOrElse(Map.empty[String, Double])
             if (parsed.isEmpty) Left("no parsable \"queries\" map in ref file")
-            else Right((parsed, cRef))
+            else Right((parsed, cRef, ioRef))
           }
         }.fold(e => Left(s"unreadable: ${e.getClass.getSimpleName}: ${e.getMessage}"), identity)
         loaded match {
           case Right(mc) => mc
           case Left(reason) =>
             println(s"[bench] reference file $refPath present but UNUSED ($reason) — flag adjudication is OFF this run")
-            (Map.empty[String, Double], None)
+            (Map.empty[String, Double], None, None)
         }
       }
     }
-    // host-throughput normalization (VERDICT r14 task 3): this run's
-    // per-core throughput relative to the reference run's, from the two
-    // canary pairs. factor > 1 means THIS host delivers less compute per
-    // second than the host the reference was measured on — every row's
-    // ratio-to-ref is divided by it before the 1.3× criterion applies,
-    // so uniform host sag stops masquerading as uniform regression.
-    // Clamped to ≥ 1.0: a FASTER host must not excuse a slower row.
+    // host-throughput normalization (VERDICT r14 task 3, widened r16
+    // task 7): this run's deliverable throughput relative to the
+    // reference run's, from TWO canary pairs — per-core compute
+    // (splitmix64 loop) and storage path (256 MB write+fsync+read).
+    // factor > 1 means THIS host delivers less than the host the
+    // reference was measured on; every row's ratio-to-ref is divided by
+    // the MAX of the two ratios before the 1.3× criterion applies, so
+    // uniform host sag on either axis stops masquerading as uniform
+    // regression. Clamped to ≥ 1.0 per axis: a FASTER host must not
+    // excuse a slower row. Confound classes NEITHER canary normalizes
+    // (BASELINE.md rule 3a): allocator/GC pressure inside other JVMs,
+    // scheduler latency spikes — those still require a cool-host
+    // re-measure to adjudicate.
     val thisCanary = math.min(canaryStart, canaryEnd)
-    val hostFactor = refCanary match {
+    val thisIoCanary = math.min(ioCanaryStart, ioCanaryEnd)
+    val cpuFactor = refCanary match {
       case Some(rc) if rc > 0 => math.max(1.0, thisCanary / rc)
       case _ => 1.0
     }
-    if (refCanary.isDefined)
-      println(f"[bench] canary: this run ${thisCanary}%.3fs vs ref ${refCanary.get}%.3fs -> host factor $hostFactor%.3f")
+    val ioFactor = refIoCanary match {
+      case Some(rc) if rc > 0 => math.max(1.0, thisIoCanary / rc)
+      case _ => 1.0
+    }
+    val hostFactor = math.max(cpuFactor, ioFactor)
+    if (refCanary.isDefined || refIoCanary.isDefined)
+      println(f"[bench] canary: cpu ${thisCanary}%.3fs vs ref ${refCanary.getOrElse(-1.0)}%.3fs (factor $cpuFactor%.3f), " +
+        f"io ${thisIoCanary}%.3fs vs ref ${refIoCanary.getOrElse(-1.0)}%.3fs (factor $ioFactor%.3f) -> host factor $hostFactor%.3f")
     // BASELINE.md's criterion, verbatim: (3) loaded host taints the file;
     // (2) spread only judges rows at/above 1 s (sub-second rows are
     // warmup-dominated — judged on absolute deltas, flagged as such).
@@ -421,6 +502,7 @@ object Bench {
       total = total, rows = timings.size, errorsCount = errors.size,
       contended = contended, hostFactor = hostFactor,
       canaryStart = canaryStart, canaryEnd = canaryEnd,
+      ioCanaryStart = ioCanaryStart, ioCanaryEnd = ioCanaryEnd,
       loadStart = loadStart, loadEnd = loadEnd,
       flagCounts = flags.values.groupBy(identity).map { case (k, v) => k -> v.size },
       worstReal = flaggedRanked.headOption.filter(_._2 == "real").map {

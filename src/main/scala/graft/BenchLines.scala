@@ -70,6 +70,7 @@ object BenchLines {
   def tailLine(
       total: Double, rows: Int, errorsCount: Int, contended: Boolean,
       hostFactor: Double, canaryStart: Double, canaryEnd: Double,
+      ioCanaryStart: Double, ioCanaryEnd: Double,
       loadStart: Double, loadEnd: Double,
       flagCounts: Map[String, Int],
       worstReal: Option[(String, Double, Double, Double)]): String = {
@@ -84,6 +85,7 @@ object BenchLines {
     s""""errors_count":$errorsCount,"contended":$contended,""" +
     s""""host_factor":${r4(hostFactor)},""" +
     s""""canary_start":${r4(canaryStart)},"canary_end":${r4(canaryEnd)},""" +
+    s""""io_canary_start":${r4(ioCanaryStart)},"io_canary_end":${r4(ioCanaryEnd)},""" +
     s""""load1_start":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
     s""""flag_counts":$counts,"worst_real":$worst}"""
   }

@@ -72,6 +72,7 @@ object Soak {
       case "quarantine" => SoakScenarios.quarantine(spark, sfDir, outPath)
       case "shrink"     => SoakScenarios.shrink(spark, sfDir, outPath)
       case "media"      => SoakScenarios.media(spark, sfDir, outPath)
+      case "simhash"    => SoakScenarios.simhash(spark, sfDir, outPath)
       case other => sys.error(s"unknown soak scenario '$other' " +
         "(neardup | embed | quarantine | shrink | media)")
     }

@@ -46,6 +46,7 @@ object SoakCrash {
   private[graft] val NearBase = 200000000L
   private[graft] val NullBase = 300000000L
   private[graft] val EmptyBase = 400000000L
+  private[graft] val WsBase = 500000000L
   private[graft] val DeleteEvery = 15
 
   private[graft] def loadSlices(spark: SparkSession, sfDir: String,
@@ -135,6 +136,82 @@ object SoakCrash {
       if (victims.nonEmpty) {
         logLine(s"FI $t")
         graft.streaming.StreamingOps.nearDupForget(st.frag, st.sigs, st.bands,
+          victims.toDF("doc_id"))
+        logLine(s"FD $t")
+      }
+      logLine(s"T $t")
+    }
+    q.stop()
+  }
+
+  // --------------------------------------------------- simhash scenario
+  // (VERDICT r15 task 4): the SimHash text sink shares the media sink's
+  // repair/forget machinery but until r16 had only spec-level coverage —
+  // this applies the media discipline (flatness soak + kill loop with
+  // crash-vs-clean set equality) to the cheap text rung. Injections are
+  // WHITESPACE TWINS of previous-slice docs: re-serializations whose
+  // distinct-token SimHash is hamming-0 identical to their source, so
+  // the drop claim is construction-exact, not probabilistic.
+
+  private[graft] def simhashInjectionsFor(t: Int,
+      slices: Array[Array[(Long, String)]]): Seq[(Long, String)] =
+    if (t == 0) Nil
+    else slices(t - 1).take(3).map { case (id, tx) =>
+      (WsBase + id, if (tx == null) tx else tx.replace(" ", "  \t "))
+    }.toSeq
+
+  private[graft] final case class SimHashStores(
+      frag: graft.runtime.FragmentedTable,
+      bands: graft.runtime.BucketedFragmentStore)
+
+  private[graft] def openSimHashStores(spark: SparkSession,
+      wh: String): SimHashStores =
+    SimHashStores(
+      new graft.runtime.FragmentedTable(spark, wh, "scorpus", "doc_id"),
+      graft.runtime.BucketedFragmentStore(spark, wh, "scorpus__sigbands",
+        "__bk", buckets = 4, routeCol = Some("band_key")))
+
+  /** Run triggers [from, until) through a fresh SimHash banded sink,
+    * journaling progress + forget intents when a journal path is
+    * supplied (same T/FI/FD protocol as the banded scenario; forgets go
+    * through [[graft.streaming.StreamingOps.sigBandForget]]'s
+    * caller-must-retry contract).
+    */
+  private[graft] def runSimHashTriggers(spark: SparkSession, wh: String,
+      slices: Array[Array[(Long, String)]], from: Int, until: Int,
+      journal: Option[java.nio.file.Path]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val st = openSimHashStores(spark, wh)
+    def logLine(s: String): Unit = journal.foreach { p =>
+      Files.write(p, (s + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+        StandardOpenOption.DSYNC)
+    }
+    journal.filter(Files.exists(_)).foreach { p =>
+      val lines = Files.readAllLines(p).asScala
+      def nums(prefix: String): Seq[Int] = lines.collect {
+        case l if l.startsWith(prefix) =>
+          scala.util.Try(l.drop(prefix.length).trim.toInt).toOption
+      }.flatten.toSeq
+      val done = nums("FD ").toSet
+      nums("FI ").distinct.filterNot(done).foreach { t =>
+        graft.streaming.StreamingOps.sigBandForget(st.frag, st.bands,
+          victimsFor(t, slices).toDF("doc_id"))
+        logLine(s"FD $t")
+      }
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestSimHashBandedSink(
+      in.toDF().toDF("doc_id", "text"), st.frag, st.bands,
+      maxDist = 3, compactEvery = 8L).start()
+    (from until until).foreach { t =>
+      in.addData(slices(t).toSeq ++ simhashInjectionsFor(t, slices))
+      q.processAllAvailable()
+      val victims = victimsFor(t, slices)
+      if (victims.nonEmpty) {
+        logLine(s"FI $t")
+        graft.streaming.StreamingOps.sigBandForget(st.frag, st.bands,
           victims.toDF("doc_id"))
         logLine(s"FD $t")
       }
@@ -312,7 +389,7 @@ object SoakCrash {
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("soak_crash_out.json")
     val scenario = sys.env.getOrElse("SPARK_GRAFT_CRASH_SCENARIO", "banded")
-    require(Set("banded", "quarantine", "embed", "media")(scenario),
+    require(Set("banded", "quarantine", "embed", "media", "simhash")(scenario),
       s"unknown crash scenario '$scenario'")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -517,6 +594,50 @@ object SoakCrash {
           ("deletions_invisible", delVisible == 0,
             s"visible rows across corpus+bands: $delVisible"))
 
+      case "simhash" =>
+        val slices = loadSlices(spark, sfDir, nTriggers, sliceSize)
+        slicesRan = slices.length
+        runSimHashTriggers(spark, whClean, slices, 0, slices.length, journal = None)
+        val crash = openSimHashStores(spark, whCrash)
+        val clean = openSimHashStores(spark, whClean)
+        val corpusCrash = keySet(crash.frag.read(), "doc_id")
+        val corpusClean = keySet(clean.frag.read(), "doc_id")
+        val bandsCrash = keySet(crash.bands.read(), "__bk")
+        val bandsClean = keySet(clean.bands.read(), "__bk")
+        // whitespace-twin drops are hamming-0 exact: every twin whose
+        // source is live must be absent (it can only be absent — it
+        // either dropped against its source or against another doc)
+        val twinPairs = (1 until slices.length)
+          .flatMap(t => slices(t - 1).take(3)
+            .filter(_._2 != null)
+            .map { case (id, _) => (WsBase + id, id) }).toSet
+        val eligible = twinPairs.filter(p => corpusCrash(p._2))
+        val twinDropped = eligible.count(p => !corpusCrash(p._1))
+        val twinRecall =
+          if (eligible.isEmpty) 1.0 else twinDropped.toDouble / eligible.size
+        val deleted = (1 until slices.length)
+          .flatMap(t => victimsFor(t, slices)).toSet
+        val bandDocsCrash = keySet(crash.bands.read(), "doc_id")
+        val delVisible =
+          corpusCrash.count(a => deleted.contains(a.asInstanceOf[Long])) +
+          bandDocsCrash.count(a => deleted.contains(a.asInstanceOf[Long]))
+        // a twin coexisting with its live source is the violation (the
+        // hamming-0 pair survived together); a twin alone is legitimate
+        // — its witness was itself dropped or later forgotten
+        val corpusTwins = corpusCrash.count { a =>
+          val id = a.asInstanceOf[Long]
+          id >= WsBase && corpusCrash(id - WsBase)
+        }
+        Seq(
+          matchCheck("corpus_match", corpusCrash, corpusClean),
+          matchCheck("bands_match", bandsCrash, bandsClean),
+          ("ws_twin_recall", twinRecall >= 0.999,
+            f"$twinRecall%.4f >= 0.999 (${eligible.size} source-live twins)"),
+          ("no_coexisting_twin", corpusTwins == 0,
+            s"twin+source pairs coexisting in crash corpus: $corpusTwins"),
+          ("deletions_invisible", delVisible == 0,
+            s"visible rows across corpus+bands: $delVisible"))
+
       case "embed" =>
         val slices = loadVecSlices(spark, sfDir, nTriggers, sliceSize)
         slicesRan = slices.length
@@ -614,6 +735,10 @@ object SoakCrashChild {
       case "media" =>
         val slices = SoakMedia.loadIdSlices(spark, sfDir, nT.toInt, sz.toInt)
         SoakMedia.runTriggers(spark, wh, slices, from, slices.length,
+          Some(journal))
+      case "simhash" =>
+        val slices = SoakCrash.loadSlices(spark, sfDir, nT.toInt, sz.toInt)
+        SoakCrash.runSimHashTriggers(spark, wh, slices, from, slices.length,
           Some(journal))
       case _ =>
         val slices = SoakCrash.loadSlices(spark, sfDir, nT.toInt, sz.toInt)

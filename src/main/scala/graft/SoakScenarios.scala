@@ -632,6 +632,131 @@ private[graft] object SoakScenarios {
     pass
   }
 
+  // -------------------------------------------------------------- simhash
+
+  /** Flatness + correctness soak for the SimHash TEXT banded sink
+    * (VERDICT r15 task 4 — the media discipline applied to the cheap
+    * text rung). Trigger stream over the sfDir documents; each trigger
+    * injects whitespace TWINS of previous-slice docs (re-serializations
+    * whose distinct-token SimHash is hamming-0 identical to their
+    * source, so the drop claim is construction-exact); every
+    * DeleteEvery triggers forgets 100 docs via
+    * [[graft.streaming.StreamingOps.sigBandForget]]. Bounds enforced:
+    * fragment caps, twin drops exact (no twin coexists with its live
+    * source), deletions invisible in corpus AND band store, and
+    * per-trigger ingest slope ≤ 1.25 — the banded point probe's
+    * corpus-independence claim on the 8-bytes-per-doc rung.
+    */
+  def simhash(spark: SparkSession, sfDir: String, outPath: String): Boolean = {
+    val nTriggers = sys.env.getOrElse("SPARK_GRAFT_SOAK_TRIGGERS", "100").toInt
+    val checkpointEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_CHECKPOINT", "10").toInt
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val warehouse = Files.createTempDirectory("graft-soak-simhash").toString
+    val st = SoakCrash.openSimHashStores(spark, warehouse)
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val sliceSize = math.max(1, math.ceil(all.length.toDouble / nTriggers).toInt)
+    val slices = all.grouped(sliceSize).toArray
+    println(s"[soak-simhash] ${all.length} docs, ${slices.length} triggers of ~$sliceSize")
+
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.corpusIngestSimHashBandedSink(
+      in.toDF().toDF("doc_id", "text"), st.frag, st.bands,
+      maxDist = 3, compactEvery = 8L).start()
+
+    val twinPairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val deletedIds = scala.collection.mutable.LinkedHashSet[Long]()
+
+    final case class Cp(t: Int, corpusRows: Long, corpusFrags: Int,
+                        bandBucketMax: Int, diskMb: Double, ingestMsAvg: Double,
+                        twinElig: Long, twinDropped: Long, coexistTwins: Long,
+                        delVisible: Long)
+    val cps = scala.collection.mutable.ArrayBuffer[Cp]()
+    var windowMs = 0.0; var windowN = 0
+
+    def checkpoint(t: Int): Unit = {
+      val corpusIds = st.frag.read()
+        .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+      val eligible = twinPairs.filter(p => corpusIds(p._2))
+      val dropped = eligible.count(p => !corpusIds(p._1)).toLong
+      // the violation is a hamming-0 pair COEXISTING — a twin alone is
+      // legitimate (its witness was itself dropped or later forgotten)
+      val coexist = corpusIds.count(id =>
+        id >= SoakCrash.WsBase && corpusIds(id - SoakCrash.WsBase)).toLong
+      val bandDocIds = st.bands.read()
+        .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
+      val delVisible = deletedIds.count(corpusIds).toLong +
+        deletedIds.count(bandDocIds).toLong
+      cps += Cp(t, corpusIds.size.toLong, st.frag.fragmentCount(),
+        st.bands.fragmentCounts().maxOption.getOrElse(0), dirMb(warehouse),
+        if (windowN == 0) 0 else math.round(windowMs / windowN * 10) / 10.0,
+        eligible.length.toLong, dropped, coexist, delVisible)
+      windowMs = 0.0; windowN = 0
+      System.gc()
+      println(s"[soak-simhash] ${cps.last}")
+    }
+
+    slices.zipWithIndex.foreach { case (slice, t) =>
+      val injected = SoakCrash.simhashInjectionsFor(t, slices)
+      if (t > 0) twinPairs ++= slices(t - 1).take(3).filter(_._2 != null)
+        .map { case (id, _) => (SoakCrash.WsBase + id, id) }
+      val t0 = System.nanoTime()
+      in.addData(slice.toSeq ++ injected)
+      q.processAllAvailable()
+      windowMs += (System.nanoTime() - t0) / 1e6
+      windowN += 1
+      val victims = SoakCrash.victimsFor(t, slices)
+      if (victims.nonEmpty) {
+        graft.streaming.StreamingOps.sigBandForget(st.frag, st.bands,
+          victims.toDF("doc_id"))
+        deletedIds ++= victims
+      }
+      if ((t + 1) % checkpointEvery == 0 || t == slices.length - 1) checkpoint(t)
+    }
+    q.stop()
+
+    val FragBound = 20
+    val SideFragBound = 24
+    val SlopeBound = 1.25
+    val last = cps.last
+    val twinRecall =
+      if (last.twinElig == 0) 1.0 else last.twinDropped.toDouble / last.twinElig
+    val (earlyMs, lateMs, slope) = slopeOf(cps.map(_.ingestMsAvg).toIndexedSeq)
+    val checks: Seq[(String, Boolean, String)] = Seq(
+      ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
+        s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
+      ("band_frag_bound", cps.map(_.bandBucketMax).max <= SideFragBound,
+        s"max per-bucket ${cps.map(_.bandBucketMax).max} <= $SideFragBound"),
+      ("ws_twin_recall", twinRecall >= 0.999,
+        f"$twinRecall%.4f >= 0.999 (${last.twinElig} source-live twins)"),
+      ("no_coexisting_twin", cps.forall(_.coexistTwins == 0),
+        s"max coexisting twin+source pairs ${cps.map(_.coexistTwins).max}"),
+      ("deletions_invisible", cps.forall(_.delVisible == 0),
+        s"max visible (corpus+bands) ${cps.map(_.delVisible).max}"),
+      ("ingest_flat", slope <= SlopeBound,
+        f"late $lateMs%.1f ms / early $earlyMs%.1f ms = $slope%.3f <= $SlopeBound"))
+    val pass = checks.forall(_._2)
+
+    def j(cp: Cp): String =
+      s"""{"t":${cp.t},"corpus_rows":${cp.corpusRows},"corpus_frags":${cp.corpusFrags},""" +
+      s""""band_bucket_max":${cp.bandBucketMax},"disk_mb":${cp.diskMb},""" +
+      s""""ingest_ms_avg":${cp.ingestMsAvg},""" +
+      s""""twin_elig":${cp.twinElig},"twin_dropped":${cp.twinDropped},""" +
+      s""""coexist_twins":${cp.coexistTwins},"del_visible":${cp.delVisible}}"""
+    val json =
+      s"""{"soak":"simhash_ingest_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"triggers":${slices.length},""" +
+      s""""slice_size":$sliceSize,"delete_every":${SoakCrash.DeleteEvery},""" +
+      s""""pass":$pass,"checks":{${checksJson(checks)}},""" +
+      s""""checkpoints":[${cps.map(j).mkString(",")}]}"""
+    writeJson(outPath, json)
+    graft.runtime.Fs.deleteRecursive(Paths.get(warehouse))
+    reportFailures(checks)
+    pass
+  }
+
   // --------------------------------------------------------------- shrink
 
   /** Grow-then-shrink re-sharding soak (VERDICT r11 task 8): the banded

@@ -18,6 +18,7 @@ class BenchLinesSpec extends AnyFunSuite {
       total = 123456.789123, rows = 99999, errorsCount = 99999,
       contended = false, hostFactor = 123.456789,
       canaryStart = 123.456789, canaryEnd = 123.456789,
+      ioCanaryStart = 123.456789, ioCanaryEnd = 123.456789,
       loadStart = 12345.6789, loadEnd = 12345.6789,
       flagCounts = Map("real" -> 99999, "noisy" -> 99999,
         "contention" -> 99999, "subsecond" -> 99999),
@@ -36,7 +37,9 @@ class BenchLinesSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     assert(node.get("metric").asText == "tail")
     for (f <- Seq("total", "rows", "errors_count", "contended", "host_factor",
-                  "canary_start", "canary_end", "load1_start", "load1_end",
+                  "canary_start", "canary_end",
+                  "io_canary_start", "io_canary_end",
+                  "load1_start", "load1_end",
                   "flag_counts", "worst_real"))
       assert(node.has(f), s"missing field $f in $line")
     assert(node.get("worst_real").get("row").asText == "q_ext_ingest_neardup")
