@@ -174,6 +174,39 @@ object EventOps {
         coalesce(col("__np"), lit(0L)).as("n_purchases"))
   }
 
+  /** [[dailyActivitySpine]] bounded to each user's OWN active span
+    * [min day, max day] instead of the platform-global range. The
+    * global spine's output is users × platform-days — at the r16 sf1
+    * tier (10× users over 10× history) that squared to 100× rows and
+    * `q_ext_interpolate` read 80.5 s for 10× input; bounded, the
+    * output is Σ per-user spans (∝ input when history grows by adding
+    * users-with-their-own-windows, the honest corpus-growth mode) and
+    * the rows a user never influences (before first / after last
+    * observation, where LOCF emits the default forever and
+    * interpolation just extends an edge) are not manufactured at all.
+    * Use the global form only when the dense user×day MATRIX is the
+    * deliverable (`q_ext_date_spine`); use this for densify-then-fill
+    * pipelines. Same output schema.
+    */
+  def dailyActivitySpineBounded(events: DataFrame,
+                                userCol: String = "user_id",
+                                tsCol: String = "ts",
+                                typeCol: String = "event_type"): DataFrame = {
+    val daily = events.groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__ne"),
+        sum(when(col(typeCol) === "purchase", 1L).otherwise(0L)).as("__np"))
+    // span agg reuses daily's (user, day) exchange: groupBy(user) after
+    // groupBy(user, day) is a partial re-aggregation, not a new scan
+    val span = daily.groupBy(col(userCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    span.select(col(userCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(daily, Seq(userCol, "day"), "left")
+      .select(col(userCol), col("day"),
+        coalesce(col("__ne"), lit(0L)).as("n_events"),
+        coalesce(col("__np"), lit(0L)).as("n_purchases"))
+  }
+
   /** Per-key forward fill (LOCF — last observation carried forward):
     * `filled` is the most recent non-null `valueCol` at-or-before each
     * row in `orderCol` order within its partition, `default` before the

@@ -90,10 +90,13 @@ object EventQueries {
     // dense user×day matrix with zero-fill (494 silent cells at sf0.01)
     "q_ext_date_spine" -> ((s, dir) =>
       EventOps.dailyActivitySpine(Sources(s, dir).events)),
-    // LOCF densify over the spine: silent days carry the last active
-    // day's count forward; -1 before a user's first activity
+    // LOCF densify over the per-user-BOUNDED spine (r16: the global
+    // spine is users × platform-days — 100× rows at the 10×-users/
+    // 10×-history sf1 tier; bounded output is Σ per-user spans). The
+    // -1 default is unreachable on a bounded spine (day 1 is an
+    // observation) but kept for the forwardFill contract.
     "q_ext_locf" -> ((s, dir) => {
-      val spine = EventOps.dailyActivitySpine(Sources(s, dir).events)
+      val spine = EventOps.dailyActivitySpineBounded(Sources(s, dir).events)
         .withColumn("__v", when(col("n_events") > 0, col("n_events")))
       EventOps.forwardFill(spine, Seq("user_id"), "day", "__v", lit(-1L))
         .select(col("user_id"), col("day"), col("filled"))
@@ -108,9 +111,10 @@ object EventQueries {
           col("event_type"), col("n"), col("uniq"))),
     // linear interpolation across silent days (LOCF's other half):
     // missing cells take the straight line between surrounding
-    // observations, nearest-edge outside them
+    // observations — per-user-BOUNDED spine (r16), so the edge-
+    // extension rows outside a user's span are never manufactured
     "q_ext_interpolate" -> ((s, dir) => {
-      val spine = EventOps.dailyActivitySpine(Sources(s, dir).events)
+      val spine = EventOps.dailyActivitySpineBounded(Sources(s, dir).events)
         .withColumn("__v", when(col("n_events") > 0, col("n_events")))
         .withColumn("__pos", datediff(col("day"), to_date(lit("1970-01-01"))))
       EventOps.interpolateLinear(spine, Seq("user_id"), "__pos", "__v")
@@ -245,22 +249,21 @@ object EventQueries {
          |FROM u CROSS JOIN days
          |LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day""".stripMargin),
     "q_ext_locf" ->
-      ("""WITH b AS (
-         |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
-         |), days AS (
-         |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
-         |), u AS (
-         |  SELECT DISTINCT user_id FROM events
-         |), daily AS (
+      ("""WITH daily AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS ne
          |  FROM events GROUP BY 1, 2
+         |), span AS (
+         |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+         |), sp AS (
+         |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM span
          |)
-         |SELECT u.user_id, days.day,
+         |SELECT sp.user_id, sp.day,
          |  CAST(COALESCE(last_value(d.ne IGNORE NULLS) OVER
-         |    (PARTITION BY u.user_id ORDER BY days.day
+         |    (PARTITION BY sp.user_id ORDER BY sp.day
          |     ROWS UNBOUNDED PRECEDING), -1) AS BIGINT) AS filled
-         |FROM u CROSS JOIN days
-         |LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day""".stripMargin),
+         |FROM sp
+         |LEFT JOIN daily d ON d.user_id = sp.user_id AND d.day = sp.day""".stripMargin),
     "q_ext_sliding_window" ->
       ("""WITH offs AS (SELECT unnest(range(0, 7)) AS o),
          |ev AS (SELECT CAST(ts AS DATE) AS d, event_type, user_id FROM events)
@@ -269,20 +272,19 @@ object EventQueries {
          |FROM ev CROSS JOIN offs
          |GROUP BY 1, 2""".stripMargin),
     "q_ext_interpolate" ->
-      ("""WITH b AS (
-         |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
-         |), days AS (
-         |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
-         |), u AS (
-         |  SELECT DISTINCT user_id FROM events
-         |), daily AS (
+      ("""WITH daily AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS ne
          |  FROM events GROUP BY 1, 2
+         |), span AS (
+         |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+         |), sp0 AS (
+         |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM span
          |), sp AS (
-         |  SELECT u.user_id, days.day, d.ne,
-         |    date_diff('day', DATE '1970-01-01', days.day) AS pos
-         |  FROM u CROSS JOIN days
-         |  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = days.day
+         |  SELECT sp0.user_id, sp0.day, d.ne,
+         |    date_diff('day', DATE '1970-01-01', sp0.day) AS pos
+         |  FROM sp0
+         |  LEFT JOIN daily d ON d.user_id = sp0.user_id AND d.day = sp0.day
          |), win AS (
          |  SELECT *,
          |    last_value(ne IGNORE NULLS) OVER wb AS pv,

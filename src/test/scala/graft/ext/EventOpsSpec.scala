@@ -102,6 +102,29 @@ class EventOpsSpec extends SparkSpec {
       (2L, "2024-01-01", 0L, 0L), (2L, "2024-01-02", 1L, 0L), (2L, "2024-01-03", 0L, 0L)))
   }
 
+  test("dailyActivitySpineBounded: per-user span only — zero-fill inside, no rows outside") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase"),
+      (1L, "2024-01-03 10:00:00", 2L, "view"),   // user 1 silent on the 2nd
+      (2L, "2024-01-02 10:00:00", 3L, "view"))   // user 2 active ONE day
+    val got = EventOps.dailyActivitySpineBounded(e)
+      .select(col("user_id"), col("day").cast("string"), col("n_events"), col("n_purchases"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    // user 2's spine is exactly its own [min, max] day — none of the
+    // global spine's edge rows (the users×platform-days blowup the r16
+    // sf1 tier measured as 100× rows for 10× input)
+    assert(got == Set(
+      (1L, "2024-01-01", 1L, 1L), (1L, "2024-01-02", 0L, 0L), (1L, "2024-01-03", 1L, 0L),
+      (2L, "2024-01-02", 1L, 0L)))
+    // and inside each user's span it agrees with the global spine
+    val globalInSpan = EventOps.dailyActivitySpine(e)
+      .join(EventOps.dailyActivitySpineBounded(e).select("user_id", "day"),
+        Seq("user_id", "day"), "left_semi")
+      .select(col("user_id"), col("day").cast("string"), col("n_events"), col("n_purchases"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(globalInSpan == got)
+  }
+
   test("forwardFill: carries last observation, default before the first") {
     val df = Seq(
       (1L, 1, Some(10L)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(7L)),
