@@ -312,6 +312,16 @@ object Bench {
       }
       hygiene()
     }
+    // SETTLE before the end stamp (r16): load1 is a ~1-minute EWMA, so
+    // the bench's OWN local[32] final rows leave it elevated for tens
+    // of seconds after the work stops — the r16 closure read
+    // load1_end 4.28 (> the 4.0 bound) on a host whose canaries were
+    // healthy and whose 5 flags all re-measured clean, stamping an
+    // honest run `contended`. 30 s of idle decays self-load by ~40%
+    // (e^-0.5) while genuine NEIGHBOR load, which persists, still
+    // reads through. The canaries run after the stamp (single-threaded,
+    // negligible EWMA contribution).
+    Thread.sleep(30000)
     val loadEnd = load1()
     val canaryEnd = canarySec()
     val ioCanaryEnd = ioCanarySec()
