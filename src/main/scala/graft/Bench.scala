@@ -128,7 +128,10 @@ object Bench {
     "q_ext_interpolate",
     // the reference-mandated global ROW_NUMBER (single-partition window,
     // PlanAudit-flagged) — the one known scale cliff worth a 10× number
-    "q_w2_global_id")
+    "q_w2_global_id",
+    // r17: its shipped scale-safe twin — the contrast number (md5 hash
+    // id, no global exchange) must stay flat where the quirk cliffs
+    "q_w2_scale_safe")
 
   /** Host-throughput canary (VERDICT r14 task 3): a fixed, deterministic,
     * Spark-free, single-threaded 64-bit-mix loop (splitmix64 finalizer)
@@ -184,7 +187,17 @@ object Bench {
     * sharing the host — that confound class still needs a re-measure.
     */
   private def ioCanarySec(): Double = {
-    val path = Paths.get("bench_io_canary.tmp")
+    // The canary file lands under java.io.tmpdir, NOT the process CWD
+    // (ADVICE r16): the bench's actual storage traffic — Spark shuffle
+    // spill (spark.local.dir defaults to java.io.tmpdir), the sink
+    // rows' fragment stores (Files.createTempDirectory), and the sf1
+    // tier's input under /tmp — rides the tmpdir mount, so a CWD file
+    // could normalize against a different device. The read-only
+    // testdata mount is never writable, so sfDir itself is not an
+    // option at sf0.1. try/finally so a throwing pass can't leak the
+    // 256 MB temp file.
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"bench_io_canary_${ProcessHandle.current().pid()}.tmp")
     val chunk = new Array[Byte](8 << 20)
     java.util.Arrays.fill(chunk, 0x5A.toByte)
     def pass(): Double = {
@@ -207,9 +220,66 @@ object Bench {
       if (acc == 42L) println("[bench] io canary sink") // defeat DCE
       (System.nanoTime() - t0) / 1e9
     }
-    pass() // page-cache/JIT warmup
-    val t = (1 to 2).map(_ => pass()).min
-    Files.deleteIfExists(path)
+    try {
+      pass() // page-cache/JIT warmup
+      val t = (1 to 2).map(_ => pass()).min
+      math.round(t * 10000.0) / 10000.0
+    } finally { Files.deleteIfExists(path); () }
+  }
+
+  /** Decode-axis canary (VERDICT r16 task 1): a fixed in-memory ImageIO
+    * decode loop — PNG + JPEG round-trips of a deterministic 256×256
+    * RGB image, encoded ONCE outside the timed window. The CPU and I/O
+    * canaries are demonstrably blind to this axis: the media decode
+    * family flagged `real` on byte-unchanged code in r13, r15, and
+    * twice in r16, each exonerated by a manual cool-host A/B —
+    * ImageIO throughput varies with host-day JIT/allocator behavior
+    * that neither a splitmix64 loop nor a 256 MB write+read sees. The
+    * resulting factor folds into flag normalization for MEDIA-family
+    * rows only (name contains "media"): a decode-axis sag must not
+    * discount text rows it cannot have touched. Same protocol as the
+    * siblings: GC quiesce, JIT warmup pass, min of 3 timed passes.
+    */
+  private def decodeCanarySec(): Double = {
+    import java.awt.image.BufferedImage
+    javax.imageio.ImageIO.setUseCache(false) // in-memory: this times DECODE, not disk
+    val img = new BufferedImage(256, 256, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 256) {
+      var x = 0
+      while (x < 256) {
+        var z = ((y.toLong << 32) | x.toLong) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = enc("png")
+    val jpg = enc("jpg")
+    def pass(n: Int): Long = {
+      var acc = 0L; var i = 0
+      while (i < n) {
+        val p = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val j = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+        acc += p.getRGB(i % 256, 7).toLong + j.getRGB(11, i % 256).toLong
+        i += 1
+      }
+      acc
+    }
+    System.gc(); Thread.sleep(200)
+    var sink = pass(20) // JIT warmup, result consumed below
+    val n = 400 // ~0.6 s per pass on this class of host (150 read 0.22 s)
+    val t = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); sink ^= pass(n); (System.nanoTime() - t0) / 1e9
+    }.min
+    if (sink == 42L) println("[bench] decode canary sink") // defeat DCE
     math.round(t * 10000.0) / 10000.0
   }
 
@@ -290,6 +360,7 @@ object Bench {
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val canaryStart = canarySec()
     val ioCanaryStart = ioCanarySec()
+    val decodeCanaryStart = decodeCanarySec()
     val loadStart = load1()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -312,19 +383,31 @@ object Bench {
       }
       hygiene()
     }
-    // SETTLE before the end stamp (r16): load1 is a ~1-minute EWMA, so
-    // the bench's OWN local[32] final rows leave it elevated for tens
-    // of seconds after the work stops — the r16 closure read
-    // load1_end 4.28 (> the 4.0 bound) on a host whose canaries were
-    // healthy and whose 5 flags all re-measured clean, stamping an
-    // honest run `contended`. 30 s of idle decays self-load by ~40%
-    // (e^-0.5) while genuine NEIGHBOR load, which persists, still
-    // reads through. The canaries run after the stamp (single-threaded,
-    // negligible EWMA contribution).
+    // SETTLE before the end stamp (r16, amended r17 per ADVICE): load1
+    // is a ~1-minute EWMA, so the bench's OWN local[32] final rows
+    // leave it elevated for tens of seconds after the work stops — the
+    // r16 closure read load1_end 4.28 (> the 4.0 bound) on a host whose
+    // canaries were healthy and whose 5 flags all re-measured clean,
+    // stamping an honest run `contended`. 30 s of idle decays self-load
+    // by ~40% (e^-0.5) while genuine NEIGHBOR load, which persists,
+    // still reads through. BUT the settle also decays real neighbor
+    // load that happens to end with the run's final rows — so BOTH
+    // stamps are recorded (raw at work-stop, settled after 30 s) and
+    // the settled value is only APPLIED to the contended verdict when
+    // both host-wide canary pairs are clean (no mid-run throughput
+    // decay on either axis); a run whose canaries sagged keeps the raw
+    // stamp. Adjudication always sees both numbers in the host JSON.
+    // The canaries run after the stamps (single-threaded, negligible
+    // EWMA contribution).
+    val loadEndRaw = load1()
     Thread.sleep(30000)
-    val loadEnd = load1()
+    val loadEndSettled = load1()
     val canaryEnd = canarySec()
     val ioCanaryEnd = ioCanarySec()
+    val decodeCanaryEnd = decodeCanarySec()
+    val canariesClean =
+      canaryEnd <= 1.15 * canaryStart && ioCanaryEnd <= 1.15 * ioCanaryStart
+    val loadEnd = if (canariesClean) loadEndSettled else loadEndRaw
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -337,27 +420,38 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val hostCpus = Runtime.getRuntime.availableProcessors
     val host = s"""{"load1_start":$loadStart,"load1_end":$loadEnd,""" +
+      s""""load1_end_raw":$loadEndRaw,"load1_end_settled":$loadEndSettled,""" +
+      s""""canaries_clean":$canariesClean,""" +
       s""""cpus":$hostCpus,"passes":$nPasses,""" +
       s""""canary_start":$canaryStart,"canary_end":$canaryEnd,""" +
-      s""""io_canary_start":$ioCanaryStart,"io_canary_end":$ioCanaryEnd}"""
+      s""""io_canary_start":$ioCanaryStart,"io_canary_end":$ioCanaryEnd,""" +
+      s""""decode_canary_start":$decodeCanaryStart,"decode_canary_end":$decodeCanaryEnd}"""
     // per-row verdicts vs a reference run (BASELINE.md's criterion,
     // applied mechanically so a truncated driver tail needs no closure
     // file as rebuttal)
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "dev/bench_ref.json")
+    // sf-aware default (VERDICT r16 task 4): the sf1 tier adjudicates
+    // against its own checked-in reference (dev/bench_sf1_ref.json, a
+    // clean post-spine-fix tier run) instead of silently declining on
+    // the sf0.1 ref's sf mismatch — tier comparisons are mechanical,
+    // not hand-reconstructed.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      if (sf1) "dev/bench_sf1_ref.json" else "dev/bench_ref.json")
     val (refTimes: Map[String, Double], refCanary: Option[Double],
-         refIoCanary: Option[Double]) = {
+         refIoCanary: Option[Double], refDecodeCanary: Option[Double]) = {
       val p = Paths.get(refPath)
-      if (!Files.exists(p)) (Map.empty[String, Double], None, None)
+      if (!Files.exists(p)) (Map.empty[String, Double], None, None, None)
       else {
         // A dead adjudicator must be VISIBLE (ADVICE r11): when the ref
         // file exists but yields zero usable timings — regex drift, sf
         // mismatch, malformed body — say why instead of silently
         // degrading to "no reference present".
-        val loaded = scala.util.Try[Either[String, (Map[String, Double], Option[Double], Option[Double])]] {
+        val loaded = scala.util.Try[Either[String, (Map[String, Double], Option[Double], Option[Double], Option[Double])]] {
           val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
           // the ref run's own canary readings (absent in pre-r15 refs →
           // normalization off, factor 1.0; io pair absent in pre-r16
-          // refs → the io normalizer alone stays off)
+          // refs → the io normalizer alone stays off; decode pair
+          // absent in pre-r17 refs → the decode normalizer alone stays
+          // off)
           def num(field: String): Option[Double] =
             (""""""" + field + """"\s*:\s*([0-9.eE+-]+)""").r
               .findFirstMatchIn(body).flatMap(m =>
@@ -372,6 +466,7 @@ object Bench {
             }
           val cRef = minPair(num("canary_start"), num("canary_end"))
           val ioRef = minPair(num("io_canary_start"), num("io_canary_end"))
+          val dcRef = minPair(num("decode_canary_start"), num("decode_canary_end"))
           // a reference from a DIFFERENT scale factor flags everything
           // (sf1 rows are 10× the sf0.1 reference by design): only
           // adjudicate same-sf runs
@@ -389,14 +484,14 @@ object Bench {
               }
             }.toMap).getOrElse(Map.empty[String, Double])
             if (parsed.isEmpty) Left("no parsable \"queries\" map in ref file")
-            else Right((parsed, cRef, ioRef))
+            else Right((parsed, cRef, ioRef, dcRef))
           }
         }.fold(e => Left(s"unreadable: ${e.getClass.getSimpleName}: ${e.getMessage}"), identity)
         loaded match {
           case Right(mc) => mc
           case Left(reason) =>
             println(s"[bench] reference file $refPath present but UNUSED ($reason) — flag adjudication is OFF this run")
-            (Map.empty[String, Double], None, None)
+            (Map.empty[String, Double], None, None, None)
         }
       }
     }
@@ -415,6 +510,7 @@ object Bench {
     // re-measure to adjudicate.
     val thisCanary = math.min(canaryStart, canaryEnd)
     val thisIoCanary = math.min(ioCanaryStart, ioCanaryEnd)
+    val thisDecodeCanary = math.min(decodeCanaryStart, decodeCanaryEnd)
     val cpuFactor = refCanary match {
       case Some(rc) if rc > 0 => math.max(1.0, thisCanary / rc)
       case _ => 1.0
@@ -423,10 +519,23 @@ object Bench {
       case Some(rc) if rc > 0 => math.max(1.0, thisIoCanary / rc)
       case _ => 1.0
     }
+    // decode-axis factor (VERDICT r16 task 1): applied to MEDIA-family
+    // rows only — ImageIO throughput drift is real on those rows and
+    // meaningless on text rows, so folding it into the global factor
+    // would loosen every row's criterion to excuse one family's axis.
+    val decodeFactor = refDecodeCanary match {
+      case Some(rc) if rc > 0 => math.max(1.0, thisDecodeCanary / rc)
+      case _ => 1.0
+    }
     val hostFactor = math.max(cpuFactor, ioFactor)
-    if (refCanary.isDefined || refIoCanary.isDefined)
+    def rowFactor(name: String): Double =
+      if (name.contains("media")) math.max(hostFactor, decodeFactor)
+      else hostFactor
+    if (refCanary.isDefined || refIoCanary.isDefined || refDecodeCanary.isDefined)
       println(f"[bench] canary: cpu ${thisCanary}%.3fs vs ref ${refCanary.getOrElse(-1.0)}%.3fs (factor $cpuFactor%.3f), " +
-        f"io ${thisIoCanary}%.3fs vs ref ${refIoCanary.getOrElse(-1.0)}%.3fs (factor $ioFactor%.3f) -> host factor $hostFactor%.3f")
+        f"io ${thisIoCanary}%.3fs vs ref ${refIoCanary.getOrElse(-1.0)}%.3fs (factor $ioFactor%.3f), " +
+        f"decode ${thisDecodeCanary}%.3fs vs ref ${refDecodeCanary.getOrElse(-1.0)}%.3fs (factor $decodeFactor%.3f, media rows only) " +
+        f"-> host factor $hostFactor%.3f")
     // BASELINE.md's criterion, verbatim: (3) loaded host taints the file;
     // (2) spread only judges rows at/above 1 s (sub-second rows are
     // warmup-dominated — judged on absolute deltas, flagged as such).
@@ -437,20 +546,22 @@ object Bench {
     // too lax to certify a timing as attributable.
     val contended =
       math.max(loadStart, loadEnd) > math.max(2.0, hostCpus / 8.0)
-    // the criterion applies to the HOST-NORMALIZED time (t / hostFactor):
+    // the criterion applies to the HOST-NORMALIZED time (t / rowFactor):
     // a row is flagged only if it is slow even after discounting measured
-    // per-core throughput sag (canary ratio). hostFactor is 1.0 when the
-    // ref predates canaries or the host is at/above ref throughput.
+    // throughput sag on the axes that can touch it (cpu/io for every
+    // row; the decode axis additionally for media rows). Factors are 1.0
+    // when the ref predates canaries or the host is at/above ref
+    // throughput.
     val flags = timings.flatMap { case (name, t) =>
       refTimes.get(name).collect {
-        case ref if ref > 0 && t / hostFactor > 1.3 * ref =>
+        case ref if ref > 0 && t / rowFactor(name) > 1.3 * ref =>
           val verdict =
             if (contended) "contention"
             else if (t < 1.0) "subsecond"
             else if (spreads.getOrElse(name, 0.0) > 0.5) "noisy"
             else "real"
           println(f"[bench] flag $name: $t%.2fs vs ref $ref%.2fs " +
-            f"(${t / ref}%.1fx raw, ${t / hostFactor / ref}%.1fx host-normalized) " +
+            f"(${t / ref}%.1fx raw, ${t / rowFactor(name) / ref}%.1fx normalized at factor ${rowFactor(name)}%.3f) " +
             f"spread=${spreads.getOrElse(name, 0.0)}%.3f -> $verdict")
           name -> verdict
       }
@@ -484,7 +595,7 @@ object Bench {
     // BEFORE the (large) queries map so tail truncation cannot strip them
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""host":$host,"host_factor":$hostFactor,""" +
+      s""""host":$host,"host_factor":$hostFactor,"decode_factor":$decodeFactor,""" +
       s""""ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
       s""""flags":$fl,"flagged":$flaggedArr,"errors":$errs,"spread":$sp,"queries":$qs}"""
     // Tail-safety, for real this time (VERDICT r11 finding #1): the r10
@@ -499,6 +610,7 @@ object Bench {
     val summaryLine =
       s"""{"metric":"summary","total":$total,"sf":${jstr(sfDir)},""" +
       s""""host":$host,"contended":$contended,"host_factor":$hostFactor,""" +
+      s""""decode_factor":$decodeFactor,""" +
       s""""ref":${jstr(if (refTimes.isEmpty) "" else refPath)},""" +
       s""""flags":$fl,"flagged":$flaggedCapped,""" +
       s""""flagged_dropped":$flaggedDropped,"errors_count":${errors.size},""" +
@@ -511,9 +623,11 @@ object Bench {
     val tailLine = BenchLines.tailLine(
       total = total, rows = timings.size, errorsCount = errors.size,
       contended = contended, hostFactor = hostFactor,
+      decodeFactor = decodeFactor,
       canaryStart = canaryStart, canaryEnd = canaryEnd,
       ioCanaryStart = ioCanaryStart, ioCanaryEnd = ioCanaryEnd,
-      loadStart = loadStart, loadEnd = loadEnd,
+      decodeCanaryStart = decodeCanaryStart, decodeCanaryEnd = decodeCanaryEnd,
+      loadStart = loadStart, loadEnd = loadEnd, loadEndRaw = loadEndRaw,
       flagCounts = flags.values.groupBy(identity).map { case (k, v) => k -> v.size },
       worstReal = flaggedRanked.headOption.filter(_._2 == "real").map {
         case (name, _) =>

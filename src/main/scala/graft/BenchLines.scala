@@ -30,10 +30,12 @@ object BenchLines {
   val SummaryFlagCap = 8
 
   /** Byte budget for the final tail line, asserted by BenchLinesSpec
-    * against worst-case field magnitudes. 500 B leaves ≥ 1500 B of a
-    * 2000-byte tail window for the summary line above it.
+    * against worst-case field magnitudes. 620 B (raised from 500 in
+    * r17 for the decode-canary pair, the decode factor, and the raw
+    * end-load stamp) leaves ≥ 1380 B of a 2000-byte tail window for
+    * the summary line above it.
     */
-  val TailByteBudget = 500
+  val TailByteBudget = 620
 
   /** Ranking for the capped summary array and the worst-real pick:
     * verdicts a human must adjudicate first.
@@ -69,9 +71,11 @@ object BenchLines {
     */
   def tailLine(
       total: Double, rows: Int, errorsCount: Int, contended: Boolean,
-      hostFactor: Double, canaryStart: Double, canaryEnd: Double,
+      hostFactor: Double, decodeFactor: Double,
+      canaryStart: Double, canaryEnd: Double,
       ioCanaryStart: Double, ioCanaryEnd: Double,
-      loadStart: Double, loadEnd: Double,
+      decodeCanaryStart: Double, decodeCanaryEnd: Double,
+      loadStart: Double, loadEnd: Double, loadEndRaw: Double,
       flagCounts: Map[String, Int],
       worstReal: Option[(String, Double, Double, Double)]): String = {
     val counts = Seq("real", "noisy", "contention", "subsecond")
@@ -83,10 +87,12 @@ object BenchLines {
     }.getOrElse("null")
     s"""{"metric":"tail","total":${r3(total)},"rows":$rows,""" +
     s""""errors_count":$errorsCount,"contended":$contended,""" +
-    s""""host_factor":${r4(hostFactor)},""" +
+    s""""host_factor":${r4(hostFactor)},"decode_factor":${r4(decodeFactor)},""" +
     s""""canary_start":${r4(canaryStart)},"canary_end":${r4(canaryEnd)},""" +
     s""""io_canary_start":${r4(ioCanaryStart)},"io_canary_end":${r4(ioCanaryEnd)},""" +
+    s""""dc_start":${r4(decodeCanaryStart)},"dc_end":${r4(decodeCanaryEnd)},""" +
     s""""load1_start":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
+    s""""load1_end_raw":${r3(loadEndRaw)},""" +
     s""""flag_counts":$counts,"worst_real":$worst}"""
   }
 }

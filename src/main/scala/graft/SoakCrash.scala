@@ -156,8 +156,15 @@ object SoakCrash {
   private[graft] def simhashInjectionsFor(t: Int,
       slices: Array[Array[(Long, String)]]): Seq[(Long, String)] =
     if (t == 0) Nil
-    else slices(t - 1).take(3).map { case (id, tx) =>
-      (WsBase + id, if (tx == null) tx else tx.replace(" ", "  \t "))
+    // null-text docs are NOT injected (ADVICE r16): a null twin has a
+    // null sig, rides into the corpus undeduped, and the coexistence
+    // checks count any surviving (WsBase+id, id) pair by id arithmetic
+    // alone — so a null-text doc in a slice's first 3 would false-fail
+    // both the soak and crash scenarios. take(3) BEFORE the filter
+    // mirrors the twin-pair bookkeeping exactly (same candidate window,
+    // same survivors).
+    else slices(t - 1).take(3).filter(_._2 != null).map { case (id, tx) =>
+      (WsBase + id, tx.replace(" ", "  \t "))
     }.toSeq
 
   private[graft] final case class SimHashStores(
@@ -323,6 +330,20 @@ object SoakCrash {
 
   private[graft] def embedIdxPath(wh: String): String = s"$wh/vcorpus.vecindex"
 
+  /** Embed-scenario index profile (VERDICT r16 task 6): the default
+    * pins the IVF rung (the facade's bulk path, soaked since r13);
+    * `SPARK_GRAFT_CRASH_EMBED_PROFILE=serving` pins the HNSW graph
+    * rung instead, so its two-rename maintain()/tombstone swaps get
+    * the same kill -9 byte-equality evidence — until r17 the serving
+    * rung answered `q_ext_recall_knn_hnsw` with spec-only durability.
+    * Read from env (not argv) so the kill loop's child JVMs and the
+    * clean reference run inherit the same rung by construction.
+    */
+  private[graft] def embedCrashProfile(): graft.ext.IndexProfile =
+    if (sys.env.get("SPARK_GRAFT_CRASH_EMBED_PROFILE").contains("serving"))
+      graft.ext.IndexProfile(exactFloor = 0L, serving = true)
+    else graft.ext.IndexProfile(exactFloor = 0L)
+
   /** The indexed deletion, applied the way
     * [[graft.streaming.StreamingOps.keyDeletionFragmentedSink]] applies
     * it — index tombstone FIRST, then corpus, both idempotent — so the
@@ -370,7 +391,7 @@ object SoakCrash {
     val in = MemoryStream[(Long, Seq[Float])]
     val q = graft.streaming.StreamingOps.corpusIngestEmbedVectorIndexSink(
       in.toDF().toDF("vec_id", "embedding"), frag, idxPath,
-      graft.ext.IndexProfile(exactFloor = 0L),
+      embedCrashProfile(),
       threshold = 0.995, compactEvery = 8L).start()
     (from until until).foreach { t =>
       in.addData(slices(t).toSeq ++ embedInjectionsFor(t, slices))
@@ -672,6 +693,9 @@ object SoakCrash {
           if (allInjExact.isEmpty) 1.0 else exactDropped.toDouble / allInjExact.size
         Seq(
           matchCheck("corpus_match", corpusCrash, corpusClean),
+          // informational: which rung this run actually exercised (the
+          // serving profile must show "hnsw" here, the default "ivf")
+          ("index_kind", true, idx.kind),
           ("index_corpus_sync", indexLag == 0, s"lag $indexLag"),
           ("exact_recall", exactRecall >= 0.99, f"$exactRecall%.4f >= 0.99"),
           ("deletions_invisible", delVisible == 0, s"visible $delVisible"),

@@ -105,6 +105,19 @@ object CoreQueries {
         "col_1", "traffic", "total_visits", "unique_visitors"),
       order = Seq(col("event_date"), col("event_type"), col("col_1")))
 
+  // ---- W2 scale-safe twin (VERDICT r16 task 5): the same pivot pipeline
+  // with `Ids.scaleSafeId` — a deterministic md5 over the ordering keys —
+  // in place of the reference's single-partition global ROW_NUMBER. This
+  // is the shipped 100 TB answer to the W2 quirk: no global sort, no
+  // single-partition exchange (PlanShapeSpec asserts PlanAudit finds no
+  // unpartitioned window in this plan), ids stable across incremental
+  // runs by construction. Oracle-pinned: md5/concat_ws is portable SQL.
+  private val w2ScaleSafe: Q = (s, dir) =>
+    Ids.scaleSafeId(
+      Pivot.byUnion(dualCountAgg(s, dir), Seq("event_date", "event_type"),
+        "col_1", "traffic", "total_visits", "unique_visitors"),
+      keyCols = Seq(col("event_date"), col("event_type"), col("col_1")))
+
   // ---- J1: left join with constant predicate in ON -------------------------
   private val j1LeftConstOn: Q = (s, dir) => {
     val t = dualCountAgg(s, dir)
@@ -726,6 +739,7 @@ object CoreQueries {
     "q_a3_distinct"     -> a3Distinct,
     "q_w1_top1_per_key" -> w1Top1,
     "q_w2_global_id"    -> w2GlobalId,
+    "q_w2_scale_safe"   -> w2ScaleSafe,
     "q_j1_left_const_on" -> j1LeftConstOn,
     "q_j2_left_single"  -> j2LeftSingle,
     "q_j3_left_expr_key" -> j3LeftExprKey,
@@ -1072,6 +1086,12 @@ object CoreQueries {
       (s"WITH p AS ($pivotSql) " +
        "SELECT event_date, event_type, col_1, traffic, " +
        "ROW_NUMBER() OVER (ORDER BY event_date, event_type, col_1) AS id FROM p"),
+    "q_w2_scale_safe" ->
+      (s"WITH p AS ($pivotSql) " +
+       "SELECT event_date, event_type, col_1, traffic, md5(concat_ws('-', " +
+       "coalesce(CAST(event_date AS VARCHAR), '_dbt_utils_surrogate_key_null'), " +
+       "coalesce(CAST(event_type AS VARCHAR), '_dbt_utils_surrogate_key_null'), " +
+       "coalesce(CAST(col_1 AS VARCHAR), '_dbt_utils_surrogate_key_null'))) AS id FROM p"),
     "q_j1_left_const_on" ->
       (s"WITH t AS ($dualCountSql), " +
        "sp AS (SELECT CAST(ts AS DATE) AS spend_date, min(value) AS spend FROM events " +

@@ -481,22 +481,82 @@ final class BucketedFragmentStore private (spark: SparkSession, baseDir: String,
           Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
         else unionSchema().map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+      case Some(ts) if exact => readTargets(st, ts)
       case Some(ts) =>
-        val frames = liveTables(st).filter(t => ts(t._1)).flatMap {
-          // superset mode needs no generation-authority filter either:
-          // a crash-window duplicate copy is just one more superset row
-          case ((gen, _), t) =>
-            if (!exact) t.readSuperset()
-            else (t.read(), st.migration) match {
-              case (Some(df), Some(m)) if gen == m.newGen =>
-                Some(df.filter(newGenAuthority(st, m)))
-              case (f, _) => f
-            }
-        }
+        // superset mode needs no generation-authority filter either:
+        // a crash-window duplicate copy is just one more superset row
+        val frames = liveTables(st).filter(t => ts(t._1))
+          .flatMap { case (_, t) => t.readSuperset() }
         if (frames.nonEmpty)
           Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
         else unionSchema().map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+    }
+  }
+
+  /** Exact merged read of a (gen, bucket) target set — the tail shared
+    * by [[readRouted]]'s literal path and [[readRoutedFrame]]'s
+    * frame-derived path.
+    */
+  private def readTargets(st: Layout, ts: Set[(Int, Int)]): Option[DataFrame] = {
+    val frames = liveTables(st).filter(t => ts(t._1)).flatMap {
+      case ((gen, _), t) =>
+        (t.read(), st.migration) match {
+          case (Some(df), Some(m)) if gen == m.newGen =>
+            Some(df.filter(newGenAuthority(st, m)))
+          case (f, _) => f
+        }
+    }
+    if (frames.nonEmpty)
+      Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+    else unionSchema().map(s => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+  }
+
+  /** [[readRouted]] without a driver-side value list (VERDICT r16 task
+    * 2): the (gen, bucket) targets are derived DISTRIBUTIVELY from the
+    * FIRST column of `keys` with the same `pmod(hash(route), count)`
+    * expression the write path stages by, so the only collect is the
+    * distinct target-pair set — bounded by the bucket count, never the
+    * key count. This is the over-threshold forget probe: a 10⁷-key
+    * forget frame reads only the buckets its keys hash into while the
+    * driver holds at most `buckets` rows; the caller still owns row
+    * matching (semi-join against its frame), exactly [[readRouted]]'s
+    * contract. During a migration each key routes by its old bucket's
+    * drain state via the same rule as [[routeOfLiteral]], expressed as
+    * a `when` over the drained-bucket set, so probe and data cannot
+    * disagree mid-drain. A type mismatch between the frame's column
+    * and the stored route type declines to a full [[read]] — hash(INT)
+    * ≠ hash(LONG), so pruning on a mistyped frame would miss buckets
+    * (I/O cost, never correctness). NULL route values hash like the
+    * write path hashes them (seed bucket), so a NULL-keyed row is
+    * probed from the bucket it was staged into.
+    */
+  def readRoutedFrame(keys: DataFrame): Option[DataFrame] = {
+    val st = layout
+    val field = keys.schema.fields.headOption.getOrElse(
+      throw new IllegalArgumentException("readRoutedFrame: keys frame has no columns"))
+    storedRouteType(st) match {
+      case Some(dt) if field.dataType == dt =>
+        val c = FragmentedTable.qcol(field.name)
+        val oldB = pmod(hash(c), lit(st.buckets))
+        val gb: Column = st.migration match {
+          case None => struct(lit(st.gen).as("g"), oldB.as("b"))
+          case Some(m) =>
+            val drained =
+              if (m.done.isEmpty) lit(false)
+              else oldB.isInCollection(m.done.toSeq)
+            struct(
+              when(drained, lit(m.newGen)).otherwise(lit(st.gen)).as("g"),
+              when(drained, pmod(hash(c), lit(m.newCount))).otherwise(oldB).as("b"))
+        }
+        val ts = keys.select(gb.as("gb")).distinct().collect()
+          .map { r => val s = r.getStruct(0); (s.getInt(0), s.getInt(1)) }.toSet
+        if (ts.isEmpty)
+          unionSchema().map(s => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        else readTargets(st, ts)
+      case _ => read() // empty store or type mismatch: probe everything
     }
   }
 

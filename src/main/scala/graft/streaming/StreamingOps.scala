@@ -926,13 +926,34 @@ object StreamingOps {
                            bands: Int = 8): Unit =
     frag.read().foreach { corpus =>
       val signed = corpus.select("doc_id", "sig").filter(col("sig").isNotNull)
-      val expected = graft.ext.IngestOps.bandRowsOfSigs(signed, bands)
-      val missing = bandStore.read() match {
-        case None     => expected
+      // Steady-state cheapness (ADVICE r16): expanding the FULL corpus
+      // to band rows costs a bands× blowup + shuffle anti-join on every
+      // construction and cadence invocation, even when nothing is
+      // missing. Pre-filter to the docs that can actually need repair:
+      // a doc with exactly `bands` stored band rows is complete (__bk =
+      // "chunk:doc" is store-unique and a doc's sig — hence its band
+      // keys — is immutable by the route contract, so count == bands ⟺
+      // every chunk row present). The count is one grouped pass over
+      // the band store's doc_id column; only the incomplete docs' rows
+      // are expanded and anti-joined. Nothing-missing repairs now cost
+      // a grouped scan instead of a corpus-wide blowup.
+      val needy = bandStore.read() match {
+        case None     => signed
         case Some(bs) =>
-          expected.join(bs.select("__bk"), Seq("__bk"), "left_anti")
+          val complete = bs.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("__band_n"))
+            .filter(col("__band_n") === bands).select("doc_id")
+          signed.join(complete, Seq("doc_id"), "left_anti")
       }
-      if (!missing.isEmpty) bandStore.upsert(missing)
+      if (!needy.isEmpty) {
+        val expected = graft.ext.IngestOps.bandRowsOfSigs(needy, bands)
+        val missing = bandStore.read() match {
+          case None     => expected
+          case Some(bs) =>
+            expected.join(bs.select("__bk"), Seq("__bk"), "left_anti")
+        }
+        if (!missing.isEmpty) bandStore.upsert(missing)
+      }
     }
 
   /** TEXT ingest through the cheap SimHash rung (VERDICT r14 task 5,
@@ -1011,14 +1032,20 @@ object StreamingOps {
                   maxIsin: Int = graft.ext.IngestOps.DefaultMaxIsin): Unit = {
     val ks = keys.select(col("doc_id")).distinct().persist()
     try {
-      // isin-regime switch (VERDICT r15 task 3): a forget batch is
-      // request-bounded, but the guard is mechanical like every other
-      // probe site — below `maxIsin` the literal list pushes into
-      // the fragment scan; above it, a 10⁵-key GDPR batch would bloat
-      // the probe PLAN, so switch to the broadcast-semi-join cluster
-      // fallback (O(corpus) scan, literal-free plan). Regime equality
-      // is pinned by MediaSinkSpec across a tiny threshold.
-      val ids = ks.collect().map(_.get(0)).toSeq
+      // isin-regime switch (VERDICT r15 task 3, collect bounded r17):
+      // a forget batch is request-bounded, but the guard is mechanical
+      // like every other probe site — below `maxIsin` the literal list
+      // pushes into the fragment scan; above it, a 10⁵-key GDPR batch
+      // would bloat the probe PLAN, so switch to the broadcast-semi-join
+      // cluster fallback (O(corpus) scan, literal-free plan). The
+      // collect is LIMIT-bounded so the regime DECISION never lands the
+      // full key set in driver memory (VERDICT r16 finding #1 — the
+      // embed replay probe's idiom): at or below `maxIsin` the limited
+      // result IS the complete set and drives the literal probe; one
+      // row over means fallback, decided without materializing the
+      // rest. Regime equality is pinned by MediaSinkSpec across a tiny
+      // threshold.
+      val ids = ks.limit(maxIsin + 1).collect().map(_.get(0)).toSeq
       val corpusHits =
         if (ids.size <= maxIsin)
           frag.readWhere(col("doc_id").isin(ids: _*))
@@ -1081,17 +1108,24 @@ object StreamingOps {
                     maxIsin: Int = graft.ext.IngestOps.DefaultMaxIsin): Unit = {
     val ks = keys.select(col("doc_id")).distinct().persist()
     try {
-      // isin-regime switch (VERDICT r15 task 3): mirror of the ingest
-      // verify closure's rule — small forget batches push the literal
-      // into the scan, large ones take the routed bucket union (the
-      // sig store is doc_id-routed, same as the ingest probe at the
-      // appendDedupNearDupRoutedCounted call site). Regime equality is
-      // pinned by FragmentedSinkSpec across a tiny threshold.
-      val ids = ks.collect().map(_.get(0)).toSeq
+      // isin-regime switch (VERDICT r15 task 3, collect bounded r17):
+      // mirror of the ingest verify closure's rule — small forget
+      // batches push the literal into the scan, large ones take the
+      // routed bucket union (the sig store is doc_id-routed, same as
+      // the ingest probe at the appendDedupNearDupRoutedCounted call
+      // site). The collect is LIMIT-bounded so the regime DECISION
+      // never lands the full key set in driver memory (VERDICT r16
+      // finding #1), and the over-threshold routing derives its bucket
+      // set DISTRIBUTIVELY from the keys frame (readRoutedFrame: the
+      // only collect there is the distinct bucket-pair set, bounded by
+      // the bucket count) instead of from a driver-side id list.
+      // Regime equality is pinned by FragmentedSinkSpec across a tiny
+      // threshold.
+      val ids = ks.limit(maxIsin + 1).collect().map(_.get(0)).toSeq
       val sigHits =
         if (ids.size <= maxIsin)
           sigStore.readWhere(col("doc_id").isin(ids: _*))
-        else sigStore.readRouted(ids)
+        else sigStore.readRoutedFrame(ks)
       sigHits.foreach { sigRows =>
           val bandRows = graft.ext.IngestOps.bandRowsOf(
             sigRows.join(broadcast(ks), Seq("doc_id"), "left_semi"),

@@ -16,10 +16,11 @@ class BenchLinesSpec extends AnyFunSuite {
   private def worstCaseTail(worstReal: Option[(String, Double, Double, Double)]) =
     BenchLines.tailLine(
       total = 123456.789123, rows = 99999, errorsCount = 99999,
-      contended = false, hostFactor = 123.456789,
+      contended = false, hostFactor = 123.456789, decodeFactor = 123.456789,
       canaryStart = 123.456789, canaryEnd = 123.456789,
       ioCanaryStart = 123.456789, ioCanaryEnd = 123.456789,
-      loadStart = 12345.6789, loadEnd = 12345.6789,
+      decodeCanaryStart = 123.456789, decodeCanaryEnd = 123.456789,
+      loadStart = 12345.6789, loadEnd = 12345.6789, loadEndRaw = 12345.6789,
       flagCounts = Map("real" -> 99999, "noisy" -> 99999,
         "contention" -> 99999, "subsecond" -> 99999),
       worstReal = worstReal)
@@ -37,9 +38,10 @@ class BenchLinesSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     assert(node.get("metric").asText == "tail")
     for (f <- Seq("total", "rows", "errors_count", "contended", "host_factor",
-                  "canary_start", "canary_end",
+                  "decode_factor", "canary_start", "canary_end",
                   "io_canary_start", "io_canary_end",
-                  "load1_start", "load1_end",
+                  "dc_start", "dc_end",
+                  "load1_start", "load1_end", "load1_end_raw",
                   "flag_counts", "worst_real"))
       assert(node.has(f), s"missing field $f in $line")
     assert(node.get("worst_real").get("row").asText == "q_ext_ingest_neardup")

@@ -40,4 +40,12 @@ class PlanAuditDogfoodSpec extends SparkSpec {
     assert(rep.findings.exists(_.kind == "single-partition-window"),
       s"the audit must flag the reference's global ROW_NUMBER:\n${rep.render}")
   }
+
+  test("q_w2_scale_safe: the shipped alternative has NO single-partition window") {
+    val df = SparkEntry.queries("q_w2_scale_safe")(spark, dir)
+    val rep = PlanAudit.audit(df)
+    assert(!rep.findings.exists(_.kind == "single-partition-window"),
+      s"the scale-safe id must not globally sort:\n${rep.render}")
+    assert(rep.highSeverity.isEmpty, s"q_w2_scale_safe:\n${rep.render}")
+  }
 }

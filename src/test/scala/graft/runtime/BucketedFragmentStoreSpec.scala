@@ -63,6 +63,33 @@ class BucketedFragmentStoreSpec extends SparkSpec {
     assert(rep4.probed.size == 16)
   }
 
+  test("readRoutedFrame ≡ readRouted: committed layout, mid-migration, type mismatch, nulls") {
+    val bs = BucketedFragmentStore(spark, freshDir(), "t", "id", buckets = 8)
+    bs.upsert((0 until 120).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    def sorted(df: Option[DataFrame]): Seq[String] =
+      df.map(_.collect().map(_.mkString("|")).toSeq.sorted).getOrElse(Nil)
+    val keys = Seq(3L, 44L, 97L)
+    // committed layout: the frame-derived probe returns the same bucket
+    // union as the literal-list probe — a superset the caller semi-joins
+    assert(sorted(bs.readRoutedFrame(keys.toDF("id"))) == sorted(bs.readRouted(keys)))
+    // mid-migration with a drained old bucket: frame routing must apply
+    // the same old-bucket-drain rule as routeOfLiteral
+    bs.rebucketStart(16)
+    assert(bs.rebucketStep())
+    bs.upsert((115 until 130).map(i => (i.toLong, s"w$i")).toDF("id", "v"))
+    val keys2 = (0L until 130L by 7L).toSeq
+    assert(sorted(bs.readRoutedFrame(keys2.toDF("id"))) == sorted(bs.readRouted(keys2)))
+    while (bs.rebucketStep()) {}
+    assert(sorted(bs.readRoutedFrame(keys2.toDF("id"))) == sorted(bs.readRouted(keys2)))
+    // type mismatch (INT frame against a LONG key) declines to a full
+    // read — same rule as the literal path, I/O not correctness
+    assert(sorted(bs.readRoutedFrame(Seq(3, 44).toDF("id"))) == sorted(bs.read()))
+    // a null key routes like the write path routes nulls (no crash, no
+    // rows lost from the probed union)
+    val withNull = Seq[java.lang.Long](3L, null).toDF("id")
+    assert(sorted(bs.readRoutedFrame(withNull)).contains("3|v3"))
+  }
+
   test("one upsert = one fragment per non-empty bucket, two Spark jobs' worth of staging") {
     val dir = freshDir()
     val bs = BucketedFragmentStore(spark, dir, "t", "id", buckets = 4)
