@@ -248,7 +248,14 @@ object IvfIndex {
         return AppendReport(0L, total, 1.0 - train.toDouble / total,
           meta.getDouble(3), 0.0, retrainRecommended = false)
       }
-      scored.drop("__sim").write.mode("append").partitionBy("cid")
+      // coalesce(1): partitionBy writes one file per (task, cid) pair,
+      // so a 2-task micro-batch append created ~2× the cell files it
+      // needed — file count drives both the per-load partition-discovery
+      // listing cost AND the fold cadence (each fold is an O(table)
+      // rewrite), measured by the r17 decade soak as the dominant
+      // late-corpus trigger cost. A micro-batch is driver-small by
+      // contract; one task loses nothing.
+      scored.drop("__sim").coalesce(1).write.mode("append").partitionBy("cid")
         .parquet(s"$path/cells")
       val meta = readMeta(spark, path).get
       val (trainRows, totalRows, appendedRows, trainMeanSim) =
@@ -300,8 +307,17 @@ object IvfIndex {
     }
   }
 
+  // maxFilesPerCell 8 → 16 (r17): the decade-stretch soak measured the
+  // fold cadence as the binding maintenance cost — 42 O(table) folds in
+  // 400 triggers put amortized maintenance at 22% of the steady-state
+  // per-√corpus trigger cost (bound: 20%). Doubling the threshold
+  // halves the cadence (amortized fold cost ∝ table/period, period ∝
+  // threshold·nlist/batch) while the between-fold listing stays bounded
+  // at 16·nlist leaf files — well inside Spark's parallel-listing
+  // regime, and the soak's normalized flatness gates (measured 0.56 to
+  // 0.73 vs the 1.25 bound) have ample headroom for the extra listing.
   private def maybeFoldCells(spark: SparkSession, path: String, nlist: Int,
-                             maxFilesPerCell: Int = 8): Unit = {
+                             maxFilesPerCell: Int = 16): Unit = {
     val cellsDir = java.nio.file.Paths.get(s"$path/cells")
     if (!java.nio.file.Files.exists(cellsDir)) return
     var files = 0
@@ -320,6 +336,35 @@ object IvfIndex {
     java.nio.file.Files.move(cellsDir, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/cells__fold"), cellsDir)
     Fs.deleteRecursive(old)
+    bumpFoldCount(path)
+  }
+
+  /** Durable fold counter (r17, the retrain-tag discipline applied to
+    * cell folds): a monotone count of completed [[maybeFoldCells]]
+    * rewrites, so a soak harness can MECHANICALLY tag which triggers
+    * carried the O(table) fold instead of inferring it from latency
+    * shape — the r17 decade-stretch soak's flatness windows aliased
+    * exactly this (untagged folds every ~10 late-corpus triggers read
+    * as steady-state ramp). Written atomically, best-effort read.
+    */
+  private def bumpFoldCount(path: String): Unit = {
+    val fp = java.nio.file.Paths.get(path, "folds")
+    val next = foldCount(path) + 1
+    val tmp = java.nio.file.Paths.get(path, "folds__tmp_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, fp,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Completed cell folds at this rung path (0 when none). */
+  def foldCount(path: String): Long = {
+    val p = java.nio.file.Paths.get(path, "folds")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+      .getOrElse(0L)
   }
 
   /** Crash-safe maintenance-meta flip (the params discipline

@@ -339,6 +339,18 @@ object VectorIndex {
       new String(Files.readAllBytes(p), "UTF-8").trim.toLong).getOrElse(0L)
   }
 
+  /** Mechanical maintenance stamp (r17): the (retrains, rung cell
+    * folds) pair. A harness tags a trigger as maintenance-bearing when
+    * the PAIR changed across it — pair comparison, not monotone delta,
+    * because a retrain swaps in a fresh rung dir whose fold counter
+    * restarts at 0 (that same trigger bumps `maintains`, so every
+    * change is still observable). Folds are the IVF-family cell-table
+    * rewrites ([[IvfIndex.foldCount]]); rungs without a fold concept
+    * read 0 on that axis.
+    */
+  def maintenanceStamp(path: String): (Long, Long) =
+    (maintainCount(path), IvfIndex.foldCount(s"$path/idx"))
+
   /** Unified drift summary over the per-rung append reports. */
   final case class AppendSummary(appended: Long, maintenanceRecommended: Boolean)
 
