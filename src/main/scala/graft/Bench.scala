@@ -131,7 +131,13 @@ object Bench {
     "q_w2_global_id",
     // r17: its shipped scale-safe twin — the contrast number (md5 hash
     // id, no global exchange) must stay flat where the quirk cliffs
-    "q_w2_scale_safe")
+    "q_w2_scale_safe",
+    // r18: the watermarked model-3 twin next to its faithful row — the
+    // designed contrast pair for the rescan-all-events cost profile:
+    // the [EXT] twin's batch-2 events scan is watermark-pruned, so it
+    // must stay flat at 10× history where the faithful row grows
+    // linearly with it
+    "q_model_leads_incr_watermarked")
 
   /** Host-throughput canary (VERDICT r14 task 3): a fixed, deterministic,
     * Spark-free, single-threaded 64-bit-mix loop (splitmix64 finalizer)
@@ -405,8 +411,14 @@ object Bench {
     val canaryEnd = canarySec()
     val ioCanaryEnd = ioCanarySec()
     val decodeCanaryEnd = decodeCanarySec()
+    // all THREE canary pairs gate the settled stamp (ADVICE r17): a
+    // mid-run decode-axis sag is host evidence too — ImageIO rides the
+    // same cores as the neighbors — so a decode-only sag keeps the raw
+    // stamp exactly like a cpu/io sag; the stricter criterion can only
+    // keep MORE honest runs stamped contended, never fewer.
     val canariesClean =
-      canaryEnd <= 1.15 * canaryStart && ioCanaryEnd <= 1.15 * ioCanaryStart
+      canaryEnd <= 1.15 * canaryStart && ioCanaryEnd <= 1.15 * ioCanaryStart &&
+        decodeCanaryEnd <= 1.15 * decodeCanaryStart
     val loadEnd = if (canariesClean) loadEndSettled else loadEndRaw
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -529,8 +541,7 @@ object Bench {
     }
     val hostFactor = math.max(cpuFactor, ioFactor)
     def rowFactor(name: String): Double =
-      if (name.contains("media")) math.max(hostFactor, decodeFactor)
-      else hostFactor
+      BenchLines.rowFactor(name, SparkEntry.queryFamilies, hostFactor, decodeFactor)
     if (refCanary.isDefined || refIoCanary.isDefined || refDecodeCanary.isDefined)
       println(f"[bench] canary: cpu ${thisCanary}%.3fs vs ref ${refCanary.getOrElse(-1.0)}%.3fs (factor $cpuFactor%.3f), " +
         f"io ${thisIoCanary}%.3fs vs ref ${refIoCanary.getOrElse(-1.0)}%.3fs (factor $ioFactor%.3f), " +

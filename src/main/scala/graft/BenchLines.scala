@@ -48,6 +48,21 @@ object BenchLines {
     case _            => 4
   }
 
+  /** Per-row measurement factor: every row is normalized by the
+    * host-wide cpu/io factor; rows the registry tags family `"media"`
+    * additionally ride the decode-canary axis (ImageIO throughput
+    * drift is real on decode-bound plans and meaningless elsewhere).
+    * The scoping is the EXPLICIT registry tag ([[SparkEntry
+    * .queryFamilies]]), not a name-substring match (VERDICT r17
+    * finding #1): a decode-bound row named without "media" would
+    * silently escape a substring rule, and a text row that happens to
+    * contain the word would get a loosened criterion.
+    */
+  def rowFactor(name: String, families: Map[String, String],
+                hostFactor: Double, decodeFactor: Double): Double =
+    if (families.get(name).contains("media")) math.max(hostFactor, decodeFactor)
+    else hostFactor
+
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
   private def r4(v: Double): Double = math.round(v * 10000.0) / 10000.0
 

@@ -48,9 +48,20 @@ private[graft] object SoakScenarios {
     // surviving batch (~200 rows), so any floor above that pins the
     // BRUTE rung for the whole run — the first soak attempt did exactly
     // that ("index_kind": "brute") and its O(corpus) scan was part of
-    // the latency ramp. Zero floor selects IVF from the start: the
-    // indexed path this scenario exists to soak.
-    val profile = graft.ext.IndexProfile(exactFloor = 0L)
+    // the latency ramp. Zero floor selects the indexed path this
+    // scenario exists to soak: IVF under the default profile, HNSW
+    // under SPARK_GRAFT_SOAK_PROFILE=serving (r18, VERDICT r17 task 2
+    // — the serving rung's own decade stretch, with the flatness gates
+    // running on ITS designed cost model below).
+    val profileName = sys.env.getOrElse("SPARK_GRAFT_SOAK_PROFILE", "balanced")
+    val profile = profileName match {
+      case "serving" => graft.ext.IndexProfile(serving = true, exactFloor = 0L)
+      case "balanced" => graft.ext.IndexProfile(exactFloor = 0L)
+      case other => sys.error(s"unknown SPARK_GRAFT_SOAK_PROFILE '$other' (balanced | serving)")
+    }
+    val expectedKind =
+      if (profileName == "serving") graft.ext.VectorIndex.Hnsw
+      else graft.ext.VectorIndex.Ivf
 
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long"), col("embedding")).orderBy("vec_id")
@@ -126,6 +137,18 @@ private[graft] object SoakScenarios {
     // with maintains > 0 would otherwise falsely tag trigger 0 as
     // retrain-bearing and exclude it from the flatness windows (ADVICE r14)
     var lastStamp = graft.ext.VectorIndex.maintenanceStamp(idxPath)
+    // measured-corpus anchor for the designed-cost normalization
+    // (ADVICE r17): dividing by a function of the TRIGGER INDEX assumes
+    // the corpus starts empty and grows one slice per trigger — on a
+    // resumed/pre-existing corpus (the case the lastStamp seeding above
+    // anticipates) that deflates the early window while the real corpus
+    // is large, weakening every flatness gate. The estimate starts from
+    // the counted pre-run corpus, advances by the slice size (injected
+    // dupes are expected-screened, deletions subtract) and RE-ANCHORS
+    // to the counted corpus at every checkpoint, so drift stays within
+    // one checkpoint window's injections.
+    var estRows: Long = frag.read().map(_.count()).getOrElse(0L)
+    val trigRows = scala.collection.mutable.ArrayBuffer[Long]()
 
     def recall(corpusIds: Set[Long],
                pairs: Seq[(Long, Long)]): (Long, Long) = {
@@ -185,6 +208,8 @@ private[graft] object SoakScenarios {
       windowMs += ms
       windowN += 1
       trigMs += ms
+      estRows += slice.length
+      trigRows += estRows
       val st = graft.ext.VectorIndex.maintenanceStamp(idxPath)
       trigMaint += (st != lastStamp)
       trigRetrain += (st._1 != lastStamp._1)
@@ -202,8 +227,12 @@ private[graft] object SoakScenarios {
         deletedIds ++= victims.map(_._1)
         deletedVecs ++= victims
         deletedRequested += victims.length
+        estRows -= victims.length
       }
-      if ((t + 1) % checkpointEvery == 0 || t == slices.length - 1) checkpoint(t)
+      if ((t + 1) % checkpointEvery == 0 || t == slices.length - 1) {
+        checkpoint(t)
+        estRows = cps.last.corpusRows
+      }
     }
     q.stop(); delQ.foreach(_.stop())
 
@@ -247,7 +276,25 @@ private[graft] object SoakScenarios {
       if (xs.isEmpty) 0.0
       else { val s = xs.sorted; s(math.min(s.length - 1, (s.length * 9) / 10)) }
     val nTrig = trigMs.length
-    val normMs = trigMs.zipWithIndex.map { case (ms, i) => ms / math.sqrt(i + 1.0) }
+    // normalize by the rung's DESIGNED cost at the corpus size each
+    // trigger actually saw (measured rows, re-anchored at checkpoints —
+    // ADVICE r17), one model per profile:
+    //   balanced/IVF: probe reads nprobe·√n rows (nlist = √n at every
+    //     retrain) → divide by √(rows/slice);
+    //   serving/HNSW: fan-out ≤ one shard per size tier and beam depth
+    //     O(log n) — both logarithmic by the size-tiered merge design →
+    //     divide by log2(rows/slice + 1).
+    // In normalized space the designed term is flat and fixed overhead
+    // decays, so the bounds catch any growth FASTER than the design: a
+    // linear-cost bug reads as a ramp on either model and fails.
+    val sliceD = sliceSize.toDouble
+    def normFactor(rows: Long): Double = profileName match {
+      case "serving" =>
+        math.max(1.0, math.log(math.max(1.0, rows / sliceD + 1)) / math.log(2.0))
+      case _ => math.sqrt(math.max(1.0, rows / sliceD))
+    }
+    val normLabel = if (profileName == "serving") "log2(corpus)" else "sqrt(corpus)"
+    val normMs = trigMs.zip(trigRows).map { case (ms, rows) => ms / normFactor(rows) }
     val idxed = normMs.zip(trigMaint).zipWithIndex
       .map { case ((nm, mt), i) => (i, nm, mt) }
     val earlyExcl = idxed.filter(t => t._1 >= 10 && t._1 < 40 && !t._3).map(_._2).toSeq
@@ -278,6 +325,7 @@ private[graft] object SoakScenarios {
     val nMaint = trigMaint.count(identity)
     val nRetrains = trigRetrain.count(identity)
     val nFolds = nMaint - nRetrains
+    val finalKind = graft.ext.VectorIndex.load(spark, idxPath).kind
     val checks: Seq[(String, Boolean, String)] = Seq(
       // the trigger count alone is not enough: if every trigger in a
       // window happened to be maintenance-tagged, the excluded series
@@ -289,13 +337,13 @@ private[graft] object SoakScenarios {
         s"$nTrig triggers >= 80, maintenance-excluded early=${earlyExcl.size} " +
           s"late=${lateExcl.size} both >= 10"),
       ("ingest_flat_mean_excl", slopeMeanExcl <= SlopeBound,
-        f"maintenance-excluded per-sqrt(corpus) mean late/early = $slopeMeanExcl%.3f " +
+        f"maintenance-excluded per-$normLabel mean late/early = $slopeMeanExcl%.3f " +
           f"<= $SlopeBound ($nMaint maintenance-tagged excluded: $nRetrains retrains + $nFolds folds)"),
       ("ingest_flat_p90", slopeP90 <= P90SlopeBound,
-        f"maintenance-excluded per-sqrt(corpus) p90 late/early = $slopeP90%.3f <= $P90SlopeBound"),
+        f"maintenance-excluded per-$normLabel p90 late/early = $slopeP90%.3f <= $P90SlopeBound"),
       ("maintenance_amortized", maintAmortNorm <= maintAmortBound,
         f"$maintAmortNorm%.2f normalized units/trigger excess <= $maintAmortBound%.2f " +
-          f"(20%% of per-sqrt(corpus) median $medNormExcl%.2f; $nRetrains retrains + $nFolds folds)"),
+          f"(20%% of per-$normLabel median $medNormExcl%.2f; $nRetrains retrains + $nFolds folds)"),
       ("corpus_frag_bound", cps.forall(_.corpusFrags <= FragBound),
         s"max ${cps.map(_.corpusFrags).max} <= $FragBound"),
       ("exact_recall", exactRecall >= ExactRecallFloor,
@@ -309,10 +357,16 @@ private[graft] object SoakScenarios {
       ("index_corpus_sync", cps.forall(_.indexLag == 0),
         s"max lag ${cps.map(_.indexLag).max}"),
       ("ingest_flat", slopeMed <= SlopeBound,
-        f"maintenance-excluded per-sqrt(corpus) median late/early = $slopeMed%.3f " +
-          f"<= $SlopeBound (RAW median slope $rawSlopeMed%.3f — expected ~sqrt(growth) " +
-          f"by the rung's cost model; window-mean slope $slope%.3f, " +
-          f"late $lateMs%.1f / early $earlyMs%.1f include maintenance triggers)"))
+        f"maintenance-excluded per-$normLabel median late/early = $slopeMed%.3f " +
+          f"<= $SlopeBound (RAW median slope $rawSlopeMed%.3f — expected ~the rung's " +
+          f"designed growth; window-mean slope $slope%.3f, " +
+          f"late $lateMs%.1f / early $earlyMs%.1f include maintenance triggers)"),
+      // the profile must have selected — and kept — the rung this run
+      // claims to soak: a serving artifact with an IVF kind (or a
+      // balanced one that silently fell to brute) proves nothing about
+      // the rung under test
+      ("rung_matches_profile", finalKind == expectedKind,
+        s"index kind '$finalKind' == '$expectedKind' for profile '$profileName'"))
     val pass = checks.forall(_._2)
 
     def j(cp: Cp): String =
@@ -322,10 +376,10 @@ private[graft] object SoakScenarios {
       s""""near_eligible":${cp.nearElig},"near_dropped":${cp.nearDropped},""" +
       s""""deleted_requested":${cp.delRequested},"deleted_visible":${cp.delVisible},""" +
       s""""deleted_searchable":${cp.delSearchable},"index_lag":${cp.indexLag}}"""
-    val kind = graft.ext.VectorIndex.load(spark, idxPath).kind
     val json =
       s"""{"soak":"embed_indexed_ingest_sf1","sf_dir":"$sfDir","aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"triggers":${slices.length},""" +
-      s""""slice_size":$sliceSize,"threshold":$threshold,"index_kind":"$kind",""" +
+      s""""profile":"$profileName","normalizer":"$normLabel",""" +
+      s""""slice_size":$sliceSize,"threshold":$threshold,"index_kind":"$finalKind",""" +
       s""""delete_every":$deleteEvery,"retrain_triggers":$nRetrains,""" +
       s""""fold_triggers":$nFolds,""" +
       f""""maint_amort_norm":$maintAmortNorm%.2f,"raw_slope_med":$rawSlopeMed%.3f,""" +

@@ -20,6 +20,13 @@ object SparkEntry {
       RelationalQueries.queries ++ SqlQueries.queries ++ EventQueries.queries ++
       SubqueryQueries.queries
 
+  /** Per-row measurement-family tags for Bench's canary normalization
+    * (rows tagged `"media"` additionally normalize on the decode axis;
+    * untagged rows use the host cpu/io factor only). Explicit registry,
+    * not name matching — see [[graft.registry.ExtQueries.families]].
+    */
+  def queryFamilies: Map[String, String] = ExtQueries.families
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

@@ -80,7 +80,15 @@ final class HnswIndex private (
     val cand =
       if (chunks.isEmpty) Seq.empty[(Long, Long, Double)].toDF("query_id", "corpus_id", "sim")
       else chunks.map(c => searchChunk(c, ef)).reduce(_ union _)
-    cand.withColumn("rank", row_number().over(
+    // collapse per-(query, corpus) BEFORE ranking: a corpus id can reach
+    // the merge from more than one shard — steady-state when shards
+    // were never deduped, and transiently during a segment merge's
+    // roll-forward window (merged shard landed, sources not yet
+    // deleted). Same-id rows carry the same vector, so max(sim) is
+    // exact; without this a duplicate could occupy two of the k slots.
+    // Rides the same query_id shuffle the rank window already pays.
+    cand.groupBy(col("query_id"), col("corpus_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "sim", "rank")
@@ -494,7 +502,26 @@ object HnswIndex {
     Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/params"))
     java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/params__new"),
       java.nio.file.Paths.get(s"$path/params"))
-    AppendReport(n, segmentShards, total, total > maxShards)
+    // the report's fan-out — and the compaction recommendation — count
+    // LIVE shard dirs, not the params counter: params is the monotone
+    // id ALLOCATOR (segment merges retire source dirs but never reuse
+    // ids), so after merges the counter exceeds the real fan-out
+    // forever and would recommend maintenance on every append
+    val live = liveShardCount(path)
+    AppendReport(n, segmentShards, live, live > maxShards)
+  }
+
+  /** Fan-out the next search actually pays: shard dirs present in the
+    * live node table (ids are monotone; merges leave holes).
+    */
+  def liveShardCount(path: String): Int = {
+    val d = java.nio.file.Paths.get(s"$path/nodes")
+    if (!java.nio.file.Files.exists(d)) 0
+    else {
+      val w = java.nio.file.Files.list(d)
+      try w.filter(p => p.getFileName.toString.startsWith("shard=")).count().toInt
+      finally w.close()
+    }
   }
 
   /** Fold accumulated segments back into `nShards` base graphs — the
@@ -532,10 +559,187 @@ object HnswIndex {
     Fs.deleteRecursive(Paths.get(tmp))
   }
 
+  // ----------------------------------------------- size-tiered segment merge
+  //
+  // The serving rung's bounded-maintenance answer (VERDICT r17 task 2):
+  // a full [[compact]] at the fixed shard-count cadence costs O(corpus)
+  // every ~maxShards appends, so its amortized share grows LINEARLY with
+  // the corpus — a decade-growth soak fails any bounded-maintenance gate
+  // on it, correctly. Size-tiered merging fixes both axes at once:
+  // fold every shard sharing a size tier (floor(log2 rows)) into ONE
+  // shard, cascading upward. Each row then participates in O(log n)
+  // merges over its lifetime (amortized per-append maintenance O(log n),
+  // vs O(n/maxShards) for scheduled full compacts) and the steady-state
+  // fan-out is ≤ one shard per tier = O(log n) graphs per query — the
+  // near-constant per-query cost the serving profile promises. Full
+  // compacts remain for what merges cannot do: global tombstone purge
+  // (a merge only purges the shards it touches) and rung migration.
+
+  /** Shards merge only within a size tier — floor(log2(rows)) — so
+    * merge work telescopes geometrically instead of re-merging one
+    * growing segment quadratically.
+    */
+  private def sizeTier(rows: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, rows))
+
+  private def intentPath(path: String) =
+    java.nio.file.Paths.get(s"$path/merge__intent")
+
+  /** Live per-shard row counts (one aggregation over the node table). */
+  def shardSizes(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    healMerge(spark, path)
+    load(spark, path).nodes.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
+  }
+
+  /** One step of the size-tiered cascade: find the lightest same-tier
+    * shard GROUP (every shard sharing that tier — multiway, the
+    * Cassandra-STCS shape, NOT a binary pair: a binary counter pays
+    * amortized ~2 merges per appended segment, and at ~8 Spark jobs
+    * of fixed overhead per merge that dominates the actual training
+    * work at micro-batch scale; folding the whole tier in one train
+    * cuts the per-maintain merge count to ~1 while keeping each row's
+    * lifetime merge count O(log n)), rebuild it (minus `exclude` ids)
+    * as a single new shard, retire the sources. Returns false when no
+    * tier holds two shards — the caller loops until then. Crash-safe
+    * via an intent journal ([[healMerge]]): the merged shard lands
+    * fully (edges before nodes, the append discipline) before any
+    * source is deleted, so every window either rolls forward to the
+    * merged state or back to the sources; the transient both-visible
+    * window is harmless because [[HnswIndex.topK]] collapses
+    * per-(query, corpus) before ranking. Single-writer per index dir,
+    * like append and compact.
+    */
+  def mergeOnce(spark: SparkSession, path: String,
+                exclude: Option[DataFrame] = None,
+                efConstruction: Int = 64,
+                maxMergeRows: Long = 2000000L): Boolean = {
+    healMerge(spark, path)
+    val cur = load(spark, path)
+    val sizes = cur.nodes.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // a merged shard is ONE graph built in one task (graphs cannot
+    // merge in place) — `maxMergeRows` keeps that build executor-sized;
+    // groups past it stay unmerged, so only the top few tiers ever add
+    // fan-out beyond one-shard-per-tier
+    val group = sizes.groupBy { case (_, n) => sizeTier(n) }
+      .values.filter(g => g.length >= 2 && g.map(_._2).sum <= maxMergeRows)
+      .map(_.toSeq)
+      .reduceOption((a, b) => if (a.map(_._2).sum <= b.map(_._2).sum) a else b)
+    group match {
+      case None => false
+      case Some(tierShards) =>
+        val sids = tierShards.map(_._1)
+        val target = cur.nShards
+        // sweep a crashed prior attempt's orphan target dirs BEFORE the
+        // intent lands (same rule as append's shard sweep)
+        Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/edges/shard=$target"))
+        Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/nodes/shard=$target"))
+        val tmp = java.nio.file.Paths.get(s"$path/merge__intent_tmp_" +
+          java.util.UUID.randomUUID().toString.take(8))
+        java.nio.file.Files.write(tmp,
+          s"$target:${sids.mkString(",")}".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, intentPath(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val src = cur.nodes.filter(col("shard").isin(sids: _*))
+          .select(col("corpus_id"), col("v"))
+        val kept = exclude.foldLeft(src)((n, ex) =>
+          n.join(ex.select("corpus_id"), Seq("corpus_id"), "left_anti"))
+        if (kept.isEmpty) {
+          // every row in the pair is tombstoned: the merge is a pure
+          // physical purge — retire the sources, write nothing
+          sids.foreach { s =>
+            Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/edges/shard=$s"))
+            Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/nodes/shard=$s"))
+          }
+          java.nio.file.Files.deleteIfExists(intentPath(path))
+          true
+        } else {
+          val seg = train(kept, cur.m, efConstruction, nShards = 1,
+            idCol = "corpus_id", vecCol = "v")
+          seg.edges.withColumn("shard", lit(target))
+            .write.mode("append").partitionBy("shard").parquet(s"$path/edges")
+          seg.nodes.withColumn("shard", lit(target))
+            .write.mode("append").partitionBy("shard").parquet(s"$path/nodes")
+          seg.release()
+          bumpShards(spark, path, cur.m, target + 1)
+          sids.foreach { s =>
+            Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/edges/shard=$s"))
+            Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/nodes/shard=$s"))
+          }
+          java.nio.file.Files.deleteIfExists(intentPath(path))
+          true
+        }
+    }
+  }
+
+  /** Advance the params shard counter to `atLeast` (idempotent — a
+    * roll-forward may find it already advanced). Same sibling-dir swap
+    * as append's flip.
+    */
+  private def bumpShards(spark: SparkSession, path: String,
+                         m: Int, atLeast: Int): Unit = {
+    import spark.implicits._
+    val curShards = scala.util.Try(
+      spark.read.parquet(s"$path/params").collect().head.getInt(1)).getOrElse(0)
+    if (curShards >= atLeast) return
+    Seq((m, atLeast)).toDF("m", "n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params__new")
+    Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/params"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/params__new"),
+      java.nio.file.Paths.get(s"$path/params"))
+  }
+
+  /** Roll a crashed [[mergeOnce]] forward or back from its intent
+    * journal. Forward iff the merged shard's NODES landed (nodes are
+    * written after edges, so their presence proves the segment is
+    * whole): advance params, retire any remaining sources, clear the
+    * intent. Otherwise back: drop the partial target dirs, keep the
+    * sources. Reads params directly (not via [[load]] — load calls
+    * this).
+    */
+  def healMerge(spark: SparkSession, path: String): Unit = {
+    val ip = intentPath(path)
+    if (!java.nio.file.Files.exists(ip)) return
+    val body = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(ip), "UTF-8").trim).getOrElse("")
+    val parsed = body.split(':') match {
+      case Array(t, ss) => scala.util.Try(
+        (t.toInt, ss.split(',').map(_.trim.toInt).toSeq)).toOption
+      case _ => None
+    }
+    parsed match {
+      case None => java.nio.file.Files.deleteIfExists(ip); ()
+      case Some((target, sids)) =>
+        val tNodes = java.nio.file.Paths.get(s"$path/nodes/shard=$target")
+        val committed = java.nio.file.Files.exists(tNodes) && {
+          val w = java.nio.file.Files.list(tNodes)
+          try w.anyMatch(p => p.toString.endsWith(".parquet"))
+          finally w.close()
+        }
+        if (committed) {
+          val m = scala.util.Try(
+            spark.read.parquet(s"$path/params").collect().head.getInt(0)).getOrElse(8)
+          bumpShards(spark, path, m, target + 1)
+          sids.foreach { s =>
+            Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/edges/shard=$s"))
+            Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/nodes/shard=$s"))
+          }
+        } else {
+          Fs.deleteRecursive(java.nio.file.Paths.get(s"$path/edges/shard=$target"))
+          Fs.deleteRecursive(tNodes)
+        }
+        java.nio.file.Files.deleteIfExists(ip)
+        ()
+    }
+  }
+
   /** Reopen a persisted index: both graph tables come back as
     * shard-partitioned parquet scans.
     */
   def load(spark: SparkSession, path: String): HnswIndex = {
+    healMerge(spark, path)
     graft.functions.VectorFunctions.register(spark)
     // fallback chain per table: live -> `__old` (a crashed compact's
     // backup) -> `__new` (a crashed append's params flip) — the index

@@ -97,6 +97,16 @@ final class IvfIndex private (
 
 object IvfIndex {
 
+  /** Batch-size ceiling for the one-task append write: under it, the
+    * batch is micro-batch-sized (a streaming trigger — tens of
+    * thousands of rows at most) and one task halves the cell-file
+    * creation rate; above it, a bulk append keeps per-cell write
+    * parallelism. 100k rows × ~1 KB/row ≈ 100 MB through one task —
+    * the upper edge of what a single writer absorbs without becoming
+    * the batch's critical path.
+    */
+  private val MicroBatchCoalesceRows = 100000L
+
   /** (sim, cid) struct per centroid — built once per call site so the
     * quantizer array is evaluated a single time per row. Shared with
     * IvfPqIndex's probe (which also reuses the per-cell sim as the
@@ -253,9 +263,17 @@ object IvfIndex {
       // needed — file count drives both the per-load partition-discovery
       // listing cost AND the fold cadence (each fold is an O(table)
       // rewrite), measured by the r17 decade soak as the dominant
-      // late-corpus trigger cost. A micro-batch is driver-small by
-      // contract; one task loses nothing.
-      scored.drop("__sim").coalesce(1).write.mode("append").partitionBy("cid")
+      // late-corpus trigger cost. The single task is gated on the batch
+      // being micro-batch-sized (ADVICE r17 — append is a public API,
+      // and a BULK append serialized through one task trades write
+      // parallelism for nothing): past the gate, repartition(cid)
+      // routes each cell to exactly one task — the same one-file-per-
+      // cell count as the fold itself, written in parallel.
+      val cellRows = scored.drop("__sim")
+      val writeRows =
+        if (appended <= MicroBatchCoalesceRows) cellRows.coalesce(1)
+        else cellRows.repartition(col("cid"))
+      writeRows.write.mode("append").partitionBy("cid")
         .parquet(s"$path/cells")
       val meta = readMeta(spark, path).get
       val (trainRows, totalRows, appendedRows, trainMeanSim) =
@@ -331,12 +349,18 @@ object IvfIndex {
       .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("cv"))
       .repartition(col("cid"))
       .write.partitionBy("cid").parquet(s"$path/cells__fold")
+    // count the fold the moment it is durably staged (ADVICE r17): from
+    // here `cells__fold/_SUCCESS` exists, so a crash anywhere below is
+    // rolled FORWARD by healCells — "counted" and "will complete" are
+    // the same set of folds, where bumping after the swap left a crash
+    // window with a completed-but-uncounted O(table) fold (exactly the
+    // untagged-fold aliasing the counter was added to eliminate)
+    bumpFoldCount(path)
     val old = java.nio.file.Paths.get(s"$path/cells__old")
     Fs.deleteRecursive(old)
     java.nio.file.Files.move(cellsDir, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/cells__fold"), cellsDir)
     Fs.deleteRecursive(old)
-    bumpFoldCount(path)
   }
 
   /** Durable fold counter (r17, the retrain-tag discipline applied to
@@ -348,6 +372,10 @@ object IvfIndex {
     * as steady-state ramp). Written atomically, best-effort read.
     */
   private def bumpFoldCount(path: String): Unit = {
+    // single-writer read-modify-write, like every maintenance counter in
+    // the engine: the sinks serialize appends/maintains per index path
+    // (one streaming query owns the path), so no concurrent bump exists
+    // to race; the atomic move only guards READERS against partial bytes
     val fp = java.nio.file.Paths.get(path, "folds")
     val next = foldCount(path) + 1
     val tmp = java.nio.file.Paths.get(path, "folds__tmp_" +

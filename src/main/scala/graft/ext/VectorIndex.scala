@@ -59,9 +59,22 @@ object IndexProfile {
   * nodes, so those rungs pay no copy.
   */
 final class VectorIndex private (val spark: SparkSession, val path: String,
-                                 val kind: String, val profile: IndexProfile) {
+                                 kind0: String, profile0: IndexProfile) {
 
   import VectorIndex._
+
+  /** The rung this handle currently dispatches to. Re-read from the
+    * kind marker on every use (a one-line file read) rather than
+    * pinned at construction: [[maintain]] can MIGRATE the rung when
+    * the corpus outgrows the profile's boundary (r18), and a live
+    * handle held across that maintain — the streaming sink holds one
+    * through a whole trigger — must dispatch its next operation on
+    * the rung that now owns the files, not the one it was opened on.
+    */
+  def kind: String = readKindLine(path).map(_._1).getOrElse(kind0)
+
+  /** Operating knobs, marker-backed like [[kind]]. */
+  def profile: IndexProfile = readKindLine(path).map(_._2).getOrElse(profile0)
 
   // live dir, falling back to a crashed swap's backup (see maintain's
   // two-rename protocol) — the dir stays readable through the swap's
@@ -253,17 +266,57 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
     * tombstone set clears LAST — a crash anywhere leaves tombstones
     * whose anti-joins are at worst no-ops, never resurrections.
     */
-  def maintain(): Unit = {
+  def maintain(purge: Boolean = true): Unit = {
     val hadDeletes = deletedCount() > 0
-    kind match {
+    val k0 = kind
+    // SCHEDULED (purge = false) maintenance on the serving rung defers
+    // the O(corpus) rebuild (r18, VERDICT r17 task 2): a full compact
+    // at the fixed shard-count cadence costs amortized O(n) per
+    // trigger, which no bounded-maintenance gate survives at decade
+    // growth. The size-tiered merge cascade ([[HnswIndex.mergeOnce]])
+    // keeps amortized maintenance AND search fan-out logarithmic; the
+    // full compact still runs whenever deletion pressure crosses the
+    // ratio bound, or the caller needs the physical purge NOW
+    // (resurrection, spec-driven) — purge = true, the default, is
+    // exactly the pre-r18 contract on every rung.
+    if (!purge && k0 == Hnsw && !maintenanceDue()) {
+      // each step's tombstone exclusion physically purges the two
+      // shards it touches; the tombstone SET stays (other shards may
+      // still hold those ids) and keeps filtering at search
+      val ex = deletedIds.map(_.withColumnRenamed("vec_id", "corpus_id"))
+      while (HnswIndex.mergeOnce(spark, idxPath, exclude = ex)) ()
+      bumpMaintains()
+      return
+    }
+    // FULL maintenance pays an O(corpus) rebuild anyway — so first
+    // re-select the rung against the CURRENT corpus (r18, VERDICT r17
+    // task 3): a sink-fed index that grows 40× keeps its birth rung
+    // forever otherwise, and the r17 decade soak measured the
+    // consequence (IVF's designed √n per-trigger growth where the
+    // profile would now pick a different rung). If the profile's
+    // boundary was crossed, the rebuild IS the migration — same staged
+    // dirs + two-rename discipline, committed by a kind-marker flip
+    // ([[VectorIndex.commitMigration]], idempotent and re-run by load
+    // after a crash anywhere inside it).
+    val c = corpusFrame
+    val n = c.count()
+    val newKind = if (n == 0) k0 else {
+      val dims = c.select(size(col("embedding"))).head.getInt(0)
+      selectKind(n, dims, profile)
+    }
+    if (newKind != k0) {
+      stageMigration(newKind, c, n)
+      commitMigration(path)
+      bumpMaintains()
+      return
+    }
+    k0 match {
       case Brute => () // corpus rewrite below is the whole purge
       case Ivf =>
         // IVF's retrain input IS its own cell table: stage the new index
         // to a sibling dir, then two-rename swap (an in-place overwrite
         // would delete the files the training scan is still reading; the
         // __old backup keeps the swap's crash window readable)
-        val c = corpusFrame
-        val n = c.count()
         val tmp = s"$path/idx__new"
         graft.runtime.Fs.deleteRecursive(Paths.get(tmp))
         IvfIndex.train(c, nlist = nlistFor(n)).save(tmp)
@@ -276,20 +329,19 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
         // stage + two-rename swap like the other rebuild sites
         val sqTmp = s"$path/idx__new"
         graft.runtime.Fs.deleteRecursive(Paths.get(sqTmp))
-        SqIndex.train(corpusFrame).save(sqTmp)
+        SqIndex.train(c).save(sqTmp)
         swapInNew("idx")
       case IvfPq =>
-        val c = corpusFrame
         val pqTmp = s"$path/idx__new"
         graft.runtime.Fs.deleteRecursive(Paths.get(pqTmp))
-        IvfPqIndex.train(c, nlist = nlistFor(c.count())).save(pqTmp)
+        IvfPqIndex.train(c, nlist = nlistFor(n)).save(pqTmp)
         swapInNew("idx")
       case Hnsw =>
         HnswIndex.compact(spark, idxPath, exclude =
           deletedIds.map(_.withColumnRenamed("vec_id", "corpus_id")))
     }
     if (hadDeletes) {
-      if (kind == Brute || kind == Sq || kind == IvfPq) {
+      if (k0 == Brute || k0 == Sq || k0 == IvfPq) {
         // rewrite the refine/ground-truth corpus without the tombstones
         val tmp = s"$path/corpus__new"
         graft.runtime.Fs.deleteRecursive(Paths.get(tmp))
@@ -298,11 +350,43 @@ final class VectorIndex private (val spark: SparkSession, val path: String,
       }
       graft.runtime.Fs.deleteRecursive(Paths.get(deletedPath))
     }
-    // durable maintain counter (VERDICT r13 #6): a monotone count of
-    // completed maintain() calls, so a harness can MECHANICALLY tag
-    // which triggers carried a scheduled O(corpus) retrain instead of
-    // inferring it from latency shape. Written atomically (tmp + move),
-    // best-effort read (absent file = 0).
+    bumpMaintains()
+  }
+
+  /** Stage a cross-rung rebuild: the new rung's artifacts land fully
+    * under `idx__new` / `corpus__new` (built FROM the old rung's live
+    * dirs, which stay untouched and readable), then the `kind__new`
+    * marker — written LAST — records that staging is complete. The
+    * commit ([[VectorIndex.commitMigration]]) is driven entirely by
+    * that marker, so a crash before it leaves the old rung intact and
+    * a crash after it rolls forward. Package-visible so the spec can
+    * crash-test the window between stage and commit.
+    */
+  private[ext] def stageMigration(newKind: String, c: DataFrame, n: Long): Unit = {
+    graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/idx__new"))
+    graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/corpus__new"))
+    val std = c.select(col("vec_id"), col("embedding"))
+    newKind match {
+      case Brute => std.write.parquet(s"$path/corpus__new")
+      case Ivf => IvfIndex.train(std, nlist = nlistFor(n)).save(s"$path/idx__new")
+      case Sq =>
+        SqIndex.train(std).save(s"$path/idx__new")
+        std.write.parquet(s"$path/corpus__new")
+      case IvfPq =>
+        IvfPqIndex.train(std, nlist = nlistFor(n)).save(s"$path/idx__new")
+        std.write.parquet(s"$path/corpus__new")
+      case Hnsw => HnswIndex.train(std).save(s"$path/idx__new")
+    }
+    writeKindFile(path, "kind__new", newKind, profile)
+  }
+
+  /** Durable maintain counter (VERDICT r13 #6): a monotone count of
+    * completed maintain() calls, so a harness can MECHANICALLY tag
+    * which triggers carried scheduled O(corpus) work instead of
+    * inferring it from latency shape. Written atomically (tmp + move),
+    * best-effort read (absent file = 0).
+    */
+  private def bumpMaintains(): Unit = {
     val mp = Paths.get(path, "maintains")
     val next = VectorIndex.maintainCount(path) + 1
     val tmp2 = Paths.get(path, "maintains__tmp_" +
@@ -348,8 +432,18 @@ object VectorIndex {
     * rewrites ([[IvfIndex.foldCount]]); rungs without a fold concept
     * read 0 on that axis.
     */
-  def maintenanceStamp(path: String): (Long, Long) =
-    (maintainCount(path), IvfIndex.foldCount(s"$path/idx"))
+  def maintenanceStamp(path: String): (Long, Long) = {
+    // resolve the rung dir the way every instance read does (ADVICE
+    // r17): during a maintain-swap's crash window the live `idx` is
+    // momentarily absent and `idx__old` is the readable fallback —
+    // reading the live path directly would silently report 0 folds
+    // across that window and mis-tag the harness's trigger
+    val idxDir =
+      if (Files.exists(Paths.get(s"$path/idx"))) s"$path/idx"
+      else if (Files.exists(Paths.get(s"$path/idx__old"))) s"$path/idx__old"
+      else s"$path/idx"
+    (maintainCount(path), IvfIndex.foldCount(idxDir))
+  }
 
   /** Unified drift summary over the per-rung append reports. */
   final case class AppendSummary(appended: Long, maintenanceRecommended: Boolean)
@@ -398,35 +492,94 @@ object VectorIndex {
   }
 
   /** Reopen a persisted index: the `kind` marker restores the rung and
-    * the operating knobs it was built with.
+    * the operating knobs it was built with. A migration that crashed
+    * between staging and commit is rolled forward FIRST (the
+    * `kind__new` marker proves the staged dirs are complete), so no
+    * reader ever dispatches the old rung against the new rung's files.
     */
   def load(spark: SparkSession, path: String): VectorIndex = {
-    val line = new String(Files.readAllBytes(Paths.get(s"$path/kind")), "UTF-8").trim
-    val fields = line.split('\t')
-    val kv = fields.drop(1).map { f =>
-      val Array(a, b) = f.split('=')
-      a -> b
-    }.toMap
-    val profile = IndexProfile(
-      memoryBudgetBytes = kv("budget").toLong,
-      serving = kv("serving").toBoolean,
-      exactFloor = kv("floor").toLong,
-      nprobe = kv("nprobe").toInt,
-      shortlist = kv("shortlist").toInt)
-    new VectorIndex(spark, path, fields.head, profile)
+    commitMigration(path)
+    val (kind, profile) = readKindLine(path).getOrElse(
+      sys.error(s"no readable kind marker at $path — not a VectorIndex dir"))
+    new VectorIndex(spark, path, kind, profile)
+  }
+
+  /** Parse the one-line kind marker; None when missing/unreadable. */
+  private[ext] def readKindLine(path: String): Option[(String, IndexProfile)] =
+    scala.util.Try {
+      val line = new String(Files.readAllBytes(Paths.get(s"$path/kind")), "UTF-8").trim
+      val fields = line.split('\t')
+      val kv = fields.drop(1).map { f =>
+        val Array(a, b) = f.split('=')
+        a -> b
+      }.toMap
+      (fields.head, IndexProfile(
+        memoryBudgetBytes = kv("budget").toLong,
+        serving = kv("serving").toBoolean,
+        exactFloor = kv("floor").toLong,
+        nprobe = kv("nprobe").toInt,
+        shortlist = kv("shortlist").toInt))
+    }.toOption
+
+  /** Commit a staged rung migration — idempotent roll-forward, driven
+    * entirely by the `kind__new` marker (absent ⇒ no-op; present ⇒
+    * staging completed, because [[VectorIndex.stageMigration]] writes
+    * it last). Steps, each skipped when a prior run already did it:
+    * swap `idx__new`/`corpus__new` in (two-rename, old kept as `__old`
+    * so a reader of the OLD kind stays consistent until the marker
+    * flips), retire a live dir the new rung doesn't use, flip the kind
+    * marker atomically (the commit point), GC the backups, and clear
+    * the tombstones (the staged build trained from the purged
+    * corpus). A crash anywhere re-runs from [[load]].
+    */
+  private[ext] def commitMigration(path: String): Unit = {
+    val marker = Paths.get(s"$path/kind__new")
+    if (!Files.exists(marker)) return
+    val newKind = new String(Files.readAllBytes(marker), "UTF-8")
+      .trim.split('\t').head
+    val needsIdx = newKind != Brute
+    val needsCorpus = newKind == Brute || newKind == Sq || newKind == IvfPq
+    def swap(liveName: String): Unit = {
+      val live = Paths.get(s"$path/$liveName")
+      val old = Paths.get(s"$path/${liveName}__old")
+      graft.runtime.Fs.deleteRecursive(old)
+      if (Files.exists(live)) Files.move(live, old)
+      Files.move(Paths.get(s"$path/${liveName}__new"), live)
+    }
+    def retire(liveName: String): Unit = {
+      val live = Paths.get(s"$path/$liveName")
+      if (Files.exists(live)) {
+        val old = Paths.get(s"$path/${liveName}__old")
+        graft.runtime.Fs.deleteRecursive(old)
+        Files.move(live, old)
+      }
+    }
+    if (Files.exists(Paths.get(s"$path/idx__new"))) swap("idx")
+    else if (!needsIdx) retire("idx")
+    if (Files.exists(Paths.get(s"$path/corpus__new"))) swap("corpus")
+    else if (!needsCorpus) retire("corpus")
+    Files.move(marker, Paths.get(s"$path/kind"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/idx__old"))
+    graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/corpus__old"))
+    graft.runtime.Fs.deleteRecursive(Paths.get(s"$path/deleted"))
   }
 
   /** Marker flip via tmp + atomic same-dir rename — the manifest
     * discipline everywhere else in the engine (a reader resolves the
     * old or the new marker, never partial bytes).
     */
-  private def writeKind(path: String, kind: String, p: IndexProfile): Unit = {
+  private def writeKind(path: String, kind: String, p: IndexProfile): Unit =
+    writeKindFile(path, "kind", kind, p)
+
+  private[ext] def writeKindFile(path: String, fileName: String,
+                                 kind: String, p: IndexProfile): Unit = {
     val body = s"$kind\tbudget=${p.memoryBudgetBytes}\tserving=${p.serving}" +
       s"\tfloor=${p.exactFloor}\tnprobe=${p.nprobe}\tshortlist=${p.shortlist}\n"
-    val tmp = Paths.get(path, "kind__tmp_" +
+    val tmp = Paths.get(path, s"${fileName}__tmp_" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
     Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(path, "kind"), StandardCopyOption.ATOMIC_MOVE,
+    Files.move(tmp, Paths.get(path, fileName), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -235,6 +235,26 @@ object ExtQueries {
       while (bs.rebucketStep()) ()
     })
 
+  /** Measurement-family tags for Bench's per-row canary normalization
+    * (VERDICT r17 finding #1 — an explicit registry, not a
+    * name-substring match). Family `"media"` = the row's plan decodes
+    * or validates binary media (ImageIO or the deterministic fake
+    * codecs), so its wall-clock rides the decode-canary axis on top of
+    * the host cpu/io axes. Rows absent here are text/relational: host
+    * factor only. BenchLinesSpec pins both directions of the scoping.
+    */
+  val families: Map[String, String] = Seq(
+    "q_ext_media_audio", "q_ext_media_audio_formats",
+    "q_ext_media_audio_neardup", "q_ext_media_decode_real",
+    "q_ext_media_features", "q_ext_media_features_real",
+    "q_ext_media_formats", "q_ext_media_frames",
+    "q_ext_media_ingest_compose", "q_ext_media_ingest_neardup",
+    "q_ext_media_knn", "q_ext_media_meta", "q_ext_media_neardup",
+    "q_ext_media_quarantine", "q_ext_media_resize",
+    "q_ext_media_resize_real", "q_ext_media_video",
+    "q_ext_media_video_formats", "q_ext_media_video_neardup",
+    "q_ext_recall_media_knn").map(_ -> "media").toMap
+
   val queries: Map[String, Q] = Map(
     // Bucket-routed point read: the key IN-list conjunct hashes its
     // literals on the driver and probes at most one bucket per value —

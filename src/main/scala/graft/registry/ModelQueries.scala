@@ -126,6 +126,41 @@ object ModelQueries {
         build
       }
     }),
+    // [EXT] the scale-sane twin of q_model_leads_incr (VERDICT r17 task
+    // 4): incremental runs watermark the EVENTS scan too — date >
+    // max(activity_date) of the prior output, the same scalar the leads
+    // scan already uses — where the faithful row rescans every event
+    // every run (the reference's single most expensive behavior: linear
+    // in history, 23.1 s at sf1 and growing). The semantic delta, by
+    // construction: a lead whose last touch PREDATES the watermark
+    // loses attribution in the incremental batch (NULL event columns) —
+    // full-history attribution is exactly what the rescan buys. The
+    // DuckDB oracle mirrors the watermarked semantics, so this is
+    // pinned as its own contract, not as an approximation of the
+    // faithful row. First (full-refresh) run is identical to the
+    // faithful row's.
+    "q_model_leads_incr_watermarked" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cut = java.sql.Date.valueOf("2024-01-15")
+      val ev = Sources(s, dir).events
+      val events = RefShapes.eventsRef(ev)
+      val leads = RefShapes.leadStageChangeEventsRef(ev)
+      incrViaMaterializerSetup(s, "lead_activities_agg_wm") { mat =>
+        val daily = mat.materialize("traffic_daily_agg_dep_wm", "id")(_ =>
+          TrafficDailyAgg.build(events, RefShapes.campaignSpendsRef(ev)))
+        val build: Option[DataFrame] => DataFrame = {
+          case None =>
+            LeadActivitiesAgg.build(events, leads.filter(col("date") <= lit(cut)), daily)
+          case prior =>
+            val wm = graft.ops.Filters.watermark(prior, "activity_date")
+            val evWm = graft.ops.Filters.watermarkFilter(
+              events.withColumn("__evd", to_date(col("collector_tstamp"))),
+              "__evd", wm).drop("__evd")
+            LeadActivitiesAgg.build(evWm, leads, daily, prior)
+        }
+        build
+      }
+    }),
     // dbt 1.9's MICROBATCH incremental strategy through the production
     // per-window delete+append writer: phase 1 backfills Jan 1-14 from an
     // early source snapshot MISSING the "late" facts (event_id % 7 = 0
@@ -339,7 +374,8 @@ object ModelQueries {
     * watermark on the lead scan — the events scan is NEVER watermarked
     * (reference quirk, SURVEY §2.10).
     */
-  private def leadsCtes(p: String, leadsWhere: String): String =
+  private def leadsCtes(p: String, leadsWhere: String,
+                        evWhere: String = ""): String =
     s"""${p}m3_filtered_events AS (
       |  SELECT domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
       |    CAST(collector_tstamp AS DATE) AS visit_date, page_urlpath, refr_medium,
@@ -354,7 +390,7 @@ object ModelQueries {
       |    ) AS rn
       |  FROM events_ref
       |  WHERE event = 'page_view' AND $botGate
-      |      AND refr_medium <> 'internal'
+      |      AND refr_medium <> 'internal'$evWhere
       |),
       |${p}latest_events AS (
       |  SELECT domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
@@ -481,6 +517,19 @@ object ModelQueries {
        s"b1_leads AS (\n${leadsFinal("b1_")}\n),\n" +
        "lwm AS (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') AS w FROM b1_leads),\n" +
        leadsCtes("b2_", "\n  WHERE date > (SELECT w FROM lwm)") + ",\n" +
+       s"b2_leads AS (\n${leadsFinal("b2_")}\n)\n" +
+       "SELECT * FROM b1_leads WHERE id NOT IN (SELECT id FROM b2_leads)\n" +
+       "UNION ALL SELECT * FROM b2_leads"),
+    // [EXT] watermarked twin: batch 2's events scan carries the same
+    // `> lwm` predicate the Spark side pushes into the parquet scan
+    "q_model_leads_incr_watermarked" ->
+      (s"WITH $eventsRefCte,\n$spendsRefCte,\n$leadsRefCte,\n${dailyCtes("", "", "")},\n" +
+       s"traffic_daily_agg AS (\n${dailyFinal("")}\n),\n" +
+       leadsCtes("b1_", "\n  WHERE date <= DATE '2024-01-15'") + ",\n" +
+       s"b1_leads AS (\n${leadsFinal("b1_")}\n),\n" +
+       "lwm AS (SELECT COALESCE(MAX(activity_date), DATE '1900-01-01') AS w FROM b1_leads),\n" +
+       leadsCtes("b2_", "\n  WHERE date > (SELECT w FROM lwm)",
+         "\n      AND CAST(collector_tstamp AS DATE) > (SELECT w FROM lwm)") + ",\n" +
        s"b2_leads AS (\n${leadsFinal("b2_")}\n)\n" +
        "SELECT * FROM b1_leads WHERE id NOT IN (SELECT id FROM b2_leads)\n" +
        "UNION ALL SELECT * FROM b2_leads"),

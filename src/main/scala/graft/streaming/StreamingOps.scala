@@ -1410,12 +1410,15 @@ object StreamingOps {
               !pinned.select(col("vec_id")).join(d, Seq("vec_id"), "left_semi")
                 .isEmpty)
             if (resurrecting) idx.maintain()
-            // drift OR deletion pressure: both resolve to the same
-            // scheduled O(corpus) maintain (retrain + tombstone purge);
-            // the pressure probe costs a tombstone read + corpus count,
-            // so it rides the compaction cadence, not every trigger
+            // drift OR deletion pressure: both resolve to the scheduled
+            // maintain (purge = false — the serving rung answers it
+            // with logarithmic segment merges and only escalates to the
+            // O(corpus) compact under deletion pressure; every other
+            // rung retrains exactly as before). The pressure probe
+            // costs a tombstone read + corpus count, so it rides the
+            // compaction cadence, not every trigger.
             if (idx.append(pinned).maintenanceRecommended ||
-                (cadenceTick && idx.maintenanceDue())) idx.maintain()
+                (cadenceTick && idx.maintenanceDue())) idx.maintain(purge = false)
           }
         } } finally { batchDeduped.unpersist(false); () }
         if (cadenceTick) cadenceFold(frag)

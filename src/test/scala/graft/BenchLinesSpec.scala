@@ -65,4 +65,37 @@ class BenchLinesSpec extends AnyFunSuite {
       .sortBy(BenchLines.verdictRank)
     assert(ranked == Seq("real", "noisy", "contention", "subsecond", "unknown"))
   }
+
+  // VERDICT r17 task 5: decode-axis scoping is the registry tag, not a
+  // name-substring match — both failure directions of the old rule pinned.
+  test("a decode-family row NOT named media normalizes on the decode axis") {
+    val fams = Map("q_ext_frames_decode" -> "media")
+    assert(BenchLines.rowFactor("q_ext_frames_decode", fams,
+      hostFactor = 1.0, decodeFactor = 2.0) == 2.0)
+  }
+
+  test("an untagged row whose name contains 'media' does NOT ride the decode axis") {
+    assert(BenchLines.rowFactor("q_text_media_mentions", Map.empty[String, String],
+      hostFactor = 1.1, decodeFactor = 3.0) == 1.1)
+  }
+
+  test("host factor still floors the media family (decode cannot excuse cpu sag)") {
+    val fams = Map("q_ext_media_meta" -> "media")
+    assert(BenchLines.rowFactor("q_ext_media_meta", fams,
+      hostFactor = 1.5, decodeFactor = 1.2) == 1.5)
+  }
+
+  test("the registry's family tags cover exactly the registered queries") {
+    val fams = SparkEntry.queryFamilies
+    val qs = SparkEntry.queries.keySet
+    assert(fams.keySet.subsetOf(qs),
+      s"family tags for unregistered rows: ${fams.keySet -- qs}")
+    // every row currently decode-bound is media-named AND tagged — a new
+    // media-substring row added without a tag fails here, forcing the
+    // author to decide its family explicitly instead of silently
+    // inheriting no normalization
+    val mediaNamed = qs.filter(_.contains("media"))
+    assert(mediaNamed.subsetOf(fams.keySet),
+      s"media-named rows missing a family tag: ${mediaNamed -- fams.keySet}")
+  }
 }
