@@ -331,10 +331,10 @@ object Bench {
     if (sf1) require(new java.io.File(s"$sfDir/documents.parquet").exists(),
       s"sf1 tier input missing at $sfDir — generate it with: python3 dev/make_sf1.py $sfDir")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.runtime.SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.runtime.Sources.bootstrap(spark)

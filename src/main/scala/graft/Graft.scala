@@ -31,10 +31,10 @@ object Graft {
               shufflePartitions: Option[Int] = None): SparkSession = {
     val parallelism = shufflePartitions
       .getOrElse(Runtime.getRuntime.availableProcessors())
-    val s = SparkSession.builder()
+    val s = graft.runtime.SessionTuning.tuned(SparkSession.builder()
       .master(master)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.shuffle.partitions", parallelism)
+      .config("spark.sql.shuffle.partitions", parallelism))
       .withExtensions(new GraftExtensions())
       .getOrCreate()
     Sources.bootstrap(s)

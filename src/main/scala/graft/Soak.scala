@@ -58,11 +58,11 @@ object Soak {
     // shuffle stages two-task. Maintenance ops (folds, drains) are
     // batch-shaped too at soak scale. Recorded in the artifact.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SOAK_SHUFFLE", "2")
-    val spark = SparkSession.builder()
+    val spark = graft.runtime.SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.runtime.Sources.bootstrap(spark)

@@ -379,9 +379,14 @@ object DedupOps {
                          textCol: String = "text", idCol: String = "doc_id",
                          fastHash: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
-    val d = docs.select(col(idCol).as("doc_id"),
-        TextOps.normalizeWs(col(textCol)).as("__t"))
-      .filter(length(col("__t")) >= k)
+    // per-gram hashing below is per-row-HEAVY over a narrow frame: fan a
+    // sub-split scan out by the downstream grouping key (doc_id) so the
+    // md5/winnow work parallelizes and the caller's groupBy(doc_id)
+    // reuses this exchange (Parallelize.fanOut is a no-op on wide scans)
+    val d = graft.runtime.Parallelize.fanOut(
+      docs.select(col(idCol).as("doc_id"),
+          TextOps.normalizeWs(col(textCol)).as("__t"))
+        .filter(length(col("__t")) >= k), col("doc_id"))
     if (fastHash) {
       graft.functions.VectorFunctions.register(docs.sparkSession)
       return d.select(col("doc_id"), explode(array_distinct(

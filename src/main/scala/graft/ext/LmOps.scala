@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
 object LmOps {
 
   private def trigramsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextOps.normalizeWs(col(textCol)).as("__t"))
+    // trigram exploding is per-row-heavy over a narrow frame; fan a
+    // sub-split scan out by doc_id so scoring parallelizes and the
+    // per-doc aggregate reuses the exchange (no-op on wide scans)
+    graft.runtime.Parallelize.fanOut(
+      docs.select(col(idCol).as("doc_id"), TextOps.normalizeWs(col(textCol)).as("__t")),
+      col("doc_id"))
       .select(col("doc_id"),
         explode(when(length(col("__t")) >= 3,
             transform(sequence(lit(1), length(col("__t")) - 2),

@@ -34,6 +34,27 @@ import org.apache.spark.sql.types._
   * ahead of the expensive decode because they live in plain columns, not
   * inside the blob.
   */
+/** JVM-global ImageIO stream tuning, applied once before any codec or
+  * generator touches a stream (r18). With the JDK default
+  * `ImageIO.getUseCache() == true`, EVERY
+  * `createImageInput/OutputStream` — including the ones `ImageIO.read`
+  * and `ImageIO.write` create internally — backs the stream with a TEMP
+  * FILE on disk, even when the payload is a ByteArray stream that never
+  * needed one. Per decode/encode that is a file create + write + delete
+  * on the working filesystem; under 32 parallel decode tasks it is also
+  * filesystem-level contention (measured: the GIF frame-hash row's
+  * cumulative task time ran ~9× its compute under parallel decode until
+  * this was set; the standalone 32-thread ImageIO loop scales ~16× with
+  * it). The bench's decode canary sets the flag as a side effect, which
+  * used to mask this on full-bench runs — the engine must not depend on
+  * a measurement harness side effect, so every codec/generator entry
+  * point references [[ready]] before touching ImageIO.
+  */
+private[ext] object JdkImageIo {
+  lazy val ready: Boolean = { javax.imageio.ImageIO.setUseCache(false); true }
+  @inline def ensure(): Unit = { val _ = ready }
+}
+
 /** Pluggable image-decode seam: partition-local operators take a codec
   * instance, so a JNI/ONNX decoder drops in without touching plumbing.
   * Implementations must be Serializable (the instance ships in the
@@ -57,7 +78,8 @@ trait ImageCodec extends Serializable {
   */
 object ImageIoCodec extends ImageCodec {
 
-  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    JdkImageIo.ensure()
     if (payload == null || payload.isEmpty) None
     // ImageIO THROWS (not null) on a payload whose header sniffs as a
     // known format but whose body is garbage — a corrupt blob must map
@@ -65,6 +87,7 @@ object ImageIoCodec extends ImageCodec {
     else scala.util.Try(
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     ).toOption.flatten
+  }
 
   override def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     readImage(payload).map { img =>
@@ -157,29 +180,114 @@ object WavCodec extends AudioCodec {
 private[ext] object Pcm16Decode {
   def apply(payload: Array[Byte]): Option[(Float, Int, Array[Int])] =
     if (payload == null || payload.isEmpty) None
-    // AudioSystem THROWS UnsupportedAudioFileException/EOF on garbage
-    // or truncated containers — a corrupt blob must map to None, never
-    // fail the task
-    else scala.util.Try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val fmt = in.getFormat
-        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16) None
-        else {
-          val bytes = in.readAllBytes()
-          val n = bytes.length / 2
-          val out = new Array[Int](n)
-          var i = 0
-          if (fmt.isBigEndian)
-            while (i < n) { out(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF); i += 1 }
-          else
-            while (i < n) { out(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF); i += 1 }
-          Some((fmt.getSampleRate, fmt.getChannels, out))
-        }
-      } finally in.close()
-    }.toOption.flatten
+    else JdkAudio.parse(payload).flatMap { in =>
+      // parse errors map the blob to None (corrupt ≡ undecodable); a
+      // PARSED stream that fails mid-read does too
+      scala.util.Try {
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            if (fmt.isBigEndian)
+              while (i < n) { out(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF); i += 1 }
+            else
+              while (i < n) { out(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF); i += 1 }
+            Some((fmt.getSampleRate, fmt.getChannels, out))
+          }
+        } finally in.close()
+      }.toOption.flatten
+    }
+}
+
+/** The JDK audio codec with its providers resolved ONCE per JVM (r18).
+  *
+  * `AudioSystem.getAudioInputStream` / `AudioSystem.write` re-run a
+  * JVM-GLOBAL synchronized provider scan on EVERY call
+  * (`JDK13Services.getProviders` behind the
+  * `com.sun.media.sound.JSSecurityManager` class monitor — thread-dump
+  * verified: 32 decode tasks sit BLOCKED on that monitor). Measured on
+  * this host: 14.1k decodes/s at 1 thread collapsing to 867/s per
+  * thread at 32 (2× total scaling on 32 cores); resolving the JDK's own
+  * `AudioFileReader`/`AudioFileWriter` providers once via ServiceLoader
+  * and handing each payload STRAIGHT to the right parser measures 64.8k
+  * decodes/s at 1 thread and 800k/s at 32 — same real JDK container
+  * parse, no per-call registry walk. Decode routing tries the
+  * magic-matched provider first (probed behaviorally at init — no
+  * class-name strings), then the rest in ServiceLoader order, so the
+  * FIRST provider that parses decides — exactly `AudioSystem`'s
+  * contract, including the float-WAV case where a later provider parses
+  * what the PCM reader refuses. Falls back to `AudioSystem` if
+  * ServiceLoader finds nothing (exotic classloader layouts).
+  */
+private[ext] object JdkAudio {
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+  import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+
+  private lazy val readers: List[AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Try(java.util.ServiceLoader.load(classOf[AudioFileReader])
+      .iterator().asScala.toList).getOrElse(Nil)
+  }
+  private lazy val writers: List[AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Try(java.util.ServiceLoader.load(classOf[AudioFileWriter])
+      .iterator().asScala.toList).getOrElse(Nil)
+  }
+
+  /** A minimal valid container of `t`, for behavioral provider probes. */
+  private def probeBytes(t: AudioFileFormat.Type): Array[Byte] = {
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 32), t, bos)
+    bos.toByteArray
+  }
+
+  private def readerFor(t: AudioFileFormat.Type): Option[AudioFileReader] =
+    scala.util.Try(probeBytes(t)).toOption.flatMap { bytes =>
+      readers.find(r => scala.util.Try(
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)).close()).isSuccess)
+    }
+
+  private lazy val wavReader = readerFor(AudioFileFormat.Type.WAVE)
+  private lazy val aiffReader = readerFor(AudioFileFormat.Type.AIFF)
+  private lazy val auReader = readerFor(AudioFileFormat.Type.AU)
+
+  /** First provider that PARSES the payload decides (AudioSystem's
+    * contract); magic-matched provider tried first so the common case
+    * pays one attempt and zero exceptions.
+    */
+  def parse(payload: Array[Byte]): Option[AudioInputStream] = {
+    if (readers.isEmpty)
+      return scala.util.Try(AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))).toOption
+    val first =
+      if (RiffWavCodec.matches(payload)) wavReader
+      else if (AiffCodec.matches(payload)) aiffReader
+      else if (AuCodec.matches(payload)) auReader
+      else None
+    (first.iterator ++ readers.iterator.filterNot(first.contains))
+      .map(r => scala.util.Try(
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))))
+      .collectFirst { case scala.util.Success(in) => in }
+  }
+
+  private lazy val writerFor: Map[AudioFileFormat.Type, AudioFileWriter] =
+    Seq(AudioFileFormat.Type.WAVE, AudioFileFormat.Type.AIFF, AudioFileFormat.Type.AU)
+      .flatMap(t => writers.find(_.isFileTypeSupported(t)).map(t -> _)).toMap
+
+  /** `AudioSystem.write` minus the per-call provider scan. */
+  def write(in: AudioInputStream, t: AudioFileFormat.Type,
+            out: java.io.OutputStream): Unit =
+    writerFor.get(t) match {
+      case Some(w) => w.write(in, t, out); ()
+      case None => AudioSystem.write(in, t, out); ()
+    }
 }
 
 /** Per-container audio codecs (VERDICT r13 task 4 — the audio analog of
@@ -285,6 +393,7 @@ object GifVideoCodec extends VideoCodec {
     // reader lookup/parse THROWS on garbage — corrupt maps to None,
     // never fails the task (same contract as the image/audio seams)
     else scala.util.Try {
+      JdkImageIo.ensure()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -374,6 +483,7 @@ object MjpegAviCodec extends VideoCodec {
   private def decodeChunk(payload: Array[Byte],
                           ch: (Int, Int)): Option[(Int, Int, Array[Int])] =
     scala.util.Try {
+      JdkImageIo.ensure()
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload, ch._1, ch._2))
       require(img != null)
@@ -569,7 +679,8 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("media", BinaryType),
       StructField("media_meta", mediaMetaType)))
-    base.mapPartitions { rows =>
+    graft.runtime.Parallelize.fanOut(base, col("doc_id")).mapPartitions { rows =>
+      JdkImageIo.ensure()
       // encoder allocation is per-partition; images are built row-local
       val grayPalette = if (format == "gif") {
         val ramp = Array.tabulate(256)(_.toByte)
@@ -693,7 +804,9 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("media", BinaryType),
       StructField("media_meta", mediaMetaType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.runtime.Parallelize.fanOut(
+      docs.select(col("doc_id")), col("doc_id")).mapPartitions { rows =>
+      JdkImageIo.ensure()
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val id = r.getLong(0)
@@ -824,7 +937,8 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("media", BinaryType),
       StructField("media_meta", mediaMetaType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.runtime.Parallelize.fanOut(
+      docs.select(col("doc_id")), col("doc_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val n = ((id % 4) + 1).toInt * 800
@@ -841,7 +955,7 @@ object MultimodalOps {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
+        JdkAudio.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row(id, bos.toByteArray, Row("wav", null, null, (n / 8): Integer))
       }
@@ -874,7 +988,9 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("media", BinaryType),
       StructField("media_meta", mediaMetaType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.runtime.Parallelize.fanOut(
+      docs.select(col("doc_id")), col("doc_id")).mapPartitions { rows =>
+      JdkImageIo.ensure()
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val id = r.getLong(0)
@@ -910,7 +1026,7 @@ object MultimodalOps {
           case _      => javax.sound.sampled.AudioFileFormat.Type.WAVE
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais, ftype, bos)
+        JdkAudio.write(ais, ftype, bos)
         Row(id, bos.toByteArray,
           Row(if (container == "wav-half") "wav" else container,
             null, null, (n / 8): Integer))
@@ -1062,7 +1178,9 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("media", BinaryType),
       StructField("media_meta", mediaMetaType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.runtime.Parallelize.fanOut(
+      docs.select(col("doc_id")), col("doc_id")).mapPartitions { rows =>
+      JdkImageIo.ensure()
       val ramp = Array.tabulate(256)(_.toByte)
       val grayPalette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
       rows.map { r =>
@@ -1185,7 +1303,9 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("media", BinaryType),
       StructField("media_meta", mediaMetaType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.runtime.Parallelize.fanOut(
+      docs.select(col("doc_id")), col("doc_id")).mapPartitions { rows =>
+      JdkImageIo.ensure()
       val md = java.security.MessageDigest.getInstance("MD5")
       val perm = Array.tabulate(256)(v => (v * 181 + 7) & 0xFF) // odd mult → bijection
       val inv = new Array[Int](256)
