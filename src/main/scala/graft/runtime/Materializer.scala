@@ -371,13 +371,30 @@ final class Materializer(spark: SparkSession, baseDir: String,
     writerLockFor(model).synchronized { withFileLock(model) {
       val prior = readPrior(model)
       val fresh = build(prior)
-      val result = prior match {
-        case None => fresh
+      prior match {
+        case None => commitVersion(model, fresh)
         case Some(old) =>
           val (oldA, freshA) = SchemaEvolution.align(old, fresh, onSchemaChange)
-          val keys = freshA.select(uniqueKey).distinct()
-          // NB: a using-join puts the key column first — re-select in the
-          // aligned target column order so the output schema is run-stable.
+          // The fresh batch feeds the commit plan twice — pruned to the
+          // key column for the anti-join and in full for the union.
+          // Pinning it (persist across the one commit write) was
+          // implemented and MEASURED SLOWER in r18: cached subplans are
+          // excluded from AQE re-optimization by default
+          // (canChangeCachedPlanOutputPartitioning=false), so the fresh
+          // build lost its runtime broadcast-join conversions and
+          // partition coalescing and paid columnar cache serialization
+          // on top — q_model_daily_incr 2.50 s → 5.82 s, task time
+          // 3.0 s → 37.4 s. The recompute is the cheaper evil: the key
+          // branch is column-pruned to the key's own lineage, and both
+          // branches plan under full AQE.
+          //
+          // Key multiplicity is irrelevant to a left_anti join, so the
+          // key branch carries NO distinct() — the pre-r18 distinct cost
+          // an exchange + aggregate per upsert (r18, plan-verified).
+          val keys = freshA.select(uniqueKey)
+          // NB: a using-join puts the key column first — re-select in
+          // the aligned target column order so the output schema is
+          // run-stable.
           val merged = incrementalPredicates match {
             case Nil => oldA.join(keys, Seq(uniqueKey), "left_anti")
             case ps =>
@@ -387,10 +404,10 @@ final class Materializer(spark: SparkSession, baseDir: String,
               oldA.filter(not(coalesce(p, lit(false))))
                 .unionByName(oldA.filter(p).join(keys, Seq(uniqueKey), "left_anti"))
           }
-          merged.unionByName(freshA)
-            .select(freshA.columns.map(col).toIndexedSeq: _*)
+          commitVersion(model,
+            merged.unionByName(freshA)
+              .select(freshA.columns.map(col).toIndexedSeq: _*))
       }
-      commitVersion(model, result)
     } }
 
   /** dbt's `table` materialization: every run is a full refresh (CTAS)
