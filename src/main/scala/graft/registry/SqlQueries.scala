@@ -29,15 +29,15 @@ object SqlQueries {
 
   val queries: Map[String, Q] = Map(
     "q_model_pages_sql" -> ((s, dir) => {
-      SqlModels.registerCatalog(s, dir)
+      SqlModels.ensureCatalog(s, dir)
       SqlModels.runPages(s)
     }),
     "q_model_daily_sql" -> ((s, dir) => {
-      SqlModels.registerCatalog(s, dir)
+      SqlModels.ensureCatalog(s, dir)
       SqlModels.runDaily(s)
     }),
     "q_model_leads_sql" -> ((s, dir) => {
-      SqlModels.registerCatalog(s, dir)
+      SqlModels.ensureCatalog(s, dir)
       SqlModels.runLeads(s)
     }),
     // model 2 incrementally through the SQL surface: batch 1 full-builds
@@ -45,7 +45,7 @@ object SqlQueries {
     // output registered as a view) — production Materializer write/swap,
     // same oracle as the DataFrame-path q_model_pages_incr.
     "q_model_pages_sql_incr" -> ((s, dir) => {
-      SqlModels.registerCatalog(s, dir)
+      SqlModels.ensureCatalog(s, dir)
       ModelQueries.incrViaMaterializer(s, "traffic_pages_agg_sql")(
         SqlModels.runPages(s, PagesCut)) { prior =>
         val where = prior.map { p =>
@@ -61,7 +61,7 @@ object SqlQueries {
     // :87-89) running in its native surface, same oracle as the
     // DataFrame-path q_model_daily_incr.
     "q_model_daily_sql_incr" -> ((s, dir) => {
-      SqlModels.registerCatalog(s, dir)
+      SqlModels.ensureCatalog(s, dir)
       ModelQueries.incrViaMaterializer(s, "traffic_daily_agg_sql")(
         SqlModels.runDaily(s, DailyEventsCut, DailySpendsCut)) { prior =>
         val (evWhere, spWhere) = prior.map { p =>
@@ -81,7 +81,7 @@ object SqlQueries {
     // table), not rebuilt inside each batch like runLeads does for
     // one-shot queries.
     "q_model_leads_sql_incr" -> ((s, dir) => {
-      SqlModels.registerCatalog(s, dir)
+      SqlModels.ensureCatalog(s, dir)
       ModelQueries.incrViaMaterializerSetup(s, "lead_activities_agg_sql") { mat =>
         mat.materialize("traffic_daily_agg_sql_dep", "id")(_ => SqlModels.runDaily(s))
           .createOrReplaceTempView(SqlModels.sourceView("public_public", "traffic_daily_agg"))
