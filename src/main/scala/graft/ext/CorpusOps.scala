@@ -245,7 +245,11 @@ object CorpusOps {
     val bnds = when(n - 1 < k, array().cast("array<int>"))
       .otherwise(filter(sequence(lit(k), n - 1), i =>
         substring(md5(concat_ws(" ", slice(toks, i - (k - 1), lit(k)))), 1, 2) <= cutHex))
-    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+    // per-token md5 makes this compute-bound, not byte-bound: repair scan
+    // parallelism on narrow inputs (guide §2.5; no-op on wide scans)
+    graft.runtime.Parallelize.fanOut(
+        docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks")),
+        col("doc_id"))
       .select(col("doc_id"),
         posexplode(zip_with(
           concat(array(lit(1)), transform(bnds, b => b + 1)),

@@ -789,8 +789,13 @@ object DedupOps {
     // HigherOrderFunction lambda bodies), turning an O(len) split into
     // O(len²) work per doc
     val toks = col("__toks")
-    docs.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__toks"))
+    // per-gram md5 is the dominant cost (compute-bound, not byte-bound):
+    // repair scan parallelism on the narrow (id, tokens) frame before the
+    // heavy projection (guide §2.5; no-op on wide scans)
+    graft.runtime.Parallelize.fanOut(
+        docs.select(col(idCol).as("doc_id"),
+          TextOps.tokens(col(textCol)).as("__toks")),
+        col("doc_id"))
       .select(col("doc_id"),
         posexplode(when(size(toks) >= n,
             transform(sequence(lit(0), size(toks) - n),

@@ -512,8 +512,17 @@ object CoreQueries {
   // sample-bias-corrected (G1/G2) while Spark's are population (g1/g2),
   // so the oracle uses kurtosis_pop and converts skewness by
   // (n-2)/sqrt(n(n-1)).
+  // The moment battery is compute-bound (a dozen imperative buffers +
+  // exact median per row) on a single-row-group scan: project the three
+  // live columns and repair scan parallelism so partial aggregation runs
+  // wide (guide §2.5; fanOut is a no-op on wide scans, and the partial
+  // aggregates make the exchange carry rows, not work).
   private val a10Stats: Q = (s, dir) =>
-    src(s, dir).lineitem
+    graft.runtime.Parallelize.fanOut(
+        src(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+            col("l_orderkey")),
+        col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         stddev_samp(col("l_quantity")).as("sd_qty"),
