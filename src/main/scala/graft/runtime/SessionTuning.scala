@@ -39,4 +39,17 @@ object SessionTuning {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
       .config("spark.sql.codegen.useIdInClassName",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CLASS_ID", "false"))
+      // AQE coalescing's floor on post-shuffle partition size (default
+      // 1 MB) serializes every compute-dense small shuffle: a pair-verify
+      // self-join or banded candidate join over a sub-MB exchange
+      // coalesces to ONE task regardless of parallelismFirst, while its
+      // cost is per-row compute (token-set intersection, hamming
+      // verify), not bytes. 64 KB keeps such stages wide. Scale-safe by
+      // construction: the floor only binds when totalBytes/parallelism
+      // is below it, i.e. only for shuffles that are trivial at cluster
+      // scale — a 100 TB shuffle's partitions sit at the advisory size
+      // and never see this conf. Env-overridable for A/B
+      // (SPARK_GRAFT_AQE_MIN_PARTITION).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
 }
